@@ -1,0 +1,94 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{functions => F}
+
+/** tada joins (SURVEY.md §2.4): lookup-style left joins with
+  * '''first-match-only''' semantics — a right key appearing k times
+  * contributes only its first row (internal.go:1486-1495), so result
+  * cardinality always equals the anchor side's. This is the big semantic
+  * divergence from SQL joins and is enforced here for every join-shaped
+  * op (including Series arithmetic alignment, internal.go:1519-1558).
+  *
+  * Scale shape: dedup-first is a per-key window over the right side
+  * (combines with the join's own shuffle under the same hash
+  * partitioning), then a plain equi-join Catalyst is free to broadcast
+  * when the deduped right is small — at 100 TB the dim-side lookup
+  * becomes a broadcast-hash-join with zero extra shuffles.
+  */
+object Lookup {
+  import TadaFrame.{ORD, RN}
+
+  /** Keep only the first row (in frame order) per right-side key. */
+  def firstMatchOnly(right: TadaFrame, keys: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(right.df(_)): _*).orderBy(right.orderCols: _*)
+    right.df.withColumn(RN, F.row_number().over(w))
+      .filter(F.col(RN) === 1).drop(RN)
+  }
+
+  /** Auto key discovery: shared label names (internal.go:187-213), else
+    * explicit leftOn/rightOn. */
+  def autoKeys(left: TadaFrame, right: TadaFrame): Seq[String] = {
+    val shared = left.labels.filter(right.labels.contains)
+    require(shared.nonEmpty, "lookup: no shared label names and no explicit keys")
+    shared
+  }
+
+  /** Merge (dataframe.go:1606-1657): anchor keeps all its containers and
+    * gains the right side's value columns; unmatched ⇒ null; `inner` =
+    * left-merge then drop rows that found no match; `right` = swap sides.
+    * Result ordinal = anchor ordinal (cardinality preserved). */
+  def merge(left: TadaFrame, right: TadaFrame, how: String = "left",
+            leftOn: Seq[String] = Nil, rightOn: Seq[String] = Nil,
+            broadcastRight: Boolean = false): TadaFrame = how match {
+    case "right" => merge(right, left, "left", rightOn, leftOn, broadcastRight)
+    case _ =>
+      val lk = if (leftOn.nonEmpty) leftOn else autoKeys(left, right)
+      val rk = if (rightOn.nonEmpty) rightOn else lk
+      val rDedup0 = firstMatchOnly(right, rk)
+      // bring over only right VALUE columns; rename join keys to match left
+      val rCols = rk.map(rDedup0(_)) ++ right.valueCols.filterNot(rk.contains).map(rDedup0(_))
+      var rSel = rDedup0.select(rCols: _*)
+      rk.zip(lk).foreach { case (r, l) => if (r != l) rSel = rSel.withColumnRenamed(r, l) }
+      val rFinal = if (broadcastRight) F.broadcast(rSel) else rSel
+      val joined = left.df.join(rFinal, lk, "left")
+      val withMatch = how match {
+        case "inner" =>
+          // drop rows with no match: any looked-up column null AND no
+          // matching key — tada does left-merge + DropNull on result
+          val probe = right.valueCols.filterNot(rk.contains)
+          if (probe.isEmpty) joined
+          else joined.na.drop(probe)
+        case _ => joined
+      }
+      val f = TadaFrame(withMatch, left.labels, left.name, left.colLevelNames, left.order)
+      f.deduplicateNames
+  }
+
+  /** Elementwise arithmetic with lookup alignment
+    * (combineMath internal.go:1519-1558): coerce to double, align other
+    * via first-match lookup on shared keys, combine; div-by-0 ⇒ null;
+    * ignoreNulls treats a missing/null side as 0. */
+  def combineMath(left: TadaFrame, right: TadaFrame, op: String,
+                  leftOn: Seq[String], rightOn: Seq[String],
+                  leftVal: String, rightVal: String,
+                  out: String, ignoreNulls: Boolean = false): TadaFrame = {
+    val merged = merge(left, right.cols(rightVal), leftOn = leftOn, rightOn = rightOn)
+    val rCol0 = if (leftVal == rightVal) s"${rightVal}_1" else rightVal
+    val l0 = merged.df(leftVal).cast("double")
+    val r0 = merged.df(rCol0).cast("double")
+    val l = if (ignoreNulls) F.coalesce(l0, F.lit(0.0)) else l0
+    val r = if (ignoreNulls) F.coalesce(r0, F.lit(0.0)) else r0
+    val res = op match {
+      case "add" => l + r
+      case "subtract" => l - r
+      case "multiply" => l * r
+      case "divide" => F.when(r === 0.0, F.lit(null)).otherwise(l / r)
+    }
+    // NaN/Inf ⇒ null (internal.go:1543-1551)
+    val guarded = F.when(F.isnan(res) || res === Double.PositiveInfinity ||
+      res === Double.NegativeInfinity, F.lit(null)).otherwise(res)
+    merged.withCol(out, guarded).dropCols(leftVal, rCol0)
+  }
+}

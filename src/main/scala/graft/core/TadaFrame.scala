@@ -1,0 +1,343 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.semantics.TadaFormat
+
+/** Multi-key sort spec (reference: `Sorter` types.go:161-170). `cast`
+  * reproduces tada's sort-time dtype coercion. */
+final case class Sorter(name: String, descending: Boolean = false,
+                        cast: Option[DataType] = None)
+
+/** Null-fill strategies (reference: types.go:178-189). */
+sealed trait FillNullHow
+object FillNullHow {
+  case object Forward extends FillNullHow
+  case object Backward extends FillNullHow
+  case object ZeroValue extends FillNullHow
+  final case class Const(value: Double) extends FillNullHow
+}
+
+/** The engine's frame: a lazy Spark `DataFrame` plus the tada frame model
+  * (SURVEY.md §1) — label levels, frame name, multi-level column names,
+  * and an order contract.
+  *
+  * Design notes (Spark-first, 100 TB-aware):
+  *
+  *   - '''Labels''' (tada's row index, types.go:74-80) are ordinary
+  *     columns listed in `labels`; they join/group/sort like columns, so
+  *     Catalyst sees one flat relation and every optimization applies.
+  *   - '''Row order''' is a first-class tada semantic (head/shift/
+  *     first-appearance grouping). We carry a hidden `__ord` column
+  *     (monotonically increasing id = scan order, assigned once at
+  *     ingest) plus a logical `order` spec. `sort` only rewrites the
+  *     spec — NO shuffle happens until an order-sensitive operator
+  *     actually needs it, and then it is expressed as `orderBy`/window
+  *     clauses Catalyst can plan (range-partitioned sort), never a
+  *     global row_number materialization.
+  *   - Every operator returns a new lazy frame; tada's `InPlace`
+  *     mutator twins (series.go:346-355) collapse into this one form.
+  */
+final case class TadaFrame(
+    df: DataFrame,
+    labels: Seq[String],
+    name: String = "",
+    colLevelNames: Seq[String] = Seq("*0"),
+    order: Seq[Sorter] = Nil) {
+
+  import TadaFrame._
+
+  /** Value (non-label) column names, in schema order. */
+  def valueCols: Seq[String] =
+    df.columns.toSeq.filterNot(c => c == ORD || labels.contains(c))
+
+  /** Resolve a container name against labels ++ columns — tada resolves
+    * either namespace (dataframe.go:107). */
+  def resolve(n: String): String = {
+    require(df.columns.contains(n), s"container '$n' not found")
+    n
+  }
+
+  private def spark: SparkSession = df.sparkSession
+
+  /** The frame's order as Catalyst sort expressions: the sort spec, then
+    * `__ord` as the stable tiebreak (tada sorts are stable,
+    * internal.go:1257-1330; nulls always last, internal.go:1297-1309). */
+  def orderCols: Seq[Column] = {
+    val keys = order.map { s =>
+      val c0 = df(s.name)
+      val c = s.cast.map(c0.cast).getOrElse(c0)
+      if (s.descending) c.desc_nulls_last else c.asc_nulls_last
+    }
+    keys :+ df(ORD).asc
+  }
+
+  /** Window over the whole frame in frame order. Single-partition by
+    * construction — callers that can partition (grouped/rolling ops)
+    * use `TadaGrouped` instead; whole-series analytics are inherently
+    * order-global and documented as such. */
+  private[core] def globalWindow = Window.orderBy(orderCols: _*)
+
+  // ===== §2.2 projections / column ops =====
+
+  def col(n: String): TadaFrame =
+    copy(df = df.select((ORD +: labels :+ resolve(n)).distinct.map(df(_)): _*))
+
+  def cols(ns: String*): TadaFrame =
+    copy(df = df.select((ORD +: labels) .distinct.map(df(_)) ++ ns.map(n => df(resolve(n))): _*))
+
+  def subsetCols(idx: Seq[Int]): TadaFrame = cols(idx.map(valueCols): _*)
+
+  def dropCols(ns: String*): TadaFrame = copy(df = df.drop(ns: _*))
+
+  def reorderCols(ns: Seq[String]): TadaFrame = cols(ns: _*)
+
+  def withCol(n: String, c: Column): TadaFrame = copy(df = df.withColumn(n, c))
+
+  def renameCol(from: String, to: String): TadaFrame = {
+    val lab = labels.map(l => if (l == from) to else l)
+    copy(df = df.withColumnRenamed(from, to), labels = lab,
+         order = order.map(s => if (s.name == from) s.copy(name = to) else s))
+  }
+
+  def setColNames(ns: Seq[String]): TadaFrame = {
+    val vc = valueCols
+    require(ns.size == vc.size, s"${ns.size} names for ${vc.size} columns")
+    vc.zip(ns).foldLeft(this) { case (f, (o, n)) => f.renameCol(o, n) }
+  }
+
+  /** Append `_n` to duplicate names left→right (dataframe.go:457-469). */
+  def deduplicateNames: TadaFrame = {
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    val renames = df.columns.toSeq.map { c =>
+      val k = seen.getOrElse(c, 0); seen(c) = k + 1
+      if (k == 0) c -> c else c -> s"${c}_$k"
+    }
+    val newDf = df.toDF(renames.map(_._2): _*)
+    copy(df = newDf, labels = labels) // label names are unique already
+  }
+
+  def filterCols(pred: String => Boolean): TadaFrame =
+    cols(valueCols.filter(pred): _*)
+
+  def hasCols(ns: String*): Boolean = ns.forall(df.columns.contains)
+  def listColNames: Seq[String] = valueCols
+  def listLabelNames: Seq[String] = labels
+
+  // ===== §2.3 row selection / filters =====
+
+  /** Positional head/tail/range (series.go:241-286) — expressed as
+    * order-limit plans (TopK at scale), never a global row_number. */
+  def head(n: Int): TadaFrame = copy(df = df.orderBy(orderCols: _*).limit(n))
+
+  def tail(n: Int): TadaFrame = {
+    val rev = reverseOrder(this)
+    copy(df = df.orderBy(rev: _*).limit(n))
+  }
+
+  def range(first: Int, last: Int): TadaFrame = {
+    require(first <= last, s"range: $first > $last")
+    head(last).tail(last - first)
+  }
+
+  /** Filter by per-container predicates, ANDed; null rows never match
+    * (internal.go:1184-1187). Predicates are Column→Column so they stay
+    * native expressions inside codegen — tada's FilterFn lambda escape
+    * hatch is `filterUdf`. */
+  def filter(preds: Map[String, Column => Column]): TadaFrame = {
+    val cond = preds.map { case (n, f) =>
+      val c = df(resolve(n)); c.isNotNull && f(c)
+    }.reduce(_ && _)
+    copy(df = df.filter(cond))
+  }
+
+  def filter(cond: Column): TadaFrame = copy(df = df.filter(cond))
+
+  /** tada FilterByValue: equality on stringified values (internal.go:241-253). */
+  def filterByValue(vals: Map[String, Any]): TadaFrame = {
+    val cond = vals.map { case (n, v) =>
+      val c = df(resolve(n))
+      TadaFormat.stringify(c, df.schema(n).dataType) === lit(v.toString)
+    }.reduce(_ && _)
+    copy(df = df.filter(cond))
+  }
+
+  /** Where(filters, ifTrue, ifFalse) → new column; result is null iff any
+    * inspected container is null at that row (dataframe.go:1437-1477). */
+  def where(name: String, inspected: Seq[String], pred: Column,
+            ifTrue: Column, ifFalse: Column): TadaFrame = {
+    val anyNull = inspected.map(df(_).isNull).reduceOption(_ || _).getOrElse(lit(false))
+    withCol(name, when(anyNull, lit(null)).otherwise(when(pred, ifTrue).otherwise(ifFalse)))
+  }
+
+  def dropNull(subset: String*): TadaFrame = {
+    val cs = if (subset.isEmpty) valueCols else subset
+    copy(df = df.na.drop(cs))
+  }
+
+  def isNullRows(subset: String*): TadaFrame = {
+    val cs = if (subset.isEmpty) valueCols else subset
+    copy(df = df.filter(cs.map(df(_).isNull).reduce(_ || _)))
+  }
+
+  /** FillNull per column (internal.go:936-983). Forward/backward fill is
+    * a running `last(ignoreNulls)` window over frame order. */
+  def fillNull(how: Map[String, FillNullHow]): TadaFrame =
+    how.foldLeft(this) { case (f, (n, h)) =>
+      h match {
+        case FillNullHow.ZeroValue =>
+          val dt = f.df.schema(n).dataType
+          val zero: Column = dt match {
+            case StringType => lit("")
+            case _ => lit(0).cast(dt)
+          }
+          f.withCol(n, coalesce(f.df(n), zero))
+        case FillNullHow.Const(v) =>
+          f.withCol(n, coalesce(f.df(n).cast(DoubleType), lit(v)))
+        case FillNullHow.Forward =>
+          val w = f.globalWindow.rowsBetween(Window.unboundedPreceding, 0)
+          f.withCol(n, last(f.df(n), ignoreNulls = true).over(w))
+        case FillNullHow.Backward =>
+          val w = f.globalWindow.rowsBetween(0, Window.unboundedFollowing)
+          f.withCol(n, first(f.df(n), ignoreNulls = true).over(w))
+      }
+    }
+
+  /** First appearance of each value (or labels+value) combo
+    * (series.go:1265-1274). `dropDuplicates` does not promise *first*, so
+    * pick row_number==1 over appearance order. */
+  def unique(includeLabels: Boolean = false, subset: Seq[String] = Nil): TadaFrame = {
+    val keyCols0 = if (subset.nonEmpty) subset
+                   else if (includeLabels) labels ++ valueCols else valueCols
+    val key = TadaFormat.rowKey(keyCols0.map(n => (df(n), df.schema(n).dataType)))
+    val w = Window.partitionBy(key).orderBy(orderCols: _*)
+    copy(df = df.withColumn(RN, row_number().over(w)).filter(org.apache.spark.sql.functions.col(RN) === 1).drop(RN))
+  }
+
+  /** Deterministic shuffle (series.go:422-435): rand(seed) becomes the new
+    * frame order. */
+  def shuffle(seed: Long): TadaFrame = {
+    val shuffled = df.withColumn(ORD2, rand(seed))
+      .orderBy(ORD2).drop(ORD).withColumnRenamed(ORD2, ORD)
+    copy(df = shuffled, order = Nil)
+  }
+
+  // ===== §2.7 sort =====
+
+  /** Multi-key stable sort, nulls last both directions
+    * (internal.go:1257-1330). Lazy: records the spec; consumers emit
+    * `orderBy` which Spark plans as a range-partitioned sort. */
+  def sort(by: Sorter*): TadaFrame = copy(order = by.toSeq)
+
+  /** Materialized sorted view (for writers/golden output). */
+  def sorted: DataFrame = df.orderBy(orderCols: _*)
+
+  // ===== §2.8 set ops =====
+
+  /** Vertical concat = UNION ALL (series.go:486-508); on type mismatch
+    * tada coerces both sides to string (internal.go:1159-1170). */
+  def append(other: TadaFrame): TadaFrame = {
+    require(valueCols.size == other.valueCols.size && labels.size == other.labels.size,
+      "append: container counts differ")
+    val pairs = (labels ++ valueCols).zip(other.labels ++ other.valueCols)
+    var (l, r) = (df, other.df)
+    pairs.foreach { case (a, b) =>
+      val (ta, tb) = (l.schema(a).dataType, r.schema(b).dataType)
+      if (ta != tb) {
+        l = l.withColumn(a, l(a).cast(StringType))
+        r = r.withColumn(b, r(b).cast(StringType))
+      }
+      r = r.withColumnRenamed(b, a)
+    }
+    // appended rows come after the anchor's: shift the right side's
+    // ordinal into a disjoint upper band (mono ids use < 2^61 here).
+    r = r.withColumn(ORD, r(ORD) + lit(1L << 61))
+    val outCols = (ORD +: labels) ++ valueCols
+    copy(df = l.select(outCols.map(l(_)): _*)
+      .unionByName(r.select(outCols.map(r(_)): _*)))
+  }
+
+  // ===== label ↔ column moves (§2.10) =====
+
+  def setAsLabels(ns: String*): TadaFrame = copy(labels = labels ++ ns)
+
+  def resetLabels(ns: String*): TadaFrame = {
+    val drop = if (ns.isEmpty) labels else ns
+    val renamed = drop.foldLeft(df) { (d, n) =>
+      if (n.startsWith("*")) d.withColumnRenamed(n, n.stripPrefix("*")) else d
+    }
+    copy(df = renamed, labels = labels.filterNot(drop.contains))
+  }
+
+  def relabel(): TadaFrame = {
+    val d = df.drop(labels.filterNot(_ == ORD): _*)
+    copy(df = d, labels = Nil).defaultLabels
+  }
+
+  def swapLabels(a: String, b: String): TadaFrame = {
+    val i = labels.indexOf(a); val j = labels.indexOf(b)
+    require(i >= 0 && j >= 0, s"labels $a/$b not found")
+    copy(labels = labels.updated(i, b).updated(j, a))
+  }
+
+  def subsetLabels(ns: Seq[String]): TadaFrame =
+    copy(df = df.drop(labels.filterNot(ns.contains): _*), labels = ns)
+
+  private def defaultLabels: TadaFrame =
+    if (labels.nonEmpty) this
+    else copy(df = df.withColumn("*0", df(ORD)), labels = Seq("*0"))
+
+  // ===== grouping =====
+
+  def groupBy(ns: String*): TadaGrouped = {
+    val keys = if (ns.nonEmpty) ns.toSeq else labels
+    TadaGrouped(this, keys, aligned = false)
+  }
+
+  // ===== output =====
+
+  /** Collected records with tada null rendering "(null)"
+    * (internal.go:2866-2890) — test/golden harness path, driver-side. */
+  def records(includeLabels: Boolean = true): Seq[Seq[String]] = {
+    val cs = (if (includeLabels) labels else Nil) ++ valueCols
+    val out = sorted.select(cs.map(n =>
+      coalesce(TadaFormat.stringify(df(n), df.schema(n).dataType), lit("(null)")).as(n)): _*)
+    cs +: out.collect().toSeq.map(r => (0 until r.length).map(r.getString))
+  }
+
+  /** The public DataFrame view: labels first, no hidden columns, frame
+    * order applied. This is what queries hand to the driver. */
+  def out: DataFrame = {
+    val cs = (labels ++ valueCols).map(df(_))
+    df.orderBy(orderCols: _*).select(cs: _*)
+  }
+}
+
+object TadaFrame {
+  /** Hidden ordinal — scan order at ingest (SURVEY §1.2 Spark mapping).
+    * `monotonically_increasing_id` is (partition << 33 | row), which sorts
+    * identically to scan order and costs nothing — no global counter, no
+    * shuffle, valid at any scale. */
+  val ORD = "__ord"
+  private[core] val ORD2 = "__ord2"
+  private[core] val RN = "__rn"
+
+  /** Ingest: wrap a source DataFrame; `labelCols` become label levels, a
+    * default hidden label is fabricated if none given (internal.go:162-174). */
+  def ingest(src: DataFrame, labelCols: Seq[String] = Nil, name: String = ""): TadaFrame = {
+    val withOrd = src.withColumn(ORD, monotonically_increasing_id())
+    TadaFrame(withOrd, labelCols, name)
+  }
+
+  private[core] def reverseOrder(f: TadaFrame): Seq[Column] = {
+    val keys = f.order.map { s =>
+      val c0 = f.df(s.name)
+      val c = s.cast.map(c0.cast).getOrElse(c0)
+      if (s.descending) c.asc_nulls_first else c.desc_nulls_first
+    }
+    keys :+ f.df(ORD).desc
+  }
+}

@@ -1,0 +1,167 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types._
+
+import graft.semantics.TadaFormat
+
+/** Grouping + reducers (reference: groupers.go / groupers_autogen.go,
+  * SURVEY.md §2.5–§2.6).
+  *
+  * Spark-first shape: a reduced group is `groupBy(keys).agg(...)` — one
+  * shuffle with map-side partial aggregation; an `aligned` group is the
+  * same aggregates `over Window.partitionBy(keys)` written back to every
+  * row. tada's first-appearance group order (internal.go:1399-1424) is
+  * reproduced by carrying `min(__ord)` per group as the result's hidden
+  * ordinal — the groupBy shuffle already pays for it, no extra pass.
+  */
+final case class TadaGrouped(frame: TadaFrame, keys: Seq[String], aligned: Boolean) {
+  import TadaFrame.ORD
+
+  private def df = frame.df
+
+  /** tada reducer → (output column, aggregate expr, window expr). Output
+    * naming follows the reference: `{agg}_{col}` (groupers_autogen.go:46-48). */
+  private def named(agg: String, col: String, e: Column): (String, Column) =
+    (s"${agg}_$col", e)
+
+  private def aggExpr(agg: String, n: String): Column = {
+    val c = df(n)
+    agg match {
+      case "sum" => F.sum(c)
+      case "mean" => F.avg(c)
+      // exact median: sort-based, even count ⇒ mid-average (internal.go:2017-2037)
+      case "median" => F.percentile(c, lit(0.5))
+      // POPULATION σ, not Spark's default sample σ (internal.go:2042-2057)
+      case "stdDev" => F.stddev_pop(c)
+      case "count" => F.count(c)
+      // distinct stringified non-null (internal.go:2076-2094)
+      case "nunique" => F.countDistinct(TadaFormat.stringify(c, df.schema(n).dataType))
+      case "min" => F.min(c)
+      case "max" => F.max(c)
+      case "earliest" => F.min(c)
+      case "latest" => F.max(c)
+      case other => throw new IllegalArgumentException(s"unknown reducer $other")
+    }
+  }
+
+  /** Positional pick per group in frame order: First/Last/Nth with
+    * negative-from-end and OOB⇒null (groupers.go:188-200, 824-868).
+    * Spark's `first()` is order-nondeterministic — instead rank rows
+    * within each group by the frame's order spec and aggregate the single
+    * row at the requested position (`max(when(pos match, v))` — null when
+    * out of bounds). One window + one groupBy, same shuffle key. */
+  def positional(picks: Seq[(String, String, Int)]): TadaFrame = {
+    val w = Window.partitionBy(keyExprs: _*).orderBy(frame.orderCols: _*)
+    val wAll = Window.partitionBy(keyExprs: _*)
+    val aug = df
+      .withColumn("__gpos", F.row_number().over(w))
+      .withColumn("__gcnt", F.count(lit(1)).over(wAll))
+    val aggs = F.min(aug(ORD)).as(ORD) +: picks.map { case (out, n, pos) =>
+      val target = if (pos >= 0) lit(pos + 1) else aug("__gcnt") + lit(pos + 1)
+      F.max(F.when(aug("__gpos") === target, aug(n))).as(out)
+    }
+    val res = aug.groupBy(keys.map(aug(_)): _*).agg(aggs.head, aggs.tail: _*)
+    TadaFrame(res, labels = keys, name = frame.name, order = Nil)
+  }
+
+  private def keyExprs: Seq[Column] = keys.map(df(_))
+
+  /** Reduce mode: one row per group, keys become the result's labels,
+    * group order = first appearance via min(__ord). */
+  private def reduce(cols: Seq[String], agg: String): TadaFrame =
+    reduceWith(cols.map(n => named(agg, n, aggExpr(agg, n))))
+
+  def reduceWith(outs: Seq[(String, Column)]): TadaFrame = {
+    if (aligned) return alignWith(outs)
+    val aggs = F.min(df(ORD)).as(ORD) +: outs.map { case (n, e) => e.as(n) }
+    val res = df.groupBy(keyExprs: _*).agg(aggs.head, aggs.tail: _*)
+    TadaFrame(res, labels = keys, name = frame.name, order = Nil)
+  }
+
+  /** Align mode (groupers.go:202-228): the aggregate broadcast back to
+    * every original row — exactly a window aggregate, zero extra joins. */
+  private def alignWith(outs: Seq[(String, Column)]): TadaFrame = {
+    val w = Window.partitionBy(keyExprs: _*)
+    outs.foldLeft(frame) { case (f, (n, e)) => f.withCol(n, e.over(w)) }
+  }
+
+  def align: TadaGrouped = copy(aligned = true)
+
+  def sum(cols: String*): TadaFrame = reduce(cols, "sum")
+  def mean(cols: String*): TadaFrame = reduce(cols, "mean")
+  def median(cols: String*): TadaFrame = reduce(cols, "median")
+  def stdDev(cols: String*): TadaFrame = reduce(cols, "stdDev")
+  def count(cols: String*): TadaFrame = reduce(cols, "count")
+  def nUnique(cols: String*): TadaFrame = reduce(cols, "nunique")
+  def min(cols: String*): TadaFrame = reduce(cols, "min")
+  def max(cols: String*): TadaFrame = reduce(cols, "max")
+  def earliest(cols: String*): TadaFrame = reduce(cols, "earliest")
+  def latest(cols: String*): TadaFrame = reduce(cols, "latest")
+
+  def first(cols: String*): TadaFrame =
+    positional(cols.map(n => (s"first_$n", n, 0)))
+  def last(cols: String*): TadaFrame =
+    positional(cols.map(n => (s"last_$n", n, -1)))
+  def nth(pos: Int, cols: String*): TadaFrame =
+    positional(cols.map(n => (s"nth_$n", n, pos)))
+
+  /** HavingCount (groupers.go:232-254): drop groups failing a count
+    * predicate; counts include nulls (count(*) not F.count(col)). */
+  def havingCount(pred: Column => Column): TadaFrame = {
+    val cnt = F.count(lit(1))
+    if (aligned) {
+      val w = Window.partitionBy(keyExprs: _*)
+      frame.filter(pred(cnt.over(w)))
+    } else {
+      val res = df.groupBy(keyExprs: _*)
+        .agg(F.min(df(ORD)).as(ORD), cnt.as("__cnt"))
+        .filter(pred(col("__cnt"))).drop("__cnt")
+      TadaFrame(res, labels = keys, name = frame.name, order = Nil)
+    }
+  }
+
+  def getGroup(values: Map[String, Any]): TadaFrame = frame.filterByValue(values)
+
+  /** Custom slice→scalar reduce (tada ReduceFn types.go:201-204): typed
+    * Aggregator path for real pipelines; column-expression path here. */
+  def reduceExpr(outName: String, e: Column): TadaFrame = reduceWith(Seq(outName -> e))
+}
+
+/** Rolling windows (groupers.go:295-345) — per-row groups over following
+  * rows. Spark-native: rows/range frames over the frame's order. */
+object Rolling {
+  import TadaFrame.ORD
+
+  /** RollingN(n): current + following n-1 rows; incomplete tail windows
+    * reduce to null (groupers.go:295-314 — short window ⇒ empty group).
+    * `partitionBy` is the scale path: keyed windows parallelize; the
+    * empty default reproduces the reference's whole-frame semantics. */
+  def rollingN(f: TadaFrame, n: Int, colName: String, agg: Column => Column,
+               out: String, partitionBy: Seq[String] = Nil,
+               finish: Column => Column = identity): TadaFrame = {
+    val w0 = if (partitionBy.isEmpty) f.globalWindow
+             else Window.partitionBy(partitionBy.map(f.df(_)): _*).orderBy(f.orderCols: _*)
+    val w = w0.rowsBetween(0, n - 1)
+    val c = f.df(colName)
+    val complete = F.count(lit(1)).over(w) === n
+    f.withCol(out, F.when(complete, finish(agg(c).over(w))).otherwise(lit(null)))
+  }
+
+  /** RollingDuration(d): subsequent rows within [t, t+d) — left-inclusive
+    * right-exclusive (internal.go:2410-2421) ⇒ range frame on microseconds
+    * [0, d-1µs]. */
+  def rollingDuration(f: TadaFrame, tsCol: String, micros: Long, valCol: String,
+                      agg: Column => Column, out: String,
+                      partitionBy: Seq[String] = Nil,
+                      finish: Column => Column = identity): TadaFrame = {
+    val us = F.unix_micros(f.df(tsCol))
+    val w0 = if (partitionBy.isEmpty) Window.orderBy(us)
+             else Window.partitionBy(partitionBy.map(f.df(_)): _*).orderBy(us)
+    val w = w0.rangeBetween(0, micros - 1)
+    f.withCol(out, finish(agg(f.df(valCol)).over(w)))
+  }
+}

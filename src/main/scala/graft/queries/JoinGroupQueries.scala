@@ -1,0 +1,265 @@
+package graft.queries
+
+import graft.Tables
+import graft.core._
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.4 joins / §2.5 grouping / §2.8 set ops, expressed through
+  * the TadaFrame library and verified against DuckDB.
+  */
+object JoinGroupQueries extends QueryPack {
+  import Exact._
+
+  def queries: Seq[Query] = Seq(
+    // §2.4 Lookup/Merge on a unique right key — the classic dim lookup;
+    // the deduped right side is broadcast-joinable at any scale.
+    Query(
+      "q10_lookup_join",
+      (s, dir) => {
+        val orders = TadaFrame.ingest(Tables.orders(s, dir))
+        val cust = TadaFrame.ingest(Tables.customer(s, dir))
+        Lookup.merge(orders, cust.cols("c_custkey", "c_name"),
+            leftOn = Seq("o_custkey"), rightOn = Seq("c_custkey"),
+            broadcastRight = true)
+          .out.select("o_orderkey", "o_custkey", "c_name", "o_totalprice")
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey, c_name, o_totalprice
+        FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_orderkey
+      """)),
+
+    // §2.4 first-match-only semantics: right side (orders) has many rows
+    // per key; tada keeps only the first per frame order — no row
+    // multiplication, result cardinality = customers.
+    Query(
+      "q11_lookup_first_match",
+      (s, dir) => {
+        val cust = TadaFrame.ingest(Tables.customer(s, dir))
+        val orders = TadaFrame.ingest(Tables.orders(s, dir))
+          .sort(Sorter("o_orderdate"), Sorter("o_orderkey"))
+        Lookup.merge(cust, orders.cols("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"),
+            leftOn = Seq("c_custkey"), rightOn = Seq("o_custkey"))
+          .out.select("c_custkey", "o_orderdate", "o_totalprice")
+          .orderBy("c_custkey")
+      },
+      Some("""
+        SELECT c_custkey, o.o_orderdate AS o_orderdate, o.o_totalprice AS o_totalprice
+        FROM customer LEFT JOIN (
+          SELECT * FROM (
+            SELECT o_custkey, o_orderdate, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey) AS rn
+            FROM orders) WHERE rn = 1) o
+        ON c_custkey = o.o_custkey
+        ORDER BY c_custkey
+      """)),
+
+    // §2.4 inner merge: left-merge then drop unmatched (dataframe.go:1633-1657).
+    Query(
+      "q12_merge_inner",
+      (s, dir) => {
+        val cust = TadaFrame.ingest(Tables.customer(s, dir))
+        val orders = TadaFrame.ingest(Tables.orders(s, dir))
+          .sort(Sorter("o_orderdate"), Sorter("o_orderkey"))
+        Lookup.merge(cust, orders.cols("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"),
+            how = "inner", leftOn = Seq("c_custkey"), rightOn = Seq("o_custkey"))
+          .out.select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+          .orderBy("c_custkey")
+      },
+      Some("""
+        SELECT c_custkey, c_name, o.o_orderkey AS o_orderkey, o.o_totalprice AS o_totalprice
+        FROM customer JOIN (
+          SELECT * FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey) AS rn
+            FROM orders) WHERE rn = 1) o
+        ON c_custkey = o.o_custkey
+        ORDER BY c_custkey
+      """)),
+
+    // §2.4 Series arithmetic with lookup alignment (combineMath):
+    // per-nation customer balance + supplier balance.
+    Query(
+      "q13_arith_align",
+      (s, dir) => {
+        val cust = TadaFrame.ingest(Tables.customer(s, dir))
+          .groupBy("c_nationkey")
+          .reduceWith(Seq("bal" -> dsum(col("c_acctbal"))))
+        val supp = TadaFrame.ingest(Tables.supplier(s, dir))
+          .groupBy("s_nationkey")
+          .reduceWith(Seq("bal" -> dsum(col("s_acctbal"))))
+        Lookup.combineMath(cust, supp, "add",
+            leftOn = Seq("c_nationkey"), rightOn = Seq("s_nationkey"),
+            leftVal = "bal", rightVal = "bal", out = "total_bal")
+          .out.orderBy("c_nationkey")
+      },
+      Some(s"""
+        SELECT c.c_nationkey, c.bal + s.bal AS total_bal
+        FROM (SELECT c_nationkey, ${sqlDsum("c_acctbal")} AS bal
+              FROM customer GROUP BY c_nationkey) c
+        LEFT JOIN (SELECT s_nationkey, ${sqlDsum("s_acctbal")} AS bal
+                   FROM supplier GROUP BY s_nationkey) s
+        ON c.c_nationkey = s.s_nationkey
+        ORDER BY c.c_nationkey
+      """)),
+
+    // §2.5 full reducer set over one grouping: exact median, POPULATION
+    // stddev (via exact decimal moments so both engines see identical
+    // doubles), count, countDistinct, min, max.
+    Query(
+      "q14_group_reducers",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, dir)
+        val sx = sum(dec($"l_extendedprice")).cast("double")
+        val sx2 = sum(dec($"l_extendedprice") * dec($"l_extendedprice")).cast("double")
+        val n = count($"l_extendedprice").cast("double")
+        li.groupBy($"l_returnflag")
+          .agg(
+            percentile($"l_quantity", lit(0.5)).as("median_qty"),
+            sqrt((sx2 - sx * sx / n) / n).as("stddev_pop_price"),
+            count(lit(1)).as("n_rows"),
+            countDistinct($"l_partkey").as("n_parts"),
+            min($"l_quantity").as("min_qty"),
+            max($"l_quantity").as("max_qty"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""
+        SELECT l_returnflag,
+               quantile_cont(l_quantity, 0.5) AS median_qty,
+               sqrt((CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                     - CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                       * CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                       / CAST(count(l_extendedprice) AS DOUBLE))
+                    / CAST(count(l_extendedprice) AS DOUBLE)) AS stddev_pop_price,
+               count(*) AS n_rows,
+               count(DISTINCT l_partkey) AS n_parts,
+               min(l_quantity) AS min_qty,
+               max(l_quantity) AS max_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+      """)),
+
+    // §2.5 Earliest/Latest (time min/max) + HavingCount: active users with
+    // ≥ some events.
+    Query(
+      "q15_having_earliest",
+      (s, dir) => {
+        val ev = TadaFrame.ingest(Tables.events(s, dir))
+        val grouped = ev.groupBy("user_id")
+        val reduced = grouped.reduceWith(Seq(
+          "earliest_ts" -> min(col("ts")),
+          "latest_ts" -> max(col("ts")),
+          "n" -> count(lit(1))))
+        reduced.filter(col("n") >= 50)
+          .out.orderBy("user_id")
+      },
+      Some("""
+        SELECT user_id, min(ts) AS earliest_ts, max(ts) AS latest_ts, count(*) AS n
+        FROM events
+        GROUP BY user_id
+        HAVING count(*) >= 50
+        ORDER BY user_id
+      """)),
+
+    // §2.5 First/Last/Nth positional picks per group in frame order.
+    Query(
+      "q16_first_last_nth",
+      (s, dir) => {
+        val orders = TadaFrame.ingest(Tables.orders(s, dir))
+          .sort(Sorter("o_orderdate"), Sorter("o_orderkey"))
+        orders.groupBy("o_custkey").positional(Seq(
+            ("first_price", "o_totalprice", 0),
+            ("second_price", "o_totalprice", 1),
+            ("last_price", "o_totalprice", -1)))
+          .out.orderBy("o_custkey")
+      },
+      Some("""
+        SELECT o_custkey,
+               max(CASE WHEN rn = 1 THEN o_totalprice END) AS first_price,
+               max(CASE WHEN rn = 2 THEN o_totalprice END) AS second_price,
+               max(CASE WHEN rn = cnt THEN o_totalprice END) AS last_price
+        FROM (SELECT o_custkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey) AS rn,
+                     count(*) OVER (PARTITION BY o_custkey) AS cnt
+              FROM orders)
+        GROUP BY o_custkey
+        ORDER BY o_custkey
+      """)),
+
+    // §2.3 Unique — first appearance per key in frame order
+    // (series.go:1265-1274).
+    Query(
+      "q17_unique_first",
+      (s, dir) => {
+        val cust = TadaFrame.ingest(Tables.customer(s, dir))
+          .sort(Sorter("c_custkey"))
+        cust.unique(subset = Seq("c_mktsegment"))
+          .out.select("c_mktsegment", "c_custkey")
+          .orderBy("c_mktsegment")
+      },
+      Some("""
+        SELECT c_mktsegment, min(c_custkey) AS c_custkey
+        FROM customer GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+      """)),
+
+    // §2.8 Append (UNION ALL) of two name/balance frames.
+    Query(
+      "q18_append",
+      (s, dir) => {
+        val c = TadaFrame.ingest(
+          Tables.customer(s, dir).selectExpr("c_name AS nm", "c_acctbal AS bal", "'cust' AS src"))
+        val p = TadaFrame.ingest(
+          Tables.supplier(s, dir).selectExpr("s_name AS nm", "s_acctbal AS bal", "'supp' AS src"))
+        c.append(p).out.orderBy("src", "nm")
+      },
+      Some("""
+        SELECT c_name AS nm, c_acctbal AS bal, 'cust' AS src FROM customer
+        UNION ALL
+        SELECT s_name AS nm, s_acctbal AS bal, 'supp' AS src FROM supplier
+        ORDER BY src, nm
+      """)),
+
+    // §2.8 set algebra (Spark intersect/except — free extras over the
+    // reference's internal row-index sets).
+    Query(
+      "q19_set_ops",
+      (s, dir) => {
+        import s.implicits._
+        val rich = Tables.customer(s, dir).filter($"c_acctbal" > 9000)
+          .select($"c_nationkey".cast("int").as("nationkey")).distinct()
+        val supp = Tables.supplier(s, dir).filter($"s_acctbal" > 9000)
+          .select($"s_nationkey".cast("int").as("nationkey")).distinct()
+        rich.except(supp).orderBy("nationkey")
+      },
+      Some("""
+        SELECT DISTINCT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
+        EXCEPT
+        SELECT DISTINCT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 9000
+        ORDER BY nationkey
+      """)),
+
+    // semi/anti joins (SURVEY §2.4 "free extras"): customers with no orders.
+    Query(
+      "q20_anti_join",
+      (s, dir) => {
+        import s.implicits._
+        val c = Tables.customer(s, dir)
+        val o = Tables.orders(s, dir).filter($"o_totalprice" > 400000)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select($"c_custkey", $"c_name")
+          .orderBy($"c_custkey")
+      },
+      Some("""
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        ORDER BY c_custkey
+      """)))
+}

@@ -1,0 +1,345 @@
+package graft.queries
+
+import graft.Tables
+import graft.core._
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.6 window / rolling / aligned analytics + §2.3 fill/shift.
+  * Every window here is keyed (partitioned) — the scale path — while the
+  * library also supports the reference's whole-frame form.
+  */
+object WindowQueries extends QueryPack {
+  import Exact._
+
+  def queries: Seq[Query] = Seq(
+    // §2.5 Align() — aggregate broadcast back to every row = window
+    // aggregate; deviation from the nation mean balance.
+    Query(
+      "q21_align_window",
+      (s, dir) => {
+        val cust = TadaFrame.ingest(Tables.customer(s, dir))
+        cust.groupBy("c_nationkey").align.reduceWith(Seq(
+            "nat_sum" -> sum(dec(col("c_acctbal"))),
+            "nat_cnt" -> count(col("c_acctbal"))))
+          .withCol("dev_from_nation_mean",
+            col("c_acctbal") - col("nat_sum").cast("double") / col("nat_cnt"))
+          .out.select("c_custkey", "c_nationkey", "dev_from_nation_mean")
+          .orderBy("c_custkey")
+      },
+      Some("""
+        SELECT c_custkey, c_nationkey,
+               c_acctbal - CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+                                OVER (PARTITION BY c_nationkey) AS DOUBLE)
+                           / count(c_acctbal) OVER (PARTITION BY c_nationkey)
+               AS dev_from_nation_mean
+        FROM customer
+        ORDER BY c_custkey
+      """)),
+
+    // §2.6 RollingN per key: 3-order rolling spend per customer;
+    // incomplete tail windows ⇒ null.
+    Query(
+      "q22_rolling_n",
+      (s, dir) => {
+        val orders = TadaFrame.ingest(Tables.orders(s, dir))
+          .sort(Sorter("o_orderdate"), Sorter("o_orderkey"))
+        Rolling.rollingN(orders, 3, "o_totalprice",
+            c => sum(dec(c)), "rolling3_spend",
+            partitionBy = Seq("o_custkey"), finish = _.cast("double"))
+          .out.select("o_orderkey", "o_custkey", "rolling3_spend")
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN count(*) OVER w = 3
+                    THEN CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+               END AS rolling3_spend
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING)
+        ORDER BY o_orderkey
+      """)),
+
+    // §2.6 RollingDuration [t, t+1h) per user over the event stream —
+    // range frame on microseconds, left-inclusive right-exclusive.
+    Query(
+      "q23_rolling_duration",
+      (s, dir) => {
+        val ev = TadaFrame.ingest(Tables.events(s, dir))
+        Rolling.rollingDuration(ev, "ts", 3600000000L, "value",
+            c => sum(dec(c)), "next_hour_value",
+            partitionBy = Seq("user_id"), finish = _.cast("double"))
+          .out.select("event_id", "user_id", "next_hour_value")
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT event_id, user_id,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) OVER
+                 (PARTITION BY user_id ORDER BY epoch_us(ts)
+                  RANGE BETWEEN CURRENT ROW AND 3599999999 FOLLOWING) AS DOUBLE)
+               AS next_hour_value
+        FROM events
+        ORDER BY event_id
+      """)),
+
+    // §2.6 CumSum per customer in date order; nulls contribute 0.
+    Query(
+      "q24_cumsum",
+      (s, dir) => {
+        val orders = TadaFrame.ingest(Tables.orders(s, dir))
+          .sort(Sorter("o_orderdate"), Sorter("o_orderkey"))
+          .withCol("tp", dec(col("o_totalprice")))
+        Analytics.cumSum(orders, "tp", "cum_spend", partitionBy = Seq("o_custkey"))
+          .withCol("cum_spend", col("cum_spend").cast("double"))
+          .out.select("o_orderkey", "o_custkey", "cum_spend")
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+                 (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS cum_spend
+        FROM orders
+        ORDER BY o_orderkey
+      """)),
+
+    // §2.3 Shift(n): previous event value per user (lag).
+    Query(
+      "q25_shift",
+      (s, dir) => {
+        val ev = TadaFrame.ingest(Tables.events(s, dir))
+          .sort(Sorter("ts"), Sorter("event_id"))
+        Analytics.shift(ev, "value", 1, "prev_value", partitionBy = Seq("user_id"))
+          .out.select("event_id", "user_id", "value", "prev_value")
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT event_id, user_id, value,
+               lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+        FROM events
+        ORDER BY event_id
+      """)),
+
+    // §2.6 dense Rank with tada null semantics (null in ⇒ null out, rank
+    // counts only non-null values), keyed by return flag.
+    Query(
+      "q26_rank_dense",
+      (s, dir) => {
+        val li0 = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+                  nullif(col("l_quantity"), lit(10.0)).as("qty"))
+        val li = TadaFrame.ingest(li0)
+        Analytics.rankDense(li, "qty", "qty_rank", partitionBy = Seq("l_returnflag"))
+          .out.select("l_orderkey", "l_linenumber", "l_returnflag", "qty_rank")
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""
+        SELECT l_orderkey, l_linenumber, l_returnflag,
+               CASE WHEN qty IS NULL THEN NULL
+                    ELSE dense_rank() OVER (PARTITION BY l_returnflag
+                                            ORDER BY qty ASC NULLS FIRST)
+                         - max(CASE WHEN qty IS NULL THEN 1 ELSE 0 END)
+                             OVER (PARTITION BY l_returnflag)
+               END AS qty_rank
+        FROM (SELECT l_orderkey, l_linenumber, l_returnflag,
+                     NULLIF(l_quantity, 10.0) AS qty
+              FROM lineitem)
+        ORDER BY l_orderkey, l_linenumber
+      """)),
+
+    // §2.6 exclusive Percentile: fraction of non-null values strictly
+    // below — (min_rank - 1) / n_nonnull, NOT percent_rank/cume_dist.
+    Query(
+      "q27_percentile_excl",
+      (s, dir) => {
+        val li0 = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+                  nullif(col("l_quantity"), lit(10.0)).as("qty"))
+        val li = TadaFrame.ingest(li0)
+        Analytics.percentile(li, "qty", "qty_pct", partitionBy = Seq("l_returnflag"))
+          .out.select("l_orderkey", "l_linenumber", "l_returnflag", "qty_pct")
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""
+        SELECT l_orderkey, l_linenumber, l_returnflag,
+               CASE WHEN qty IS NULL THEN NULL
+                    ELSE CAST(rank() OVER (PARTITION BY l_returnflag
+                                           ORDER BY qty ASC NULLS FIRST)
+                              - sum(CASE WHEN qty IS NULL THEN 1 ELSE 0 END)
+                                  OVER (PARTITION BY l_returnflag)
+                              - 1 AS DOUBLE)
+                         / count(qty) OVER (PARTITION BY l_returnflag)
+               END AS qty_pct
+        FROM (SELECT l_orderkey, l_linenumber, l_returnflag,
+                     NULLIF(l_quantity, 10.0) AS qty
+              FROM lineitem)
+        ORDER BY l_orderkey, l_linenumber
+      """)),
+
+    // §2.6 Bin: left-exclusive right-inclusive edges with auto "lo-hi"
+    // labels, aggregated to bin counts.
+    Query(
+      "q28_bin",
+      (s, dir) => {
+        val li = TadaFrame.ingest(Tables.lineitem(s, dir))
+        Analytics.bin(li, "l_quantity", Seq(0.0, 10.0, 20.0, 30.0, 40.0, 50.0), "qty_bin")
+          .groupBy("qty_bin").reduceWith(Seq("n" -> count(lit(1))))
+          .out.orderBy("qty_bin")
+      },
+      Some("""
+        SELECT CASE WHEN l_quantity > 0 AND l_quantity <= 10 THEN '0-10'
+                    WHEN l_quantity > 10 AND l_quantity <= 20 THEN '10-20'
+                    WHEN l_quantity > 20 AND l_quantity <= 30 THEN '20-30'
+                    WHEN l_quantity > 30 AND l_quantity <= 40 THEN '30-40'
+                    WHEN l_quantity > 40 AND l_quantity <= 50 THEN '40-50'
+               END AS qty_bin,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY 1
+        ORDER BY qty_bin
+      """)),
+
+    // §2.6 PercentileBin: bin the exclusive percentile into quartiles —
+    // left-INclusive right-EXclusive (opposite edge rule of Bin).
+    Query(
+      "q29_percentile_bin",
+      (s, dir) => {
+        val o = TadaFrame.ingest(Tables.orders(s, dir))
+        Analytics.percentileBin(o, "o_totalprice", Seq(0, 0.25, 0.5, 0.75, 1.0),
+            "price_quartile", partitionBy = Seq("o_orderstatus"))
+          .groupBy("o_orderstatus", "price_quartile")
+          .reduceWith(Seq("n" -> count(lit(1))))
+          .out.orderBy("o_orderstatus", "price_quartile")
+      },
+      Some("""
+        SELECT o_orderstatus,
+               CASE WHEN pct >= 0 AND pct < 0.25 THEN '0-0.25'
+                    WHEN pct >= 0.25 AND pct < 0.5 THEN '0.25-0.5'
+                    WHEN pct >= 0.5 AND pct < 0.75 THEN '0.5-0.75'
+                    WHEN pct >= 0.75 AND pct < 1.0 THEN '0.75-1'
+               END AS price_quartile,
+               count(*) AS n
+        FROM (SELECT o_orderstatus,
+                     CAST(rank() OVER (PARTITION BY o_orderstatus
+                                       ORDER BY o_totalprice ASC NULLS FIRST) - 1 AS DOUBLE)
+                     / count(o_totalprice) OVER (PARTITION BY o_orderstatus) AS pct
+              FROM orders)
+        GROUP BY o_orderstatus, 2
+        ORDER BY o_orderstatus, price_quartile
+      """)),
+
+    // §2.6 Resample by calendar month (date_trunc) with exact sums.
+    Query(
+      "q30_resample_month",
+      (s, dir) => {
+        val o = TadaFrame.ingest(Tables.orders(s, dir))
+        Analytics.resample(o, "o_orderdate", "month", "order_month")
+          .groupBy("order_month")
+          .reduceWith(Seq("n" -> count(lit(1)), "revenue" -> dsum(col("o_totalprice"))))
+          .out.orderBy("order_month")
+      },
+      Some(s"""
+        SELECT date_trunc('month', o_orderdate) AS order_month,
+               count(*) AS n, ${sqlDsum("o_totalprice")} AS revenue
+        FROM orders
+        GROUP BY 1
+        ORDER BY order_month
+      """)),
+
+    // §2.6 Resample by arbitrary duration (15-minute floor) on the event
+    // stream — the streaming tumbling-window shape, batch form.
+    Query(
+      "q31_resample_duration",
+      (s, dir) => {
+        val ev = TadaFrame.ingest(Tables.events(s, dir))
+        Analytics.resampleDuration(ev, "ts", 900000000L, "bucket")
+          .groupBy("bucket")
+          .reduceWith(Seq("n" -> count(lit(1)), "v" -> dsum(col("value"))))
+          .out.orderBy("bucket")
+      },
+      Some(s"""
+        SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000) AS bucket,
+               count(*) AS n, ${sqlDsum("value")} AS v
+        FROM events
+        GROUP BY 1
+        ORDER BY bucket
+      """)),
+
+    // §1.4 FillNull forward-fill per user: running last(ignoreNulls).
+    Query(
+      "q32_fillnull_ffill",
+      (s, dir) => {
+        val ev0 = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("ts"),
+                  when(col("value") < 5, lit(null)).otherwise(col("value")).as("v"))
+        val ev = TadaFrame.ingest(ev0).sort(Sorter("ts"), Sorter("event_id"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Long.MinValue, 0)
+        ev.withCol("v_filled", last(col("v"), ignoreNulls = true).over(w))
+          .out.select("event_id", "user_id", "v", "v_filled")
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT event_id, user_id, v,
+               last_value(v IGNORE NULLS) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+        FROM (SELECT event_id, user_id, ts,
+                     CASE WHEN value < 5 THEN NULL ELSE value END AS v
+              FROM events)
+        ORDER BY event_id
+      """)),
+
+    // §2.7 multi-key stable Sort (nulls last both directions) + Head —
+    // TopK plan, no global row-number.
+    Query(
+      "q33_sort_head",
+      (s, dir) => {
+        val li0 = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+                  nullif(col("l_quantity"), lit(25.0)).as("qty"))
+        TadaFrame.ingest(li0)
+          .sort(Sorter("l_returnflag", descending = true), Sorter("qty"),
+                Sorter("l_orderkey"), Sorter("l_linenumber"))
+          .head(1000)
+          .out.select("l_orderkey", "l_linenumber", "l_returnflag", "qty")
+      },
+      Some("""
+        SELECT l_orderkey, l_linenumber, l_returnflag, NULLIF(l_quantity, 25.0) AS qty
+        FROM lineitem
+        ORDER BY l_returnflag DESC NULLS LAST, qty ASC NULLS LAST,
+                 l_orderkey, l_linenumber
+        LIMIT 1000
+      """)),
+
+    // §2.3 Head/Range positional slicing: rows [50, 100) in sort order.
+    Query(
+      "q34_range",
+      (s, dir) => {
+        val li = TadaFrame.ingest(Tables.lineitem(s, dir))
+          .sort(Sorter("l_orderkey"), Sorter("l_linenumber"))
+        li.range(50, 100)
+          .out.select("l_orderkey", "l_linenumber", "l_quantity")
+      },
+      Some("""
+        SELECT l_orderkey, l_linenumber, l_quantity
+        FROM lineitem
+        ORDER BY l_orderkey, l_linenumber
+        LIMIT 50 OFFSET 50
+      """)),
+
+    // §2.9 ValueCounts: stringified value → count.
+    Query(
+      "q35_value_counts",
+      (s, dir) => {
+        val p = TadaFrame.ingest(Tables.part(s, dir))
+        p.groupBy("p_brand").reduceWith(Seq("n" -> count(lit(1))))
+          .out.orderBy("p_brand")
+      },
+      Some("""
+        SELECT p_brand, count(*) AS n FROM part GROUP BY p_brand ORDER BY p_brand
+      """)))
+}
