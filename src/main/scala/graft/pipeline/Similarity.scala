@@ -1,0 +1,84 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{functions => F}
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`).
+  *
+  * Baseline: brute-force cosine top-k — exact, O(|queries|·|corpus|);
+  * correct shape at scale is a BROADCAST of the (small) query set against
+  * the corpus so the corpus is scanned once, embarrassingly parallel, no
+  * shuffle until the final per-query top-k (which is tiny).
+  *
+  * Scale path: random-hyperplane LSH — bucket corpus and queries by sign
+  * bits, probe only matching buckets. Hyperplanes are derived from a
+  * seeded hash (deterministic, no stored model).
+  */
+object Similarity {
+
+  /** dot(a, b) over float arrays, accumulated in double — zip_with +
+    * aggregate, pure codegen expressions. */
+  def dot(a: Column, b: Column): Column =
+    F.aggregate(F.zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      F.lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = F.sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    F.when(d === 0, 0.0).otherwise(dot(a, b) / d)
+  }
+
+  /** Exact top-k neighbors for each query vector. `queries` must be the
+    * small side — it is broadcast; the corpus streams through map-side,
+    * and only (q, k) survivor rows reach the window shuffle. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = F.broadcast(queries.select(F.col(idCol).as("query_id"), F.col(vecCol).as("qv")))
+    val joined = corpus.select(F.col(idCol).as("neighbor_id"), F.col(vecCol).as("cv"))
+      .crossJoin(q)
+      .filter(F.col("query_id") =!= F.col("neighbor_id"))
+      .select(F.col("query_id"), F.col("neighbor_id"),
+        cosine(F.col("qv"), F.col("cv")).as("cos"))
+    val w = Window.partitionBy(F.col("query_id"))
+      .orderBy(F.col("cos").desc, F.col("neighbor_id"))
+    joined.withColumn("rank", F.row_number().over(w))
+      .filter(F.col("rank") <= k)
+  }
+
+  /** Sign-bit bucket under `planes` pseudo-random hyperplanes. Plane p's
+    * j-th coordinate is a deterministic hash of (seed, p, j) mapped to
+    * [-0.5, 0.5) — reproducible on any cluster, nothing to store. */
+  def hyperplaneBucket(vec: Column, planes: Int = 8, seed: Int = 42): Column = {
+    val coord: (Int, Column) => Column = (p, j) =>
+      (F.pmod(F.xxhash64(F.lit(seed), F.lit(p), j), F.lit(1000L)).cast("double") / 1000.0) - 0.5
+    val bits = (0 until planes).map { p =>
+      val proj = F.aggregate(
+        F.transform(vec, (x, j) => x.cast("double") * coord(p, j)),
+        F.lit(0.0), (acc, x) => acc + x)
+      F.when(proj >= 0, F.shiftleft(F.lit(1L), p)).otherwise(F.lit(0L))
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** LSH-bucketed ANN: probe only the matching bucket per query.
+    * Recall < 1 by construction; callers trade `planes` for recall. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              planes: Int = 8,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cb = corpus.select(F.col(idCol).as("neighbor_id"), F.col(vecCol).as("cv"),
+      hyperplaneBucket(F.col(vecCol), planes).as("bucket"))
+    val qb = F.broadcast(queries.select(F.col(idCol).as("query_id"), F.col(vecCol).as("qv"),
+      hyperplaneBucket(F.col(vecCol), planes).as("bucket")))
+    val joined = cb.join(qb, "bucket")
+      .filter(F.col("query_id") =!= F.col("neighbor_id"))
+      .select(F.col("query_id"), F.col("neighbor_id"),
+        cosine(F.col("qv"), F.col("cv")).as("cos"))
+    val w = Window.partitionBy(F.col("query_id"))
+      .orderBy(F.col("cos").desc, F.col("neighbor_id"))
+    joined.withColumn("rank", F.row_number().over(w))
+      .filter(F.col("rank") <= k)
+  }
+}

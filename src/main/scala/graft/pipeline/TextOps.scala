@@ -1,0 +1,83 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.{functions => F}
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * normalization, token counting, quality scoring, language ID,
+  * fingerprinting. All pure column expressions (whole-stage codegen, no
+  * UDFs) — at 100 TB these run inside the scan stage with zero shuffles.
+  */
+object TextOps {
+
+  /** Lowercase, strip non-alphanumerics to spaces, squeeze whitespace. */
+  def normalize(text: Column): Column =
+    F.trim(F.regexp_replace(F.regexp_replace(F.lower(text), "[^a-z0-9]+", " "), " +", " "))
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(text: Column): Column = F.split(normalize(text), " ")
+
+  /** Token count (whitespace segmentation); empty text ⇒ 0. */
+  def tokenCount(text: Column): Column =
+    F.when(F.length(normalize(text)) === 0, F.lit(0)).otherwise(F.size(tokens(text)))
+
+  /** A BPE-ish subword proxy count: words + digit runs + punctuation
+    * marks, approximating tokenizer inflation without a vocab file. */
+  def tokenCountBpeIsh(text: Column): Column =
+    F.regexp_count(text, F.lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
+
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "this", "for", "on", "with", "as", "at", "by", "be")
+
+  private def wordAltPattern(ws: Seq[String]): String =
+    ws.mkString("\\b(", "|", ")\\b")
+
+  /** Stopword hits in the normalized text (regexp count — codegen'd). */
+  def stopwordCount(text: Column): Column =
+    F.regexp_count(normalize(text), F.lit(wordAltPattern(stopwords)))
+
+  /** Punctuation character count on the RAW text. */
+  def punctCount(text: Column): Column =
+    F.regexp_count(text, F.lit("[^A-Za-z0-9\\s]"))
+
+  /** Quality score ∈ [0,1]: blend of length band, stopword ratio and
+    * punctuation ratio — the standard cheap pre-filter shape used before
+    * expensive dedup/model scoring. Deterministic, oracle-expressible. */
+  def qualityScore(text: Column): Column = {
+    val len = F.length(text).cast("double")
+    val toks = tokenCount(text).cast("double")
+    val stopRatio = F.when(toks === 0, 0.0).otherwise(stopwordCount(text) / toks)
+    val punctRatio = F.when(len === 0, 0.0).otherwise(punctCount(text) / len)
+    val lenScore = F.least(len / 200.0, F.lit(1.0))
+    // weights sum to 1; stopword presence is the strongest natural-language signal
+    lenScore * 0.4 + F.least(stopRatio * 4.0, F.lit(1.0)) * 0.4 +
+      (F.lit(1.0) - F.least(punctRatio * 5.0, F.lit(1.0))) * 0.2
+  }
+
+  /** Language marker lexicons for the n-gram/stopword language-ID
+    * heuristic. Tiny on purpose: the operator shape (N marker scans +
+    * argmax, one pass, no shuffle) is what matters at scale. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "that", "this", "with"),
+    "es" -> Seq("el", "la", "de", "que", "los", "una", "por", "como"),
+    "fr" -> Seq("le", "les", "des", "est", "une", "dans", "pour", "sur"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit"))
+
+  /** Per-language marker-hit counts → argmax language, "und" when no
+    * marker hits at all. Tie-break = lexicon order (en first). */
+  def langId(text: Column): Column = {
+    val scores = langMarkers.map { case (lang, ws) =>
+      lang -> F.regexp_count(normalize(text), F.lit(wordAltPattern(ws)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => F.greatest(a, b))
+    scores.foldRight(F.lit("und"): Column) { case ((lang, s), acc) =>
+      F.when(best > 0 && s === best, F.lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Document fingerprint: hash of the normalized text. md5 keeps it
+    * oracle-checkable; xxhash64 is the cheap variant for joins. */
+  def fingerprintMd5(text: Column): Column = F.md5(F.encode(normalize(text), "UTF-8"))
+  def fingerprint64(text: Column): Column = F.xxhash64(normalize(text))
+}
