@@ -1,0 +1,86 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import graft.semantics.TadaFormat
+
+/** Reshaping (SURVEY.md §2.10): pivot, promote-to-column-level,
+  * transpose, multi-level label products.
+  */
+object Reshape {
+  import TadaFrame.ORD
+
+  /** PivotTable (dataframe.go:1791-1829): group rows by `labels`, spread
+    * `column`'s values into columns, aggregate `value` cells. Maps to
+    * Spark's native groupBy().pivot().agg() — one shuffle, pivot values
+    * resolved either from `knownValues` (no extra pass — always supply
+    * at scale) or a distinct scan. */
+  def pivotTable(f: TadaFrame, labels: Seq[String], column: String,
+                 agg: Column, knownValues: Seq[String] = Nil,
+                 prefix: String = ""): TadaFrame = {
+    val grouped0 = f.df.groupBy(labels.map(f.df(_)): _*)
+    val pivoted0 =
+      if (knownValues.nonEmpty) grouped0.pivot(column, knownValues)
+      else grouped0.pivot(column)
+    val pivoted = pivoted0.agg(agg)
+    val renamed = pivoted.columns.foldLeft(pivoted) { (d, c) =>
+      if (labels.contains(c)) d else d.withColumnRenamed(c, s"$prefix$c")
+    }
+    TadaFrame.ingest(renamed, labels)
+  }
+
+  /** PromoteToColLevel (dataframe.go:1265-1373): spread `column`'s unique
+    * values into a column level; each (residual labels, promoted value)
+    * cell takes the FIRST value in frame order (reference keeps first,
+    * internal.go:1435-1483) — min_by on the ordinal, not Spark's
+    * nondeterministic first(). */
+  def promoteToColLevel(f: TadaFrame, labels: Seq[String], column: String,
+                        value: String, knownValues: Seq[String],
+                        prefix: String = ""): TadaFrame = {
+    // rank rows inside each (residual, promoted) cell by the FRAME order
+    // (sort spec, not ingest ordinal) — min_by on that rank is "first"
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy((labels :+ column).map(f.df(_)): _*)
+      .orderBy(f.orderCols: _*)
+    val aug = f.df.withColumn("__fo", F.row_number().over(w))
+    val grouped = aug.groupBy(labels.map(aug(_)): _*)
+      .pivot(column, knownValues)
+      .agg(F.min_by(aug(value), aug("__fo")))
+    val renamed = grouped.columns.foldLeft(grouped) { (d, c) =>
+      if (labels.contains(c)) d else d.withColumnRenamed(c, s"$prefix$c")
+    }
+    TadaFrame.ingest(renamed, labels)
+  }
+
+  /** Transpose (dataframe.go:1183-1263): rows ↔ columns, all values
+    * stringified. Inherently driver-side (the result schema IS the row
+    * count) — capped, for small summary frames only. */
+  def transpose(f: TadaFrame, headerCol: String, maxRows: Int = 1000): TadaFrame = {
+    val cols = f.valueCols.filterNot(_ == headerCol)
+    val src = f.sorted.select(
+      (headerCol +: cols).map(n =>
+        F.coalesce(TadaFormat.stringify(f.df(n), f.df.schema(n).dataType),
+          F.lit("(null)")).as(n)): _*)
+    val rows: Array[Row] = src.collect()
+    require(rows.length <= maxRows,
+      s"transpose: ${rows.length} rows > cap $maxRows — transpose is a driver-side op")
+    val spark = f.df.sparkSession
+    val outCols = rows.map(_.getString(0))
+    val schema = StructType(StructField("stat", StringType) +:
+      outCols.map(c => StructField(c, StringType)).toIndexedSeq)
+    val data = cols.zipWithIndex.map { case (statName, i) =>
+      Row.fromSeq(statName +: rows.map(_.getString(i + 1)).toIndexedSeq)
+    }
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(data).asJava),
+      schema)
+    TadaFrame.ingest(df, Seq("stat"))
+  }
+
+  /** MakeMultiLevelLabels (dataframe.go:20-65): cartesian product of
+    * label level values — crossJoin of (small, distinct) level frames. */
+  def makeMultiLevelLabels(spark: SparkSession, levels: Seq[DataFrame]): DataFrame =
+    levels.reduce(_.crossJoin(_))
+}

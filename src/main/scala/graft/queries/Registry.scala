@@ -3,7 +3,7 @@ package graft.queries
 /** All query packs, in SURVEY.md §2 order. SparkEntry delegates here. */
 object Registry {
   def packs: Seq[QueryPack] = Seq(
-    CoreQueries, JoinGroupQueries, WindowQueries, PipelineQueries)
+    CoreQueries, JoinGroupQueries, WindowQueries, ReshapeQueries, PipelineQueries)
 
   lazy val all: Seq[Query] = {
     val qs = packs.flatMap(_.queries)
