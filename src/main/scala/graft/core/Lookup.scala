@@ -74,7 +74,8 @@ object Lookup {
                   leftOn: Seq[String], rightOn: Seq[String],
                   leftVal: String, rightVal: String,
                   out: String, ignoreNulls: Boolean = false): TadaFrame = {
-    val merged = merge(left, right.cols(rightVal), leftOn = leftOn, rightOn = rightOn)
+    val merged = merge(left, right.cols((rightOn :+ rightVal).distinct: _*),
+      leftOn = leftOn, rightOn = rightOn)
     val rCol0 = if (leftVal == rightVal) s"${rightVal}_1" else rightVal
     val l0 = merged.df(leftVal).cast("double")
     val r0 = merged.df(rCol0).cast("double")

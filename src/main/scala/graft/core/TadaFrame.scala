@@ -87,7 +87,8 @@ final case class TadaFrame(
     copy(df = df.select((ORD +: labels :+ resolve(n)).distinct.map(df(_)): _*))
 
   def cols(ns: String*): TadaFrame =
-    copy(df = df.select((ORD +: labels) .distinct.map(df(_)) ++ ns.map(n => df(resolve(n))): _*))
+    copy(df = df.select((ORD +: labels).distinct.map(df(_)) ++
+      ns.filterNot(n => n == ORD || labels.contains(n)).map(n => df(resolve(n))): _*))
 
   def subsetCols(idx: Seq[Int]): TadaFrame = cols(idx.map(valueCols): _*)
 

@@ -77,8 +77,16 @@ final case class TadaGrouped(frame: TadaFrame, keys: Seq[String], aligned: Boole
 
   def reduceWith(outs: Seq[(String, Column)]): TadaFrame = {
     if (aligned) return alignWith(outs)
-    val aggs = F.min(df(ORD)).as(ORD) +: outs.map { case (n, e) => e.as(n) }
-    val res = df.groupBy(keyExprs: _*).agg(aggs.head, aggs.tail: _*)
+    // group order = first appearance in FRAME order (internal.go:1399-1424).
+    // Unsorted frames ride the free ingest ordinal; sorted frames need a
+    // rank over the sort spec (order-global — the reference's semantics
+    // are inherently so; reduced output is small, so the single-partition
+    // window prices only the input pass).
+    val srcDf =
+      if (frame.order.isEmpty) df
+      else df.withColumn(ORD, F.row_number().over(Window.orderBy(frame.orderCols: _*)))
+    val aggs = F.min(srcDf(ORD)).as(ORD) +: outs.map { case (n, e) => e.as(n) }
+    val res = srcDf.groupBy(keys.map(srcDf(_)): _*).agg(aggs.head, aggs.tail: _*)
     TadaFrame(res, labels = keys, name = frame.name, order = Nil)
   }
 

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming forms of the batch time operators (SURVEY.md
+  * §7.5): Resample ↔ tumbling window, RollingDuration ↔ sliding window,
+  * plus watermarked late-data handling and custom sessionization state —
+  * none of which exist in the reference (§2.11: streaming: none); they
+  * are the scale-path extension of its time semantics.
+  */
+object Streams {
+
+  /** Streaming read of an events-shaped parquet directory/file. */
+  def readEvents(spark: SparkSession, pathOrGlob: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(pathOrGlob).schema
+    spark.readStream.schema(schema).parquet(pathOrGlob)
+      .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+  }
+
+  /** Tumbling-window aggregate (streaming Resample): event-time windows
+    * + watermark bound state; exactly `Analytics.resampleDuration` made
+    * incremental. */
+  def tumblingCounts(events: DataFrame, window: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(F.window(F.col("ts"), window), F.col("event_type"))
+      .agg(F.count(F.lit(1)).as("n"), F.sum(F.col("value")).as("v"))
+      .select(F.col("window.start").as("bucket"), F.col("event_type"), F.col("n"), F.col("v"))
+
+  /** Sliding-window aggregate (streaming RollingDuration). */
+  def slidingCounts(events: DataFrame, window: String, slide: String,
+                    watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(F.window(F.col("ts"), window, slide))
+      .agg(F.count(F.lit(1)).as("n"))
+      .select(F.col("window.start").as("bucket"), F.col("n"))
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+  final case class SessionSummary(user_id: Long, n_events: Int, total_value: Double)
+
+  /** Custom per-key state (KeyValueGroupedDataset.flatMapGroupsWithState):
+    * running per-user session summaries with processing-time timeout —
+    * the escape hatch for stateful logic windows can't express. */
+  def sessionSummaries(events: Dataset[Event]): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionSummary, SessionSummary](
+        OutputMode.Update, GroupStateTimeout.ProcessingTimeTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[SessionSummary]) =>
+          val prev = state.getOption.getOrElse(SessionSummary(uid, 0, 0.0))
+          var n = prev.n_events
+          var v = prev.total_value
+          batch.foreach { e => n += 1; v += e.value }
+          val next = SessionSummary(uid, n, v)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{functions => F}
+
+import graft.core._
+
+/** Edge-rule tests for §2.6 analytics: the operators where the naive
+  * Spark builtin would be silently wrong (SURVEY §7.4 watch list). */
+class AnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def frame(df: org.apache.spark.sql.DataFrame) = TadaFrame.ingest(df)
+
+  test("rank is DENSE, ascending, nulls => null (not a rank)") {
+    val f = frame(Seq[java.lang.Double](3.0, 1.0, null, 1.0, 2.0).toDF("v"))
+    val got = Analytics.rankDense(f, "v", "r").records().tail.map(_(1))
+    assert(got == Seq("3", "1", "(null)", "1", "2"))
+  }
+
+  test("percentile is EXCLUSIVE (strictly-below fraction), ties share min rank") {
+    // values 1,1,2,4 -> pct(1)=0, pct(2)=0.5, pct(4)=0.75 — NOT percent_rank
+    val f = frame(Seq(1.0, 1.0, 2.0, 4.0).toDF("v"))
+    val got = Analytics.percentile(f, "v", "p").records().tail.map(_(1))
+    assert(got == Seq("0", "0", "0.5", "0.75"))
+  }
+
+  test("bin edges are left-EXclusive right-INclusive; andLess/andMore open bins") {
+    val f = frame(Seq(0.0, 1.0, 5.0, 5.5, 11.0).toDF("v"))
+    val got = Analytics.bin(f, "v", Seq(0.0, 5.0, 10.0), "b",
+      andLess = true, andMore = true).records().tail.map(_(1))
+    // 0 -> <=0 (left edge NOT included in first bin); 5 included in 0-5
+    assert(got == Seq("<=0", "0-5", "0-5", "5-10", ">10"))
+  }
+
+  test("percentileBin edges are left-INclusive right-EXclusive (opposite of bin)") {
+    val f = frame(Seq(1.0, 2.0, 3.0, 4.0).toDF("v"))
+    val got = Analytics.percentileBin(f, "v", Seq(0.0, 0.5, 1.0), "b")
+      .records().tail.map(_(1))
+    // pcts are 0, .25, .5, .75 -> first two in [0,.5), last two in [.5,1)
+    assert(got == Seq("0-0.5", "0-0.5", "0.5-1", "0.5-1"))
+  }
+
+  test("cumSum: nulls contribute 0, result never null") {
+    val f = frame(Seq[java.lang.Double](1.0, null, 2.0).toDF("v"))
+    val got = Analytics.cumSum(f, "v", "cs").records().tail.map(_(1))
+    assert(got == Seq("1", "1", "3"))
+  }
+
+  test("rollingN: incomplete tail windows reduce to null") {
+    val f = frame(Seq(1.0, 2.0, 3.0).toDF("v"))
+    val got = Rolling.rollingN(f, 2, "v", c => F.sum(c), "s").records().tail.map(_(1))
+    assert(got == Seq("3", "5", "(null)"))
+  }
+
+  test("rollingDuration window is [t, t+d): right edge excluded") {
+    val ts = Seq(0L, 500000L, 1000000L).map(us => new java.sql.Timestamp(us / 1000))
+    val f = frame(ts.zip(Seq(1.0, 10.0, 100.0)).toDF("ts", "v"))
+    // 1-second window from t=0 must include t=0 and t=0.5s but NOT t=1.0s
+    val got = Rolling.rollingDuration(f, "ts", 1000000L, "v", c => F.sum(c), "s")
+      .records().tail.map(_(2))
+    assert(got == Seq("11", "110", "100"))
+  }
+
+  test("resample by week honors week start; duration floors to bucket") {
+    // 2024-01-10 is a Wednesday; Monday-start week = 2024-01-08
+    val f = frame(Seq(java.sql.Timestamp.valueOf("2024-01-10 13:45:00")).toDF("ts"))
+    val wk = Analytics.resample(f, "ts", "week", "w").records().tail.head(1)
+    assert(wk == "2024-01-08T00:00:00Z")
+    val dur = Analytics.resampleDuration(f, "ts", 15L * 60 * 1000000, "d")
+      .records().tail.head(1)
+    assert(dur == "2024-01-10T13:45:00Z")
+  }
+
+  test("shift(n) pulls from n rows back in frame order") {
+    val f = frame(Seq(("b", 2), ("a", 1), ("c", 3)).toDF("k", "v")).sort(Sorter("k"))
+    val got = Analytics.shift(f, "v", 1, "prev").records().tail.map(_(2))
+    assert(got == Seq("(null)", "1", "2"))
+  }
+}

@@ -1,0 +1,107 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{functions => F}
+
+import graft.core._
+
+/** tada-semantics unit tests for the operators the driver's SQL oracle
+  * can't see: null-fill strategies, first-appearance uniqueness, edge
+  * rules, first-match joins, positional picks. */
+class CoreSemanticsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def frame(df: org.apache.spark.sql.DataFrame) = TadaFrame.ingest(df)
+
+  test("fillNull forward/backward/zero/const") {
+    val f = frame(Seq[(Int, java.lang.Double)](
+      (0, null), (1, 1.0), (2, null), (3, null), (4, 4.0)).toDF("i", "v"))
+    def vals(g: TadaFrame): Seq[Any] =
+      g.sorted.select("v").collect().map(r => if (r.isNullAt(0)) null else r.getDouble(0)).toSeq
+    assert(vals(f.fillNull(Map("v" -> FillNullHow.Forward))) == Seq(null, 1.0, 1.0, 1.0, 4.0))
+    assert(vals(f.fillNull(Map("v" -> FillNullHow.Backward))) == Seq(1.0, 1.0, 4.0, 4.0, 4.0))
+    assert(vals(f.fillNull(Map("v" -> FillNullHow.ZeroValue))) == Seq(0.0, 1.0, 0.0, 0.0, 4.0))
+    assert(vals(f.fillNull(Map("v" -> FillNullHow.Const(9.0)))) == Seq(9.0, 1.0, 9.0, 9.0, 4.0))
+  }
+
+  test("unique keeps FIRST appearance (dropDuplicates would not promise order)") {
+    val f = frame(Seq(("a", 1), ("b", 2), ("a", 3), ("b", 4)).toDF("k", "v"))
+    val got = f.unique(subset = Seq("k")).records()
+    assert(got.tail == Seq(Seq("a", "1"), Seq("b", "2")))
+  }
+
+  test("filterByValue compares stringified values: double 1.0 matches \"1\"") {
+    val f = frame(Seq((1.0, "x"), (2.0, "y")).toDF("v", "t"))
+    assert(f.filterByValue(Map("v" -> "1")).records().tail == Seq(Seq("1", "x")))
+  }
+
+  test("where: null in any inspected container poisons the result row") {
+    val f = frame(Seq[(java.lang.Double, String)]((1.0, "a"), (null, "b")).toDF("v", "t"))
+    val got = f.where("flag", Seq("v"), f.df("v") > 0, F.lit("pos"), F.lit("neg"))
+      .records().tail.map(_(2))
+    assert(got == Seq("pos", "(null)"))
+  }
+
+  test("head/tail/range follow frame order") {
+    val f = frame(Seq(3, 1, 2, 5, 4).toDF("v")).sort(Sorter("v"))
+    assert(f.head(2).records().tail.flatten == Seq("1", "2"))
+    assert(f.tail(2).records().tail.flatten == Seq("4", "5"))
+    assert(f.range(1, 3).records().tail.flatten == Seq("2", "3"))
+  }
+
+  test("sort puts nulls last in BOTH directions (internal.go:1297-1309)") {
+    val f = frame(Seq[java.lang.Double](2.0, null, 1.0).toDF("v"))
+    assert(f.sort(Sorter("v")).records().tail.flatten == Seq("1", "2", "(null)"))
+    assert(f.sort(Sorter("v", descending = true)).records().tail.flatten ==
+      Seq("2", "1", "(null)"))
+  }
+
+  test("append coerces mismatched types to string (internal.go:1159-1170)") {
+    val a = frame(Seq(1.5).toDF("v"))
+    val b = frame(Seq("x").toDF("v"))
+    val got = a.append(b)
+    assert(got.df.schema("v").dataType == org.apache.spark.sql.types.StringType)
+    assert(got.records().tail.flatten == Seq("1.5", "x"))
+  }
+
+  test("lookup joins are first-match-only: no row multiplication ever") {
+    val left = frame(Seq(("k1", 10), ("k2", 20)).toDF("k", "lv"))
+    val right = frame(Seq(("k1", "first"), ("k1", "second"), ("k3", "x")).toDF("k", "rv"))
+    val got = Lookup.merge(left, right, leftOn = Seq("k"), rightOn = Seq("k"))
+    assert(got.records().tail ==
+      Seq(Seq("k1", "10", "first"), Seq("k2", "20", "(null)")))
+  }
+
+  test("combineMath: divide by zero => null; ignoreNulls treats missing as 0") {
+    val l = frame(Seq(("a", 10.0), ("b", 20.0)).toDF("k", "v"))
+    val r = frame(Seq(("a", 0.0)).toDF("k", "v"))
+    val div = Lookup.combineMath(l, r, "divide", Seq("k"), Seq("k"), "v", "v", "out")
+    assert(div.records().tail.map(_(1)) == Seq("(null)", "(null)"))
+    val add = Lookup.combineMath(l, r, "add", Seq("k"), Seq("k"), "v", "v", "out",
+      ignoreNulls = true)
+    assert(add.records().tail.map(_(1)) == Seq("10", "20"))
+  }
+
+  test("grouped positional picks: negative nth from end, OOB => null") {
+    val f = frame(Seq(("g", 1), ("g", 2), ("g", 3), ("h", 9)).toDF("k", "v"))
+    val got = f.groupBy("k").positional(Seq(
+      ("p0", "v", 0), ("p_last", "v", -1), ("p5", "v", 5)))
+    assert(got.records().tail == Seq(
+      Seq("g", "1", "3", "(null)"), Seq("h", "9", "9", "(null)")))
+  }
+
+  test("havingCount filters groups; counts include nulls") {
+    val f = frame(Seq[(String, java.lang.Double)](
+      ("g", 1.0), ("g", null), ("h", 2.0)).toDF("k", "v"))
+    val got = f.groupBy("k").havingCount(_ >= 2)
+    assert(got.records().tail.map(_.head) == Seq("g"))
+  }
+
+  test("group key order is first appearance in frame order, even after sort") {
+    val f = frame(Seq(("z", 1), ("a", 2), ("z", 3)).toDF("k", "v"))
+    assert(f.groupBy("k").count("v").records().tail.map(_.head) == Seq("z", "a"))
+    assert(f.sort(Sorter("k")).groupBy("k").count("v").records().tail.map(_.head) ==
+      Seq("a", "z"))
+  }
+}

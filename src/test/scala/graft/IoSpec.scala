@@ -1,0 +1,97 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.TadaIO
+import graft.io.TadaIO.ReadConfig
+
+/** §2.1 IO surface: readers' knobs, error paths, renderer, mock data. */
+class IoSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("happy path: 1 header row, default labels (test_csv/1_header_0_labels.csv)") {
+    val f = TadaIO.readCsvString(spark, "Name,Age\nfoo,1\nbar,2")
+    assert(f.listColNames == Seq("Name", "Age"))
+    assert(f.records().tail == Seq(Seq("foo", "1"), Seq("bar", "2")))
+  }
+
+  test("ragged rows error (test_csv/bad_delimiter.csv path)") {
+    val e = intercept[IllegalArgumentException] {
+      TadaIO.readCsvString(spark, "a,b\nfoo\nbar,1")
+    }
+    assert(e.getMessage.contains("ragged"))
+  }
+
+  test("empty input errors (test_csv/empty.csv path)") {
+    intercept[IllegalArgumentException] { TadaIO.readCsvString(spark, "") }
+  }
+
+  test("label levels + multi-row headers collapse with |") {
+    val f = TadaIO.readRecords(spark,
+      Seq(Seq("lbl", "x", "x"), Seq("", "a", "b"), Seq("r1", "1", "2")),
+      ReadConfig(headerRows = 2, labelLevels = 1))
+    assert(f.listLabelNames == Seq("lbl"))
+    assert(f.listColNames == Seq("x|a", "x|b"))
+  }
+
+  test("type inference: 10-row majority vote casts to double/date") {
+    val f = TadaIO.readCsvString(spark,
+      "v,d,s\n1.5,2020-01-01,x\n2,2020-01-02,y\noops,2020-01-03,z",
+      ReadConfig(inferTypes = true))
+    import org.apache.spark.sql.types._
+    assert(f.df.schema("v").dataType == DoubleType)
+    assert(f.df.schema("d").dataType == DateType)
+    assert(f.df.schema("s").dataType == StringType)
+    // failed coercion => null (internal.go:1639-1641)
+    assert(f.records().tail.map(_.head) == Seq("1.5", "2", "(null)"))
+  }
+
+  test("null strings normalize to null at ingest (options.go:17)") {
+    val f = TadaIO.readCsvString(spark, "a,b\n(null),x\nok,")
+    assert(f.records().tail == Seq(Seq("(null)", "x"), Seq("ok", "(null)")))
+  }
+
+  test("record writer renders nulls as (null) and stringifies doubles Go-style") {
+    import spark.implicits._
+    val f = graft.core.TadaFrame.ingest(
+      Seq[(java.lang.Double, String)]((1.0, "x"), (null, "y")).toDF("v", "t"))
+    assert(f.records().tail == Seq(Seq("1", "x"), Seq("(null)", "y")))
+  }
+
+  test("ASCII renderer golden") {
+    import spark.implicits._
+    val f = graft.core.TadaFrame.ingest(Seq(("foo", 1), ("bar", 2)).toDF("name", "n"))
+    val want =
+      """+------+---+
+        || name | n |
+        |+------+---+
+        || foo  | 1 |
+        || bar  | 2 |
+        |+------+---+""".stripMargin
+    assert(TadaIO.render(f) == want)
+  }
+
+  test("mock CSV: deterministic, pool-valued, ~10% nulls") {
+    val src = "score,name\n1.5,foo\n2.5,bar"
+    val a = TadaIO.mockCsv(spark, src, 50)
+    val b = TadaIO.mockCsv(spark, src, 50)
+    assert(a == b)
+    val rows = a.split("\n").tail
+    assert(rows.length == 50)
+    val fields = rows.map(_.split(",", -1).toSeq)
+    assert(fields.forall(r =>
+      Seq(".1", ".25", ".5", ".75", ".9", "(null)").contains(r.head)))
+  }
+
+  import IoSpec.P
+  test("case-class roundtrip (StructReader/StructWriter)") {
+    import spark.implicits._
+    val in = Seq(P("foo", 1L), P("bar", 2L))
+    val f = TadaIO.readCaseClass(spark, in)
+    assert(TadaIO.writeCaseClass[P](f) == in)
+  }
+}
+
+object IoSpec {
+  final case class P(name: String, age: Long)
+}

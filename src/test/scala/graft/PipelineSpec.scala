@@ -1,0 +1,101 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{functions => F}
+
+import graft.pipeline._
+
+/** Ground-truth tests for the LSH/ANN operators the driver checks only
+  * rows-only: crafted corpora where the right answer is known. */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again"),
+    (1L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy cat again and again"), // near dup of 0
+    (3L, "completely different content about spark query engines at scale"),
+    (4L, "totally unrelated words discussing benchmark numbers and storage"))
+    .toDF("doc_id", "text")
+
+  test("minhash LSH finds exact and near duplicates, skips unrelated") {
+    val withBands = docs
+      .select(F.col("doc_id"), Dedup.shingles(F.col("text")).as("sh"))
+      .select(F.col("doc_id"), F.col("sh"),
+        Dedup.bandKeys(Dedup.minhashSignature(F.col("sh")), 8, 4).as("bands"))
+    val cand = Dedup.candidatePairs(withBands, "doc_id", "bands")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((0L, 1L)), s"exact dup pair missing from $cand")
+    assert(!cand.exists { case (a, b) => b == 3L || b == 4L || a == 3L || a == 4L },
+      s"unrelated docs should not be candidates: $cand")
+  }
+
+  test("jaccard: identical = 1.0, disjoint = 0.0") {
+    val pairs = docs.select(Dedup.shingles(F.col("text")).as("sh"), F.col("doc_id"))
+    val a = pairs.filter($"doc_id" === 0).select($"sh".as("sa"))
+    val b = pairs.filter($"doc_id" === 1).select($"sh".as("sb"))
+    val c = pairs.filter($"doc_id" === 3).select($"sh".as("sc"))
+    val j1 = a.crossJoin(b).select(Dedup.jaccard($"sa", $"sb")).head().getDouble(0)
+    val j2 = a.crossJoin(c).select(Dedup.jaccard($"sa", $"sc")).head().getDouble(0)
+    assert(j1 == 1.0 && j2 == 0.0)
+  }
+
+  test("simhash: identical docs => hamming 0; near dups close; unrelated far") {
+    val sim = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(sim(a) ^ sim(b))
+    assert(ham(0, 1) == 0)
+    assert(ham(0, 2) < ham(0, 3))
+  }
+
+  test("brute-force knn: a duplicated vector is its copy's top neighbor") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.6f, 0.8f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0), 2)
+      .orderBy("rank").collect()
+    assert(got(0).getAs[Long]("neighbor_id") == 1L) // cosine 1.0
+    assert(got(1).getAs[Long]("neighbor_id") == 3L) // cosine 0.6
+  }
+
+  test("langid picks the language with most marker hits") {
+    val t = Seq(
+      ("en", "the cat and the dog of this house is that one with hats"),
+      ("es", "el perro de la casa que los gatos una vez por aqui como"),
+      ("und", "zzz qqq www")).toDF("expect", "text")
+    val got = t.select($"expect", TextOps.langId($"text").as("got")).collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
+  }
+
+  test("token counts: empty text = 0; punctuation feeds the BPE-ish count") {
+    val t = Seq(("", 0), ("hello world", 2), ("  spaced   out  ", 2))
+      .toDF("text", "want")
+    t.select(TextOps.tokenCount($"text").as("got"), $"want").collect()
+      .foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
+    val bpe = Seq("a,b!").toDF("text")
+      .select(TextOps.tokenCountBpeIsh($"text")).head().getInt(0)
+    assert(bpe == 4) // a , b !
+  }
+
+  test("quality: real prose scores above junk") {
+    val t = Seq(
+      "The quick brown fox jumps over the lazy dog and runs to the old barn with a friend.",
+      "@@@@ #### !!!! %%%% ^^^^ &&&&")
+      .toDF("text")
+    val scores = t.select(TextOps.qualityScore($"text")).collect().map(_.getDouble(0))
+    assert(scores(0) > scores(1))
+  }
+
+  test("multimodal stub decode is deterministic and schema-typed") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val media = Multimodal.documentsAsMedia(docs)
+    val a = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
+    val b = Multimodal.extractFeatures(media).collect().sortBy(_.doc_id)
+    assert(a.toSeq == b.toSeq)
+    assert(a.forall(f => f.n_bytes > 0 && f.width >= 64 && f.height >= 64))
+    assert(a(0).checksum == a(1).checksum) // identical payloads
+  }
+}
