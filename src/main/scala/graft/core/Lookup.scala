@@ -41,12 +41,15 @@ object Lookup {
     * Result ordinal = anchor ordinal (cardinality preserved). */
   def merge(left: TadaFrame, right: TadaFrame, how: String = "left",
             leftOn: Seq[String] = Nil, rightOn: Seq[String] = Nil,
-            broadcastRight: Boolean = false): TadaFrame = how match {
-    case "right" => merge(right, left, "left", rightOn, leftOn, broadcastRight)
+            broadcastRight: Boolean = false,
+            uniqueRight: Boolean = false): TadaFrame = how match {
+    case "right" => merge(right, left, "left", rightOn, leftOn, broadcastRight, uniqueRight)
     case _ =>
       val lk = if (leftOn.nonEmpty) leftOn else autoKeys(left, right)
       val rk = if (rightOn.nonEmpty) rightOn else lk
-      val rDedup0 = firstMatchOnly(right, rk)
+      // when the caller vouches the right key is unique (dim tables),
+      // first-match dedup is a no-op — skip its window shuffle entirely
+      val rDedup0 = if (uniqueRight) right.df else firstMatchOnly(right, rk)
       // bring over only right VALUE columns; rename join keys to match left
       val rCols = rk.map(rDedup0(_)) ++ right.valueCols.filterNot(rk.contains).map(rDedup0(_))
       var rSel = rDedup0.select(rCols: _*)

@@ -24,23 +24,81 @@ object Dedup {
   /** 128-bit exact-dedup content key over normalized text. */
   def exactKey(text: Column): Column = F.md5(F.encode(TextOps.normalize(text), "UTF-8"))
 
-  /** Word w-shingles of the normalized text (distinct). */
-  def shingles(text: Column, w: Int = 3): Column = {
-    val toks = TextOps.tokens(text)
-    val n = F.size(toks)
-    F.when(n < w, F.array(F.array_join(toks, " ")))
-      .otherwise(F.array_distinct(F.transform(
-        F.sequence(F.lit(0), n - w),
-        i => F.array_join(F.slice(toks, i + 1, F.lit(w)), " "))))
+  /** Word w-shingles of the normalized text (distinct).
+    *
+    * JVM kernel over natively-split tokens rather than a
+    * transform/slice/array_join expression chain: inside an interpreted
+    * projection a higher-order lambda re-evaluates its captured subtree
+    * per element, turning shingling into O(tokens) regex passes per doc
+    * (measured 0.7 core-seconds/doc — 20× the whole corpus scan). */
+  private val shingleKernel = F.udf { (toks: Seq[String], w: Int) =>
+    if (toks.size < w) Seq(toks.mkString(" "))
+    else toks.sliding(w).map(_.mkString(" ")).toSeq.distinct
   }
 
-  /** k seeded 64-bit minhashes of a shingle array. `xxhash64(seed, s)`
-    * is the seeded hash family; array_min folds each row without a
-    * shuffle. */
+  def shingles(text: Column, w: Int = 3): Column =
+    shingleKernel(TextOps.tokens(text), F.lit(w))
+
+  /** k seeded 64-bit minhashes of a shingle array, as one compiled JVM
+    * kernel call per row (like the SimHash kernel: k×|shingles| hash
+    * evaluations are two orders faster compiled than as k interpreted
+    * higher-order transforms). One hash per shingle, then k cheap
+    * seed-mix permutations of it — the standard one-hash MinHash family. */
+  private def minhashKernel(k: Int) = F.udf { shingles: Seq[String] =>
+    val sig = Array.fill(k)(Long.MaxValue)
+    shingles.foreach { s =>
+      val h0 = scala.util.hashing.MurmurHash3.stringHash(s).toLong
+      var i = 0
+      while (i < k) {
+        // Murmur-style 64-bit finalizer over (h0, seed i)
+        var h = h0 ^ (i.toLong * 0x9E3779B97F4A7C15L)
+        h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL
+        h ^= h >>> 33; h *= 0xC4CEB9FE1A85EC53L
+        h ^= h >>> 33
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+    }
+    sig.toSeq
+  }
+
   def minhashSignature(shingleCol: Column, k: Int = 32): Column =
-    F.array((0 until k).map { seed =>
-      F.array_min(F.transform(shingleCol, s => F.xxhash64(F.lit(seed), s)))
-    }: _*)
+    minhashKernel(k)(shingleCol)
+
+  /** Fused kernel: k minhashes AND the b band-bucket hashes in ONE call
+    * per row. Keeping banding inside the kernel matters: a UDF column
+    * disables whole-stage codegen for its projection, so slicing the
+    * signature column 8 ways would re-inline (and re-run, interpreted)
+    * the whole signature computation once per band. */
+  private def minhashBandKernel(k: Int, bands: Int) = {
+    val rowsPer = k / bands
+    F.udf { shingles: Seq[String] =>
+      val sig = Array.fill(k)(Long.MaxValue)
+      shingles.foreach { s =>
+        val h0 = scala.util.hashing.MurmurHash3.stringHash(s).toLong
+        var i = 0
+        while (i < k) {
+          var h = h0 ^ (i.toLong * 0x9E3779B97F4A7C15L)
+          h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL
+          h ^= h >>> 33; h *= 0xC4CEB9FE1A85EC53L
+          h ^= h >>> 33
+          if (h < sig(i)) sig(i) = h
+          i += 1
+        }
+      }
+      (0 until bands).map { b =>
+        var acc = 1125899906842597L
+        var j = b * rowsPer
+        while (j < (b + 1) * rowsPer) { acc = acc * 31 + sig(j); j += 1 }
+        acc
+      }
+    }
+  }
+
+  /** Band keys straight from shingles — the production path for LSH. */
+  def bandKeysDirect(shingleCol: Column, k: Int = 32, bands: Int = 8): Column =
+    F.transform(minhashBandKernel(k, bands)(shingleCol),
+      (bucket, idx) => F.struct(idx.as("band"), bucket.as("bucket")))
 
   /** LSH band keys: the signature split into `bands` slices of `rowsPer`
     * hashes, each slice hashed to one bucket key. Docs sharing ANY band
@@ -75,12 +133,20 @@ object Dedup {
       F.transform(F.slice(ids, i + 2, F.size(ids)), y =>
         F.struct(x.as("a"), y.as("b")))))
 
-  /** Exact n-gram Jaccard similarity between two shingle arrays. */
-  def jaccard(a: Column, b: Column): Column = {
-    val inter = F.size(F.array_intersect(a, b)).cast("double")
-    val union = F.size(F.array_union(a, b)).cast("double")
-    F.when(union === 0, 0.0).otherwise(inter / union)
+  /** Exact n-gram Jaccard similarity between two shingle arrays. JVM
+    * kernel for the same reason as the others: the verify stage sits in
+    * a UDF-bearing (interpreted) projection where array_intersect +
+    * array_union cost ~2ms/pair; the compiled set version is ~µs. */
+  private val jaccardKernel = F.udf { (a: Seq[String], b: Seq[String]) =>
+    if (a.isEmpty && b.isEmpty) 0.0
+    else {
+      val sa = a.toSet; val sb = b.toSet
+      val inter = sa.count(sb.contains)
+      val union = sa.size + sb.size - inter
+      if (union == 0) 0.0 else inter.toDouble / union
+    }
   }
+  def jaccard(a: Column, b: Column): Column = jaccardKernel(a, b)
 
   /** 64-bit SimHash kernel: per token, ±1 into 64 bit-sums; sign bits
     * form the word. Branch-heavy bit math — a compiled JVM kernel is two

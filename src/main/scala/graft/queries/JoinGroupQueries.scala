@@ -20,7 +20,7 @@ object JoinGroupQueries extends QueryPack {
         val cust = TadaFrame.ingest(Tables.customer(s, dir))
         Lookup.merge(orders, cust.cols("c_custkey", "c_name"),
             leftOn = Seq("o_custkey"), rightOn = Seq("c_custkey"),
-            broadcastRight = true)
+            broadcastRight = true, uniqueRight = true)
           .out.select("o_orderkey", "o_custkey", "c_name", "o_totalprice")
           .orderBy("o_orderkey")
       },

@@ -18,7 +18,10 @@ object PipelineQueries extends QueryPack {
     * giving the operators deterministic, non-empty ground truth. */
   private def dupedDocs(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val d = Tables.documents(s, dir).select(F.col("doc_id"), F.col("text"))
+    // the corpus parquet is a single split locally — spread the heavy
+    // per-doc kernels across all cores (real corpora arrive pre-split)
     d.unionByName(d.select((F.col("doc_id") + 1000000).as("doc_id"), F.col("text")))
+      .repartition(s.sparkContext.defaultParallelism)
   }
 
   private val normSql =
@@ -58,8 +61,8 @@ object PipelineQueries extends QueryPack {
         // per band slice), which is catastrophic at any scale
         val docs = dupedDocs(s, dir)
           .select(F.col("doc_id"), Dedup.shingles(F.col("text")).as("sh"))
-          .select(F.col("doc_id"), F.col("sh"), Dedup.minhashSignature(F.col("sh")).as("sig"))
-          .select(F.col("doc_id"), F.col("sh"), Dedup.bandKeys(F.col("sig"), 8, 4).as("bands"))
+          .select(F.col("doc_id"), F.col("sh"),
+            Dedup.bandKeysDirect(F.col("sh"), k = 32, bands = 8).as("bands"))
           .persist()
         val cand = Dedup.candidatePairs(docs, "doc_id", "bands")
         val withSets = cand
