@@ -218,6 +218,65 @@ final case class TadaFrame(
     copy(df = df.withColumn(RN, row_number().over(w)).filter(org.apache.spark.sql.functions.col(RN) === 1).drop(RN))
   }
 
+  /** Positional single-cell access (series.go:110-119): At(row[,col]). */
+  def at(row: Int, colName: String): Option[Any] = {
+    val r = range(row, row + 1).sorted.select(colName).collect()
+    r.headOption.map(_.get(0))
+  }
+
+  /** DropRow(i) (series.go:439-459): delete one row by position. */
+  def dropRow(i: Int): TadaFrame = {
+    val w = Window.orderBy(orderCols: _*)
+    copy(df = df.withColumn(RN, row_number().over(w) - 1)
+      .filter(org.apache.spark.sql.functions.col(RN) =!= i).drop(RN))
+  }
+
+  /** Subset(index) (series.go:169-189): select rows by position, in the
+    * given order. Position resolution needs a frame-order rank — an
+    * order-global op by definition; at scale prefer key-based filters. */
+  def subset(positions: Seq[Int]): TadaFrame = {
+    val w = Window.orderBy(orderCols: _*)
+    val aug = df.withColumn(RN, row_number().over(w) - 1)
+    val posDf = df.sparkSession.createDataset(positions.zipWithIndex)(
+      org.apache.spark.sql.Encoders.product[(Int, Int)]).toDF(RN, ORD2)
+    val joined = aug.join(posDf, Seq(RN), "inner")
+      .drop(RN).drop(ORD).withColumnRenamed(ORD2, ORD)
+    copy(df = joined, order = Nil)
+  }
+
+  /** FilterIndex (series.go:613-627): positions of matching rows. */
+  def filterIndex(cond: Column): Seq[Long] = {
+    val w = Window.orderBy(orderCols: _*)
+    df.withColumn(RN, row_number().over(w) - 1)
+      .filter(cond).select(RN).collect().map(_.getInt(0).toLong).toSeq
+  }
+
+  /** SetRows (series.go:769-792): apply an expression only at the given
+    * row positions, keep the column's value elsewhere. */
+  def setRows(colName: String, positions: Seq[Int], e: Column): TadaFrame = {
+    val w = Window.orderBy(orderCols: _*)
+    val pos = row_number().over(w) - 1
+    withCol(colName, when(pos.isin(positions.map(Integer.valueOf): _*), e)
+      .otherwise(df(colName)))
+  }
+
+  /** Whole-DF per-column stats (dataframe.go:1910-1993): one aggregate
+    * per value column, reshaped long — a Series keyed by column name. */
+  def stats(aggName: String, agg: Column => Column): DataFrame = {
+    val aggs = valueCols.map(n => agg(df(n)).cast("double").as(n))
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val pairs = valueCols.map(n => s"'$n', `$n`").mkString(", ")
+    wide.selectExpr(s"stack(${valueCols.size}, $pairs) as (column, $aggName)")
+  }
+
+  /** ValueCounts (series.go:1258-1260): stringified value → count,
+    * nulls skipped. */
+  def valueCounts(colName: String): DataFrame = {
+    val key = TadaFormat.stringify(df(colName), df.schema(colName).dataType)
+    df.filter(df(colName).isNotNull)
+      .groupBy(key.as("value")).agg(count(lit(1)).as("count"))
+  }
+
   /** Deterministic shuffle (series.go:422-435): rand(seed) becomes the new
     * frame order. */
   def shuffle(seed: Long): TadaFrame = {

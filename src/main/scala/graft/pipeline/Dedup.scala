@@ -170,10 +170,15 @@ object Dedup {
     word
   }
 
-  /** 64-bit SimHash per document — zero-shuffle scan-stage computation. */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  /** 64-bit SimHash per document — zero-shuffle scan-stage computation.
+    * Uses the native Catalyst expression (graft.exprs.SimHash64, codegen
+    * path) when a session is at hand; `simhashKernel` stays as the UDF
+    * form of the same algorithm. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.exprs.GraftFunctions.register(docs.sparkSession)
     docs.select(F.col(idCol).as("id"),
-      simhashKernel(TextOps.tokens(F.col(textCol))).as("simhash"))
+      F.call_function("simhash64", TextOps.tokens(F.col(textCol))).as("simhash"))
+  }
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = F.bit_count(a.bitwiseXOR(b))

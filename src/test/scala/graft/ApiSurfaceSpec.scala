@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{functions => F}
+
+import graft.core._
+
+/** Coverage for the §2.2/§2.3/§2.9 long tail: positional access, row
+  * edits, whole-DF stats, value counts, and the native SimHash
+  * expression's equivalence with its UDF kernel. */
+class ApiSurfaceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def frame(df: org.apache.spark.sql.DataFrame) = TadaFrame.ingest(df)
+
+  test("at / dropRow / subset / filterIndex are positional in frame order") {
+    val f = frame(Seq(30, 10, 20).toDF("v")).sort(Sorter("v"))
+    assert(f.at(1, "v").contains(20))
+    assert(f.dropRow(1).records().tail.flatten == Seq("10", "30"))
+    assert(f.subset(Seq(2, 0)).records().tail.flatten == Seq("30", "10"))
+    assert(f.filterIndex(f.df("v") >= 20) == Seq(1L, 2L))
+  }
+
+  test("setRows applies only at the given positions") {
+    val f = frame(Seq(1.0, 2.0, 3.0).toDF("v"))
+    val got = f.setRows("v", Seq(0, 2), F.lit(0.0)).records().tail.flatten
+    assert(got == Seq("0", "2", "0"))
+  }
+
+  test("whole-DF stats reshape long: one row per value column") {
+    val f = frame(Seq((1.0, 10.0), (3.0, 30.0)).toDF("a", "b"))
+    val got = f.stats("mean", c => F.avg(c)).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(got == Map("a" -> 2.0, "b" -> 20.0))
+  }
+
+  test("valueCounts: stringified values, nulls skipped") {
+    val f = frame(Seq[java.lang.Double](1.0, 1.0, 2.0, null).toDF("v"))
+    val got = f.valueCounts("v").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("1" -> 2L, "2" -> 1L))
+  }
+
+  test("SimHash64 native expression == UDF kernel, and runs in codegen") {
+    import graft.exprs.GraftFunctions
+    GraftFunctions.register(spark)
+    val toks = Seq("the quick brown fox", "lazy dogs sleep here")
+      .toDF("text").select(graft.pipeline.TextOps.tokens(F.col("text")).as("t"))
+    val viaExpr = toks.select(F.call_function("simhash64", F.col("t"))).collect().map(_.getLong(0))
+    val viaDf = graft.pipeline.Dedup.simhash(
+      Seq((1L, "the quick brown fox"), (2L, "lazy dogs sleep here")).toDF("id", "text"),
+      "id", "text").orderBy("id").collect().map(_.getLong(1))
+    assert(viaExpr.toSeq == viaDf.toSeq)
+    assert(viaExpr(0) != viaExpr(1))
+  }
+}
