@@ -266,7 +266,7 @@ final case class TadaFrame(
     val aggs = valueCols.map(n => agg(df(n)).cast("double").as(n))
     val wide = df.agg(aggs.head, aggs.tail: _*)
     val pairs = valueCols.map(n => s"'$n', `$n`").mkString(", ")
-    wide.selectExpr(s"stack(${valueCols.size}, $pairs) as (column, $aggName)")
+    wide.selectExpr(s"stack(${valueCols.size}, $pairs) as (col_name, $aggName)")
   }
 
   /** ValueCounts (series.go:1258-1260): stringified value → count,
@@ -355,6 +355,15 @@ final case class TadaFrame(
   def groupBy(ns: String*): TadaGrouped = {
     val keys = if (ns.nonEmpty) ns.toSeq else labels
     TadaGrouped(this, keys, aligned = false)
+  }
+
+  /** The reference's exact grouping contract (§1.5): keys are the "|"-
+    * joined stringified row values — cross-container concatenation
+    * collisions included. `groupBy` (typed columns) is the Spark-first
+    * default; this variant is bit-for-bit tada. */
+  def groupByStringified(ns: String*): TadaGrouped = {
+    val keys = if (ns.nonEmpty) ns.toSeq else labels
+    TadaGrouped(this, keys, aligned = false, stringified = true)
   }
 
   // ===== output =====

@@ -18,7 +18,8 @@ import graft.semantics.TadaFormat
   * reproduced by carrying `min(__ord)` per group as the result's hidden
   * ordinal — the groupBy shuffle already pays for it, no extra pass.
   */
-final case class TadaGrouped(frame: TadaFrame, keys: Seq[String], aligned: Boolean) {
+final case class TadaGrouped(frame: TadaFrame, keys: Seq[String], aligned: Boolean,
+                             stringified: Boolean = false) {
   import TadaFrame.ORD
 
   private def df = frame.df
@@ -85,9 +86,22 @@ final case class TadaGrouped(frame: TadaFrame, keys: Seq[String], aligned: Boole
     val srcDf =
       if (frame.order.isEmpty) df
       else df.withColumn(ORD, F.row_number().over(Window.orderBy(frame.orderCols: _*)))
-    val aggs = F.min(srcDf(ORD)).as(ORD) +: outs.map { case (n, e) => e.as(n) }
-    val res = srcDf.groupBy(keys.map(srcDf(_)): _*).agg(aggs.head, aggs.tail: _*)
-    TadaFrame(res, labels = keys, name = frame.name, order = Nil)
+    if (stringified) {
+      // tada's load-bearing contract (§1.5): the group key is the "|"-
+      // joined stringified row — values from different containers that
+      // happen to concatenate equally DO collide, exactly as in the
+      // reference. Output labels take each group's first original values.
+      val key = TadaFormat.rowKey(keys.map(n => (srcDf(n), df.schema(n).dataType)))
+      val labelAggs = keys.map(n => F.min_by(srcDf(n), srcDf(ORD)).as(n))
+      val aggs = (F.min(srcDf(ORD)).as(ORD) +: labelAggs) ++
+        outs.map { case (n, e) => e.as(n) }
+      val res = srcDf.groupBy(key.as("__key")).agg(aggs.head, aggs.tail: _*).drop("__key")
+      TadaFrame(res, labels = keys, name = frame.name, order = Nil)
+    } else {
+      val aggs = F.min(srcDf(ORD)).as(ORD) +: outs.map { case (n, e) => e.as(n) }
+      val res = srcDf.groupBy(keys.map(srcDf(_)): _*).agg(aggs.head, aggs.tail: _*)
+      TadaFrame(res, labels = keys, name = frame.name, order = Nil)
+    }
   }
 
   /** Align mode (groupers.go:202-228): the aggregate broadcast back to

@@ -141,6 +141,52 @@ object CoreQueries extends QueryPack {
         ORDER BY event_id
       """)),
 
+    // §1.3/§2.9 multi-format datetime parsing: strings in two different
+    // date formats parse through the reference's format-list chain
+    // (coalesced try_to_timestamp — first format that matches wins,
+    // all-fail ⇒ null).
+    Query(
+      "q08_parse_datetime",
+      (s, dir) => {
+        import s.implicits._
+        val o = Tables.orders(s, dir).select(
+          $"o_orderkey",
+          when($"o_orderkey" % 2 === 0, date_format($"o_orderdate", "yyyy-MM-dd"))
+            .otherwise(date_format($"o_orderdate", "MM/dd/yyyy")).as("datestr"))
+        o.select($"o_orderkey", $"datestr",
+            graft.semantics.TadaFormat.parseDateTime($"datestr",
+              Seq("yyyy-MM-dd", "MM/dd/yyyy")).as("parsed"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey, datestr,
+               coalesce(try_strptime(datestr, '%Y-%m-%d'),
+                        try_strptime(datestr, '%m/%d/%Y')) AS parsed
+        FROM (SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 2 = 0
+                          THEN strftime(o_orderdate, '%Y-%m-%d')
+                          ELSE strftime(o_orderdate, '%m/%d/%Y') END AS datestr
+              FROM orders)
+        ORDER BY o_orderkey
+      """)),
+
+    // §2.9 whole-DF per-column stats reshaped long (dataframe.go:1910-1993).
+    Query(
+      "q09_df_stats",
+      (s, dir) => {
+        val li = graft.core.TadaFrame.ingest(
+          Tables.lineitem(s, dir).select("l_quantity", "l_extendedprice", "l_discount"))
+        li.stats("max_value", c => max(c)).orderBy("col_name")
+      },
+      Some("""
+        SELECT 'l_quantity' AS col_name, CAST(max(l_quantity) AS DOUBLE) AS max_value FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice', CAST(max(l_extendedprice) AS DOUBLE) FROM lineitem
+        UNION ALL
+        SELECT 'l_discount', CAST(max(l_discount) AS DOUBLE) FROM lineitem
+        ORDER BY col_name
+      """)),
+
     // §2.2 projection + §2.9 conversions: Cast round-trip double→string→double
     // plus a computed column kept in whole-stage codegen.
     Query(

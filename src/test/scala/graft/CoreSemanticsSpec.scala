@@ -98,6 +98,15 @@ class CoreSemanticsSpec extends AnyFunSuite {
     assert(got.records().tail.map(_.head) == Seq("g"))
   }
 
+  test("groupByStringified reproduces tada's |-join key collisions (§1.5)") {
+    // ("a|b", "c") and ("a", "b|c") concatenate to the same "a|b|c" key —
+    // the reference groups them together; typed groupBy keeps them apart
+    val f = frame(Seq(("a|b", "c", 1), ("a", "b|c", 2)).toDF("k1", "k2", "v"))
+    assert(f.groupBy("k1", "k2").count("v").records().tail.size == 2)
+    val merged = f.groupByStringified("k1", "k2").count("v").records().tail
+    assert(merged == Seq(Seq("a|b", "c", "2")))
+  }
+
   test("group key order is first appearance in frame order, even after sort") {
     val f = frame(Seq(("z", 1), ("a", 2), ("z", 3)).toDF("k", "v"))
     assert(f.groupBy("k").count("v").records().tail.map(_.head) == Seq("z", "a"))
