@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // Spark codegen emits classes per query plan; the JVM default 240m
+  // code cache fills over a long session (ICBufferFull safepoints) and
+  // the JIT silently stops compiling — random 10-30x per-query stalls.
+  "-XX:ReservedCodeCacheSize=1g",
 )

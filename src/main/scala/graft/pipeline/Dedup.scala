@@ -148,6 +148,14 @@ object Dedup {
   }
   def jaccard(a: Column, b: Column): Column = jaccardKernel(a, b)
 
+  /** Codegen form: right choice when the surrounding projection has no
+    * UDF (whole-stage codegen keeps array_intersect/union compiled). */
+  def jaccardNative(a: Column, b: Column): Column = {
+    val inter = F.size(F.array_intersect(a, b)).cast("double")
+    val union = F.size(F.array_union(a, b)).cast("double")
+    F.when(union === 0, 0.0).otherwise(inter / union)
+  }
+
   /** 64-bit SimHash kernel: per token, ±1 into 64 bit-sums; sign bits
     * form the word. Branch-heavy bit math — a compiled JVM kernel is two
     * orders faster than 64 interpreted higher-order aggregates, so this

@@ -19,17 +19,32 @@ import org.apache.spark.sql.{functions => F}
 object Similarity {
 
   /** dot(a, b) over float arrays, accumulated in double — zip_with +
-    * aggregate, pure codegen expressions. */
+    * aggregate form (reference implementation; higher-order functions
+    * are interpreted in Spark, so the hot path below uses the kernel). */
   def dot(a: Column, b: Column): Column =
     F.aggregate(F.zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       F.lit(0.0), (acc, x) => acc + x)
 
   def norm(a: Column): Column = F.sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = {
-    val d = norm(a) * norm(b)
-    F.when(d === 0, 0.0).otherwise(dot(a, b) / d)
+  /** Cosine kernel: one compiled pass computing dot and both norms.
+    * The expression form is three interpreted HOF chains per pair (with
+    * per-element allocation) — the kernel is the per-pair hot path for
+    * knn/near-dup joins. */
+  private val cosineKernel = F.udf { (a: Seq[Float], b: Seq[Float]) =>
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.size, b.size)
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      d += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val den = math.sqrt(na) * math.sqrt(nb)
+    if (den == 0.0) 0.0 else d / den
   }
+
+  def cosine(a: Column, b: Column): Column = cosineKernel(a, b)
 
   /** Exact top-k neighbors for each query vector. `queries` must be the
     * small side — it is broadcast; the corpus streams through map-side,

@@ -108,7 +108,7 @@ object PipelineQueries extends QueryPack {
         val b = docs.select(F.col("doc_id").as("id_b"), F.col("sh").as("sh_b"))
         a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
           .select(F.col("id_a"), F.col("id_b"),
-            Dedup.jaccard(F.col("sh_a"), F.col("sh_b")).as("jaccard"))
+            Dedup.jaccardNative(F.col("sh_a"), F.col("sh_b")).as("jaccard"))
           .filter(F.col("jaccard") >= 0.2)
           .orderBy("id_a", "id_b")
       },
