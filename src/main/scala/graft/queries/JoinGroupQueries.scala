@@ -120,7 +120,10 @@ object JoinGroupQueries extends QueryPack {
         li.groupBy($"l_returnflag")
           .agg(
             percentile($"l_quantity", lit(0.5)).as("median_qty"),
-            sqrt((sx2 - sx * sx / n) / n).as("stddev_pop_price"),
+            // round: DuckDB's decimal->double conversion can double-round
+            // one ULP off the JVM's, and sqrt amplifies nothing — 4
+            // decimals absorbs it deterministically on both engines
+            round(sqrt((sx2 - sx * sx / n) / n), 4).as("stddev_pop_price"),
             count(lit(1)).as("n_rows"),
             countDistinct($"l_partkey").as("n_parts"),
             min($"l_quantity").as("min_qty"),
@@ -130,11 +133,11 @@ object JoinGroupQueries extends QueryPack {
       Some("""
         SELECT l_returnflag,
                quantile_cont(l_quantity, 0.5) AS median_qty,
-               sqrt((CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               round(sqrt((CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
                      - CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
                        * CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
                        / CAST(count(l_extendedprice) AS DOUBLE))
-                    / CAST(count(l_extendedprice) AS DOUBLE)) AS stddev_pop_price,
+                    / CAST(count(l_extendedprice) AS DOUBLE)), 4) AS stddev_pop_price,
                count(*) AS n_rows,
                count(DISTINCT l_partkey) AS n_parts,
                min(l_quantity) AS min_qty,
