@@ -38,7 +38,10 @@ object Verify {
     val futures = work.map { case (name, fn) =>
       name -> Future {
         spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        // repartition(1), NOT coalesce(1): coalesce narrows the WHOLE
+        // upstream pipeline to one task; repartition shuffles only the
+        // (small) final result into a single output file
+        try fn(spark, sfDir).repartition(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         finally spark.sparkContext.clearJobGroup()
       }

@@ -83,7 +83,12 @@ object PipelineQueries extends QueryPack {
         val sim = Dedup.simhash(dupedDocs(s, dir), "doc_id", "text")
           .withColumn("bands", Dedup.simhashBands(F.col("simhash")))
           .persist()
-        val cand = Dedup.candidatePairs(sim, "id", "bands", maxBucket = 256)
+        // low-entropy corpora cluster 16-bit chunks hard: a generous cap
+        // admits O(cap²) pairs per bucket across thousands of buckets —
+        // millions of Hamming verifications. 32 keeps exact-dup recall
+        // (dup pairs share all four chunks, landing in tiny buckets)
+        // while dropping boilerplate clusters, the standard spam control.
+        val cand = Dedup.candidatePairs(sim, "id", "bands", maxBucket = 32)
         cand
           .join(sim.select(F.col("id").as("id_a"), F.col("simhash").as("h_a")), "id_a")
           .join(sim.select(F.col("id").as("id_b"), F.col("simhash").as("h_b")), "id_b")

@@ -3,7 +3,8 @@ package graft.queries
 /** All query packs, in SURVEY.md §2 order. SparkEntry delegates here. */
 object Registry {
   def packs: Seq[QueryPack] = Seq(
-    CoreQueries, JoinGroupQueries, WindowQueries, ReshapeQueries, PipelineQueries)
+    CoreQueries, JoinGroupQueries, WindowQueries, ReshapeQueries,
+    PipelineQueries, FlagshipQueries)
 
   lazy val all: Seq[Query] = {
     val qs = packs.flatMap(_.queries)
