@@ -5,6 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import scala.jdk.CollectionConverters._
+
 import graft.semantics.TadaFormat
 
 /** Multi-key sort spec (reference: `Sorter` types.go:161-170). `cast`
@@ -364,6 +366,34 @@ final case class TadaFrame(
   def groupByStringified(ns: String*): TadaGrouped = {
     val keys = if (ns.nonEmpty) ns.toSeq else labels
     TadaGrouped(this, keys, aligned = false, stringified = true)
+  }
+
+  /** Row iterator in frame order (series.go:970-995): the driver-side
+    * escape hatch; streams one partition at a time, never materializes
+    * the frame. Cell = (name → value, null as None). */
+  def iterator(): Iterator[Map[String, Option[Any]]] = {
+    val cs = labels ++ valueCols
+    sorted.select(cs.map(df(_)): _*).toLocalIterator()
+      .asInstanceOf[java.util.Iterator[org.apache.spark.sql.Row]]
+      .asScala.map { r =>
+        cs.zipWithIndex.map { case (n, i) =>
+          n -> (if (r.isNullAt(i)) None else Some(r.get(i))) }.toMap
+      }
+  }
+
+  /** Collapse a column-name level (dropColLevel, dataframe.go:1832-1840):
+    * multi-level names are "|"-joined (options.go:9); dropping level i
+    * removes that segment from every value-column name. */
+  def dropColLevel(level: Int): TadaFrame = {
+    val renames = valueCols.map { c =>
+      val parts = c.split('|')
+      c -> (if (level < parts.length) parts.patch(level, Nil, 1).mkString("|") else c)
+    }
+    val d = renames.foldLeft(df) { case (acc, (from, to)) =>
+      if (from == to) acc else acc.withColumnRenamed(from, to) }
+    copy(df = d,
+      colLevelNames = colLevelNames.patch(level, Nil, 1) match {
+        case Nil => Seq("*0"); case x => x })
   }
 
   // ===== output =====

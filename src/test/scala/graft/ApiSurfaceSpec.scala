@@ -42,6 +42,29 @@ class ApiSurfaceSpec extends AnyFunSuite {
     assert(got == Map("1" -> 2L, "2" -> 1L))
   }
 
+  test("iterator streams rows in frame order with None for nulls") {
+    val f = frame(Seq[(Int, java.lang.Double)]((2, null), (1, 5.0)).toDF("k", "v"))
+      .sort(Sorter("k"))
+    val rows = f.iterator().toSeq
+    assert(rows == Seq(Map("k" -> Some(1), "v" -> Some(5.0)),
+                       Map("k" -> Some(2), "v" -> None)))
+  }
+
+  test("dropColLevel collapses a |-joined name segment") {
+    val f = frame(Seq((1, 2)).toDF("x|a", "x|b")).copy(colLevelNames = Seq("*0", "*1"))
+    val got = f.dropColLevel(0)
+    assert(got.listColNames == Seq("a", "b"))
+  }
+
+  test("TadaResult poisons downstream steps until err is checked") {
+    val f = frame(Seq(1).toDF("v"))
+    val r = core.TadaResult(f)
+      .map(_.cols("nope"))   // fails: unknown container
+      .map(_.head(1))        // must not run
+    assert(r.err.exists(_.getMessage.contains("nope")))
+    assert(core.TadaResult(f).map(_.head(1)).err.isEmpty)
+  }
+
   test("SimHash64 native expression == UDF kernel, and runs in codegen") {
     import graft.exprs.GraftFunctions
     GraftFunctions.register(spark)
