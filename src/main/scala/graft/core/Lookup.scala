@@ -58,11 +58,13 @@ object Lookup {
       val joined = left.df.join(rFinal, lk, "left")
       val withMatch = how match {
         case "inner" =>
-          // drop rows with no match: any looked-up column null AND no
-          // matching key — tada does left-merge + DropNull on result
-          val probe = right.valueCols.filterNot(rk.contains)
-          if (probe.isEmpty) joined
-          else joined.na.drop(probe)
+          // Faithful to the reference: inner merge = left merge + DropNull()
+          // over ALL containers of the result (dataframe.go:1649-1651 calls
+          // DropNull with no subset) — so unmatched rows drop (their
+          // looked-up columns are null) AND so do matched rows carrying a
+          // null in any anchor or looked-up column.
+          val visible = joined.columns.filterNot(_ == ORD)
+          joined.na.drop(visible.toSeq)
         case _ => joined
       }
       val f = TadaFrame(withMatch, left.labels, left.name, left.colLevelNames, left.order)

@@ -48,7 +48,11 @@ final case class TadaFrame(
     labels: Seq[String],
     name: String = "",
     colLevelNames: Seq[String] = Seq("*0"),
-    order: Seq[Sorter] = Nil) {
+    order: Seq[Sorter] = Nil,
+    /** Number of ordinal bands consumed by this frame (see `append`):
+      * its `__ord` values live in [0, bands·2^53). A fresh ingest is one
+      * band; each append stacks the right frame's bands above the left's. */
+    bands: Int = 1) {
 
   import TadaFrame._
 
@@ -314,12 +318,19 @@ final case class TadaFrame(
       }
       r = r.withColumnRenamed(b, a)
     }
-    // appended rows come after the anchor's: shift the right side's
-    // ordinal into a disjoint upper band (mono ids use < 2^61 here).
-    r = r.withColumn(ORD, r(ORD) + lit(1L << 61))
+    // Appended rows come after the anchor's: shift the right side's
+    // ordinals into the bands above the left's. Band width 2^53 holds any
+    // monotonically_increasing_id up to 2^20 partitions (id = partition
+    // << 33 | row); tracking consumed bands per frame keeps chained
+    // appends a.append(b).append(c) in disjoint, correctly ordered bands
+    // (a fixed shift would interleave b's and c's rows).
+    require(bands.toLong + other.bands <= 1000,
+      "append: ordinal band budget exhausted (1000 chained appends)")
+    r = r.withColumn(ORD, r(ORD) + lit(bands.toLong << 53))
     val outCols = (ORD +: labels) ++ valueCols
     copy(df = l.select(outCols.map(l(_)): _*)
-      .unionByName(r.select(outCols.map(r(_)): _*)))
+      .unionByName(r.select(outCols.map(r(_)): _*)),
+      bands = bands + other.bands)
   }
 
   // ===== label ↔ column moves (§2.10) =====

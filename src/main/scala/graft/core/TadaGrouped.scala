@@ -131,19 +131,17 @@ final case class TadaGrouped(frame: TadaFrame, keys: Seq[String], aligned: Boole
   def nth(pos: Int, cols: String*): TadaFrame =
     positional(cols.map(n => (s"nth_$n", n, pos)))
 
-  /** HavingCount (groupers.go:232-254): drop groups failing a count
-    * predicate; counts include nulls (count(*) not F.count(col)). */
-  def havingCount(pred: Column => Column): TadaFrame = {
-    val cnt = F.count(lit(1))
-    if (aligned) {
-      val w = Window.partitionBy(keyExprs: _*)
-      frame.filter(pred(cnt.over(w)))
-    } else {
-      val res = df.groupBy(keyExprs: _*)
-        .agg(F.min(df(ORD)).as(ORD), cnt.as("__cnt"))
-        .filter(pred(col("__cnt"))).drop("__cnt")
-      TadaFrame(res, labels = keys, name = frame.name, order = Nil)
-    }
+  /** HavingCount (groupers.go:232-254, 595-615): drop groups failing a
+    * count predicate; counts include nulls (count(*) not F.count(col)).
+    * The reference returns the GROUPED frame (all containers, only
+    * surviving groups) so further reducers can chain — reproduced here as
+    * a grouped view over the frame filtered to surviving groups. One
+    * window count shares the grouping's hash partitioning; no join. */
+  def havingCount(pred: Column => Column): TadaGrouped = {
+    val w = Window.partitionBy(keyExprs: _*)
+    val kept = frame.withCol("__having_cnt", F.count(lit(1)).over(w))
+      .filter(pred(col("__having_cnt"))).dropCols("__having_cnt")
+    copy(frame = kept)
   }
 
   def getGroup(values: Map[String, Any]): TadaFrame = frame.filterByValue(values)

@@ -7,8 +7,10 @@ import org.apache.spark.sql.SparkSession
 object GraftFunctions {
   /** Idempotent: re-registering an existing name invalidates session
     * caches (measured 12× slowdown on the next run of the same query),
-    * so register once per session only. */
-  def register(spark: SparkSession): Unit = {
+    * so register once per session only. Synchronized because Verify/Bench
+    * run queries concurrently — two threads passing the exists check
+    * together would both re-register and trigger that invalidation. */
+  def register(spark: SparkSession): Unit = synchronized {
     val reg = spark.sessionState.functionRegistry
     val id = org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64")
     if (!reg.functionExists(id)) {

@@ -94,7 +94,9 @@ class CoreSemanticsSpec extends AnyFunSuite {
   test("havingCount filters groups; counts include nulls") {
     val f = frame(Seq[(String, java.lang.Double)](
       ("g", 1.0), ("g", null), ("h", 2.0)).toDF("k", "v"))
-    val got = f.groupBy("k").havingCount(_ >= 2)
+    // havingCount keeps the grouped frame (groupers.go:595-615) so
+    // further reducers chain over only the surviving groups
+    val got = f.groupBy("k").havingCount(_ >= 2).sum("v")
     assert(got.records().tail.map(_.head) == Seq("g"))
   }
 
