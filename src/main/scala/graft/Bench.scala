@@ -56,11 +56,16 @@ object Bench {
       (dt, ok)
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (dt1, ok1) = timeOne(name, fn)
-      val (dt, ok) =
-        if (ok1 && dt1 > RerunThreshold) { val (dt2, ok2) = timeOne(name, fn)
-          if (ok2) (math.min(dt1, dt2), true) else (dt1, true) }
-        else (dt1, ok1)
+      // up to 2 re-runs while over threshold: a load spike long enough to
+      // taint three consecutive attempts is a sustained window, which the
+      // loadavg fields then make legible
+      var (dt, ok) = timeOne(name, fn)
+      var tries = 1
+      while (ok && dt > RerunThreshold && tries < 3) {
+        val (dt2, ok2) = timeOne(name, fn)
+        if (ok2) dt = math.min(dt, dt2)
+        tries += 1
+      }
       (name, dt, ok)
     }
     val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -1.0) }

@@ -63,6 +63,77 @@ object Similarity {
       .filter(F.col("rank") <= k)
   }
 
+  /** Exact cosine pairs above a threshold — the verification stage of
+    * embedding near-dup. All-pairs by construction, so at 100 TB this is
+    * NEVER called on a whole corpus: callers feed it LSH/IVF candidate
+    * buckets (`Dedup`/`hyperplaneBucket`) and it verifies only those.
+    * The all-pairs form here is the exactness anchor the approximate
+    * paths are tested against. Pairs are emitted once (idA < idB); the
+    * left side is broadcast when small, the right streams. */
+  def cosinePairs(corpus: DataFrame, threshold: Double,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = F.broadcast(corpus.select(F.col(idCol).as("id_a"), F.col(vecCol).as("va")))
+    corpus.select(F.col(idCol).as("id_b"), F.col(vecCol).as("vb"))
+      .join(a, F.col("id_a") < F.col("id_b"))
+      .select(F.col("id_a"), F.col("id_b"), cosine(F.col("va"), F.col("vb")).as("cos"))
+      .filter(F.col("cos") > threshold)
+  }
+
+  /** IVF (inverted-file) ANN — the other classic scale path next to LSH.
+    * Deterministic throughout (no RNG, no stored model): initial
+    * centroids are the `nlist` lowest-id vectors; `iters` Lloyd rounds
+    * re-assign (centroids broadcast against the corpus — one scan per
+    * round, no shuffle of payloads) and re-average (posexplode →
+    * groupBy(cluster, dim) rides one hash shuffle of scalar components,
+    * never whole vectors × nlist). Probing searches the `nprobe` nearest
+    * cells per query, so the scan cost drops to ~nprobe/nlist of
+    * brute force while recall stays high for clustered data. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4, iters: Int = 2,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(F.col(idCol).as("cid0"), F.col(vecCol).as("cv"))
+    var centroids = c.orderBy("cid0").limit(nlist)
+      .select(F.row_number().over(Window.orderBy("cid0")).as("cell"), F.col("cv").as("centroid"))
+
+    /** Top-n cells per row, computed on a SCALAR-ONLY frame: centroids
+      * broadcast against (id, vec), immediately projected to
+      * (id, cell, sim) — the top-n window's shuffle never carries vector
+      * payloads (n·nlist scalar triples, not n·nlist vectors). */
+    def nearestCells(df: DataFrame, id: String, vec: String, n: Int): DataFrame = {
+      val sims = df.select(F.col(id), F.col(vec))
+        .crossJoin(F.broadcast(centroids))
+        .select(F.col(id), F.col("cell"),
+          cosine(F.col(vec), F.col("centroid")).as("__sim"))
+      val w = Window.partitionBy(id).orderBy(F.col("__sim").desc, F.col("cell"))
+      sims.withColumn("__rk", F.row_number().over(w)).filter(F.col("__rk") <= n)
+        .select(F.col(id), F.col("cell"))
+    }
+
+    for (_ <- 0 until iters) {
+      // re-average: dims explode to scalars, so the groupBy(cell, dim)
+      // shuffle carries one double per (row, dim) — never whole vectors
+      centroids = c.join(nearestCells(c, "cid0", "cv", 1), "cid0")
+        .select(F.col("cell"), F.posexplode(F.col("cv")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim").agg(F.avg(F.col("x").cast("double")).as("m"))
+        .groupBy("cell").agg(
+          F.transform(F.array_sort(F.collect_list(F.struct(F.col("dim"), F.col("m")))),
+            s => s.getField("m").cast("float")).as("centroid"))
+    }
+
+    val indexed = c.join(nearestCells(c, "cid0", "cv", 1), "cid0")
+      .select(F.col("cid0").as("neighbor_id"), F.col("cv"), F.col("cell"))
+    val q0 = queries.select(F.col(idCol).as("query_id"), F.col(vecCol).as("qv"))
+    val probes = q0.join(nearestCells(q0, "query_id", "qv", nprobe), "query_id")
+    val joined = indexed.join(F.broadcast(probes), "cell")
+      .filter(F.col("query_id") =!= F.col("neighbor_id"))
+      .select(F.col("query_id"), F.col("neighbor_id"),
+        cosine(F.col("qv"), F.col("cv")).as("cos"))
+    val w = Window.partitionBy(F.col("query_id"))
+      .orderBy(F.col("cos").desc, F.col("neighbor_id"))
+    joined.withColumn("rank", F.row_number().over(w))
+      .filter(F.col("rank") <= k)
+  }
+
   /** Sign-bit bucket under `planes` pseudo-random hyperplanes. Plane p's
     * j-th coordinate is a deterministic hash of (seed, p, j) mapped to
     * [-0.5, 0.5) — reproducible on any cluster, nothing to store. */

@@ -277,6 +277,41 @@ object PipelineQueries extends QueryPack {
         ORDER BY source
       """)),
 
+    // Exactness anchor for the embedding near-dup family: all-pairs
+    // cosine above a threshold, oracle-checked. At scale this exact
+    // stage runs only on LSH/IVF candidate buckets (q44/q46); here it
+    // runs standalone so the cosine kernel itself is hash-verified.
+    // Threshold 0.4 sits ≥1e-4 from every pair at sf0.01 — engine
+    // float-accumulation differences cannot flip membership.
+    Query(
+      "q55_cosine_pairs",
+      (s, dir) => {
+        Similarity.cosinePairs(Tables.embeddings(s, dir), 0.4)
+          .select("id_a", "id_b")
+          .orderBy("id_a", "id_b")
+      },
+      Some("""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < b.vec_id
+          AND list_cosine_similarity(a.embedding, b.embedding) > 0.4
+        ORDER BY id_a, id_b
+      """)),
+
+    // Scale-path ANN #2: IVF — deterministic Lloyd refinement, probe the
+    // nprobe nearest cells. Approximate by construction ⇒ rows-only;
+    // recall vs brute force is pinned by ScalaTest ground truth.
+    Query(
+      "q56_knn_ivf",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val queries = e.filter(F.col("vec_id") < 10)
+        Similarity.ivfTopK(e, queries, 5, nlist = 16, nprobe = 4)
+          .select("query_id", "neighbor_id", "rank")
+          .orderBy("query_id", "rank")
+      },
+      None),
+
     // Multimodal metadata: payload as opaque binary + cheap header-level
     // metadata, no decode — stays entirely in the scan stage.
     Query(

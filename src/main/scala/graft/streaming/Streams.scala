@@ -39,6 +39,17 @@ object Streams {
       .agg(F.count(F.lit(1)).as("n"))
       .select(F.col("window.start").as("bucket"), F.col("n"))
 
+  /** Streaming exact dedup — the incremental form of `Dedup.exactKey`
+    * (a training-data ingest pipeline dedups as documents ARRIVE, not in
+    * batch sweeps). `dropDuplicatesWithinWatermark` keys state on the
+    * content hash and expires it once the watermark passes, so state
+    * stays bounded by the dedup horizon instead of growing with the
+    * stream; the hash shuffle carries (key, row) once per arrival. */
+  def dedupStream(in: DataFrame, tsCol: String, watermark: String,
+                  keyCols: Seq[String]): DataFrame =
+    in.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class SessionSummary(user_id: Long, n_events: Int, total_value: Double)

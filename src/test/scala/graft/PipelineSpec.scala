@@ -61,6 +61,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(1).getAs[Long]("neighbor_id") == 3L) // cosine 0.6
   }
 
+  test("cosinePairs emits each above-threshold pair once, idA < idB") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f)),   // dup of 0: cos = 1
+      (2L, Array(0.6f, 0.8f, 0.0f)),   // cos(0,2) = 0.6
+      (3L, Array(0.0f, 0.0f, 1.0f)))   // orthogonal to all
+      .toDF("vec_id", "embedding")
+    val got = Similarity.cosinePairs(vecs, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((0L, 1L), (0L, 2L), (1L, 2L)))
+  }
+
+  test("IVF ANN recovers brute-force neighbors on separated clusters") {
+    // two tight clusters around orthogonal axes: Lloyd rounds must pull
+    // the cells apart, and probing the nearest cells must recover the
+    // same top-2 as brute force for every query
+    val vecs = (0 until 20).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 0.0f) else Array(0.0f, 1.0f)
+      (i.toLong, Array(base(0) + 0.01f * (i / 2), base(1) + 0.005f * (i / 2)))
+    }.toDF("vec_id", "embedding")
+    val qs = vecs.filter($"vec_id" < 2)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    val brute = pairs(Similarity.bruteForceTopK(vecs, qs, 2))
+    val ivf = pairs(Similarity.ivfTopK(vecs, qs, 2, nlist = 4, nprobe = 2, iters = 2))
+    assert(ivf == brute, s"ivf $ivf != brute $brute")
+  }
+
   test("langid picks the language with most marker hits") {
     val t = Seq(
       ("en", "the cat and the dog of this house is that one with hats"),

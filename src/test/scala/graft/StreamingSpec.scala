@@ -29,6 +29,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps one row per key within the watermark") {
+    val src = "/root/testdata/sf0.001/events.parquet"
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-stream")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(src),
+      dir.resolve("events.parquet"))
+    val stream = Streams.readEvents(spark, dir.toString)
+    val q = Streams.dedupStream(stream, "ts", "10 minutes", Seq("user_id", "event_type"))
+      .select("user_id", "event_type")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("dedup_out").count()
+      val batchDistinct = spark.read.parquet(src)
+        .select("user_id", "event_type").distinct().count()
+      // one batch, nothing expired: streamed dedup == batch distinct
+      assert(streamed == batchDistinct)
+    } finally q.stop()
+  }
+
   test("stateful session summaries via flatMapGroupsWithState") {
     import spark.implicits._
     val events = Seq(
