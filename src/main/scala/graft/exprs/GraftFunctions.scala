@@ -12,10 +12,15 @@ object GraftFunctions {
     * together would both re-register and trigger that invalidation. */
   def register(spark: SparkSession): Unit = synchronized {
     val reg = spark.sessionState.functionRegistry
-    val id = org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64")
-    if (!reg.functionExists(id)) {
-      reg.createOrReplaceTempFunction(
-        "simhash64", exprs => SimHash64(exprs.head), "scala_udf")
+    val fns: Seq[(String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
+      "simhash64" -> (es => SimHash64(es.head)),
+      "cosine_sim" -> (es => CosineSim(es(0), es(1))))
+    fns.foreach { case (name, builder) =>
+      val id = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
+      if (!reg.functionExists(id)) {
+        reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+      }
     }
   }
 }

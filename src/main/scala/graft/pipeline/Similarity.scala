@@ -46,17 +46,29 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = cosineKernel(a, b)
 
+  /** Codegen path: the native `CosineSim` Catalyst expression — no UDF
+    * boundary, inlines into whole-stage codegen. Needs a session to
+    * resolve the registered function, so operators call this with their
+    * input's session; `cosine` above stays as the sessionless fallback
+    * (identical semantics, shared by the ScalaTest ground truths). */
+  def cosineNative(spark: org.apache.spark.sql.SparkSession)
+                  (a: Column, b: Column): Column = {
+    graft.exprs.GraftFunctions.register(spark)
+    F.call_function("cosine_sim", a, b)
+  }
+
   /** Exact top-k neighbors for each query vector. `queries` must be the
     * small side — it is broadcast; the corpus streams through map-side,
     * and only (q, k) survivor rows reach the window shuffle. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cos = cosineNative(corpus.sparkSession) _
     val q = F.broadcast(queries.select(F.col(idCol).as("query_id"), F.col(vecCol).as("qv")))
     val joined = corpus.select(F.col(idCol).as("neighbor_id"), F.col(vecCol).as("cv"))
       .crossJoin(q)
       .filter(F.col("query_id") =!= F.col("neighbor_id"))
       .select(F.col("query_id"), F.col("neighbor_id"),
-        cosine(F.col("qv"), F.col("cv")).as("cos"))
+        cos(F.col("qv"), F.col("cv")).as("cos"))
     val w = Window.partitionBy(F.col("query_id"))
       .orderBy(F.col("cos").desc, F.col("neighbor_id"))
     joined.withColumn("rank", F.row_number().over(w))
@@ -72,10 +84,11 @@ object Similarity {
     * left side is broadcast when small, the right streams. */
   def cosinePairs(corpus: DataFrame, threshold: Double,
                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cos = cosineNative(corpus.sparkSession) _
     val a = F.broadcast(corpus.select(F.col(idCol).as("id_a"), F.col(vecCol).as("va")))
     corpus.select(F.col(idCol).as("id_b"), F.col(vecCol).as("vb"))
       .join(a, F.col("id_a") < F.col("id_b"))
-      .select(F.col("id_a"), F.col("id_b"), cosine(F.col("va"), F.col("vb")).as("cos"))
+      .select(F.col("id_a"), F.col("id_b"), cos(F.col("va"), F.col("vb")).as("cos"))
       .filter(F.col("cos") > threshold)
   }
 
@@ -91,6 +104,7 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 4, iters: Int = 2,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cos = cosineNative(corpus.sparkSession) _
     val c = corpus.select(F.col(idCol).as("cid0"), F.col(vecCol).as("cv"))
     var centroids = c.orderBy("cid0").limit(nlist)
       .select(F.row_number().over(Window.orderBy("cid0")).as("cell"), F.col("cv").as("centroid"))
@@ -103,7 +117,7 @@ object Similarity {
       val sims = df.select(F.col(id), F.col(vec))
         .crossJoin(F.broadcast(centroids))
         .select(F.col(id), F.col("cell"),
-          cosine(F.col(vec), F.col("centroid")).as("__sim"))
+          cos(F.col(vec), F.col("centroid")).as("__sim"))
       val w = Window.partitionBy(id).orderBy(F.col("__sim").desc, F.col("cell"))
       sims.withColumn("__rk", F.row_number().over(w)).filter(F.col("__rk") <= n)
         .select(F.col(id), F.col("cell"))
@@ -127,7 +141,7 @@ object Similarity {
     val joined = indexed.join(F.broadcast(probes), "cell")
       .filter(F.col("query_id") =!= F.col("neighbor_id"))
       .select(F.col("query_id"), F.col("neighbor_id"),
-        cosine(F.col("qv"), F.col("cv")).as("cos"))
+        cos(F.col("qv"), F.col("cv")).as("cos"))
     val w = Window.partitionBy(F.col("query_id"))
       .orderBy(F.col("cos").desc, F.col("neighbor_id"))
     joined.withColumn("rank", F.row_number().over(w))
@@ -154,6 +168,7 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               planes: Int = 8,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cos = cosineNative(corpus.sparkSession) _
     val cb = corpus.select(F.col(idCol).as("neighbor_id"), F.col(vecCol).as("cv"),
       hyperplaneBucket(F.col(vecCol), planes).as("bucket"))
     val qb = F.broadcast(queries.select(F.col(idCol).as("query_id"), F.col(vecCol).as("qv"),
@@ -161,7 +176,7 @@ object Similarity {
     val joined = cb.join(qb, "bucket")
       .filter(F.col("query_id") =!= F.col("neighbor_id"))
       .select(F.col("query_id"), F.col("neighbor_id"),
-        cosine(F.col("qv"), F.col("cv")).as("cos"))
+        cos(F.col("qv"), F.col("cv")).as("cos"))
     val w = Window.partitionBy(F.col("query_id"))
       .orderBy(F.col("cos").desc, F.col("neighbor_id"))
     joined.withColumn("rank", F.row_number().over(w))

@@ -137,7 +137,7 @@ object PipelineQueries extends QueryPack {
         a.join(b, "bucket")
           .filter(F.col("id_a") < F.col("id_b"))
           .select(F.col("id_a"), F.col("id_b"),
-            Similarity.cosine(F.col("v_a"), F.col("v_b")).as("cos"))
+            Similarity.cosineNative(s)(F.col("v_a"), F.col("v_b")).as("cos"))
           .filter(F.col("cos") >= 0.99)
           .orderBy("id_a", "id_b")
       },

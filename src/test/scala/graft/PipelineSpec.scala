@@ -61,6 +61,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(1).getAs[Long]("neighbor_id") == 3L) // cosine 0.6
   }
 
+  test("native cosine_sim expression matches the UDF kernel bit-for-bit") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)),
+      (1L, Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (2L, Array(0.0f, 0.0f), Array(0.0f, 0.0f)), // zero denominator => 0.0
+      (3L, Array(0.5f, -1.5f, 2.5f), Array(-0.25f, 1.25f, 0.75f)))
+      .toDF("id", "a", "b")
+    val got = vecs.select(
+      Similarity.cosine($"a", $"b").as("udf"),
+      Similarity.cosineNative(spark)($"a", $"b").as("native")).collect()
+    got.foreach(r => assert(r.getDouble(0) == r.getDouble(1), r.toString))
+  }
+
   test("cosinePairs emits each above-threshold pair once, idA < idB") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
