@@ -15,7 +15,12 @@ object GraftFunctions {
     val fns: Seq[(String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
         org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
       "simhash64" -> (es => SimHash64(es.head)),
-      "cosine_sim" -> (es => CosineSim(es(0), es(1))))
+      "cosine_sim" -> (es => CosineSim(es(0), es(1))),
+      // the int params arrive as foldable literals from call_function
+      "shingle_w" -> (es => Shingles(es.head,
+        es(1).eval().asInstanceOf[Int])),
+      "minhash_bands" -> (es => MinHashBands(es.head,
+        es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])))
     fns.foreach { case (name, builder) =>
       val id = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
       if (!reg.functionExists(id)) {

@@ -36,7 +36,16 @@ object Dedup {
     else toks.sliding(w).map(_.mkString(" ")).toSeq.distinct
   }
 
-  def shingles(text: Column, w: Int = 3): Column =
+  /** Production path: the native `Shingles` expression (codegen — the
+    * whole LSH scan projection stays compiled). The UDF kernel above
+    * remains as `shinglesUdf`, the sessionless fallback the ScalaTest
+    * ground truths cross-check. */
+  def shingles(text: Column, w: Int = 3): Column = {
+    graft.exprs.GraftFunctions.register(org.apache.spark.sql.SparkSession.active)
+    F.call_function("shingle_w", TextOps.tokens(text), F.lit(w))
+  }
+
+  def shinglesUdf(text: Column, w: Int = 3): Column =
     shingleKernel(TextOps.tokens(text), F.lit(w))
 
   /** k seeded 64-bit minhashes of a shingle array, as one compiled JVM
@@ -95,8 +104,17 @@ object Dedup {
     }
   }
 
-  /** Band keys straight from shingles — the production path for LSH. */
-  def bandKeysDirect(shingleCol: Column, k: Int = 32, bands: Int = 8): Column =
+  /** Band keys straight from shingles — the production path for LSH,
+    * via the native fused `MinHashBands` expression (codegen). */
+  def bandKeysDirect(shingleCol: Column, k: Int = 32, bands: Int = 8): Column = {
+    graft.exprs.GraftFunctions.register(org.apache.spark.sql.SparkSession.active)
+    F.transform(
+      F.call_function("minhash_bands", shingleCol, F.lit(k), F.lit(bands)),
+      (bucket, idx) => F.struct(idx.as("band"), bucket.as("bucket")))
+  }
+
+  /** UDF form of the fused minhash+banding kernel (sessionless fallback). */
+  def bandKeysDirectUdf(shingleCol: Column, k: Int = 32, bands: Int = 8): Column =
     F.transform(minhashBandKernel(k, bands)(shingleCol),
       (bucket, idx) => F.struct(idx.as("band"), bucket.as("bucket")))
 

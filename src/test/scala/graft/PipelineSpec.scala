@@ -31,6 +31,27 @@ class PipelineSpec extends AnyFunSuite {
       s"unrelated docs should not be candidates: $cand")
   }
 
+  test("native shingle/minhash expressions match the UDF kernels") {
+    val got = docs.select(
+      Dedup.shingles(F.col("text")).as("sh_n"),
+      Dedup.shinglesUdf(F.col("text")).as("sh_u"))
+    got.collect().foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1), r.toString)
+    }
+    val bands = docs
+      .select(Dedup.shingles(F.col("text")).as("sh"))
+      .select(
+        Dedup.bandKeysDirect(F.col("sh")).as("b_n"),
+        Dedup.bandKeysDirectUdf(F.col("sh")).as("b_u"))
+    bands.collect().foreach { r =>
+      assert(r.getSeq[AnyRef](0) == r.getSeq[AnyRef](1), r.toString)
+    }
+    // edge cases: empty text and fewer tokens than w
+    val edge = Seq("", "two words").toDF("text")
+      .select(Dedup.shingles(F.col("text")).as("n"), Dedup.shinglesUdf(F.col("text")).as("u"))
+    edge.collect().foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1), r.toString))
+  }
+
   test("jaccard: identical = 1.0, disjoint = 0.0") {
     val pairs = docs.select(Dedup.shingles(F.col("text")).as("sh"), F.col("doc_id"))
     val a = pairs.filter($"doc_id" === 0).select($"sh".as("sa"))
