@@ -16,6 +16,7 @@ object GraftFunctions {
         org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
       "simhash64" -> (es => SimHash64(es.head)),
       "cosine_sim" -> (es => CosineSim(es(0), es(1))),
+      "jaccard_sim" -> (es => JaccardSim(es(0), es(1))),
       // the int params arrive as foldable literals from call_function
       "shingle_w" -> (es => Shingles(es.head,
         es(1).eval().asInstanceOf[Int])),

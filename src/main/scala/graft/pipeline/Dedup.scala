@@ -164,7 +164,15 @@ object Dedup {
       if (union == 0) 0.0 else inter.toDouble / union
     }
   }
-  def jaccard(a: Column, b: Column): Column = jaccardKernel(a, b)
+  /** Production path: native `JaccardSim` expression (codegen; one
+    * hash-set build per pair, no UDF boundary). `jaccardUdf` is the
+    * sessionless fallback kernel. */
+  def jaccard(a: Column, b: Column): Column = {
+    graft.exprs.GraftFunctions.register(org.apache.spark.sql.SparkSession.active)
+    F.call_function("jaccard_sim", a, b)
+  }
+
+  def jaccardUdf(a: Column, b: Column): Column = jaccardKernel(a, b)
 
   /** Codegen form: right choice when the surrounding projection has no
     * UDF (whole-stage codegen keeps array_intersect/union compiled). */

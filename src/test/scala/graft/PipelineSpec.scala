@@ -50,6 +50,13 @@ class PipelineSpec extends AnyFunSuite {
     val edge = Seq("", "two words").toDF("text")
       .select(Dedup.shingles(F.col("text")).as("n"), Dedup.shinglesUdf(F.col("text")).as("u"))
     edge.collect().foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1), r.toString))
+    // native jaccard == UDF jaccard on every doc pair
+    val sh = docs.select(F.col("doc_id"), Dedup.shingles(F.col("text")).as("sh"))
+    val prs = sh.select(F.col("doc_id").as("ia"), F.col("sh").as("sa"))
+      .crossJoin(sh.select(F.col("doc_id").as("ib"), F.col("sh").as("sb")))
+      .select(Dedup.jaccard(F.col("sa"), F.col("sb")).as("n"),
+        Dedup.jaccardUdf(F.col("sa"), F.col("sb")).as("u"))
+    prs.collect().foreach(r => assert(r.getDouble(0) == r.getDouble(1), r.toString))
   }
 
   test("jaccard: identical = 1.0, disjoint = 0.0") {
