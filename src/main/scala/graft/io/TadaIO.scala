@@ -197,4 +197,19 @@ object TadaIO {
       case ((g, w), i) if g != w => s"row $i: got $g, want $w"
     }
   }
+
+  /** Bucketed persist — the co-located-join scale path. Two tables
+    * bucketed (and sort-prepped) on the same keys with the same bucket
+    * count join WITHOUT a shuffle exchange: the scan's output
+    * partitioning already satisfies the join's requirement, so at 100 TB
+    * the fact-to-fact join cost drops from 2 full shuffles to zero
+    * (`IoSpec` asserts the no-Exchange plan). Use for the big-×-big
+    * joins where neither side broadcasts and the join recurs (the
+    * bucketing pays for itself on the second join). */
+  def writeBucketed(df: org.apache.spark.sql.DataFrame, table: String,
+                    bucketCols: Seq[String], buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
 }

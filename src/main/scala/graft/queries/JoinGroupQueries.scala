@@ -248,6 +248,36 @@ object JoinGroupQueries extends QueryPack {
         ORDER BY nationkey
       """)),
 
+    // Skew path: two-phase salted aggregation. lineitem has exactly 3
+    // return-flag values — the canonical few-hot-keys shape where a
+    // plain groupBy funnels a third of the table through one reducer.
+    // Salting is semantics-neutral for algebraic aggs, so the oracle is
+    // the plain GROUP BY.
+    Query(
+      "q57_salted_agg",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, dir)
+          .select($"l_returnflag", dec($"l_quantity").as("q"))
+        Skew.saltedAgg(li, Seq("l_returnflag"), Seq(
+            "sum_qty" -> (("q", "sum")), "n" -> (("q", "count")),
+            "min_qty" -> (("q", "min")), "max_qty" -> (("q", "max"))),
+            salts = 16)
+          .select($"l_returnflag", $"sum_qty".cast("double").as("sum_qty"), $"n",
+            $"min_qty".cast("double").as("min_qty"), $"max_qty".cast("double").as("max_qty"))
+          .orderBy("l_returnflag")
+      },
+      Some("""
+        SELECT l_returnflag,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               count(l_quantity) AS n,
+               CAST(min(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS min_qty,
+               CAST(max(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS max_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+      """)),
+
     // semi/anti joins (SURVEY §2.4 "free extras"): customers with no orders.
     Query(
       "q20_anti_join",

@@ -25,6 +25,27 @@ class CoreSemanticsSpec extends AnyFunSuite {
     assert(vals(f.fillNull(Map("v" -> FillNullHow.Const(9.0)))) == Seq(9.0, 1.0, 9.0, 9.0, 4.0))
   }
 
+  test("saltedAgg matches plain groupBy on a skewed key for every algebraic op") {
+    val rows = (0 until 1000).map(i =>
+      (if (i < 900) "hot" else s"k${i % 17}", i.toDouble))
+    val df = rows.toDF("k", "v")
+    val specs = Seq("s" -> ("v", "sum"), "n" -> ("v", "count"),
+      "mn" -> ("v", "min"), "mx" -> ("v", "max"), "avg" -> ("v", "mean"))
+    val got = Skew.saltedAgg(df, Seq("k"), specs, salts = 8)
+      .orderBy("k").collect()
+    val want = df.groupBy("k").agg(F.sum("v").as("s"), F.count(F.col("v")).as("n"),
+        F.min("v").as("mn"), F.max("v").as("mx"), F.avg("v").as("avg"))
+      .orderBy("k").collect()
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getString(0) == w.getString(0))
+      assert(g.getDouble(1) == w.getDouble(1), "sum")
+      assert(g.getLong(2) == w.getLong(2), "count")
+      assert(g.getDouble(3) == w.getDouble(3) && g.getDouble(4) == w.getDouble(4))
+      assert(math.abs(g.getDouble(5) - w.getDouble(5)) < 1e-9, "mean")
+    }
+  }
+
   test("unique keeps FIRST appearance (dropDuplicates would not promise order)") {
     val f = frame(Seq(("a", 1), ("b", 2), ("a", 3), ("b", 4)).toDF("k", "v"))
     val got = f.unique(subset = Seq("k")).records()

@@ -90,6 +90,25 @@ class IoSpec extends AnyFunSuite {
     val f = TadaIO.readCaseClass(spark, in)
     assert(TadaIO.writeCaseClass[P](f) == in)
   }
+
+  test("bucketed tables join with NO shuffle exchange (co-located scale path)") {
+    import spark.implicits._
+    val a = (0 until 100).map(i => (i.toLong, s"a$i")).toDF("k", "va")
+    val b = (0 until 100).map(i => (i.toLong, i * 2.0)).toDF("k", "vb")
+    TadaIO.writeBucketed(a, "t_buck_a", Seq("k"), 8)
+    TadaIO.writeBucketed(b, "t_buck_b", Seq("k"), 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force a non-broadcast join so the claim under test is the
+      // bucketing, not a broadcast that would hide a shuffle anyway
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("t_buck_a").join(spark.table("t_buck_b"), "k")
+      assert(j.count() == 100)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
 
 object IoSpec {
