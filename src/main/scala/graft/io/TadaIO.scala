@@ -207,9 +207,20 @@ object TadaIO {
     * joins where neither side broadcasts and the join recurs (the
     * bucketing pays for itself on the second join). */
   def writeBucketed(df: org.apache.spark.sql.DataFrame, table: String,
-                    bucketCols: Seq[String], buckets: Int): Unit =
+                    bucketCols: Seq[String], buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // an in-memory catalog forgets tables across sessions but their
+    // managed-table directories survive — clear any leftover or the
+    // CREATE refuses the location
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(table)
+  }
 }

@@ -182,6 +182,44 @@ object Dedup {
     F.when(union === 0, 0.0).otherwise(inter / union)
   }
 
+  /** Duplicate-cluster resolution: connected components over verified
+    * candidate pairs by iterative min-label propagation — the final
+    * stage of every near-dup pipeline (pick one keeper per TRANSITIVE
+    * duplicate set, not per pair).
+    *
+    * Each iteration is one scalar-only (id, label) join + groupBy —
+    * payloads never enter the graph. Convergence takes
+    * O(graph diameter) rounds; near-dup graphs are shallow (clusters are
+    * quasi-cliques because similarity is near-transitive), so 2-3 rounds
+    * close them. The label frame is checkpointed per round via persist;
+    * the convergence probe is a changed-row existence check. For
+    * adversarial long-chain graphs swap in the large-star/small-star
+    * variant; same per-round shape, O(log d) rounds. */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+                          idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(F.col(idA).as("src"), F.col(idB).as("dst"))
+      .union(pairs.select(F.col(idB).as("src"), F.col(idA).as("dst")))
+      .persist()
+    var labels = edges.select(F.col("src").as("id")).distinct()
+      .withColumn("cluster", F.col("id")).persist()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val viaEdges = edges.join(labels, edges("src") === labels("id"))
+        .select(edges("dst").as("id"), labels("cluster"))
+      val next = labels.select("id", "cluster").union(viaEdges)
+        .groupBy("id").agg(F.min("cluster").as("cluster")).persist()
+      val changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
+        .filter(F.col("cluster") =!= F.col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** 64-bit SimHash kernel: per token, ±1 into 64 bit-sums; sign bits
     * form the word. Branch-heavy bit math — a compiled JVM kernel is two
     * orders faster than 64 interpreted higher-order aggregates, so this

@@ -298,6 +298,33 @@ object PipelineQueries extends QueryPack {
         ORDER BY id_a, id_b
       """)),
 
+    // Duplicate-cluster resolution: exact cosine pairs as edges →
+    // connected components → one cluster label per transitive duplicate
+    // set. Oracle: the same edges in a DuckDB recursive CTE.
+    Query(
+      "q58_dup_clusters",
+      (s, dir) => {
+        val edges = Similarity.cosinePairs(Tables.embeddings(s, dir), 0.4)
+        Dedup.connectedComponents(edges)
+          .select("id", "cluster")
+          .orderBy("id")
+      },
+      Some("""
+        WITH RECURSIVE edges AS (
+          SELECT a.vec_id AS src, b.vec_id AS dst
+          FROM embeddings a, embeddings b
+          WHERE a.vec_id < b.vec_id
+            AND list_cosine_similarity(a.embedding, b.embedding) > 0.4
+        ),
+        undirected AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+        reach(id, r) AS (
+          SELECT src, src FROM undirected
+          UNION
+          SELECT u.dst, reach.r FROM undirected u JOIN reach ON u.src = reach.id
+        )
+        SELECT id, min(r) AS cluster FROM reach GROUP BY id ORDER BY id
+      """)),
+
     // Scale-path ANN #2: IVF — deterministic Lloyd refinement, probe the
     // nprobe nearest cells. Approximate by construction ⇒ rows-only;
     // recall vs brute force is pinned by ScalaTest ground truth.

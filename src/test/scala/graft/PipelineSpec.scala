@@ -131,6 +131,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(ivf == brute, s"ivf $ivf != brute $brute")
   }
 
+  test("connectedComponents resolves transitive chains and isolates") {
+    // chain 1-2-3-4 (diameter 3, forces multiple propagation rounds),
+    // separate pair 10-11, pair 20-21 linked to the chain via 4-20
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L), (4L, 20L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      20L -> 1L, 21L -> 1L, 10L -> 10L, 11L -> 10L), got.toString)
+  }
+
   test("langid picks the language with most marker hits") {
     val t = Seq(
       ("en", "the cat and the dog of this house is that one with hats"),
