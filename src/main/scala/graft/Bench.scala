@@ -1,28 +1,66 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicBoolean
+import scala.collection.concurrent.TrieMap
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: every SparkEntry query against
   * $SPARK_GRAFT_SF_DIR, one JSON line of per-query seconds.
   *
-  * This box carries intermittent external load (PERF.md: identical
-  * back-to-back full runs measured 672.8 s vs 46.1 s, loadavg 2.7 vs 0).
-  * Two mitigations: (a) warm the page cache for the large tables before
-  * timing, so a cold first read doesn't land on one query; (b) any query
-  * slower than RERUN_THRESHOLD gets one re-run and reports the min — a
-  * transient load spike costs one retry, a genuinely slow query stays
-  * slow. Start/end loadavg ride along in the JSON for forensics.
+  * Hardening history: r01's JSON was eaten by sbt's `[info]` prefix; r02
+  * was killed by the driver's external timeout (rc=124) and produced
+  * NOTHING. This box also carries intermittent external load (PERF.md:
+  * identical back-to-back full runs measured 672.8 s vs 46.1 s, loadavg
+  * 2.7 vs 0). Defenses, in order of importance:
+  *
+  *  1. A JVM shutdown hook prints the partial-results JSON line, so even
+  *     a SIGTERM from the driver's `timeout` yields a parseable artifact.
+  *  2. An internal wall-clock budget (SPARK_GRAFT_BENCH_BUDGET_SEC,
+  *     default 420 s of measurement): while over budget, remaining
+  *     queries still run but get a tight per-query watchdog and no
+  *     reruns, so we finish degraded instead of being killed.
+  *  3. A per-query watchdog cancels the Spark jobs of any query that
+  *     individually exceeds its slice (a hang costs one slice, not the
+  *     round's bench artifact).
+  *  4. Queries slower than RERUN_THRESHOLD get up to one re-run; the
+  *     JSON reports BOTH the first attempt (`first`) and the min
+  *     (`queries`), so cold-path costs and load spikes stay legible
+  *     instead of being silently minimized away (ADVICE r02).
+  *
+  * Start/end loadavg ride along for forensics.
   */
 object Bench {
   private val RerunThreshold = 5.0 // seconds
+  private val done = new AtomicBoolean(false)
+  private val minTimes = TrieMap.empty[String, Double]
+  private val firstTimes = TrieMap.empty[String, Double]
+  private val failures = TrieMap.empty[String, Boolean]
+  @volatile private var sfDirSeen = ""
+  @volatile private var loadStart = -1.0
 
   private def load1: Double =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
+  private def emit(partial: Boolean): Unit = {
+    val names = minTimes.keySet ++ failures.keySet
+    def m(map: TrieMap[String, Double]) = names.toSeq.sorted.map { k =>
+      "\"" + k + "\":" + (if (failures.getOrElse(k, false)) -1.0 else map.getOrElse(k, -1.0))
+    }.mkString("{", ",", "}")
+    val failed = failures.keysIterator.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = names.toSeq.collect { case k if !failures.getOrElse(k, false) => minTimes.getOrElse(k, 0.0) }.sum
+    // raw stdout, single line: sbt [info] prefixes and log4j noise both
+    // broke driver-side parsing before; System.out directly is safest
+    System.out.println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${m(minTimes)},"first":${m(firstTimes)},"failed":$failed,"partial":$partial,"load_start":$loadStart,"load_end":$load1,"sf":"$sfDirSeen"}""")
+    System.out.flush()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sfDirSeen = sfDir
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "420").toDouble
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -31,7 +69,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val loadStart = load1
+    // If the driver's external timeout SIGTERMs us mid-run, still emit
+    // whatever finished — a partial artifact beats rc=124 with nothing.
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      if (!done.get()) emit(partial = true)
+    }))
+    loadStart = load1
+    val t0wall = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - t0wall) / 1e9
     // Warm JVM/codegen/session paths AND the OS page cache for every
     // table the queries read — a steady-state engine doesn't pay cold
     // disk on one arbitrary mid-run query, so neither should the bench.
@@ -46,34 +91,53 @@ object Bench {
         df.selectExpr(df.columns.map(c => s"max(length(cast(`$c` as string)))"): _*).collect()
       } catch { case _: Throwable => () }
     }
-    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
+
+    // Runs fn's count under a watchdog: if the query individually blows
+    // its slice, cancel its Spark jobs and mark it failed rather than
+    // letting one hang consume the whole round's bench.
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                sliceSec: Double): (Double, Boolean) = {
+      val group = s"bench-$name"
+      spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+      val watchdog = new Thread(() => {
+        try {
+          Thread.sleep((sliceSec * 1000).toLong)
+          spark.sparkContext.cancelJobGroup(group)
+        } catch { case _: InterruptedException => () }
+      })
+      watchdog.setDaemon(true)
       val t0 = System.nanoTime()
+      watchdog.start()
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      watchdog.interrupt()
+      spark.sparkContext.clearJobGroup()
       val dt = (System.nanoTime() - t0) / 1e9
       // queries may persist() intermediates; drop them so one query's
       // cache never bleeds into the next one's memory budget
       spark.catalog.clearCache()
       (dt, ok)
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // up to 2 re-runs while over threshold: a load spike long enough to
-      // taint three consecutive attempts is a sustained window, which the
-      // loadavg fields then make legible
-      var (dt, ok) = timeOne(name, fn)
-      var tries = 1
-      while (ok && dt > RerunThreshold && tries < 3) {
-        val (dt2, ok2) = timeOne(name, fn)
-        if (ok2) dt = math.min(dt, dt2)
-        tries += 1
+
+    val all = SparkEntry.queries.toSeq.sortBy(_._1)
+    all.zipWithIndex.foreach { case ((name, fn), idx) =>
+      val remainingQueries = all.size - idx
+      val remainingBudget = budgetSec - elapsed
+      // Per-query slice: an even share of what's left, floored so normal
+      // queries (sub-second unloaded) never trip it, capped at 120 s.
+      val slice = math.max(15.0, math.min(120.0, remainingBudget / math.max(1, remainingQueries)))
+      val (dt, ok) = timeOne(name, fn, slice)
+      firstTimes(name) = dt
+      minTimes(name) = dt
+      if (!ok) failures(name) = true
+      else if (dt > RerunThreshold && elapsed + dt < budgetSec) {
+        // one re-run: a transient load spike costs one retry; `first`
+        // still records the untouched first attempt
+        val (dt2, ok2) = timeOne(name, fn, slice)
+        if (ok2 && dt2 < dt) minTimes(name) = dt2
       }
-      (name, dt, ok)
     }
-    val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -1.0) }
-      .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"load_start":$loadStart,"load_end":$load1,"sf":"$sfDir"}""")
+    done.set(true)
+    emit(partial = false)
     spark.stop()
   }
 }

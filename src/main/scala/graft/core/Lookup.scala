@@ -59,15 +59,18 @@ object Lookup {
       val withMatch = how match {
         case "inner" =>
           // Faithful to the reference: inner merge = left merge + DropNull()
-          // over ALL containers of the result (dataframe.go:1649-1651 calls
-          // DropNull with no subset) — so unmatched rows drop (their
-          // looked-up columns are null) AND so do matched rows carrying a
-          // null in any anchor or looked-up column.
-          val visible = joined.columns.filterNot(_ == ORD)
-          joined.na.drop(visible.toSeq)
+          // (dataframe.go:1649-1651 calls DropNull with no subset), and a
+          // no-subset DropNull inspects only VALUE containers
+          // (dataframe.go:695-716 iterates df.values, not labels) — so
+          // unmatched rows drop (their looked-up columns are null) and so
+          // do matched rows with a null value column, but a null in a
+          // label level alone keeps the row.
+          val values = joined.columns.filterNot(c => c == ORD || left.labels.contains(c))
+          joined.na.drop(values.toSeq)
         case _ => joined
       }
-      val f = TadaFrame(withMatch, left.labels, left.name, left.colLevelNames, left.order)
+      val f = TadaFrame(withMatch, left.labels, left.name, left.colLevelNames, left.order,
+        bands = left.bands)
       f.deduplicateNames
   }
 

@@ -22,13 +22,22 @@ object Skew {
     F.pmod(F.xxhash64(cols: _*), F.lit(salts.toLong))
 
   /** Salted sum/count/min/max over possibly-skewed keys. `aggs` maps
-    * output name → (valueColumn, op); op ∈ sum|count|min|max|mean. */
+    * output name → (valueColumn, op); op ∈ sum|count|min|max|mean.
+    *
+    * The default salt hashes the VALUE columns being aggregated: purely
+    * row-data-derived, so a task retry or shuffle-fetch-failure recompute
+    * assigns every row the same salt bucket (partition-id/monotonic-id
+    * salts are NOT retry-stable and can double-count or lose partials —
+    * the SPARK-23207 class of wrong results). The trade: rows of a hot
+    * key with identical values share a bucket; if a hot key is dominated
+    * by one repeated value, pass `saltBy` with a higher-cardinality
+    * deterministic column set. */
   def saltedAgg(df: DataFrame, keys: Seq[String],
                 aggs: Seq[(String, (String, String))],
                 salts: Int = 16,
                 saltBy: Seq[Column] = Nil): DataFrame = {
     val saltCol = if (saltBy.nonEmpty) salt(salts, saltBy)
-                  else salt(salts, Seq(F.spark_partition_id(), F.monotonically_increasing_id()))
+                  else salt(salts, aggs.map(_._2._1).distinct.map(F.col))
     def partial(a: (String, (String, String))): Column = a match {
       case (out, (c, "sum"))   => F.sum(c).as(s"__p_$out")
       case (out, (c, "count")) => F.count(F.col(c)).as(s"__p_$out")

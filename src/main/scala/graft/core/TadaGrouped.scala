@@ -66,7 +66,9 @@ final case class TadaGrouped(frame: TadaFrame, keys: Seq[String], aligned: Boole
       F.max(F.when(aug("__gpos") === target, aug(n))).as(out)
     }
     val res = aug.groupBy(keys.map(aug(_)): _*).agg(aggs.head, aggs.tail: _*)
-    TadaFrame(res, labels = keys, name = frame.name, order = Nil)
+    // min(__ord) keeps each group's ordinal inside the source's band
+    // range, so consumed bands carry over (a later append must not reuse)
+    TadaFrame(res, labels = keys, name = frame.name, order = Nil, bands = frame.bands)
   }
 
   private def keyExprs: Seq[Column] = keys.map(df(_))
@@ -96,11 +98,11 @@ final case class TadaGrouped(frame: TadaFrame, keys: Seq[String], aligned: Boole
       val aggs = (F.min(srcDf(ORD)).as(ORD) +: labelAggs) ++
         outs.map { case (n, e) => e.as(n) }
       val res = srcDf.groupBy(key.as("__key")).agg(aggs.head, aggs.tail: _*).drop("__key")
-      TadaFrame(res, labels = keys, name = frame.name, order = Nil)
+      TadaFrame(res, labels = keys, name = frame.name, order = Nil, bands = frame.bands)
     } else {
       val aggs = F.min(srcDf(ORD)).as(ORD) +: outs.map { case (n, e) => e.as(n) }
       val res = srcDf.groupBy(keys.map(srcDf(_)): _*).agg(aggs.head, aggs.tail: _*)
-      TadaFrame(res, labels = keys, name = frame.name, order = Nil)
+      TadaFrame(res, labels = keys, name = frame.name, order = Nil, bands = frame.bands)
     }
   }
 

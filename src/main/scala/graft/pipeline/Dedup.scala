@@ -196,7 +196,8 @@ object Dedup {
     * adversarial long-chain graphs swap in the large-star/small-star
     * variant; same per-round shape, O(log d) rounds. */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
-                          idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+                          idB: String = "id_b", maxIter: Int = 20,
+                          requireConvergence: Boolean = true): DataFrame = {
     val edges = pairs.select(F.col(idA).as("src"), F.col(idB).as("dst"))
       .union(pairs.select(F.col(idB).as("src"), F.col(idA).as("dst")))
       .persist()
@@ -217,6 +218,13 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    // Exiting via the iteration cap means labels are WRONG (some nodes
+    // still carry a non-minimal cluster id) — never return that silently.
+    if (!converged && requireConvergence)
+      throw new IllegalStateException(
+        s"connectedComponents: not converged after $maxIter iterations " +
+        "(graph diameter exceeds maxIter); raise maxIter or pass " +
+        "requireConvergence=false to accept partial labels")
     labels
   }
 
