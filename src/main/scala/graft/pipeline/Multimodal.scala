@@ -27,16 +27,23 @@ object Multimodal {
       width: Int, height: Int, checksum: Long)
 
   /** STUB decode kernel — deterministic fake features from the payload.
-    * A real implementation would decode headers/frames here. */
+    * A real implementation would decode headers/frames here.
+    *
+    * The fake features derive from md5 of the payload bytes (first 60
+    * bits of the digest as a non-negative long) — chosen over a bespoke
+    * rolling hash so an oracle engine can replay the exact values in
+    * SQL: `('0x' || substring(md5(x),1,15))::BIGINT` matches `checksum`
+    * bit-for-bit, which upgrades the decode query from rows-only to a
+    * full hash-checked oracle. */
   def fakeDecode(r: MediaRow): MediaFeatures = {
     val n = r.payload.length
-    var h = 1125899906842597L // FNV-ish rolling hash, deterministic
-    var i = 0
-    while (i < n) { h = h * 31 + (r.payload(i) & 0xff); i += 1 }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(r.payload).take(8).map(b => f"$b%02x").mkString
+    val h = java.lang.Long.parseLong(hex.substring(0, 15), 16) // 60 bits, >= 0
     val fmt = if (n % 3 == 0) "png" else if (n % 3 == 1) "jpeg" else "webp"
     MediaFeatures(r.doc_id, n, fmt,
-      width = 64 + (math.floorMod(h, 8L) * 32L).toInt,
-      height = 64 + (math.floorMod(h >> 8, 8L) * 32L).toInt,
+      width = 64 + ((h % 8L) * 32L).toInt,
+      height = 64 + (((h / 8L) % 8L) * 32L).toInt,
       checksum = h)
   }
 

@@ -1,0 +1,41 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * `sample(frac)` on a 100 TB corpus is the wrong tool when the sample
+  * must be REPRODUCIBLE across reruns, engines, partitionings and
+  * retries (Spark's Bernoulli sampler is seeded per partition — a
+  * repartition changes the sample). Hashing a stable row key instead
+  * gives every row a permanent [0,1) coordinate: the same row is in or
+  * out forever, on any engine that agrees on md5 — which is exactly what
+  * lets a DuckDB oracle replay the same sample bit-for-bit.
+  *
+  * Scan-stage only: no shuffle, no RNG state, codegen'd (md5/conv are
+  * native expressions).
+  */
+object Sampling {
+
+  /** Permanent per-row coordinate in [0, 10000): first 60 bits of
+    * md5(key) mod 10000 (basis-point resolution). */
+  def hashBp(key: Column): Column =
+    F.pmod(F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long"),
+      F.lit(10000L)).cast("int")
+
+  /** Keep ~`bp`/10000 of rows, deterministically by `key`. */
+  def deterministic(df: DataFrame, key: Column, bp: Int): DataFrame =
+    df.filter(hashBp(key) < bp)
+
+  /** Stratified variant: per-stratum rates in basis points; strata not
+    * in the map fall back to `defaultBp`. Same scan-stage shape — the
+    * rate lookup is a when-chain, not a join. */
+  def stratified(df: DataFrame, key: Column, stratum: Column,
+                 ratesBp: Map[String, Int], defaultBp: Int = 0): DataFrame = {
+    val rate = ratesBp.foldLeft(F.lit(defaultBp)) { case (acc, (s, r)) =>
+      F.when(stratum === s, F.lit(r)).otherwise(acc)
+    }
+    df.filter(hashBp(key) < rate)
+  }
+}

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.{functions => F}
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -80,4 +80,30 @@ object TextOps {
     * oracle-checkable; xxhash64 is the cheap variant for joins. */
   def fingerprintMd5(text: Column): Column = F.md5(F.encode(normalize(text), "UTF-8"))
   def fingerprint64(text: Column): Column = F.xxhash64(normalize(text))
+
+  /** TF-IDF: term frequencies per document joined with corpus document
+    * frequencies. Emits one row per (doc, term) with tf, df and
+    * tfidf = tf · ln(N/df).
+    *
+    * Shape at scale: explode(tokens) is a scan-stage row expansion
+    * (bounded by token count, no payload copies — the text column is
+    * dropped before the explode's output moves); tf is one hash
+    * aggregation on (doc, term); df reuses the SAME shuffled data — it
+    * re-aggregates tf's output by term (rows = distinct (doc,term), far
+    * smaller than token instances) and comes back as a broadcast-sized
+    * (term, df) dim for vocabulary-scale joins. N rides along as a
+    * scalar via a cross-joined 1-row frame (no driver collect).
+    */
+  def tfIdf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val terms = docs
+      .filter(F.length(normalize(F.col(textCol))) > 0)
+      .select(F.col(idCol), F.explode(tokens(F.col(textCol))).as("term"))
+    val tf = terms.groupBy(idCol, "term").agg(F.count(F.lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(F.count(F.lit(1)).as("df"))
+    val n = docs.select(F.countDistinct(F.col(idCol)).as("__n"))
+    tf.join(F.broadcast(df), "term")
+      .crossJoin(F.broadcast(n))
+      .withColumn("tfidf", F.col("tf") * F.log(F.col("__n") / F.col("df").cast("double")))
+      .drop("__n")
+  }
 }

@@ -100,8 +100,9 @@ object PipelineQueries extends QueryPack {
       None),
 
     // Exact n-gram Jaccard on a bounded window of docs — the verify
-    // kernel in isolation, oracle-free (array ops aren't portable SQL)
-    // but deterministic.
+    // kernel in isolation. Oracle: DuckDB list comprehension rebuilds the
+    // same distinct word-bigram sets; |∩|/|∪| of small ints divides to
+    // the identical IEEE double on both engines.
     Query(
       "q43_ngram_jaccard",
       (s, dir) => {
@@ -117,10 +118,35 @@ object PipelineQueries extends QueryPack {
           .filter(F.col("jaccard") >= 0.2)
           .orderBy("id_a", "id_b")
       },
-      None),
+      Some(s"""
+        WITH docs AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < 60
+          UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 60
+        ),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(ws) < 2 THEN [array_to_string(ws, ' ')]
+                      ELSE list_distinct([ws[i] || ' ' || ws[i+1] FOR i IN range(1, len(ws))])
+                 END AS sh
+          FROM (SELECT doc_id, string_split($normSql, ' ') AS ws FROM docs)
+        )
+        SELECT id_a, id_b, jaccard FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+          FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+        WHERE jaccard >= 0.2
+        ORDER BY id_a, id_b
+      """)),
 
     // Embedding near-dup: hyperplane-LSH buckets, cosine ≥ 0.99 within
     // bucket. Corpus ∪ copy ⇒ every vector has one exact dup (cos = 1).
+    // Oracle: all-pairs threshold — equivalent because identical vectors
+    // always share an LSH bucket and no non-identical pair reaches even
+    // 0.98 in this corpus (measured; ≥0.01 margin below the threshold,
+    // so engine float-accumulation differences cannot flip membership).
+    // The cos value itself is excluded: last-ULP accumulation order
+    // differs across engines.
     Query(
       "q44_embedding_dedup",
       (s, dir) => {
@@ -139,9 +165,20 @@ object PipelineQueries extends QueryPack {
           .select(F.col("id_a"), F.col("id_b"),
             Similarity.cosineNative(s)(F.col("v_a"), F.col("v_b")).as("cos"))
           .filter(F.col("cos") >= 0.99)
+          .select("id_a", "id_b")
           .orderBy("id_a", "id_b")
       },
-      None),
+      Some("""
+        WITH corpus AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM corpus a, corpus b
+        WHERE a.vec_id < b.vec_id
+          AND list_cosine_similarity(a.embedding, b.embedding) >= 0.99
+        ORDER BY id_a, id_b
+      """)),
 
     // Similarity search baseline: exact brute-force cosine top-5 for a
     // broadcast query set; emits ranks (engine-portable determinism).
@@ -360,6 +397,9 @@ object PipelineQueries extends QueryPack {
     // Multimodal decode: batched per-partition feature extraction over
     // the binary column (STUB kernel — deterministic fake features; the
     // partitioning/batching/schema plumbing is the real deliverable).
+    // The stub derives its features from md5 of the payload bytes
+    // precisely so this query gets a REAL hash-checked oracle: DuckDB
+    // replays the same 60-bit digest prefix in SQL.
     Query(
       "q52_multimodal_decode",
       (s, dir) => {
@@ -369,5 +409,17 @@ object PipelineQueries extends QueryPack {
           .toDF()
           .orderBy("doc_id")
       },
-      None))
+      Some("""
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               CASE octet_length(encode(text)) % 3
+                    WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
+               CAST(64 + (h % 8) * 32 AS INT) AS width,
+               CAST(64 + ((h // 8) % 8) * 32 AS INT) AS height,
+               h AS checksum
+        FROM (SELECT doc_id, text,
+                     ('0x' || substring(md5(text), 1, 15))::BIGINT AS h
+              FROM documents)
+        ORDER BY doc_id
+      """)))
 }

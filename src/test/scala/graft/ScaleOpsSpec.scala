@@ -1,0 +1,114 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{functions => F}
+
+import graft.core.{RangeJoin, Temporal}
+import graft.pipeline.{Sampling, TextOps}
+
+/** Ground-truth tests for the scale-path operators (as-of join, range
+  * join, sessionization, TF-IDF, deterministic sampling). */
+class ScaleOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asofJoin matches the most recent right row at or before left ts") {
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 10:05:00"), 101.0),
+      (2L, ts("2024-01-01 10:01:00"), 200.0))
+      .toDF("key", "qts", "px")
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:03:00"), "t1"), // between quotes -> 100.0
+      (1L, ts("2024-01-01 10:05:00"), "t2"), // simultaneous -> 101.0 (at-or-before)
+      (2L, ts("2024-01-01 10:00:30"), "t3"), // before any quote -> null
+      (3L, ts("2024-01-01 10:00:00"), "t4")) // key with no quotes -> null
+      .toDF("key", "tts", "tid")
+    val out = Temporal.asofJoin(trades, quotes, Seq("key"), "tts", "qts", Seq("px"))
+      .select("tid", "asof_px").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(out("t1") === Some(100.0))
+    assert(out("t2") === Some(101.0))
+    assert(out("t3") === None)
+    assert(out("t4") === None)
+    // inner drops the unmatched rows
+    val inner = Temporal.asofJoin(trades, quotes, Seq("key"), "tts", "qts",
+      Seq("px"), inner = true)
+    assert(inner.count() === 2)
+  }
+
+  test("sessionize splits at gaps strictly greater than the threshold") {
+    val e = Seq(
+      (1L, 10L, ts("2024-01-01 00:00:00")),
+      (1L, 11L, ts("2024-01-01 00:20:00")), // 20 min -> same session
+      (1L, 12L, ts("2024-01-01 01:00:00")), // 40 min -> new session
+      (1L, 13L, ts("2024-01-01 01:30:00")), // exactly 30 min -> SAME session
+      (2L, 20L, ts("2024-01-01 00:00:00")))
+      .toDF("user_id", "event_id", "ts")
+    val out = Temporal.sessionize(e, Seq("user_id"), "ts",
+        F.lit(1800L * 1000000), tieBreak = Seq("event_id"))
+      .select("event_id", "session").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(10L) === 1 && out(11L) === 1)
+    assert(out(12L) === 2)
+    assert(out(13L) === 2, "a gap equal to the threshold must not split")
+    assert(out(20L) === 1)
+  }
+
+  test("binnedRange produces exactly the broadcastRange matches") {
+    val facts = Seq.tabulate(200)(i => (i.toLong, i * 37.3 % 1000)).toDF("id", "v")
+    val bands = Seq((0L, 0.0, 250.0), (1L, 250.0, 700.0), (2L, 700.0, 1000.0))
+      .toDF("band", "lo", "hi")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "band").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaBroadcast = key(
+      RangeJoin.broadcastRange(facts, bands, "v", "lo", "hi"))
+    val viaBinned = key(
+      RangeJoin.binnedRange(facts, bands, "v", "lo", "hi", step = 100.0))
+    assert(viaBinned === viaBroadcast)
+    assert(viaBroadcast.size === 200, "bands cover the domain; every fact matches once")
+  }
+
+  test("deterministic sample is invariant under repartitioning and rerun") {
+    val df = spark.range(0, 5000).select(F.col("id"))
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      Sampling.deterministic(d, F.col("id").cast("string"), bp = 1000)
+        .select("id").collect().map(_.getLong(0)).toSet
+    val a = ids(df)
+    val b = ids(df.repartition(13))
+    assert(a === b, "sample membership must not depend on partitioning")
+    // ~10% +- generous slack; md5 is uniform
+    assert(a.size > 350 && a.size < 650, s"got ${a.size} of 5000 at 10%")
+  }
+
+  test("stratified sample applies per-stratum rates") {
+    val df = spark.range(0, 4000)
+      .select(F.col("id"), (F.col("id") % 2 === 0).cast("string").as("s"))
+    val out = Sampling.stratified(df, F.col("id").cast("string"), F.col("s"),
+        Map("true" -> 10000), defaultBp = 0)
+    val kept = out.select("s").collect().map(_.getString(0))
+    assert(kept.length === 2000 && kept.forall(_ == "true"),
+      "rate 100% stratum fully kept; default 0 stratum fully dropped")
+  }
+
+  test("tfIdf: rare terms outscore common terms; df counts documents") {
+    val docs = Seq(
+      (0L, "alpha beta beta"),
+      (1L, "alpha gamma"),
+      (2L, "alpha delta"))
+      .toDF("doc_id", "text")
+    val ti = TextOps.tfIdf(docs, "doc_id", "text")
+      .select("doc_id", "term", "tf", "df", "tfidf")
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // alpha appears in all 3 docs -> idf = ln(1) = 0
+    assert(ti((0L, "alpha"))._3 === 0.0)
+    assert(ti((0L, "alpha"))._2 === 3L)
+    // beta: tf=2 in doc 0, df=1 -> 2 * ln(3)
+    val (tfB, dfB, tfidfB) = ti((0L, "beta"))
+    assert(tfB === 2L && dfB === 1L)
+    assert(math.abs(tfidfB - 2 * math.log(3.0)) < 1e-12)
+  }
+}
