@@ -7,42 +7,68 @@ import org.apache.spark.sql.SparkSession
 /** Driver-run benchmark: every SparkEntry query against
   * $SPARK_GRAFT_SF_DIR, one JSON line of per-query seconds.
   *
-  * Hardening history: r01's JSON was eaten by sbt's `[info]` prefix; r02
-  * was killed by the driver's external timeout (rc=124) and produced
-  * NOTHING. This box also carries intermittent external load (PERF.md:
-  * identical back-to-back full runs measured 672.8 s vs 46.1 s, loadavg
-  * 2.7 vs 0). Defenses, in order of importance:
+  * Hardening history: r01's JSON was eaten by sbt's `[info]` prefix
+  * (fixed: raw stdout via run/outputStrategy); r02 was killed by the
+  * driver's external timeout (rc=124) and produced NOTHING. This box
+  * also carries intermittent external load (PERF.md: identical
+  * back-to-back full runs measured 672.8 s vs 46.1 s, loadavg 2.7 vs 0).
+  * Defenses, in order of importance:
   *
-  *  1. A JVM shutdown hook prints the partial-results JSON line, so even
-  *     a SIGTERM from the driver's `timeout` yields a parseable artifact.
-  *  2. An internal wall-clock budget (SPARK_GRAFT_BENCH_BUDGET_SEC,
-  *     default 420 s of measurement): while over budget, remaining
-  *     queries still run but get a tight per-query watchdog and no
-  *     reruns, so we finish degraded instead of being killed.
-  *  3. A per-query watchdog cancels the Spark jobs of any query that
-  *     individually exceeds its slice (a hang costs one slice, not the
-  *     round's bench artifact).
-  *  4. Queries slower than RERUN_THRESHOLD get up to one re-run; the
-  *     JSON reports BOTH the first attempt (`first`) and the min
-  *     (`queries`), so cold-path costs and load spikes stay legible
-  *     instead of being silently minimized away (ADVICE r02).
+  *  1. A HARD internal deadline (budget + 90 s): a daemon thread emits
+  *     the partial-results JSON and `Runtime.halt`s the JVM. halt (not
+  *     exit) skips Spark's shutdown hooks, so no log torrent can push
+  *     our line out of the driver's captured tail — the r02 failure
+  *     shape. We always finish before any plausible external timeout.
+  *  2. Cost-ordered execution: the ~45 sub-second relational queries
+  *     run first, the text family next, the LSH/ANN/dedup tail last —
+  *     if a loaded window eats the budget, the artifact still carries
+  *     timings for everything cheap.
+  *  3. A measurement budget (SPARK_GRAFT_BENCH_BUDGET_SEC, default
+  *     420 s): once exceeded, remaining queries get a tight 10 s
+  *     watchdog slice — sub-second queries still record a number, hangs
+  *     cost 10 s, and the hard deadline bounds the sum.
+  *  4. A per-query watchdog cancels the Spark jobs of any query that
+  *     exceeds its slice (a hang costs one slice, not the artifact).
+  *  5. IMPROVEMENT PASSES instead of per-query reruns: after one full
+  *     pass, remaining budget re-runs every failed or >2 s query, up to
+  *     3 more times. The host carries multi-minute external load spikes
+  *     (identical back-to-back full runs: 672.8 s vs 46.1 s) — a spike
+  *     anywhere during pass 1 is healed by any later clean window. The
+  *     JSON reports BOTH the pass-1 time (`first`) and the min
+  *     (`queries`), so cold/loaded costs stay legible (ADVICE r02).
+  *  6. The JVM shutdown hook still emits on an external SIGTERM that
+  *     lands before our deadline.
   *
   * Start/end loadavg ride along for forensics.
   */
 object Bench {
   private val RerunThreshold = 5.0 // seconds
-  private val done = new AtomicBoolean(false)
+  private val emitted = new AtomicBoolean(false)
   private val minTimes = TrieMap.empty[String, Double]
   private val firstTimes = TrieMap.empty[String, Double]
   private val failures = TrieMap.empty[String, Boolean]
   @volatile private var sfDirSeen = ""
   @volatile private var loadStart = -1.0
 
+  /** Expected-cost tier by name: 0 = sub-second relational, 1 = text
+    * scans, 2 = dedup/ANN/LSH pipeline tail. Unknown names sort by tier
+    * 0 (new relational ops are cheap until proven otherwise). */
+  private def tier(name: String): Int = {
+    val heavy = Set("q40_exact_dedup", "q41_minhash_lsh", "q42_simhash",
+      "q43_ngram_jaccard", "q44_embedding_dedup", "q45_knn_brute",
+      "q46_knn_lsh", "q55_cosine_pairs", "q56_knn_ivf", "q58_dup_clusters")
+    val text = Set("q47_langid", "q48_quality", "q49_token_count",
+      "q50_fingerprint", "q51_multimodal_meta", "q52_multimodal_decode",
+      "q62_tfidf")
+    if (heavy(name)) 2 else if (text(name)) 1 else 0
+  }
+
   private def load1: Double =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
   private def emit(partial: Boolean): Unit = {
+    if (!emitted.compareAndSet(false, true)) return
     val names = minTimes.keySet ++ failures.keySet
     def m(map: TrieMap[String, Double]) = names.toSeq.sorted.map { k =>
       "\"" + k + "\":" + (if (failures.getOrElse(k, false)) -1.0 else map.getOrElse(k, -1.0))
@@ -67,38 +93,36 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // A 60+-query session accumulates listener/status-store state that
+      // taxes every subsequent tiny job (late-session queries measured
+      // ~5× their standalone cost); keep the retained windows small.
+      .config("spark.sql.ui.retainedExecutions", "10")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "200")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // If the driver's external timeout SIGTERMs us mid-run, still emit
-    // whatever finished — a partial artifact beats rc=124 with nothing.
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      if (!done.get()) emit(partial = true)
-    }))
+    // External SIGTERM before our own deadline: still emit what finished.
+    Runtime.getRuntime.addShutdownHook(new Thread(() => emit(partial = true)))
     loadStart = load1
     val t0wall = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - t0wall) / 1e9
-    // Warm JVM/codegen/session paths AND the OS page cache for every
-    // table the queries read — a steady-state engine doesn't pay cold
-    // disk on one arbitrary mid-run query, so neither should the bench.
-    spark.range(1000).selectExpr("sum(id)").collect()
-    // events.ts is TIMESTAMP(NANOS); without this it fails to load at all
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    Tables.names.foreach { t =>
+    // The unconditional upper bound on this JVM's lifetime. halt skips
+    // all other shutdown hooks — the JSON line is the LAST output.
+    val deadline = new Thread(() => {
       try {
-        val df = spark.read.parquet(s"$sfDir/$t.parquet")
-        // touch every column so the bytes (incl. binary payloads) are
-        // actually read, not just footers
-        df.selectExpr(df.columns.map(c => s"max(length(cast(`$c` as string)))"): _*).collect()
-      } catch { case _: Throwable => () }
-    }
+        Thread.sleep(((budgetSec + 90) * 1000).toLong)
+        emit(partial = true)
+        Runtime.getRuntime.halt(0)
+      } catch { case _: InterruptedException => () }
+    })
+    deadline.setDaemon(true)
+    deadline.start()
 
-    // Runs fn's count under a watchdog: if the query individually blows
-    // its slice, cancel its Spark jobs and mark it failed rather than
+    // Runs fn under a watchdog: if the work individually blows its
+    // slice, cancel its Spark jobs and mark it failed rather than
     // letting one hang consume the whole round's bench.
-    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-                sliceSec: Double): (Double, Boolean) = {
-      val group = s"bench-$name"
-      spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+    def withWatchdog[A](group: String, sliceSec: Double)(work: => A): (Double, Boolean) = {
+      spark.sparkContext.setJobGroup(group, group, interruptOnCancel = true)
       val watchdog = new Thread(() => {
         try {
           Thread.sleep((sliceSec * 1000).toLong)
@@ -108,35 +132,78 @@ object Bench {
       watchdog.setDaemon(true)
       val t0 = System.nanoTime()
       watchdog.start()
-      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      val ok = try { work; true } catch { case _: Throwable => false }
       watchdog.interrupt()
       spark.sparkContext.clearJobGroup()
-      val dt = (System.nanoTime() - t0) / 1e9
+      ((System.nanoTime() - t0) / 1e9, ok)
+    }
+
+    // Warm JVM/codegen/session paths AND the OS page cache for every
+    // table the queries read — a steady-state engine doesn't pay cold
+    // disk on one arbitrary mid-run query, so neither should the bench.
+    // Capped: under external load the full-column touch of the document/
+    // embedding tables can itself eat minutes.
+    spark.range(1000).selectExpr("sum(id)").collect()
+    // events.ts is TIMESTAMP(NANOS); without this it fails to load at all
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    withWatchdog("bench-warmup", sliceSec = 75.0) {
+      Tables.names.foreach { t =>
+        try {
+          val df = spark.read.parquet(s"$sfDir/$t.parquet")
+          // touch every column so the bytes (incl. binary payloads) are
+          // actually read, not just footers
+          df.selectExpr(df.columns.map(c => s"max(length(cast(`$c` as string)))"): _*).collect()
+        } catch { case _: Throwable => () }
+      }
+    }
+
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                sliceSec: Double): (Double, Boolean) = {
+      val r = withWatchdog(s"bench-$name", sliceSec)(fn(spark, sfDir).count())
       // queries may persist() intermediates; drop them so one query's
       // cache never bleeds into the next one's memory budget
       spark.catalog.clearCache()
-      (dt, ok)
+      r
     }
 
-    val all = SparkEntry.queries.toSeq.sortBy(_._1)
+    val all = SparkEntry.queries.toSeq.sortBy { case (n, _) => (tier(n), n) }
+    // Pass 1: one timing for everything, cost-ordered.
     all.zipWithIndex.foreach { case ((name, fn), idx) =>
       val remainingQueries = all.size - idx
       val remainingBudget = budgetSec - elapsed
       // Per-query slice: an even share of what's left, floored so normal
       // queries (sub-second unloaded) never trip it, capped at 120 s.
-      val slice = math.max(15.0, math.min(120.0, remainingBudget / math.max(1, remainingQueries)))
+      // Over budget: a tight 10 s slice — cheap queries still record,
+      // hangs cost 10 s each, and the hard deadline bounds the total.
+      val slice =
+        if (remainingBudget <= 0) 10.0
+        else math.max(15.0, math.min(120.0, remainingBudget / math.max(1, remainingQueries)))
       val (dt, ok) = timeOne(name, fn, slice)
       firstTimes(name) = dt
       minTimes(name) = dt
       if (!ok) failures(name) = true
-      else if (dt > RerunThreshold && elapsed + dt < budgetSec) {
-        // one re-run: a transient load spike costs one retry; `first`
-        // still records the untouched first attempt
-        val (dt2, ok2) = timeOne(name, fn, slice)
-        if (ok2 && dt2 < dt) minTimes(name) = dt2
-      }
     }
-    done.set(true)
+    // Improvement passes: re-run failed and slow (>2 s) queries while
+    // budget remains — a load spike anywhere in pass 1 is healed by any
+    // later clean window; a pass-1 watchdog kill gets another chance.
+    var pass = 0
+    var improving = true
+    while (improving && pass < 3 && elapsed < budgetSec * 0.8) {
+      val targets = all.filter { case (n, _) =>
+        failures.getOrElse(n, false) || minTimes.getOrElse(n, 0.0) > RerunThreshold / 2.5 }
+      improving = targets.nonEmpty
+      targets.foreach { case (name, fn) =>
+        if (elapsed < budgetSec * 0.95) {
+          val slice = math.max(15.0, math.min(120.0, budgetSec - elapsed))
+          val (dt, ok) = timeOne(name, fn, slice)
+          if (ok) {
+            failures.remove(name)
+            if (dt < minTimes.getOrElse(name, Double.MaxValue)) minTimes(name) = dt
+          }
+        }
+      }
+      pass += 1
+    }
     emit(partial = false)
     spark.stop()
   }

@@ -191,41 +191,77 @@ object Dedup {
     * payloads never enter the graph. Convergence takes
     * O(graph diameter) rounds; near-dup graphs are shallow (clusters are
     * quasi-cliques because similarity is near-transitive), so 2-3 rounds
-    * close them. The label frame is checkpointed per round via persist;
-    * the convergence probe is a changed-row existence check. For
-    * adversarial long-chain graphs swap in the large-star/small-star
-    * variant; same per-round shape, O(log d) rounds. */
+    * close them. The convergence probe is a changed-row existence check.
+    * For adversarial long-chain graphs swap in the large-star/small-star
+    * variant; same per-round shape, O(log d) rounds.
+    *
+    * Lineage MUST be truncated every round (`localCheckpoint`, eager):
+    * `persist` caches partitions but leaves the LOGICAL plan growing —
+    * each round references the previous twice (union + convergence
+    * join), so by round ~8 Catalyst is cloning an exponentially-sized
+    * tree and the driver burns minutes of CPU in `TreeNode.clone`
+    * (observed: 340 s of driver CPU at a mere 2k-node graph). With the
+    * checkpoint each round's plan is O(1): two scans of materialized
+    * RDDs. On a cluster prefer `checkpoint` to HDFS for fault tolerance;
+    * same shape. */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b", maxIter: Int = 20,
                           requireConvergence: Boolean = true): DataFrame = {
-    val edges = pairs.select(F.col(idA).as("src"), F.col(idB).as("dst"))
-      .union(pairs.select(F.col(idB).as("src"), F.col(idA).as("dst")))
-      .persist()
-    var labels = edges.select(F.col("src").as("id")).distinct()
-      .withColumn("cluster", F.col("id")).persist()
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIter) {
-      val viaEdges = edges.join(labels, edges("src") === labels("id"))
-        .select(edges("dst").as("id"), labels("cluster"))
-      val next = labels.select("id", "cluster").union(viaEdges)
-        .groupBy("id").agg(F.min("cluster").as("cluster")).persist()
-      val changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
-        .filter(F.col("cluster") =!= F.col("old")).limit(1).count()
-      labels.unpersist()
-      labels = next
-      converged = changed == 0
-      i += 1
+    val spark = pairs.sparkSession
+    // The loop's frames are (id, label) scalars — thousands of rows. At
+    // that size the cost is pure per-job/per-task overhead, and AQE makes
+    // it WORSE: every stage materialization is an extra driver round
+    // (measured ~3 s/iteration of fixed overhead on a 1.2k-node graph,
+    // 5× worse late in a many-query session). Pin a small fixed shuffle
+    // width and let AQE back on afterwards. On a cluster with a big
+    // graph, raise ccShufflePartitions with graph size — the shape holds.
+    val oldAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val oldParts = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val edges = pairs.select(F.col(idA).as("src"), F.col(idB).as("dst"))
+        .union(pairs.select(F.col(idB).as("src"), F.col(idA).as("dst")))
+        .localCheckpoint(true)
+      var labels = edges.select(F.col("src").as("id")).distinct()
+        .withColumn("cluster", F.col("id")).localCheckpoint(true)
+      var converged = false
+      var i = 0
+      while (!converged && i < maxIter) {
+        val viaEdges = edges.join(labels, edges("src") === labels("id"))
+          .select(edges("dst").as("id"), labels("cluster"))
+        val propagated = labels.select("id", "cluster").union(viaEdges)
+          .groupBy("id").agg(F.min("cluster").as("cluster"))
+        // Path compression (pointer doubling): follow the cluster
+        // pointer one extra hop per round — label distance covered per
+        // round doubles, so rounds drop from O(diameter) to O(log d).
+        // Each round is a fixed number of driver jobs; halving rounds
+        // halves the dominant cost at small graph sizes and bounds the
+        // round count at adversarial diameters.
+        val parents = propagated.select(F.col("id").as("pid"), F.col("cluster").as("pcluster"))
+        val next = propagated.join(parents, propagated("cluster") === parents("pid"), "left")
+          .select(propagated("id"),
+            F.least(F.coalesce(F.col("pcluster"), propagated("cluster")),
+              propagated("cluster")).as("cluster"))
+          .localCheckpoint(true)
+        val changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
+          .filter(F.col("cluster") =!= F.col("old")).limit(1).count()
+        labels = next
+        converged = changed == 0
+        i += 1
+      }
+      // Exiting via the iteration cap means labels are WRONG (some nodes
+      // still carry a non-minimal cluster id) — never return that silently.
+      if (!converged && requireConvergence)
+        throw new IllegalStateException(
+          s"connectedComponents: not converged after $maxIter iterations " +
+          "(graph diameter exceeds maxIter); raise maxIter or pass " +
+          "requireConvergence=false to accept partial labels")
+      labels
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", oldAqe)
+      spark.conf.set("spark.sql.shuffle.partitions", oldParts)
     }
-    edges.unpersist()
-    // Exiting via the iteration cap means labels are WRONG (some nodes
-    // still carry a non-minimal cluster id) — never return that silently.
-    if (!converged && requireConvergence)
-      throw new IllegalStateException(
-        s"connectedComponents: not converged after $maxIter iterations " +
-        "(graph diameter exceeds maxIter); raise maxIter or pass " +
-        "requireConvergence=false to accept partial labels")
-    labels
   }
 
   /** 64-bit SimHash kernel: per token, ±1 into 64 bit-sums; sign bits

@@ -125,13 +125,17 @@ object Similarity {
 
     for (_ <- 0 until iters) {
       // re-average: dims explode to scalars, so the groupBy(cell, dim)
-      // shuffle carries one double per (row, dim) — never whole vectors
+      // shuffle carries one double per (row, dim) — never whole vectors.
+      // localCheckpoint truncates the per-round lineage (iterative plans
+      // otherwise grow multiplicatively — see Dedup.connectedComponents);
+      // the frame is nlist rows, so materializing it is free.
       centroids = c.join(nearestCells(c, "cid0", "cv", 1), "cid0")
         .select(F.col("cell"), F.posexplode(F.col("cv")).as(Seq("dim", "x")))
         .groupBy("cell", "dim").agg(F.avg(F.col("x").cast("double")).as("m"))
         .groupBy("cell").agg(
           F.transform(F.array_sort(F.collect_list(F.struct(F.col("dim"), F.col("m")))),
             s => s.getField("m").cast("float")).as("centroid"))
+        .localCheckpoint(true)
     }
 
     val indexed = c.join(nearestCells(c, "cid0", "cv", 1), "cid0")
