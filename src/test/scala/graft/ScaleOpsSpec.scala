@@ -39,6 +39,19 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(inner.count() === 2)
   }
 
+  test("asofJoin plans exactly ONE hash shuffle and no join operator") {
+    val quotes = Seq((1L, ts("2024-01-01 10:00:00"), 100.0)).toDF("key", "qts", "px")
+    val trades = Seq((1L, ts("2024-01-01 10:03:00"), "t1")).toDF("key", "tts", "tid")
+    val plan = Temporal.asofJoin(trades, quotes, Seq("key"), "tts", "qts", Seq("px"))
+      .queryExecution.executedPlan.toString
+    // the scale contract: union-scan + one keyed window, never a
+    // range/nested-loop join and never a second exchange
+    assert(!plan.contains("NestedLoopJoin") && !plan.contains("SortMergeJoin") &&
+      !plan.contains("CartesianProduct"), s"unexpected join operator in:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected exactly 1 hash exchange, got $exchanges:\n$plan")
+  }
+
   test("sessionize splits at gaps strictly greater than the threshold") {
     val e = Seq(
       (1L, 10L, ts("2024-01-01 00:00:00")),
