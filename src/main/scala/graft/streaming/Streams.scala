@@ -50,6 +50,35 @@ object Streams {
     in.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-static enrichment: the streaming form of `Lookup.merge` — a
+    * live fact stream joined against a (small) static dimension. Spark
+    * broadcasts the dim per micro-batch, so the stream never shuffles
+    * and no state accrues; this is the standard shape for attaching
+    * user/document metadata during training-data ingest. The dim is
+    * first-match-deduped with the SAME batch semantics (first row per
+    * key in frame order) so batch and streaming enrichment agree. */
+  def enrichStream(stream: DataFrame, dim: DataFrame, keys: Seq[String],
+                   dimCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(F.col): _*)
+      .orderBy(F.monotonically_increasing_id())
+    // dedup MATERIALIZES eagerly: monotonically_increasing_id (frame
+    // order) is not allowed inside a streaming plan, and a static dim
+    // should be resolved once, not re-deduped every micro-batch anyway
+    val dedup = dim.withColumn("__rn", F.row_number().over(w))
+      .filter(F.col("__rn") === 1)
+      .select((keys ++ dimCols).map(F.col): _*)
+      .localCheckpoint(true)
+    stream.join(F.broadcast(dedup), keys, "left")
+  }
+
+  /** Streaming deterministic sampling: the md5 row-coordinate predicate
+    * (`Sampling.hashBp`) is stateless and partition-independent, so the
+    * SAME rows survive in a replayed/reordered stream as in the batch
+    * job — exactly what sample reproducibility across backfills needs. */
+  def sampleStream(in: DataFrame, key: org.apache.spark.sql.Column, bp: Int): DataFrame =
+    in.filter(graft.pipeline.Sampling.hashBp(key) < bp)
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class SessionSummary(user_id: Long, n_events: Int, total_value: Double)

@@ -63,4 +63,52 @@ class StreamingSpec extends AnyFunSuite {
     }.collect()
     assert(got.toSeq == Seq(Streams.SessionSummary(7, 2, 5.0)))
   }
+
+  test("stream-static enrichment broadcasts the dim; agrees with batch lookup") {
+    import spark.implicits._
+    val src = "/root/testdata/sf0.001/events.parquet"
+    val dir = java.nio.file.Files.createTempDirectory("graft-enrich-stream")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(src),
+      dir.resolve("events.parquet"))
+    val stream = Streams.readEvents(spark, dir.toString)
+    // a tiny user dim with a DUPLICATE key: first-match must win
+    val dim = Seq((7L, "gold"), (7L, "SHOULD_NOT_APPEAR"), (8L, "silver"))
+      .toDF("user_id", "tier")
+    val q = Streams.enrichStream(stream, dim, Seq("user_id"), Seq("tier"))
+      .select("event_id", "user_id", "tier")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("enrich_out")
+      assert(out.count() == spark.read.parquet(src).count(),
+        "left enrichment must preserve stream cardinality")
+      val tiers = out.filter(F.col("user_id") === 7L)
+        .select("tier").distinct().collect().map(_.getString(0)).toSet
+      assert(tiers == Set("gold"), s"first-match dedup violated: $tiers")
+      assert(out.filter(F.col("user_id") === 8L)
+        .filter(F.col("tier") =!= "silver").count() == 0)
+    } finally q.stop()
+  }
+
+  test("streaming deterministic sample equals the batch sample row set") {
+    val src = "/root/testdata/sf0.001/events.parquet"
+    val dir = java.nio.file.Files.createTempDirectory("graft-sample-stream")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(src),
+      dir.resolve("events.parquet"))
+    val stream = Streams.readEvents(spark, dir.toString)
+    val q = Streams.sampleStream(stream, F.col("event_id").cast("string"), bp = 1000)
+      .select("event_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sample_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sample_out").collect().map(_.getLong(0)).toSet
+      val batch = graft.pipeline.Sampling
+        .deterministic(spark.read.parquet(src), F.col("event_id").cast("string"), 1000)
+        .select("event_id").collect().map(_.getLong(0)).toSet
+      assert(streamed == batch, "stream and batch must pick the same rows")
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
 }
