@@ -47,6 +47,7 @@ object Bench {
   private val minTimes = TrieMap.empty[String, Double]
   private val firstTimes = TrieMap.empty[String, Double]
   private val failures = TrieMap.empty[String, Boolean]
+  private val errors = TrieMap.empty[String, String]
   @volatile private var sfDirSeen = ""
   @volatile private var loadStart = -1.0
 
@@ -74,11 +75,15 @@ object Bench {
       "\"" + k + "\":" + (if (failures.getOrElse(k, false)) -1.0 else map.getOrElse(k, -1.0))
     }.mkString("{", ",", "}")
     val failed = failures.keysIterator.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replaceAll("[\\n\\r\\t]", " ").take(160)
+    val errs = errors.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }.mkString("{", ",", "}")
     val total = names.toSeq.collect { case k if !failures.getOrElse(k, false) => minTimes.getOrElse(k, 0.0) }.sum
     // raw stdout, single line: sbt [info] prefixes and log4j noise both
     // broke driver-side parsing before; System.out directly is safest
     System.out.println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${m(minTimes)},"first":${m(firstTimes)},"failed":$failed,"partial":$partial,"load_start":$loadStart,"load_end":$load1,"sf":"$sfDirSeen"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${m(minTimes)},"first":${m(firstTimes)},"failed":$failed,"errors":$errs,"partial":$partial,"load_start":$loadStart,"load_end":$load1,"sf":"$sfDirSeen"}""")
     System.out.flush()
   }
 
@@ -132,7 +137,15 @@ object Bench {
       watchdog.setDaemon(true)
       val t0 = System.nanoTime()
       watchdog.start()
-      val ok = try { work; true } catch { case _: Throwable => false }
+      val ok = try { work; true } catch {
+        case e: Throwable =>
+          // attribute the failure: a watchdog cancellation reads as a
+          // JOB_CANCELLED SparkException; anything else is a real bug
+          val dt = (System.nanoTime() - t0) / 1e9
+          errors(group.stripPrefix("bench-")) =
+            f"${e.getClass.getSimpleName}@$dt%.1fs/slice=$sliceSec%.0fs: ${Option(e.getMessage).getOrElse("")}"
+          false
+      }
       watchdog.interrupt()
       spark.sparkContext.clearJobGroup()
       ((System.nanoTime() - t0) / 1e9, ok)
@@ -194,10 +207,14 @@ object Bench {
       improving = targets.nonEmpty
       targets.foreach { case (name, fn) =>
         if (elapsed < budgetSec * 0.95) {
-          val slice = math.max(15.0, math.min(120.0, budgetSec - elapsed))
+          // retries may have most of the budget to themselves — allow a
+          // longer slice than pass 1 so a load-inflated heavy query can
+          // still land a number (hard deadline still bounds the JVM)
+          val slice = math.max(15.0, math.min(180.0, budgetSec - elapsed))
           val (dt, ok) = timeOne(name, fn, slice)
           if (ok) {
             failures.remove(name)
+            errors.remove(name)
             if (dt < minTimes.getOrElse(name, Double.MaxValue)) minTimes(name) = dt
           }
         }

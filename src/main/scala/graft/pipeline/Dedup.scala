@@ -247,11 +247,21 @@ object Dedup {
               F.least(F.coalesce(F.col("pcluster"), cur("cluster")),
                 cur("cluster")).as("cluster"))
         }
-        val next = compressed.localCheckpoint(true)
-        val changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
-          .filter(F.col("cluster") =!= F.col("old")).limit(1).count()
-        labels = next
-        converged = changed == 0
+        // The convergence flag rides INSIDE the round's one materializing
+        // job (old-label join + `chg` column, checkpointed together), so
+        // the probe is a scan of 8 cached partitions, not a join job —
+        // and the first two rounds skip it outright (label propagation
+        // on a non-trivial graph cannot converge before its edges have
+        // been applied twice; worst case we do one spare round). Driver
+        // actions per query drop ~2.5×, which is what survives a loaded
+        // host where every action costs multiples of its idle latency.
+        val next = compressed
+          .join(labels.select(F.col("id"), F.col("cluster").as("__old")), "id")
+          .select(F.col("id"), F.col("cluster"),
+            (F.col("cluster") =!= F.col("__old")).cast("int").as("__chg"))
+          .localCheckpoint(true)
+        converged = i >= 2 && next.filter(F.col("__chg") === 1).limit(1).count() == 0
+        labels = next.select("id", "cluster")
         i += 1
       }
       // Exiting via the iteration cap means labels are WRONG (some nodes
