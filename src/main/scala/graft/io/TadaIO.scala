@@ -198,6 +198,48 @@ object TadaIO {
     }
   }
 
+  /** EqualStructs (io.go:600-618): typed-slice equality with the first
+    * differing index, the case-class twin of diffRecords. */
+  def diffStructs[T](got: Seq[T], want: Seq[T]): Option[String] = {
+    if (got.size != want.size) return Some(s"row count: got ${got.size}, want ${want.size}")
+    got.zip(want).zipWithIndex.collectFirst {
+      case ((g, w), i) if g != w => s"row $i: got $g, want $w"
+    }
+  }
+
+  /** MatrixReader (io.go:278-299): an all-double row-major matrix as a
+    * TadaFrame with columns "0".."k-1" — gonum's Dims/At surface mapped
+    * onto an ordinary frame. */
+  def readMatrix(spark: SparkSession, m: Seq[Seq[Double]]): TadaFrame = {
+    require(m.nonEmpty && m.map(_.size).distinct.size == 1,
+      "matrix: non-empty rectangular input required")
+    val names = m.head.indices.map(_.toString)
+    val rows = m.map(r => org.apache.spark.sql.Row.fromSeq(r))
+    val schema = org.apache.spark.sql.types.StructType(names.map(n =>
+      org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.DoubleType)))
+    TadaFrame.ingest(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toList), schema))
+  }
+
+  /** Matrix writer: frame (numeric columns) → row-major Array of rows,
+    * in frame order. Driver-side by contract, like the reference's
+    * gonum interop (capped the same way the renderers are). */
+  def writeMatrix(f: TadaFrame, maxRows: Int = 100000): Seq[Seq[Double]] = {
+    val cols = f.valueCols
+    f.df.orderBy(f.orderCols: _*).limit(maxRows)
+      .select(cols.map(c => F.col(c).cast("double")): _*)
+      .collect().toSeq.map(r => cols.indices.map(i => r.getDouble(i)))
+  }
+
+  /** JSON codec (io.go:126-154 marshal/unmarshal): distributed
+    * line-delimited JSON via Spark's native source — schema inference on
+    * read, one JSON object per row on write. */
+  def readJson(spark: SparkSession, path: String): TadaFrame =
+    TadaFrame.ingest(spark.read.json(path))
+  def writeJson(f: TadaFrame, path: String): Unit =
+    f.df.select((f.labels ++ f.valueCols).map(F.col): _*)
+      .write.mode("overwrite").json(path)
+
   /** Bucketed persist — the co-located-join scale path. Two tables
     * bucketed (and sort-prepped) on the same keys with the same bucket
     * count join WITHOUT a shuffle exchange: the scan's output

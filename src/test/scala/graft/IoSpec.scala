@@ -109,6 +109,35 @@ class IoSpec extends AnyFunSuite {
         s"bucketed join should not shuffle:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("matrix reader/writer roundtrip (gonum Dims/At surface)") {
+    val m = Seq(Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))
+    val f = TadaIO.readMatrix(spark, m)
+    assert(f.valueCols == Seq("0", "1", "2"))
+    assert(TadaIO.writeMatrix(f) == m)
+    intercept[IllegalArgumentException] {
+      TadaIO.readMatrix(spark, Seq(Seq(1.0), Seq(1.0, 2.0))) // ragged
+    }
+  }
+
+  test("diffStructs reports the first differing typed row") {
+    import IoSpec.P
+    assert(TadaIO.diffStructs(Seq(P("a", 1), P("b", 2)), Seq(P("a", 1), P("b", 2))).isEmpty)
+    val d = TadaIO.diffStructs(Seq(P("a", 1), P("b", 2)), Seq(P("a", 1), P("b", 3)))
+    assert(d.exists(_.startsWith("row 1")))
+    assert(TadaIO.diffStructs(Seq(P("a", 1)), Seq.empty[P]).exists(_.contains("row count")))
+  }
+
+  test("JSON codec roundtrips a frame through line-delimited JSON") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-json").toString
+    val f = graft.core.TadaFrame.ingest(Seq((1L, "x", 2.5), (2L, "y", 3.5)).toDF("id", "s", "v"))
+    TadaIO.writeJson(f, dir)
+    val back = TadaIO.readJson(spark, dir)
+    val got = back.df.select("id", "s", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, "x", 2.5), (2L, "y", 3.5)))
+  }
 }
 
 object IoSpec {
