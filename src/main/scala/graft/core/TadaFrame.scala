@@ -131,8 +131,32 @@ final case class TadaFrame(
     cols(valueCols.filter(pred): _*)
 
   def hasCols(ns: String*): Boolean = ns.forall(df.columns.contains)
+  def hasLabels(ns: String*): Boolean = ns.forall(labels.contains)
   def listColNames: Seq[String] = valueCols
   def listLabelNames: Seq[String] = labels
+
+  /** HasType (dataframe.go:258-271): positions of label levels and value
+    * columns whose type matches — Spark DataType name in place of the Go
+    * slice-type string (e.g. "LongType", "StringType", "DoubleType"). */
+  def hasType(typeName: String): (Seq[Int], Seq[Int]) = {
+    def idx(ns: Seq[String]) = ns.zipWithIndex.collect {
+      case (n, i) if df.schema(n).dataType.toString == typeName => i
+    }
+    (idx(labels), idx(valueCols))
+  }
+
+  /** UnpackIDs/UnpackIDsByName (dataframe.go:508-524): the reference
+    * exposes immutable container ids usable anywhere a name is. Spark's
+    * analogue is the attribute exprId — stable through every derived
+    * transformation that doesn't re-alias the column (filter/sort/
+    * withColumn on other columns), which is what makes it "more robust
+    * than an index position"; exposed per container name for
+    * introspection/debugging. */
+  def containerIds(excludeLabels: Boolean = false): Map[String, Long] = {
+    val ns = (if (excludeLabels) valueCols else labels ++ valueCols).toSet
+    df.queryExecution.analyzed.output
+      .filter(a => ns.contains(a.name)).map(a => a.name -> a.exprId.id).toMap
+  }
 
   // ===== §2.3 row selection / filters =====
 

@@ -50,6 +50,22 @@ class ApiSurfaceSpec extends AnyFunSuite {
                        Map("k" -> Some(2), "v" -> None)))
   }
 
+  test("hasType locates containers by Spark type; containerIds are rename-stable") {
+    val f = frame(Seq((1L, "x", 2.5)).toDF("id", "s", "v"))
+      .setAsLabels("id")
+    val (labelIdx, colIdx) = f.hasType("DoubleType")
+    assert(labelIdx == Seq() && colIdx == Seq(1), s"got $labelIdx / $colIdx")
+    val (lLong, cLong) = f.hasType("LongType")
+    assert(lLong == Seq(0) && cLong == Seq())
+    // ids survive derived (non-realiasing) transformations — the
+    // property that makes them "more robust than an index position"
+    val before = f.containerIds()
+    val after = f.filter(Map("v" -> ((c: org.apache.spark.sql.Column) => c > 0)))
+      .containerIds()
+    assert(after("s") == before("s") && after("v") == before("v"))
+    assert(f.containerIds(excludeLabels = true).keySet == Set("s", "v"))
+  }
+
   test("dropColLevel collapses a |-joined name segment") {
     val f = frame(Seq((1, 2)).toDF("x|a", "x|b")).copy(colLevelNames = Seq("*0", "*1"))
     val got = f.dropColLevel(0)
