@@ -73,6 +73,32 @@ object ScaleQueries extends QueryPack {
         GROUP BY b.band ORDER BY b.band
       """)),
 
+    // The same range join through the grid-binned BIG×BIG path: bands
+    // explode to the grid cells they overlap and the join becomes a hash
+    // EQUI-join on the cell id (no nested loop) with the residual range
+    // predicate re-checked — the shape that scales when neither side
+    // broadcasts. Bands cover the full domain, so inner == q60's left.
+    Query(
+      "q65_range_join_binned",
+      (s, dir) => {
+        import s.implicits._
+        val bands = (0 to 10).map(i => (i.toLong, i * 10000.0, (i + 1) * 10000.0))
+          .toDF("band", "lo", "hi")
+        val li = Tables.lineitem(s, dir).select("l_extendedprice", "l_quantity")
+        RangeJoin.binnedRange(li, bands, "l_extendedprice", "lo", "hi", step = 10000.0)
+          .groupBy("band")
+          .agg(F.count(F.lit(1)).as("n"), Exact.dsum(F.col("l_quantity")).as("sum_qty"))
+          .orderBy("band")
+      },
+      Some(s"""
+        SELECT b.band, count(*) AS n, ${Exact.sqlDsum("l_quantity")} AS sum_qty
+        FROM lineitem l
+        JOIN (SELECT band, band * 10000.0 AS lo, (band + 1) * 10000.0 AS hi
+              FROM (SELECT CAST(range AS BIGINT) AS band FROM range(0, 11))) b
+          ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
+        GROUP BY b.band ORDER BY b.band
+      """)),
+
     // Gap-based sessionization (gap > 30 min splits): one shuffle on
     // user_id, lag + running-sum windows sharing a single sort.
     Query(
