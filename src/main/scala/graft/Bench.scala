@@ -204,11 +204,17 @@ object Bench {
     // Improvement passes: re-run failed and slow (>2 s) queries while
     // budget remains — a load spike anywhere in pass 1 is healed by any
     // later clean window; a pass-1 watchdog kill gets another chance.
+    // A retry that doesn't beat the current min by ≥10% marks the query
+    // settled (its cost is real, not load) — no further retries, so a
+    // clean run does pass 1 + one confirmation retry per slow query
+    // instead of burning the whole budget re-measuring stable numbers.
+    val settled = TrieMap.empty[String, Boolean]
     var pass = 0
     var improving = true
     while (improving && pass < 3 && elapsed < budgetSec * 0.8) {
       val targets = all.filter { case (n, _) =>
-        failures.getOrElse(n, false) || minTimes.getOrElse(n, 0.0) > RerunThreshold / 2.5 }
+        failures.getOrElse(n, false) ||
+          (minTimes.getOrElse(n, 0.0) > RerunThreshold / 2.5 && !settled.getOrElse(n, false)) }
       improving = targets.nonEmpty
       targets.foreach { case (name, fn) =>
         if (elapsed < budgetSec * 0.95) {
@@ -220,7 +226,9 @@ object Bench {
           if (ok) {
             failures.remove(name)
             errors.remove(name)
-            if (dt < minTimes.getOrElse(name, Double.MaxValue)) minTimes(name) = dt
+            val prev = minTimes.getOrElse(name, Double.MaxValue)
+            if (dt < prev) minTimes(name) = dt
+            if (dt >= prev * 0.9) settled(name) = true
           }
         }
       }
