@@ -91,6 +91,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermark drops state for late events after it advances") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-late-stream")
+    def writeBatch(name: String, rows: Seq[(Long, java.sql.Timestamp, Long, String, Double)]): Unit =
+      rows.toDF("event_id", "ts0", "user_id", "event_type", "value")
+        .withColumn("ts", F.col("ts0")).drop("ts0")
+        .repartition(1).write.mode("append").parquet(dir.toString + "/data")
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // batch 1 advances event time to 12:00 (watermark 10 min => 11:50)
+    writeBatch("b1", Seq(
+      (1L, t("2024-01-01 10:00:00"), 1L, "click", 1.0),
+      (2L, t("2024-01-01 12:00:00"), 1L, "click", 1.0)))
+    val schema = spark.read.parquet(dir.toString + "/data").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString + "/data")
+    val agg = stream.withWatermark("ts", "10 minutes")
+      .groupBy(F.window(F.col("ts"), "1 hour")).agg(F.count(F.lit(1)).as("n"))
+      .select(F.col("window.start").as("bucket"), F.col("n"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("late_out").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: one row far BEFORE the advanced watermark (late) and
+      // one fresh row that moves time forward, closing earlier windows
+      writeBatch("b2", Seq(
+        (3L, t("2024-01-01 09:30:00"), 1L, "click", 1.0), // late -> dropped
+        (4L, t("2024-01-01 14:00:00"), 1L, "click", 1.0)))
+      q.processAllAvailable()
+      // one more nudge so the 12:00 window also finalizes
+      writeBatch("b3", Seq((5L, t("2024-01-01 16:00:00"), 1L, "click", 1.0)))
+      q.processAllAvailable()
+      val out = spark.table("late_out")
+        .collect().map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+      // the 10:00 window must NOT count the late 09:30... wait: 09:30
+      // falls in the 09:00 window — that window closed when the
+      // watermark passed 10:00, so the late row produces NO 09:00 row
+      assert(!out.contains("2024-01-01 09:00:00.0"),
+        s"late event leaked into a closed window: $out")
+      assert(out.get("2024-01-01 10:00:00.0").contains(1L))
+      assert(out.get("2024-01-01 12:00:00.0").contains(1L))
+    } finally q.stop()
+  }
+
   test("streaming deterministic sample equals the batch sample row set") {
     val src = "/root/testdata/sf0.001/events.parquet"
     val dir = java.nio.file.Files.createTempDirectory("graft-sample-stream")
