@@ -41,12 +41,16 @@ object Temporal {
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String,
                rightCols: Seq[String], inner: Boolean = false): DataFrame = {
-    val TS = "__asof_ts"; val TAG = "__asof_tag"
+    val TS = "__asof_ts"; val TAG = "__asof_tag"; val M = "__asof_m"
     val lCols = left.columns.toSeq
-    val carried = rightCols.map(c => s"__r_$c")
+    // a constant match marker rides with the payload: "has a match" must
+    // be judged by it, never by payload nullness — a matched row whose
+    // carried value is legitimately null is still matched
+    val carried = rightCols.map(c => s"__r_$c") :+ M
     val rSel = right.select(
       (keys.map(F.col) :+ F.col(rightTs).as(TS) :+ F.lit(0).as(TAG)) ++
-        rightCols.zip(carried).map { case (c, a) => F.col(c).as(a) }: _*)
+        rightCols.zip(carried).map { case (c, a) => F.col(c).as(a) } :+
+        F.lit(1).as(M): _*)
     val lSel = left.select(
       (lCols.map(F.col) :+ F.col(leftTs).as(TS) :+ F.lit(1).as(TAG)) ++
         carried.map(a => F.lit(null).as(a)): _*)
@@ -59,10 +63,11 @@ object Temporal {
     val filled = carried.foldLeft(u) { (df, a) =>
       df.withColumn(a, F.last(a, ignoreNulls = true).over(w))
     }
-    val out = filled.filter(F.col(TAG) === 1)
-      .select(lCols.map(F.col) ++
-        rightCols.zip(carried).map { case (c, a) => F.col(a).as(s"asof_$c") }: _*)
-    if (inner) out.na.drop(rightCols.map(c => s"asof_$c")) else out
+    val matchedOnly =
+      if (inner) filled.filter(F.col(TAG) === 1 && F.col(M) === 1)
+      else filled.filter(F.col(TAG) === 1)
+    matchedOnly.select(lCols.map(F.col) ++
+      rightCols.zip(carried).map { case (c, a) => F.col(a).as(s"asof_$c") }: _*)
   }
 
   /** Gap-based sessionization: rows of one key whose successive

@@ -37,6 +37,14 @@ class ScaleOpsSpec extends AnyFunSuite {
     val inner = Temporal.asofJoin(trades, quotes, Seq("key"), "tts", "qts",
       Seq("px"), inner = true)
     assert(inner.count() === 2)
+    // inner keeps a MATCHED row whose carried payload is null — match
+    // is judged by the marker, not by payload nullness
+    val nullQuotes = Seq((9L, ts("2024-01-01 10:00:00"), null.asInstanceOf[java.lang.Double]))
+      .toDF("key", "qts", "px")
+    val t9 = Seq((9L, ts("2024-01-01 10:01:00"), "t9")).toDF("key", "tts", "tid")
+    val kept = Temporal.asofJoin(t9, nullQuotes, Seq("key"), "tts", "qts",
+      Seq("px"), inner = true).collect()
+    assert(kept.length === 1 && kept.head.isNullAt(kept.head.fieldIndex("asof_px")))
   }
 
   test("asofJoin plans exactly ONE hash shuffle and no join operator") {
