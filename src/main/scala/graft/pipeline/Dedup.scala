@@ -321,4 +321,34 @@ object Dedup {
       F.struct(F.lit(b).as("band"),
         F.shiftright(sim, b * 16).bitwiseAND(0xFFFFL).as("bucket"))
     }: _*)
+
+  /** Cross-document chunk-level exact dedup profile: for each document,
+    * the fraction of its `size`-token chunks whose content also appears
+    * in some OTHER document — the web-curation middle ground between
+    * whole-document exact dedup (`exactKey`) and fuzzy MinHash:
+    * boilerplate repeats at chunk granularity while full documents
+    * rarely match exactly.
+    *
+    * Shape at scale: the shuffle carries (16-byte chunk hash, doc id)
+    * only — chunk text never moves. "Appears in ≥2 distinct docs" is
+    * min(doc) ≠ max(doc) per hash — no countDistinct state. The profile
+    * join back to chunk instances re-uses the same hash partitioning, so
+    * the whole profile is two co-partitioned exchanges plus the final
+    * per-doc rollup. */
+  def chunkDedupProfile(docs: DataFrame, idCol: String, textCol: String,
+                        size: Int = 3): DataFrame = {
+    val chunks = docs
+      .select(F.col(idCol), TextOps.tokens(F.col(textCol)).as("__w"))
+      .select(F.col(idCol),
+        F.explode(TextOps.chunkHashesFromTokens(F.col("__w"), size)).as("chunk_hash"))
+    val profile = chunks.groupBy("chunk_hash")
+      .agg(F.min(idCol).as("__mn"), F.max(idCol).as("__mx"))
+      .select(F.col("chunk_hash"), (F.col("__mn") =!= F.col("__mx")).as("__dup"))
+    chunks.join(profile, "chunk_hash")
+      .groupBy(idCol)
+      .agg(F.count(F.lit(1)).as("n_chunks"),
+        F.sum(F.when(F.col("__dup"), 1L).otherwise(0L)).as("n_dup_chunks"))
+      .withColumn("dup_frac",
+        F.col("n_dup_chunks").cast("double") / F.col("n_chunks").cast("double"))
+  }
 }

@@ -81,6 +81,39 @@ object TextOps {
   def fingerprintMd5(text: Column): Column = F.md5(F.encode(normalize(text), "UTF-8"))
   def fingerprint64(text: Column): Column = F.xxhash64(normalize(text))
 
+  /** Duplicate word-n-gram fraction — the Gopher-class repetitiousness
+    * signal (fraction of n-gram instances that repeat an earlier n-gram
+    * in the same document): 1 − distinct/total; fewer than n tokens ⇒ 0.
+    *
+    * Distinct n-grams come from the native `Shingles` codegen expression
+    * (one compiled call per row); total is plain arithmetic on the token
+    * count — the whole metric runs inside the scan stage, zero shuffles.
+    * The result is exact: two integers and a single IEEE division, so it
+    * is bit-identical across engines with no rounding step. */
+  def dupNgramFraction(text: Column, n: Int): Column = {
+    val toks = tokenCount(text)
+    val total = (toks - F.lit(n - 1)).cast("double")
+    val distinct = F.size(Dedup.shingles(text, n)).cast("double")
+    F.when(toks < n, F.lit(0.0)).otherwise(F.lit(1.0) - (distinct / total))
+  }
+
+  /** md5 content hashes of the non-overlapping full `size`-token chunks
+    * of a pre-materialized token array (partial tail chunk dropped).
+    *
+    * Takes the TOKEN column, not text: inside an interpreted
+    * higher-order lambda a captured subtree is re-evaluated per element,
+    * so capturing `tokens(text)` would re-run the normalization regexes
+    * once per chunk. Capturing a bound attribute makes each chunk one
+    * slice+join+md5. Chunks, not whole docs, are the unit of cross-doc
+    * exact dedup in web-scale curation (boilerplate repeats at chunk
+    * granularity while full documents rarely match exactly). */
+  def chunkHashesFromTokens(toks: Column, size: Int): Column = {
+    val nc = F.floor(F.size(toks) / size).cast("int")
+    F.when(nc === 0, F.array().cast("array<string>")).otherwise(
+      F.transform(F.sequence(F.lit(0), nc - 1), i =>
+        F.md5(F.encode(F.concat_ws(" ", F.slice(toks, i * size + 1, F.lit(size))), "UTF-8"))))
+  }
+
   /** TF-IDF: term frequencies per document joined with corpus document
     * frequencies. Emits one row per (doc, term) with tf, df and
     * tfidf = tf · ln(N/df).

@@ -1,0 +1,142 @@
+package graft.queries
+
+import graft.Tables
+import graft.pipeline.{Dedup, Embeddings}
+import org.apache.spark.sql.{functions => F}
+
+/** Data-curation operators for training pipelines (round 3 widening):
+  * repetition metrics, cross-doc chunk dedup, int8 quantization, and
+  * fixed-point cluster statistics. Every query is DuckDB-oracle-checked;
+  * determinism comes from integer/fixed-point arithmetic (exact,
+  * order-independent reductions) rather than rounded floats wherever a
+  * value crosses rows.
+  */
+object CurationQueries extends QueryPack {
+
+  private val normSql =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))"
+
+  def queries: Seq[Query] = Seq(
+
+    // Gopher-style repetitiousness: duplicate bigram/trigram fractions
+    // per document. Pure scan-stage arithmetic (native Shingles codegen
+    // expression for the distinct count) — zero shuffles; the emitted
+    // fractions are 1 − distinct/total on integers, so no rounding is
+    // needed for engine parity.
+    Query(
+      "q66_repetition",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        d.select(F.col("doc_id"),
+            graft.pipeline.TextOps.tokenCount(F.col("text")).as("n_tokens"),
+            graft.pipeline.TextOps.dupNgramFraction(F.col("text"), 2).as("dup_bigram_frac"),
+            graft.pipeline.TextOps.dupNgramFraction(F.col("text"), 3).as("dup_trigram_frac"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH ws AS (
+          SELECT doc_id,
+                 CASE WHEN length($normSql) = 0 THEN []
+                      ELSE string_split($normSql, ' ') END AS w
+          FROM documents)
+        SELECT doc_id, len(w) AS n_tokens,
+          CASE WHEN len(w) < 2 THEN 0.0 ELSE
+            1.0 - (CAST(len(list_distinct(
+                     [w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))])) AS DOUBLE)
+                   / CAST(len(w) - 1 AS DOUBLE)) END AS dup_bigram_frac,
+          CASE WHEN len(w) < 3 THEN 0.0 ELSE
+            1.0 - (CAST(len(list_distinct(
+                     [w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w)-1)])) AS DOUBLE)
+                   / CAST(len(w) - 2 AS DOUBLE)) END AS dup_trigram_frac
+        FROM ws ORDER BY doc_id
+      """)),
+
+    // Cross-doc chunk dedup profile: fraction of each doc's 3-token
+    // chunks that also appear in another document. The shuffle carries
+    // (hash, id) pairs only; "in ≥2 docs" is min≠max per hash (no
+    // countDistinct state); the profile join re-uses the hash
+    // partitioning. Integers + one division ⇒ exact.
+    Query(
+      "q67_chunk_dedup",
+      (s, dir) => {
+        Dedup.chunkDedupProfile(Tables.documents(s, dir), "doc_id", "text", size = 3)
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH ws AS (
+          SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+        ch AS (
+          SELECT doc_id,
+                 unnest([md5(array_to_string(w[i*3+1:i*3+3], ' '))
+                         FOR i IN range(0, len(w)//3)]) AS chunk_hash
+          FROM ws),
+        profile AS (
+          SELECT chunk_hash, (min(doc_id) <> max(doc_id)) AS dup
+          FROM ch GROUP BY 1)
+        SELECT doc_id, count(*) AS n_chunks,
+               CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+               CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) AS dup_frac
+        FROM ch JOIN profile USING (chunk_hash)
+        GROUP BY doc_id ORDER BY doc_id
+      """)),
+
+    // Int8 quantization audit: per-vector scale, L2 norm, and max
+    // round-trip reconstruction error — the compression step of an
+    // embedding pipeline, run entirely inside the scan stage (vectors
+    // never shuffle). scale is max+division (bit-exact across engines);
+    // norm/error fold element-wise in a fixed order and are emitted
+    // rounded to absorb last-ULP summation differences.
+    Query(
+      "q68_quantize",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val base = e.select(F.col("vec_id"), Embeddings.asDouble(F.col("embedding")).as("v"))
+        base.withColumn("scale", Embeddings.int8Scale(F.col("v")))
+          .select(F.col("vec_id"), F.col("scale"),
+            F.round(Embeddings.l2Norm(F.col("v")), 5).as("norm"),
+            F.round(Embeddings.maxQuantError(F.col("v"), F.col("scale")), 6).as("max_qerr"))
+          .orderBy("vec_id")
+      },
+      Some("""
+        WITH v AS (
+          SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v FROM embeddings),
+        s AS (
+          SELECT vec_id, v, list_max([abs(x) FOR x IN v]) / 127.0 AS scale FROM v)
+        SELECT vec_id, scale,
+               round(sqrt(list_sum([x * x FOR x IN v])), 5) AS norm,
+               round(list_max([abs(x - round(x / scale) * scale) FOR x IN v]), 6) AS max_qerr
+        FROM s ORDER BY vec_id
+      """)),
+
+    // Fixed-point per-cluster statistics: dims quantized to
+    // round(x·10^6) int64, so every cross-row reduction is an exact
+    // integer sum — bit-identical under any partitioning/merge order/
+    // retry (the 100 TB determinism story). The only float ops are two
+    // final divisions per label, written identically in both engines.
+    Query(
+      "q69_cluster_stats",
+      (s, dir) => {
+        Embeddings.clusterStats(Tables.embeddings(s, dir), "label", "embedding")
+          .orderBy("label")
+      },
+      Some("""
+        WITH raw AS (
+          SELECT label, unnest(range(len(embedding))) AS dim, unnest(embedding) AS x
+          FROM embeddings),
+        dims AS (
+          SELECT label, dim,
+                 CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) AS xi
+          FROM raw),
+        perdim AS (
+          SELECT label, dim, count(*) AS n, sum(xi) AS sx, sum(xi * xi) AS sx2
+          FROM dims GROUP BY 1, 2)
+        SELECT label, max(n) AS n_vecs,
+               CAST(sum(sx2) AS BIGINT) AS ssq, CAST(sum(sx * sx) AS BIGINT) AS csq,
+               ((CAST(sum(sx * sx) AS DOUBLE) / max(n)) / max(n) / 1000000000000.0)
+                 AS centroid_norm2,
+               ((CAST(sum(sx2) AS DOUBLE) - CAST(sum(sx * sx) AS DOUBLE) / max(n))
+                 / max(n) / 1000000000000.0) AS within_var
+        FROM perdim GROUP BY label ORDER BY label
+      """)))
+}

@@ -4,7 +4,7 @@ package graft.queries
 object Registry {
   def packs: Seq[QueryPack] = Seq(
     CoreQueries, JoinGroupQueries, WindowQueries, ReshapeQueries,
-    PipelineQueries, ScaleQueries, FlagshipQueries)
+    PipelineQueries, ScaleQueries, CurationQueries, FlagshipQueries)
 
   lazy val all: Seq[Query] = {
     val qs = packs.flatMap(_.queries)

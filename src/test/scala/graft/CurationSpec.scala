@@ -1,0 +1,86 @@
+package graft
+
+import graft.pipeline.{Dedup, Embeddings, TextOps}
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Ground truths for the curation operators: repetition metrics,
+  * chunk-level cross-doc dedup, int8 quantization, fixed-point cluster
+  * statistics. */
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("dupNgramFraction: known repetition, short-text guard") {
+    val df = Seq(
+      (1, "a b a b a"),      // bigrams: ab,ba,ab,ba -> 4 total, 2 distinct
+      (2, "x y z"),          // all distinct
+      (3, "w"),              // < 2 tokens -> 0.0
+      (4, "t t t t")         // bigrams: tt x3 -> 1 distinct / 3
+    ).toDF("id", "text")
+    val out = df.select($"id", TextOps.dupNgramFraction($"text", 2).as("f"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(out(1) == 0.5)
+    assert(out(2) == 0.0)
+    assert(out(3) == 0.0)
+    assert(out(4) == 1.0 - 1.0 / 3.0)
+  }
+
+  test("chunkHashesFromTokens: full chunks only, content-addressed") {
+    val df = Seq(
+      (1, "a b c d e f g"),  // 7 tokens, size 3 -> 2 chunks (abc, def)
+      (2, "a b c"),          // 1 chunk, same content as doc 1's first
+      (3, "q r")             // 0 chunks
+    ).toDF("id", "text")
+    val chunks = df.select($"id",
+        F.explode(TextOps.chunkHashesFromTokens(TextOps.tokens($"text"), 3)).as("h"))
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(chunks.count(_._1 == 1) == 2)
+    assert(chunks.count(_._1 == 2) == 1)
+    assert(!chunks.exists(_._1 == 3))
+    // doc 2's chunk equals doc 1's first chunk by content
+    val h1 = chunks.filter(_._1 == 1).map(_._2)
+    val h2 = chunks.filter(_._1 == 2).map(_._2).head
+    assert(h1.contains(h2))
+  }
+
+  test("chunkDedupProfile: cross-doc duplicate detection") {
+    val df = Seq(
+      (1, "a b c d e f"),    // chunks abc, def
+      (2, "a b c x y z"),    // chunks abc (dup with 1), xyz
+      (3, "p q r s t u")     // chunks pqr, stu — unique
+    ).toDF("doc_id", "text")
+    val out = Dedup.chunkDedupProfile(df, "doc_id", "text", 3)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1) == ((2L, 1L, 0.5)))
+    assert(out(2) == ((2L, 1L, 0.5)))
+    assert(out(3) == ((2L, 0L, 0.0)))
+  }
+
+  test("int8 quantization: scale, norm, bounded reconstruction error") {
+    val df = Seq((1, Array(0.3f, -0.4f, 0.0f))).toDF("id", "vec")
+    val base = df.select($"id", Embeddings.asDouble($"vec").as("v"))
+      .withColumn("scale", Embeddings.int8Scale($"v"))
+    val r = base.select($"scale", Embeddings.l2Norm($"v").as("n"),
+      Embeddings.maxQuantError($"v", $"scale").as("e")).head
+    val scale = r.getDouble(0)
+    assert(scale == 0.4f.toDouble / 127.0) // float32 ingest is exact in double
+    assert(math.abs(r.getDouble(1) - 0.5) < 1e-7) // 3-4-5 triangle
+    // symmetric quantization reconstruction error is bounded by scale/2
+    assert(r.getDouble(2) <= scale / 2 + 1e-12)
+  }
+
+  test("clusterStats: exact fixed-point inertia on a known clustering") {
+    val df = Seq(
+      (0, Array(1.0f, 0.0f)), (0, Array(0.0f, 1.0f)),   // centroid (.5,.5)
+      (1, Array(2.0f, 2.0f)), (1, Array(2.0f, 2.0f))    // zero variance
+    ).toDF("label", "embedding")
+    val out = Embeddings.clusterStats(df, "label", "embedding")
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getDouble(4), r.getDouble(5))).toMap
+    val (n0, cn0, wv0) = out(0)
+    assert(n0 == 2 && math.abs(cn0 - 0.5) < 1e-9 && math.abs(wv0 - 0.5) < 1e-9)
+    val (n1, cn1, wv1) = out(1)
+    assert(n1 == 2 && math.abs(cn1 - 8.0) < 1e-9 && math.abs(wv1) < 1e-9)
+  }
+}
