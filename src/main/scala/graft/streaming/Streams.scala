@@ -79,6 +79,27 @@ object Streams {
   def sampleStream(in: DataFrame, key: org.apache.spark.sql.Column, bp: Int): DataFrame =
     in.filter(graft.pipeline.Sampling.hashBp(key) < bp)
 
+  /** Stream-stream interval join — the streaming form of the batch
+    * as-of/range join family (`Temporal.asofJoin`): left events matched
+    * to right events of the same key whose timestamp falls in
+    * [leftTs − lookback, leftTs]. Both sides carry watermarks and the
+    * join condition bounds the time range in BOTH directions, so Spark
+    * can expire buffered state as the watermark advances — state is
+    * O(keys × lookback), not O(stream). The shuffle partitions both
+    * streams by the key once; matching is then per-partition. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String, lookback: String,
+                   watermark: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r,
+      l(key) === r(key) &&
+        r(rightTs) >= l(leftTs) - F.expr(s"INTERVAL $lookback") &&
+        r(rightTs) <= l(leftTs),
+      "inner")
+      .drop(r(key))
+  }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class SessionSummary(user_id: Long, n_events: Int, total_value: Double)

@@ -135,6 +135,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch range predicate") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ssjoin")
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val clicks = Seq(
+      (1L, t("2024-01-01 10:00:00"), 7L),
+      (2L, t("2024-01-01 10:30:00"), 7L),
+      (3L, t("2024-01-01 10:05:00"), 8L))
+      .toDF("click_id", "cts", "user_id")
+    val views = Seq(
+      (10L, t("2024-01-01 09:58:00"), 7L), // within 10 min of click 1
+      (11L, t("2024-01-01 10:29:00"), 7L), // within 10 min of click 2
+      (12L, t("2024-01-01 09:00:00"), 7L), // too old for either
+      (13L, t("2024-01-01 10:04:00"), 8L))
+      .toDF("view_id", "vts", "user_id")
+    clicks.repartition(1).write.parquet(dir.toString + "/clicks")
+    views.repartition(1).write.parquet(dir.toString + "/views")
+    val cs = spark.readStream.schema(clicks.schema).parquet(dir.toString + "/clicks")
+    val vs = spark.readStream.schema(views.schema).parquet(dir.toString + "/views")
+    val q = Streams.intervalJoin(cs, vs, "user_id", "cts", "vts",
+        lookback = "10 minutes", watermark = "1 minute")
+      .select("click_id", "view_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ssjoin_out").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toSet
+      // click 1 ← view 10; click 2 ← views 10? (09:58 is 32 min before
+      // 10:30 — outside lookback) and 11; click 3 ← view 13
+      assert(got == Set(1L -> 10L, 2L -> 11L, 3L -> 13L), s"got $got")
+    } finally q.stop()
+  }
+
   test("streaming deterministic sample equals the batch sample row set") {
     val src = "/root/testdata/sf0.001/events.parquet"
     val dir = java.nio.file.Files.createTempDirectory("graft-sample-stream")
