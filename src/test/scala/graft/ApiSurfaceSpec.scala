@@ -93,4 +93,39 @@ class ApiSurfaceSpec extends AnyFunSuite {
     assert(viaExpr.toSeq == viaDf.toSeq)
     assert(viaExpr(0) != viaExpr(1))
   }
+
+  test("GraftExtensions injects the native functions at session build (SQL-only path)") {
+    import org.apache.spark.sql.SparkSession
+    val base = spark // ensure the shared context exists
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // a NEW session on the same context with the extensions applied at
+      // build time. (On a cluster the equivalent is the static conf
+      // spark.sql.extensions=graft.exprs.GraftExtensions — a static conf
+      // can't be attached to an already-running test context, so the
+      // builder hook exercises the same injectFunction path.)
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new graft.exprs.GraftExtensions())
+        .getOrCreate()
+      assert(s2 ne base)
+      val r = s2.sql(
+        """SELECT simhash64(array('a','b')) AS h,
+                  cosine_sim(array(cast(1.0 as float), cast(0.0 as float)),
+                             array(cast(1.0 as float), cast(0.0 as float))) AS c,
+                  jaccard_sim(array('x','y'), array('y','z')) AS j,
+                  shingle_w(array('a','b','c'), 2) AS sh""").head()
+      assert(r.getDouble(1) == 1.0)
+      assert(math.abs(r.getDouble(2) - 1.0 / 3.0) < 1e-12)
+      assert(r.getSeq[String](3) == Seq("a b", "b c"))
+      // and it matches the imperative registration path on the base session
+      graft.exprs.GraftFunctions.register(base)
+      val h0 = base.sql("SELECT simhash64(array('a','b'))").head().getLong(0)
+      assert(r.getLong(0) == h0)
+    } finally {
+      SparkSession.setActiveSession(base)
+      SparkSession.setDefaultSession(base)
+    }
+  }
 }
