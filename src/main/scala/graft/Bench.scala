@@ -64,7 +64,8 @@ object Bench {
       "q46_knn_lsh", "q55_cosine_pairs", "q56_knn_ivf", "q58_dup_clusters")
     val text = Set("q47_langid", "q48_quality", "q49_token_count",
       "q50_fingerprint", "q51_multimodal_meta", "q52_multimodal_decode",
-      "q62_tfidf", "q66_repetition", "q67_chunk_dedup")
+      "q62_tfidf", "q66_repetition", "q67_chunk_dedup", "q70_heavy_hitters",
+      "q71_redact")
     if (heavy(name)) 2 else if (text(name)) 1 else 0
   }
 

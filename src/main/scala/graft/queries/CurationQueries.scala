@@ -109,6 +109,85 @@ object CurationQueries extends QueryPack {
         FROM s ORDER BY vec_id
       """)),
 
+    // Per-source vocabulary heavy hitters: top-5 terms per source by
+    // frequency. Shape at scale: term counts aggregate with map-side
+    // combine; the per-group top-k is a rank window whose
+    // WindowGroupLimit pushes a partial top-k BEFORE the rank shuffle,
+    // so only ≤k·sources candidate rows cross the final exchange.
+    Query(
+      "q70_heavy_hitters",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val terms = d
+          .filter(F.length(graft.pipeline.TextOps.normalize(F.col("text"))) > 0)
+          .select(F.col("source"),
+            F.explode(graft.pipeline.TextOps.tokens(F.col("text"))).as("term"))
+        val counts = terms.groupBy("source", "term").agg(F.count(F.lit(1)).as("n"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+          .orderBy(F.col("n").desc, F.col("term").asc)
+        counts.withColumn("rank", F.row_number().over(w))
+          .filter(F.col("rank") <= 5)
+          .orderBy("source", "rank")
+      },
+      Some(s"""
+        WITH terms AS (
+          SELECT source, unnest(string_split($normSql, ' ')) AS term
+          FROM documents WHERE length($normSql) > 0),
+        counts AS (
+          SELECT source, term, count(*) AS n FROM terms GROUP BY 1, 2)
+        SELECT source, term, n, rank FROM (
+          SELECT source, term, n,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY n DESC, term ASC) AS rank
+          FROM counts)
+        WHERE rank <= 5 ORDER BY source, rank
+      """)),
+
+    // PII-style redaction: scrub email addresses and long digit runs
+    // from text — the standard pre-training scrub, pure scan-stage
+    // regexp work (zero shuffles). The corpus has no natural PII, so
+    // the query plants deterministic doc_id-derived tokens first; the
+    // operator under test is the redaction pass. Counts and lengths
+    // are integers ⇒ exact.
+    Query(
+      "q71_redact",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val emailPat = "[a-z0-9._]+@[a-z0-9.]+"
+        val digitPat = "[0-9]{4,}"
+        val planted = F.concat(F.col("text"),
+          F.lit(" contact user"), F.col("doc_id").cast("string"),
+          F.lit("@mail.example ref "),
+          (F.col("doc_id") * 7919 % 100000 + 100000).cast("string"))
+        d.select(F.col("doc_id"), planted.as("t"))
+          .select(F.col("doc_id"),
+            (F.regexp_count(F.col("t"), F.lit(emailPat)) +
+              F.regexp_count(F.col("t"), F.lit(digitPat))).as("n_hits"),
+            F.length(F.regexp_replace(F.regexp_replace(F.col("t"),
+              emailPat, "<EMAIL>"), digitPat, "<NUM>")).as("redacted_len"),
+            F.md5(F.encode(F.regexp_replace(F.regexp_replace(F.col("t"),
+              emailPat, "<EMAIL>"), digitPat, "<NUM>"), "UTF-8")).as("redacted_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH planted AS (
+          SELECT doc_id,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@mail.example ref '
+                      || CAST(doc_id * 7919 % 100000 + 100000 AS VARCHAR) AS t
+          FROM documents)
+        SELECT doc_id,
+               len(regexp_extract_all(t, '[a-z0-9._]+@[a-z0-9.]+'))
+                 + len(regexp_extract_all(t, '[0-9]{4,}')) AS n_hits,
+               length(regexp_replace(regexp_replace(t,
+                 '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+                 '[0-9]{4,}', '<NUM>', 'g')) AS redacted_len,
+               md5(regexp_replace(regexp_replace(t,
+                 '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+                 '[0-9]{4,}', '<NUM>', 'g')) AS redacted_md5
+        FROM planted ORDER BY doc_id
+      """)),
+
     // Fixed-point per-cluster statistics: dims quantized to
     // round(x·10^6) int64, so every cross-row reduction is an exact
     // integer sum — bit-identical under any partitioning/merge order/
