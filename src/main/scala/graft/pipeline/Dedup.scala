@@ -206,7 +206,8 @@ object Dedup {
     * same shape. */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b", maxIter: Int = 20,
-                          requireConvergence: Boolean = true): DataFrame = {
+                          requireConvergence: Boolean = true,
+                          localSolveMaxEdges: Long = 2000000L): DataFrame = {
     val spark = pairs.sparkSession
     // The loop's frames are (id, label) scalars — thousands of rows. At
     // that size the cost is pure per-job/per-task overhead, and AQE makes
@@ -223,6 +224,39 @@ object Dedup {
       val edges = pairs.select(F.col(idA).as("src"), F.col(idB).as("dst"))
         .union(pairs.select(F.col(idB).as("src"), F.col(idA).as("dst")))
         .localCheckpoint(true)
+      // Size-gated local solve — the broadcast-join trick applied to
+      // graphs: the verified near-dup graph is TINY relative to the
+      // corpus (only documents with a confirmed near-duplicate appear
+      // at all), so below a threshold union-find on the driver replaces
+      // O(rounds) Spark jobs with one collect + one createDataFrame.
+      // The iterative path below remains the scale path for graphs
+      // that genuinely exceed driver memory (threshold is edge count;
+      // 2M edges ≈ 32 MB of longs — far under any driver budget).
+      val nEdges = edges.count()
+      if (nEdges <= localSolveMaxEdges) {
+        val pairs2 = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x // path compression
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        pairs2.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        // resolve every node to the MIN id of its component — identical
+        // semantics to min-label propagation
+        val roots = parent.keys.toArray.map(k => (k, find(k)))
+        val minOfRoot = roots.groupBy(_._2).map { case (r, ks) => r -> ks.map(_._1).min }
+        import spark.implicits._
+        return roots.map { case (k, r) => (k, minOfRoot(r)) }.toSeq
+          .toDF("id", "cluster")
+      }
       var labels = edges.select(F.col("src").as("id")).distinct()
         .withColumn("cluster", F.col("id")).localCheckpoint(true)
       var converged = false

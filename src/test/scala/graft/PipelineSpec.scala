@@ -142,6 +142,22 @@ class PipelineSpec extends AnyFunSuite {
       20L -> 1L, 21L -> 1L, 10L -> 10L, 11L -> 10L), got.toString)
   }
 
+  test("connectedComponents: local union-find and iterative paths agree") {
+    // adversarial long chain (diameter 40) plus separate components —
+    // stresses path compression on the iterative side
+    val chain = (0L until 40L).map(i => (i, i + 1))
+    val extra = Seq((100L, 101L), (101L, 102L), (200L, 201L))
+    val pairs = (chain ++ extra).toDF("id_a", "id_b")
+    val local = Dedup.connectedComponents(pairs) // small => local solve
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val iter = Dedup.connectedComponents(pairs, localSolveMaxEdges = 0) // force iterative
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == iter, s"paths disagree: local=$local iter=$iter")
+    assert((0L to 40L).forall(local(_) == 0L))
+    assert(Seq(100L, 101L, 102L).forall(local(_) == 100L))
+    assert(local(201L) == 200L)
+  }
+
   test("langid picks the language with most marker hits") {
     val t = Seq(
       ("en", "the cat and the dog of this house is that one with hats"),
