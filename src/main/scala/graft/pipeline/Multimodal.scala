@@ -59,6 +59,31 @@ object Multimodal {
     }
   }
 
+  /** Deterministic frame sampling over an opaque binary payload: treat
+    * the payload as consecutive `frameBytes`-byte frames, keep every
+    * `everyK`-th full frame, emit per-frame content checksums — the
+    * video-pipeline shape (decode→frame-sample→fingerprint) with the
+    * byte-window standing in for a real frame decoder.
+    *
+    * Shape at scale: the explode multiplies ROWS but each output row
+    * carries only (id, frame_no, md5) — the payload bytes are consumed
+    * inside the scan stage's projection and never cross a shuffle. The
+    * per-frame substring is lazy byte slicing on the already-loaded
+    * payload (no per-frame copy of the whole payload). */
+  def frameSample(media: DataFrame, idCol: String, payloadCol: String,
+                  frameBytes: Int, everyK: Int = 1): DataFrame = {
+    val nf = F.floor(F.length(F.col(payloadCol)) / frameBytes).cast("int")
+    val idxs = F.when(nf <= 0, F.array().cast("array<int>"))
+      .otherwise(F.sequence(F.lit(0), nf - 1, F.lit(everyK)))
+    media.select(F.col(idCol), F.col(payloadCol), F.explode(idxs).as("frame_no"))
+      .select(F.col(idCol), F.col("frame_no"),
+        // builtin substring via call_function: the public F.substring
+        // only takes literal positions; the builtin expression slices
+        // BINARY byte-wise with a dynamic start
+        F.md5(F.call_function("substring", F.col(payloadCol),
+          F.col("frame_no") * frameBytes + 1, F.lit(frameBytes))).as("frame_md5"))
+  }
+
   /** Documents→media adapter for the test corpus: treats the UTF-8 text
     * bytes as the opaque payload (the container ships no real media). */
   def documentsAsMedia(docs: DataFrame): DataFrame =

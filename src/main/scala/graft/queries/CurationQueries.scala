@@ -188,6 +188,30 @@ object CurationQueries extends QueryPack {
         FROM planted ORDER BY doc_id
       """)),
 
+    // Frame sampling over opaque binary payloads: every 2nd 16-byte
+    // frame, fingerprinted. The corpus payload is UTF-8 ASCII text, so
+    // the oracle replays the byte slices with VARCHAR substring; the
+    // Spark side slices the real BINARY column.
+    Query(
+      "q72_frame_sample",
+      (s, dir) => {
+        val media = graft.pipeline.Multimodal.documentsAsMedia(Tables.documents(s, dir))
+        graft.pipeline.Multimodal.frameSample(media, "doc_id", "payload",
+            frameBytes = 16, everyK = 2)
+          .orderBy("doc_id", "frame_no")
+      },
+      Some("""
+        WITH m AS (
+          SELECT doc_id, text, CAST(floor(length(text) / 16) AS INT) AS nf
+          FROM documents),
+        f AS (
+          SELECT doc_id, text, unnest(range(0, nf, 2)) AS frame_no
+          FROM m WHERE nf > 0)
+        SELECT doc_id, frame_no,
+               md5(substring(text, CAST(frame_no * 16 + 1 AS INT), 16)) AS frame_md5
+        FROM f ORDER BY doc_id, frame_no
+      """)),
+
     // Fixed-point per-cluster statistics: dims quantized to
     // round(x·10^6) int64, so every cross-row reduction is an exact
     // integer sum — bit-identical under any partitioning/merge order/
