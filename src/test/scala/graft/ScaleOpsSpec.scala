@@ -132,4 +132,29 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(tfB === 2L && dfB === 1L)
     assert(math.abs(tfidfB - 2 * math.log(3.0)) < 1e-12)
   }
+
+  test("approx sketches: HLL distinct and approx percentile within bounds") {
+    // the 100 TB shapes for COUNT(DISTINCT) and quantiles: sketches
+    // merge associatively across partitions (one shuffle of sketch
+    // state, no global sort / exact distinct state). Accuracy is pinned
+    // here because sketch internals differ per engine (no DuckDB hash
+    // oracle possible).
+    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    val exactD = li.select(F.countDistinct(F.col("l_orderkey"))).head.getLong(0)
+    val approxD = li.select(F.approx_count_distinct(F.col("l_orderkey"), 0.02))
+      .head.getLong(0)
+    assert(math.abs(approxD - exactD).toDouble / exactD < 0.05,
+      s"HLL off by >5%: $approxD vs $exactD")
+    val exactP = li.select(F.expr("percentile(l_extendedprice, 0.5)")).head.getDouble(0)
+    val approxP = li.select(F.percentile_approx(F.col("l_extendedprice"),
+      F.lit(0.5), F.lit(1000))).head.getDouble(0)
+    assert(math.abs(approxP - exactP) / exactP < 0.01,
+      s"approx median off by >1%: $approxP vs $exactP")
+    // partial aggregation must ride the shuffle (sketches, not rows)
+    val plan = li.groupBy("l_returnflag")
+      .agg(F.approx_count_distinct("l_orderkey"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_approx_count_distinct"),
+      s"sketch must combine map-side:\n$plan")
+  }
 }
