@@ -265,4 +265,17 @@ object TadaIO {
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(table)
   }
+
+  /** Hive-style partitioned persist — the partition-pruning scale path.
+    * A predicate on the partition column resolves against directory
+    * names at PLANNING time (`PartitionFilters` in the scan), so a
+    * 100 TB corpus laid out by source/date/language reads only the
+    * matching directories — bytes the query never touches are never
+    * listed, opened, or scanned. Complements `writeBucketed`: partition
+    * on the low-cardinality selection columns, bucket on the join keys. */
+  def writePartitioned(df: org.apache.spark.sql.DataFrame, path: String,
+                       partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
 }

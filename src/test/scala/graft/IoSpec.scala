@@ -110,6 +110,25 @@ class IoSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("partitioned layout prunes non-matching partitions at planning time") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val df = (0 until 300).map(i => (i.toLong, s"src${i % 3}", i * 1.5))
+      .toDF("id", "source", "v")
+    TadaIO.writePartitioned(df, dir, Seq("source"))
+    val q = spark.read.parquet(dir).filter($"source" === "src1")
+    assert(q.count() == 100)
+    val scan = q.queryExecution.executedPlan.toString
+    // the predicate must resolve against directories, not rows: it
+    // appears in PartitionFilters and the scan reads 1 of 3 partitions
+    assert(scan.contains("PartitionFilters: [isnotnull(source"),
+      s"partition predicate not pruned at planning time:\n$scan")
+    val scanned = q.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount }
+    assert(scanned.contains(1), s"expected 1 of 3 partitions scanned, got $scanned")
+  }
+
   test("matrix reader/writer roundtrip (gonum Dims/At surface)") {
     val m = Seq(Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))
     val f = TadaIO.readMatrix(spark, m)
