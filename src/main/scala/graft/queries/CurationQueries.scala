@@ -16,6 +16,30 @@ object CurationQueries extends QueryPack {
   private val normSql =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))"
 
+  /** DuckDB twin of `TextOps.qualityScore` (same shape as q48's oracle). */
+  private val qualitySql: String = {
+    val stopPat = graft.pipeline.TextOps.stopwords.mkString("\\b(", "|", ")\\b")
+    val nTok = s"(CASE WHEN length($normSql) = 0 THEN 0 ELSE len(string_split($normSql, ' ')) END)"
+    s"""least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.4
+       + least(CASE WHEN $nTok = 0 THEN 0.0
+               ELSE CAST(len(regexp_extract_all($normSql, '$stopPat')) AS DOUBLE)
+                    / $nTok END * 4.0, 1.0) * 0.4
+       + (1.0 - least(CASE WHEN length(text) = 0 THEN 0.0
+                      ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+                           / length(text) END * 5.0, 1.0)) * 0.2"""
+  }
+
+  /** DuckDB twin of `TextOps.langId` (same argmax chain as q47's oracle). */
+  private val langIdSql: String = {
+    val scores = graft.pipeline.TextOps.langMarkers.map { case (lang, ws) =>
+      lang -> s"len(regexp_extract_all($normSql, '\\b(${ws.mkString("|")})\\b'))"
+    }
+    val best = scores.map(_._2).mkString("greatest(", ", ", ")")
+    scores.reverse.foldLeft("'und'") { case (acc, (lang, s)) =>
+      s"CASE WHEN $best > 0 AND $s = $best THEN '$lang' ELSE $acc END"
+    }
+  }
+
   def queries: Seq[Query] = Seq(
 
     // Gopher-style repetitiousness: duplicate bigram/trigram fractions
@@ -210,6 +234,68 @@ object CurationQueries extends QueryPack {
         SELECT doc_id, frame_no,
                md5(substring(text, CAST(frame_no * 16 + 1 AS INT), 16)) AS frame_md5
         FROM f ORDER BY doc_id, frame_no
+      """)),
+
+    // End-to-end curation funnel — the flagship composition: quality
+    // gate → language gate → repetition gate → exact-dedup keeper →
+    // deterministic sample, reported as cumulative per-source survivor
+    // counts. Every gate is engine-exact (quality doubles are
+    // bit-identical across engines — q48 hash-matches unrounded — and
+    // the rest is integer/string/md5 work), so the funnel is fully
+    // oracle-checked. One pass computes all flags in the scan stage;
+    // the only shuffles are the keeper window and the final rollup.
+    Query(
+      "q73_curation_funnel",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val T = graft.pipeline.TextOps
+        val d = Tables.documents(s, dir)
+        val flags = d.select(F.col("doc_id"), F.col("source"),
+            (T.qualityScore(F.col("text")) >= 0.35).as("q_ok"),
+            (T.langId(F.col("text")) === "en").as("lang_ok"),
+            (T.dupNgramFraction(F.col("text"), 2) < 0.6).as("rep_ok"),
+            graft.pipeline.Dedup.exactKey(F.col("text")).as("ck"),
+            (graft.pipeline.Sampling.hashBp(F.col("doc_id").cast("string")) < 8000)
+              .as("samp_ok"))
+        val keeper = flags.withColumn("uniq_ok",
+          F.col("doc_id") === F.min("doc_id").over(Window.partitionBy("ck")))
+        def cum(cols: Seq[String]): org.apache.spark.sql.Column =
+          F.sum(F.when(cols.map(F.col).reduce(_ && _), 1L).otherwise(0L))
+        keeper.groupBy("source").agg(
+            F.count(F.lit(1)).as("n_docs"),
+            cum(Seq("q_ok")).as("n_quality"),
+            cum(Seq("q_ok", "lang_ok")).as("n_lang"),
+            cum(Seq("q_ok", "lang_ok", "rep_ok")).as("n_rep"),
+            cum(Seq("q_ok", "lang_ok", "rep_ok", "uniq_ok")).as("n_uniq"),
+            cum(Seq("q_ok", "lang_ok", "rep_ok", "uniq_ok", "samp_ok")).as("n_kept"))
+          .orderBy("source")
+      },
+      Some(s"""
+        WITH flags AS (
+          SELECT doc_id, source,
+                 ($qualitySql) >= 0.35 AS q_ok,
+                 ($langIdSql) = 'en' AS lang_ok,
+                 (CASE WHEN len(string_split($normSql, ' ')) < 2
+                         OR length($normSql) = 0 THEN 0.0
+                       ELSE 1.0 - (CAST(len(list_distinct(
+                              [w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))])) AS DOUBLE)
+                            / CAST(len(w) - 1 AS DOUBLE)) END) < 0.6 AS rep_ok,
+                 md5($normSql) AS ck,
+                 ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 10000 < 8000 AS samp_ok
+          FROM (SELECT *, string_split($normSql, ' ') AS w FROM documents)),
+        keeper AS (
+          SELECT *, doc_id = min(doc_id) OVER (PARTITION BY ck) AS uniq_ok
+          FROM flags)
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(CASE WHEN q_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+               CAST(sum(CASE WHEN q_ok AND lang_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+               CAST(sum(CASE WHEN q_ok AND lang_ok AND rep_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_rep,
+               CAST(sum(CASE WHEN q_ok AND lang_ok AND rep_ok AND uniq_ok
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_uniq,
+               CAST(sum(CASE WHEN q_ok AND lang_ok AND rep_ok AND uniq_ok AND samp_ok
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM keeper GROUP BY source ORDER BY source
       """)),
 
     // Fixed-point per-cluster statistics: dims quantized to
