@@ -65,7 +65,8 @@ object Bench {
     val text = Set("q47_langid", "q48_quality", "q49_token_count",
       "q50_fingerprint", "q51_multimodal_meta", "q52_multimodal_decode",
       "q62_tfidf", "q66_repetition", "q67_chunk_dedup", "q70_heavy_hitters",
-      "q71_redact", "q72_frame_sample", "q73_curation_funnel")
+      "q71_redact", "q72_frame_sample", "q73_curation_funnel",
+      "q74_winnow", "q75_unigram_logprob")
     if (heavy(name)) 2 else if (text(name)) 1 else 0
   }
 

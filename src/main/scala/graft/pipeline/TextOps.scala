@@ -114,6 +114,62 @@ object TextOps {
         F.md5(F.encode(F.concat_ws(" ", F.slice(toks, i * size + 1, F.lit(size))), "UTF-8"))))
   }
 
+  /** Positional 60-bit k-gram hashes (in order, WITH duplicates — unlike
+    * `Dedup.shingles`, which is distinct): first 60 bits of md5 of each
+    * space-joined k-gram, the engine-portable hash also used by
+    * `Sampling.hashBp`. Takes the token COLUMN (bound attribute, see
+    * `chunkHashesFromTokens` for why). Fewer than k tokens ⇒ empty. */
+  def kgramHashes(toks: Column, k: Int): Column = {
+    val n = F.size(toks)
+    F.when(n < k, F.array().cast("array<long>")).otherwise(
+      F.transform(F.sequence(F.lit(0), n - k), i =>
+        F.conv(F.substring(F.md5(F.encode(
+          F.concat_ws(" ", F.slice(toks, i + 1, F.lit(k))), "UTF-8")), 1, 15), 16, 10)
+          .cast("long")))
+  }
+
+  /** Winnowing fingerprints (the MOSS rolling-hash scheme): the minimum
+    * k-gram hash of every sliding window of `w` consecutive k-grams,
+    * deduplicated and sorted. Guarantees any shared run of ≥ w+k−1
+    * tokens between two documents yields at least one shared
+    * fingerprint, while storing ~2/(w+1) of the hashes — the
+    * sub-document dedup/attribution primitive. Scan-stage only. */
+  def winnow(hashes: Column, w: Int): Column = {
+    val m = F.size(hashes)
+    F.array_sort(F.array_distinct(
+      F.when(m === 0, F.array().cast("array<long>"))
+        .when(m <= w, F.array(F.array_min(hashes)))
+        .otherwise(F.transform(F.sequence(F.lit(0), m - w), j =>
+          F.array_min(F.slice(hashes, j + 1, F.lit(w)))))))
+  }
+
+  /** Per-document mean unigram log-probability — the perplexity-proxy
+    * quality signal (a unigram LM standing in for KenLM): for each token
+    * instance, ln(corpusCount(term)/corpusTokens), averaged per doc.
+    * Rare-word-heavy or garbled documents score far below fluent text.
+    *
+    * Shape at scale: one explode + (doc,term) aggregation, the corpus
+    * unigram table comes back BROADCAST (vocabulary-sized), and the
+    * per-doc mean sums round(ln, 6) through exact decimals so the
+    * result is partition-order-independent (same layered fixed-point
+    * discipline as `Embeddings.clusterStats`). */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val terms = docs
+      .filter(F.length(normalize(F.col(textCol))) > 0)
+      .select(F.col(idCol), F.explode(tokens(F.col(textCol))).as("term"))
+    val tf = terms.groupBy(idCol, "term").agg(F.count(F.lit(1)).as("tf"))
+    val uni = tf.groupBy("term").agg(F.sum("tf").as("cnt"))
+    val n = uni.select(F.sum("cnt").as("__n"))
+    tf.join(F.broadcast(uni), "term")
+      .crossJoin(F.broadcast(n))
+      .withColumn("__lp",
+        F.round(F.log(F.col("cnt").cast("double") / F.col("__n")), 6)
+          .cast("decimal(18,6)") * F.col("tf"))
+      .groupBy(idCol)
+      .agg(F.sum("tf").as("n_tokens"),
+        F.round(F.sum(F.col("__lp")).cast("double") / F.sum("tf"), 4).as("logprob"))
+  }
+
   /** TF-IDF: term frequencies per document joined with corpus document
     * frequencies. Emits one row per (doc, term) with tf, df and
     * tfidf = tf · ln(N/df).

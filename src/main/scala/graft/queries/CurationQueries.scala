@@ -298,6 +298,63 @@ object CurationQueries extends QueryPack {
         FROM keeper GROUP BY source ORDER BY source
       """)),
 
+    // Winnowing fingerprints (MOSS rolling-hash scheme): min k-gram
+    // hash per sliding window, dedup'd — the sub-document attribution/
+    // dedup primitive. k=3 grams, window w=4. Entirely scan-stage;
+    // hashes are the md5-prefix 60-bit integers both engines agree on.
+    Query(
+      "q74_winnow",
+      (s, dir) => {
+        val T = graft.pipeline.TextOps
+        Tables.documents(s, dir)
+          .select(F.col("doc_id"), T.tokens(F.col("text")).as("w"))
+          .select(F.col("doc_id"), T.kgramHashes(F.col("w"), 3).as("h"))
+          .select(F.col("doc_id"), F.explode(T.winnow(F.col("h"), 4)).as("fp"))
+          .orderBy("doc_id", "fp")
+      },
+      Some(s"""
+        WITH ws AS (
+          SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+        kg AS (
+          SELECT doc_id,
+                 CASE WHEN len(w) < 3 THEN []
+                      ELSE [('0x' || substring(md5(array_to_string(w[i:i+2], ' ')), 1, 15))::BIGINT
+                            FOR i IN range(1, len(w) - 1)] END AS h
+          FROM ws),
+        fps AS (
+          SELECT doc_id,
+                 CASE WHEN len(h) = 0 THEN []
+                      WHEN len(h) <= 4 THEN [list_min(h)]
+                      ELSE [list_min(h[j:j+3]) FOR j IN range(1, len(h) - 2)] END AS fp
+          FROM kg)
+        SELECT doc_id, unnest(list_sort(list_distinct(fp))) AS fp
+        FROM fps ORDER BY doc_id, fp
+      """)),
+
+    // Unigram log-probability (perplexity-proxy LM quality score): mean
+    // ln(count/N) over token instances. Corpus unigram table broadcasts;
+    // the per-doc mean goes round(ln,6)→decimal→sum so the float
+    // reduction is partition-order-independent.
+    Query(
+      "q75_unigram_logprob",
+      (s, dir) => {
+        graft.pipeline.TextOps.unigramLogProb(Tables.documents(s, dir), "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH terms AS (
+          SELECT doc_id, unnest(string_split($normSql, ' ')) AS term
+          FROM documents WHERE length($normSql) > 0),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        uni AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+        n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM uni)
+        SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+               round(CAST(sum(CAST(round(ln(CAST(cnt AS DOUBLE) / n), 6)
+                 AS DECIMAL(18,6)) * tf) AS DOUBLE) / sum(tf), 4) AS logprob
+        FROM tf JOIN uni USING (term), n
+        GROUP BY doc_id ORDER BY doc_id
+      """)),
+
     // Fixed-point per-cluster statistics: dims quantized to
     // round(x·10^6) int64, so every cross-row reduction is an exact
     // integer sum — bit-identical under any partitioning/merge order/

@@ -70,6 +70,39 @@ class CurationSpec extends AnyFunSuite {
     assert(r.getDouble(2) <= scale / 2 + 1e-12)
   }
 
+  test("winnow: shared runs of >= w+k-1 tokens share a fingerprint; storage shrinks") {
+    val df = Seq(
+      (1, "alpha beta gamma delta epsilon zeta unique1 unique2 unique3"),
+      (2, "other words here alpha beta gamma delta epsilon zeta trailing"),
+      (3, "completely different content with no overlap at all present")
+    ).toDF("id", "text")
+    val fps = df.select($"id", TextOps.tokens($"text").as("w"))
+      .select($"id", TextOps.kgramHashes($"w", 3).as("h"))
+      .select($"id", TextOps.winnow($"h", 4).as("fp"),
+        org.apache.spark.sql.functions.size($"h").as("nh"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Long](1).toSet, r.getInt(2))).toList
+    val m = fps.map(t => t._1 -> t._2).toMap
+    // docs 1 and 2 share "alpha beta gamma delta epsilon zeta" (6 = w+k-1)
+    assert((m(1) intersect m(2)).nonEmpty, s"guarantee violated: ${m(1)} vs ${m(2)}")
+    assert((m(1) intersect m(3)).isEmpty)
+    // fingerprints are a strict subset of the k-gram hashes
+    fps.foreach { case (_, fp, nh) => assert(fp.size < nh) }
+  }
+
+  test("unigramLogProb: common-word docs outscore rare-word docs") {
+    val df = Seq(
+      (1L, "the the the the"),        // most frequent token
+      (2L, "rare1 rare2 rare3 rare4") // singletons
+    ).toDF("doc_id", "text")
+    val got = TextOps.unigramLogProb(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(1L)._1 == 4 && got(2L)._1 == 4)
+    assert(got(1L)._2 > got(2L)._2, s"common must outscore rare: $got")
+    // doc 1: ln(4/8) = -0.6931...; doc 2: ln(1/8) = -2.0794...
+    assert(math.abs(got(1L)._2 - -0.6931) < 1e-3)
+    assert(math.abs(got(2L)._2 - -2.0794) < 1e-3)
+  }
+
   test("clusterStats: exact fixed-point inertia on a known clustering") {
     val df = Seq(
       (0, Array(1.0f, 0.0f)), (0, Array(0.0f, 1.0f)),   // centroid (.5,.5)
