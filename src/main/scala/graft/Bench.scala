@@ -171,7 +171,7 @@ object Bench {
           val df = spark.read.parquet(s"$sfDir/$t.parquet")
           // touch every column so the bytes (incl. binary payloads) are
           // actually read, not just footers
-          df.selectExpr(df.columns.map(c => s"max(length(cast(`$c` as string)))"): _*).collect()
+          df.selectExpr(df.columns.toIndexedSeq.map(c => s"max(length(cast(`$c` as string)))"): _*).collect()
         } catch { case _: Throwable => () }
       }
     }
