@@ -1,0 +1,110 @@
+package graft
+
+import graft.core.{Lookup, TadaFrame, Sorter}
+import graft.pipeline.{Embeddings, Sampling, TextOps}
+import org.apache.spark.sql.{functions => F}
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ScalaCheck property tests — the layer the reference lacks entirely
+  * (SURVEY §5: all its tests are example-based). Each property drives
+  * real Spark jobs, so minSuccessfulTests stays small; the generators
+  * aim at the semantic contracts most likely to break under refactors:
+  * first-match join cardinality, nulls-last sorts, sampling determinism,
+  * metric ranges, fixed-point non-negativity. */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def check(name: String, n: Int)(prop: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n).withWorkers(1), prop)
+    assert(res.passed, s"$name: ${res.status}")
+  }
+
+  test("first-match merge NEVER multiplies rows, for any key multisets") {
+    val gen = for {
+      lk <- Gen.listOfN(12, Gen.choose(0, 5))
+      rk <- Gen.listOfN(12, Gen.choose(0, 5))
+    } yield (lk, rk)
+    check("cardinality", 10)(Prop.forAll(gen) { case (lk, rk) =>
+      val left = TadaFrame.ingest(
+        lk.zipWithIndex.map { case (k, i) => (k, s"l$i") }.toDF("k", "lv"))
+      val right = TadaFrame.ingest(
+        rk.zipWithIndex.map { case (k, i) => (k, s"r$i") }.toDF("k", "rv"))
+      val merged = Lookup.merge(left, right, leftOn = Seq("k"), rightOn = Seq("k"))
+      merged.df.count() == lk.size
+    })
+  }
+
+  test("sort places nulls last in BOTH directions, for any null mix") {
+    val gen = Gen.listOfN(10, Gen.option(Gen.choose(-50, 50)))
+    check("nulls-last", 8)(Prop.forAll(gen) { xs =>
+      val df = xs.map(x => Tuple1(x.map(_.toString).orNull)).toDF("v")
+        .select(F.col("v").cast("int").as("v"))
+      val nNull = xs.count(_.isEmpty)
+      def tailNulls(desc: Boolean) = {
+        val f = TadaFrame.ingest(df).sort(Sorter("v", descending = desc))
+        val vals = f.sorted.select("v").collect().map(r => Option(r.get(0)))
+        vals.takeRight(nNull).forall(_.isEmpty) &&
+          vals.dropRight(nNull).forall(_.nonEmpty)
+      }
+      tailNulls(desc = false) && tailNulls(desc = true)
+    })
+  }
+
+  test("deterministic sampling is a pure row predicate: union = disjoint parts") {
+    val gen = Gen.listOfN(40, Gen.choose(0L, 1000000L)).map(_.distinct)
+    check("sampling", 8)(Prop.forAll(gen) { ids =>
+      val df = ids.toDF("id")
+      val in = Sampling.deterministic(df, F.col("id").cast("string"), 3000)
+        .select("id").collect().map(_.getLong(0)).toSet
+      val out = df.filter(Sampling.hashBp(F.col("id").cast("string")) >= 3000)
+        .select("id").collect().map(_.getLong(0)).toSet
+      (in intersect out).isEmpty && (in union out) == ids.toSet
+    })
+  }
+
+  test("dupNgramFraction is in [0,1) and 0 below n tokens, for any word list") {
+    val word = Gen.oneOf("aa", "bb", "cc", "dd")
+    val gen = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, word))
+    check("repetition-range", 8)(Prop.forAll(gen) { ws =>
+      val df = Seq(Tuple1(ws.mkString(" "))).toDF("text")
+      val f = df.select(TextOps.dupNgramFraction(F.col("text"), 2).as("f"))
+        .head.getDouble(0)
+      if (ws.size < 2) f == 0.0 else f >= 0.0 && f < 1.0
+    })
+  }
+
+  test("winnow fingerprints are a subset of k-gram hashes; shared run => shared fp") {
+    val word = Gen.oneOf("u1", "u2", "u3", "u4", "u5", "u6", "u7", "u8")
+    val gen = for {
+      a <- Gen.listOfN(8, word)
+      b <- Gen.listOfN(8, word)
+      shared <- Gen.listOfN(6, word) // w+k-1 = 6 guarantees a shared window
+    } yield (a ++ shared, shared ++ b)
+    check("winnow", 8)(Prop.forAll(gen) { case (d1, d2) =>
+      val df = Seq((1, d1.mkString(" ")), (2, d2.mkString(" "))).toDF("id", "text")
+      val rows = df.select($"id", TextOps.tokens($"text").as("w"))
+        .select($"id", TextOps.kgramHashes($"w", 3).as("h"))
+        .select($"id", $"h", TextOps.winnow($"h", 4).as("fp"))
+        .collect().map(r => r.getInt(0) ->
+          (r.getSeq[Long](1).toSet, r.getSeq[Long](2).toSet)).toMap
+      val subset = rows.values.forall { case (h, fp) => fp.subsetOf(h) }
+      val sharedFp = (rows(1)._2 intersect rows(2)._2).nonEmpty
+      subset && sharedFp
+    })
+  }
+
+  test("clusterStats: within-variance and centroid norm are never negative") {
+    val vec = Gen.listOfN(4, Gen.choose(-1000, 1000).map(_ / 1000.0f))
+    val gen = Gen.listOfN(6, Gen.zip(Gen.choose(0, 1), vec))
+    check("fixed-point", 8)(Prop.forAll(gen) { rows =>
+      val df = rows.map { case (l, v) => (l, v.toArray) }.toDF("label", "embedding")
+      Embeddings.clusterStats(df, "label", "embedding")
+        .collect().forall { r =>
+          r.getDouble(4) >= 0.0 && r.getDouble(5) >= -1e-12
+        }
+    })
+  }
+}
