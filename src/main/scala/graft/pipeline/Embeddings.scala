@@ -26,9 +26,11 @@ object Embeddings {
     F.sqrt(F.aggregate(v, F.lit(0.0), (a, x) => a + x * x))
 
   /** Max absolute reconstruction error of round-trip int8 quantization
-    * at the given scale column. */
+    * at the given scale column. A zero vector (scale 0) quantizes to
+    * itself exactly — guarded so the division never produces NaN. */
   def maxQuantError(v: Column, scale: Column): Column =
-    F.array_max(F.transform(v, x => F.abs(x - F.round(x / scale) * scale)))
+    F.when(scale === 0, F.lit(0.0)).otherwise(
+      F.array_max(F.transform(v, x => F.abs(x - F.round(x / scale) * scale))))
 
   /** Per-cluster statistics over an embedding column, in exact
     * fixed-point arithmetic (dims quantized to round(x·10^6) as int64):

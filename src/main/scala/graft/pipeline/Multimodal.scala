@@ -59,6 +59,20 @@ object Multimodal {
     }
   }
 
+  /** STUB resize: recompute feature metadata for a target bounding box,
+    * preserving aspect ratio (the real op would rescale pixel buffers in
+    * the same batched mapPartitions stage; the metadata arithmetic and
+    * the typed row flow are the part a pipeline depends on). */
+  def resizeTo(features: Dataset[MediaFeatures], maxDim: Int)
+              (implicit spark: SparkSession): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    features.map { f =>
+      val s = math.min(1.0, maxDim.toDouble / math.max(f.width, f.height))
+      f.copy(width = math.max(1, (f.width * s).toInt),
+        height = math.max(1, (f.height * s).toInt))
+    }
+  }
+
   /** Deterministic frame sampling over an opaque binary payload: treat
     * the payload as consecutive `frameBytes`-byte frames, keep every
     * `everyK`-th full frame, emit per-frame content checksums — the

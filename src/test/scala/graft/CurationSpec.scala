@@ -103,6 +103,23 @@ class CurationSpec extends AnyFunSuite {
     assert(math.abs(got(2L)._2 - -2.0794) < 1e-3)
   }
 
+  test("quantization guard: zero vector has zero error; resize preserves aspect") {
+    val df = Seq((1, Array(0.0f, 0.0f))).toDF("id", "vec")
+    val r = df.select(Embeddings.asDouble($"vec").as("v"))
+      .withColumn("scale", Embeddings.int8Scale($"v"))
+      .select(Embeddings.maxQuantError($"v", $"scale")).head.getDouble(0)
+    assert(r == 0.0)
+    implicit val s = spark
+    import spark.implicits._
+    val feats = Seq(
+      graft.pipeline.Multimodal.MediaFeatures(1L, 10, "png", 640, 480, 7L),
+      graft.pipeline.Multimodal.MediaFeatures(2L, 10, "png", 100, 50, 8L)).toDS()
+    val out = graft.pipeline.Multimodal.resizeTo(feats, 320)
+      .collect().map(f => f.doc_id -> (f.width, f.height)).toMap
+    assert(out(1L) == ((320, 240))) // downscaled, aspect kept
+    assert(out(2L) == ((100, 50)))  // never upscaled
+  }
+
   test("clusterStats: exact fixed-point inertia on a known clustering") {
     val df = Seq(
       (0, Array(1.0f, 0.0f)), (0, Array(0.0f, 1.0f)),   // centroid (.5,.5)
