@@ -254,8 +254,12 @@ object Dedup {
         val roots = parent.keys.toArray.map(k => (k, find(k)))
         val minOfRoot = roots.groupBy(_._2).map { case (r, ks) => r -> ks.map(_._1).min }
         import spark.implicits._
+        // cast back to the caller's id type so both solve paths emit the
+        // same schema regardless of which side of the gate the graph hit
+        val idType = edges.schema("src").dataType
         return roots.map { case (k, r) => (k, minOfRoot(r)) }.toSeq
           .toDF("id", "cluster")
+          .select(F.col("id").cast(idType), F.col("cluster").cast(idType))
       }
       var labels = edges.select(F.col("src").as("id")).distinct()
         .withColumn("cluster", F.col("id")).localCheckpoint(true)

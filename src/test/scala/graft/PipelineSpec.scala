@@ -156,6 +156,12 @@ class PipelineSpec extends AnyFunSuite {
     assert((0L to 40L).forall(local(_) == 0L))
     assert(Seq(100L, 101L, 102L).forall(local(_) == 100L))
     assert(local(201L) == 200L)
+    // both paths must emit the caller's id type (int ids stay int)
+    val intPairs = Seq((1, 2), (2, 3)).toDF("id_a", "id_b")
+    val sLocal = Dedup.connectedComponents(intPairs).schema.map(_.dataType)
+    val sIter = Dedup.connectedComponents(intPairs, localSolveMaxEdges = 0)
+      .schema.map(_.dataType)
+    assert(sLocal == sIter, s"schema drift across solve paths: $sLocal vs $sIter")
   }
 
   test("langid picks the language with most marker hits") {
