@@ -66,7 +66,7 @@ object Bench {
       "q50_fingerprint", "q51_multimodal_meta", "q52_multimodal_decode",
       "q62_tfidf", "q66_repetition", "q67_chunk_dedup", "q70_heavy_hitters",
       "q71_redact", "q72_frame_sample", "q73_curation_funnel",
-      "q74_winnow", "q75_unigram_logprob")
+      "q74_winnow", "q75_unigram_logprob", "q76_contamination")
     if (heavy(name)) 2 else if (text(name)) 1 else 0
   }
 

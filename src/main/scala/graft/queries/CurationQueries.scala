@@ -355,6 +355,48 @@ object CurationQueries extends QueryPack {
         GROUP BY doc_id ORDER BY doc_id
       """)),
 
+    // Benchmark-contamination scan (decontamination): per corpus doc,
+    // the fraction of its distinct 3-gram shingles that appear anywhere
+    // in a held-out eval set (here: the src0 slice). Shape at scale:
+    // the eval shingle set is distinct-compressed and BROADCAST (eval
+    // suites are tiny next to a corpus), so the corpus side never
+    // shuffles — one scan + broadcast probe + per-doc rollup.
+    Query(
+      "q76_contamination",
+      (s, dir) => {
+        val T = graft.pipeline.TextOps
+        val d = Tables.documents(s, dir)
+        val eval = d.filter(F.col("source") === "src0")
+          .select(F.explode(graft.pipeline.Dedup.shingles(F.col("text"), 3)).as("g"))
+          .distinct().withColumn("__hit", F.lit(1))
+        val corpus = d.filter(F.col("source") =!= "src0")
+          .select(F.col("doc_id"),
+            F.explode(graft.pipeline.Dedup.shingles(F.col("text"), 3)).as("g"))
+        corpus.join(F.broadcast(eval), Seq("g"), "left")
+          .groupBy("doc_id")
+          .agg(F.count(F.lit(1)).as("n_grams"),
+            F.sum(F.when(F.col("__hit").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+          .withColumn("contamination",
+            F.col("n_hit").cast("double") / F.col("n_grams").cast("double"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH sh AS (
+          SELECT doc_id, source,
+                 CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                      ELSE list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                          FOR i IN range(1, len(ws) - 1)]) END AS sh
+          FROM (SELECT doc_id, source, string_split($normSql, ' ') AS ws FROM documents)),
+        ev AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE source = 'src0'),
+        corpus AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE source <> 'src0')
+        SELECT c.doc_id, count(*) AS n_grams,
+               CAST(sum(CASE WHEN e.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+               CAST(sum(CASE WHEN e.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) AS contamination
+        FROM corpus c LEFT JOIN ev e ON c.g = e.g
+        GROUP BY c.doc_id ORDER BY c.doc_id
+      """)),
+
     // Fixed-point per-cluster statistics: dims quantized to
     // round(x·10^6) int64, so every cross-row reduction is an exact
     // integer sum — bit-identical under any partitioning/merge order/
