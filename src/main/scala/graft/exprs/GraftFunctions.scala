@@ -1,10 +1,30 @@
 package graft.exprs
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Expression
 
 /** Registration for graft's native Catalyst expressions — callable from
   * Column code via `F.call_function` and from SQL by name. */
 object GraftFunctions {
+
+  /** The single source of truth for (name, usage, builder) — consumed by
+    * both the imperative `register` below and the session-build-time
+    * `GraftExtensions` injection, so the two deployment paths can never
+    * drift apart. Int params arrive as foldable literals from
+    * `call_function`. */
+  val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("simhash64", "_FUNC_(tokens) - 64-bit SimHash of a token array",
+      es => SimHash64(es.head)),
+    ("cosine_sim", "_FUNC_(a, b) - cosine similarity of two float arrays",
+      es => CosineSim(es(0), es(1))),
+    ("jaccard_sim", "_FUNC_(a, b) - Jaccard similarity of two string arrays",
+      es => JaccardSim(es(0), es(1))),
+    ("shingle_w", "_FUNC_(tokens, w) - distinct word w-shingles",
+      es => Shingles(es.head, es(1).eval().asInstanceOf[Int])),
+    ("minhash_bands", "_FUNC_(shingles, k, bands) - LSH band keys",
+      es => MinHashBands(es.head,
+        es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])))
+
   /** Idempotent: re-registering an existing name invalidates session
     * caches (measured 12× slowdown on the next run of the same query),
     * so register once per session only. Synchronized because Verify/Bench
@@ -12,17 +32,7 @@ object GraftFunctions {
     * together would both re-register and trigger that invalidation. */
   def register(spark: SparkSession): Unit = synchronized {
     val reg = spark.sessionState.functionRegistry
-    val fns: Seq[(String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
-        org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
-      "simhash64" -> (es => SimHash64(es.head)),
-      "cosine_sim" -> (es => CosineSim(es(0), es(1))),
-      "jaccard_sim" -> (es => JaccardSim(es(0), es(1))),
-      // the int params arrive as foldable literals from call_function
-      "shingle_w" -> (es => Shingles(es.head,
-        es(1).eval().asInstanceOf[Int])),
-      "minhash_bands" -> (es => MinHashBands(es.head,
-        es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])))
-    fns.foreach { case (name, builder) =>
+    builders.foreach { case (name, _, builder) =>
       val id = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
       if (!reg.functionExists(id)) {
         reg.createOrReplaceTempFunction(name, builder, "scala_udf")

@@ -230,11 +230,20 @@ object Dedup {
       // at all), so below a threshold union-find on the driver replaces
       // O(rounds) Spark jobs with one collect + one createDataFrame.
       // The iterative path below remains the scale path for graphs
-      // that genuinely exceed driver memory (threshold is edge count;
-      // 2M edges ≈ 32 MB of longs — far under any driver budget).
+      // that genuinely exceed driver memory (threshold counts DIRECTED
+      // edges = 2× input pairs; 2M ≈ 32 MB of longs — far under any
+      // driver budget). The count/collect scan the already-checkpointed
+      // edges, so the expensive upstream (LSH candidate generation) is
+      // never recomputed. Integral id types only — string/decimal ids
+      // take the type-agnostic iterative path (min-label propagation
+      // works on any ordered type; a long cast would corrupt them).
+      val integralIds = Seq("byte", "short", "integer", "long")
+        .contains(edges.schema("src").dataType.typeName)
       val nEdges = edges.count()
-      if (nEdges <= localSolveMaxEdges) {
-        val pairs2 = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+      if (integralIds && nEdges <= localSolveMaxEdges) {
+        // src <= dst keeps one direction plus self-pairs (isolated nodes)
+        val pairs2 = edges.filter(F.col("src") <= F.col("dst"))
+          .select(F.col("src").cast("long"), F.col("dst").cast("long"))
           .collect().map(r => (r.getLong(0), r.getLong(1)))
         val parent = scala.collection.mutable.Map.empty[Long, Long]
         def find(x: Long): Long = {

@@ -68,8 +68,8 @@ object Multimodal {
     import spark.implicits._
     features.map { f =>
       val s = math.min(1.0, maxDim.toDouble / math.max(f.width, f.height))
-      f.copy(width = math.max(1, (f.width * s).toInt),
-        height = math.max(1, (f.height * s).toInt))
+      f.copy(width = math.max(1, math.round(f.width * s).toInt),
+        height = math.max(1, math.round(f.height * s).toInt))
     }
   }
 

@@ -129,7 +129,9 @@ object CurationQueries extends QueryPack {
           SELECT vec_id, v, list_max([abs(x) FOR x IN v]) / 127.0 AS scale FROM v)
         SELECT vec_id, scale,
                round(sqrt(list_sum([x * x FOR x IN v])), 5) AS norm,
-               round(list_max([abs(x - round(x / scale) * scale) FOR x IN v]), 6) AS max_qerr
+               CASE WHEN scale = 0 THEN 0.0
+                    ELSE round(list_max([abs(x - round(x / scale) * scale) FOR x IN v]), 6)
+               END AS max_qerr
         FROM s ORDER BY vec_id
       """)),
 

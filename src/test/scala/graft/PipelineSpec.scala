@@ -162,6 +162,19 @@ class PipelineSpec extends AnyFunSuite {
     val sIter = Dedup.connectedComponents(intPairs, localSolveMaxEdges = 0)
       .schema.map(_.dataType)
     assert(sLocal == sIter, s"schema drift across solve paths: $sLocal vs $sIter")
+    // string ids (e.g. md5 content keys) must NOT take the long-casting
+    // local path — the type-agnostic iterative solve handles them
+    val strPairs = Seq(("docA", "docB"), ("docB", "docC"), ("x", "y"))
+      .toDF("id_a", "id_b")
+    val strGot = Dedup.connectedComponents(strPairs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(strGot == Map("docA" -> "docA", "docB" -> "docA", "docC" -> "docA",
+      "x" -> "x", "y" -> "x"), strGot.toString)
+    // self-pairs keep isolated nodes visible on the local path
+    val selfPairs = Seq((5L, 5L), (7L, 8L)).toDF("id_a", "id_b")
+    val selfGot = Dedup.connectedComponents(selfPairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(selfGot == Map(5L -> 5L, 7L -> 7L, 8L -> 7L), selfGot.toString)
   }
 
   test("langid picks the language with most marker hits") {
