@@ -169,6 +169,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming curation pipeline (quality gate + dedup + sample) agrees with batch") {
+    import spark.implicits._
+    val T = graft.pipeline.TextOps
+    val dir = java.nio.file.Files.createTempDirectory("graft-curation-stream")
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val docs = Seq(
+      (1L, t("2024-01-01 00:00:00"), "the cat and the dog of this house is that one with hats on it"),
+      (2L, t("2024-01-01 00:01:00"), "zz"), // fails the quality gate
+      (3L, t("2024-01-01 00:02:00"), "the cat and the dog of this house is that one with hats on it"), // exact dup of 1
+      (4L, t("2024-01-01 00:03:00"), "a completely different document with the usual words in it for this test"))
+      .toDF("doc_id", "ts", "text")
+    docs.repartition(1).write.parquet(dir.toString + "/docs")
+    val stream = spark.readStream.schema(docs.schema).parquet(dir.toString + "/docs")
+    // the streaming ingest form of the q73 funnel: scan-stage gates are
+    // plain filters, dedup keys state on the content hash within the
+    // watermark, the sample predicate is stateless
+    val curated = graft.streaming.Streams.dedupStream(
+        stream.filter(T.qualityScore(F.col("text")) >= 0.35)
+          .withColumn("ck", graft.pipeline.Dedup.exactKey(F.col("text"))),
+        "ts", "10 minutes", Seq("ck"))
+      .filter(graft.pipeline.Sampling.hashBp(F.col("doc_id").cast("string")) < 9900)
+    val q = curated.select("doc_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("curated_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("curated_out").collect().map(_.getLong(0)).toSet
+      // batch replay of the same gates (first-arrival dedup = min ts)
+      val batch = spark.read.parquet(dir.toString + "/docs")
+        .filter(T.qualityScore(F.col("text")) >= 0.35)
+        .withColumn("ck", graft.pipeline.Dedup.exactKey(F.col("text")))
+        .withColumn("rn", F.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("ck").orderBy("ts")))
+        .filter(F.col("rn") === 1)
+        .filter(graft.pipeline.Sampling.hashBp(F.col("doc_id").cast("string")) < 9900)
+        .collect().map(_.getLong(0)).toSet
+      assert(streamed == batch, s"stream $streamed != batch $batch")
+      assert(!streamed.contains(2L) && !streamed.contains(3L),
+        "quality gate and dedup must both have fired")
+      assert(streamed.contains(1L))
+    } finally q.stop()
+  }
+
   test("streaming deterministic sample equals the batch sample row set") {
     val src = "/root/testdata/sf0.001/events.parquet"
     val dir = java.nio.file.Files.createTempDirectory("graft-sample-stream")
