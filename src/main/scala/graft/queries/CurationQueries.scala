@@ -399,6 +399,49 @@ object CurationQueries extends QueryPack {
         GROUP BY c.doc_id ORDER BY c.doc_id
       """)),
 
+    // Robust outlier profile (median/MAD z-score) — numeric-feature
+    // cleaning for training pipelines: per group, the exact median,
+    // the median absolute deviation, and how many rows sit beyond
+    // 3 MADs. Two exact-percentile aggregations with the tiny per-group
+    // stats broadcast back between passes; medians are exact
+    // (interpolated) on both engines, and every other op is a
+    // deterministic IEEE expression, so no rounding is needed.
+    Query(
+      "q77_outliers",
+      (s, dir) => {
+        val e = Tables.events(s, dir).select("event_type", "value")
+        val med = e.groupBy("event_type")
+          .agg(F.expr("percentile(value, 0.5)").as("med"))
+        val dev = e.join(F.broadcast(med), "event_type")
+          .withColumn("adev", F.abs(F.col("value") - F.col("med")))
+        val mad = dev.groupBy("event_type")
+          .agg(F.expr("percentile(adev, 0.5)").as("mad"))
+        dev.join(F.broadcast(mad), "event_type")
+          .groupBy("event_type")
+          .agg(F.count(F.lit(1)).as("n"),
+            F.max("med").as("med"), F.max("mad").as("mad"),
+            F.sum(F.when(F.col("adev") > F.col("mad") * 3, 1L).otherwise(0L))
+              .as("n_outliers"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH med AS (
+          SELECT event_type, quantile_cont(value, 0.5) AS med
+          FROM events GROUP BY 1),
+        dev AS (
+          SELECT e.event_type, abs(e.value - m.med) AS adev, m.med
+          FROM events e JOIN med m USING (event_type)),
+        mad AS (
+          SELECT event_type, quantile_cont(adev, 0.5) AS mad
+          FROM dev GROUP BY 1)
+        SELECT event_type, count(*) AS n,
+               max(d.med) AS med, max(m.mad) AS mad,
+               CAST(sum(CASE WHEN d.adev > m.mad * 3 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_outliers
+        FROM dev d JOIN mad m USING (event_type)
+        GROUP BY d.event_type ORDER BY event_type
+      """)),
+
     // Fixed-point per-cluster statistics: dims quantized to
     // round(x·10^6) int64, so every cross-row reduction is an exact
     // integer sum — bit-identical under any partitioning/merge order/
