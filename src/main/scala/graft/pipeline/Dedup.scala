@@ -387,7 +387,9 @@ object Dedup {
     val chunks = docs
       .select(F.col(idCol), TextOps.tokens(F.col(textCol)).as("__w"))
       .select(F.col(idCol),
-        F.explode(TextOps.chunkHashesFromTokens(F.col("__w"), size)).as("chunk_hash"))
+        // kernel form: one compiled call per row — the HOF expression
+        // form is CodegenFallback and pays interpreted eval per chunk
+        F.explode(TextOps.chunkHashesKernel(F.col("__w"), size)).as("chunk_hash"))
     val profile = chunks.groupBy("chunk_hash")
       .agg(F.min(idCol).as("__mn"), F.max(idCol).as("__mx"))
       .select(F.col("chunk_hash"), (F.col("__mn") =!= F.col("__mx")).as("__dup"))

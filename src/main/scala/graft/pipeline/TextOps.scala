@@ -114,6 +114,51 @@ object TextOps {
         F.md5(F.encode(F.concat_ws(" ", F.slice(toks, i * size + 1, F.lit(size))), "UTF-8"))))
   }
 
+  /** JVM kernels for the chunk/k-gram/winnow family. A higher-order
+    * `transform` is CodegenFallback in Spark — the whole projection
+    * drops out of codegen and every element pays interpreted-eval
+    * overhead (slice + concat + md5 per chunk). One compiled kernel
+    * call per row removes that boundary; results are bit-identical to
+    * the expression forms (cross-checked by ScalaTest) so the DuckDB
+    * oracles pin both. */
+  private def md5Hex(s: String): Array[Byte] =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+
+  /** First 60 bits of an md5 digest — equals
+    * conv(substring(md5(s),1,15),16,10): 15 hex chars = top 7.5 bytes. */
+  private def md5Top60(s: String): Long = {
+    val d = md5Hex(s)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  private val chunkHashKernel = F.udf { (toks: Seq[String], size: Int) =>
+    val n = toks.size / size
+    (0 until n).map { i =>
+      val d = md5Hex(toks.slice(i * size, i * size + size).mkString(" "))
+      d.map(b => f"$b%02x").mkString
+    }
+  }
+
+  private val winnowKernel = F.udf { (toks: Seq[String], k: Int, w: Int) =>
+    if (toks.size < k) Seq.empty[Long]
+    else {
+      val h = toks.sliding(k).map(g => md5Top60(g.mkString(" "))).toArray
+      val fps =
+        if (h.length <= w) Array(h.min)
+        else Array.tabulate(h.length - w + 1)(j => h.slice(j, j + w).min)
+      fps.distinct.sorted.toSeq
+    }
+  }
+
+  /** Kernel forms (production path for the hot pipeline stages). */
+  def chunkHashesKernel(toks: Column, size: Int): Column =
+    chunkHashKernel(toks, F.lit(size))
+  def winnowFromTokens(toks: Column, k: Int, w: Int): Column =
+    winnowKernel(toks, F.lit(k), F.lit(w))
+
   /** Positional 60-bit k-gram hashes (in order, WITH duplicates — unlike
     * `Dedup.shingles`, which is distinct): first 60 bits of md5 of each
     * space-joined k-gram, the engine-portable hash also used by

@@ -310,8 +310,9 @@ object CurationQueries extends QueryPack {
         val T = graft.pipeline.TextOps
         Tables.documents(s, dir)
           .select(F.col("doc_id"), T.tokens(F.col("text")).as("w"))
-          .select(F.col("doc_id"), T.kgramHashes(F.col("w"), 3).as("h"))
-          .select(F.col("doc_id"), F.explode(T.winnow(F.col("h"), 4)).as("fp"))
+          // kernel form (one compiled call per row); the expression form
+          // is cross-checked bit-for-bit by CurationSpec
+          .select(F.col("doc_id"), F.explode(T.winnowFromTokens(F.col("w"), 3, 4)).as("fp"))
           .orderBy("doc_id", "fp")
       },
       Some(s"""

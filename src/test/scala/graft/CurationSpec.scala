@@ -57,6 +57,26 @@ class CurationSpec extends AnyFunSuite {
     assert(out(3) == ((2L, 0L, 0.0)))
   }
 
+  test("JVM kernels match the expression forms bit-for-bit (chunk hashes, winnow)") {
+    val docs = Seq(
+      (1, "a b c d e f g h i j k l m"),
+      (2, "a b"), (3, ""), (4, "x y z x y z x y z")
+    ).toDF("id", "text")
+    val base = docs.select($"id", TextOps.tokens($"text").as("w"))
+    val ch = base.select($"id",
+        TextOps.chunkHashesFromTokens($"w", 3).as("expr"),
+        TextOps.chunkHashesKernel($"w", 3).as("kern"))
+      .collect()
+    ch.foreach(r => assert(r.getSeq[String](1) == r.getSeq[String](2),
+      s"chunk mismatch id=${r.getInt(0)}"))
+    val wn = base.select($"id",
+        TextOps.winnow(TextOps.kgramHashes($"w", 3), 4).as("expr"),
+        TextOps.winnowFromTokens($"w", 3, 4).as("kern"))
+      .collect()
+    wn.foreach(r => assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+      s"winnow mismatch id=${r.getInt(0)}: ${r.getSeq[Long](1)} vs ${r.getSeq[Long](2)}"))
+  }
+
   test("int8 quantization: scale, norm, bounded reconstruction error") {
     val df = Seq((1, Array(0.3f, -0.4f, 0.0f))).toDF("id", "vec")
     val base = df.select($"id", Embeddings.asDouble($"vec").as("v"))
