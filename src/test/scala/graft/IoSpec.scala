@@ -129,6 +129,24 @@ class IoSpec extends AnyFunSuite {
     assert(scanned.contains(1), s"expected 1 of 3 partitions scanned, got $scanned")
   }
 
+  test("ORC roundtrip with predicate pushdown (alternate columnar format)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    val df = (0 until 200).map(i => (i.toLong, s"name$i", i * 2.5)).toDF("id", "name", "v")
+    df.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.count() == 200)
+    assert(back.schema.map(_.name) == Seq("id", "name", "v"))
+    val q = back.filter($"id" < 10).select("id", "v")
+    assert(q.count() == 10)
+    val scan = q.queryExecution.executedPlan.toString
+    // both levers must reach the ORC scan: predicate + column pruning
+    assert(scan.contains("PushedFilters: [IsNotNull(id), LessThan(id,10)]"),
+      s"ORC pushdown missing:\n$scan")
+    assert(scan.contains("ReadSchema: struct<id:bigint,v:double>"),
+      s"ORC column pruning missing:\n$scan")
+  }
+
   test("matrix reader/writer roundtrip (gonum Dims/At surface)") {
     val m = Seq(Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))
     val f = TadaIO.readMatrix(spark, m)
