@@ -39,6 +39,19 @@ object Streams {
       .agg(F.count(F.lit(1)).as("n"))
       .select(F.col("window.start").as("bucket"), F.col("n"))
 
+  /** Native session windows (streaming form of `Temporal.sessionize`):
+    * gap-based sessions via the built-in `session_window` — state is
+    * merged incrementally per key and closed once the watermark passes
+    * the session end, so memory is bounded by OPEN sessions only. */
+  def sessionCounts(events: DataFrame, gap: String, watermark: String,
+                    key: String = "user_id"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(F.session_window(F.col("ts"), gap), F.col(key))
+      .agg(F.count(F.lit(1)).as("n"))
+      .select(F.col("session_window.start").as("session_start"),
+        F.col("session_window.end").as("session_end"), F.col(key), F.col("n"))
+
   /** Streaming exact dedup — the incremental form of `Dedup.exactKey`
     * (a training-data ingest pipeline dedups as documents ARRIVE, not in
     * batch sweeps). `dropDuplicatesWithinWatermark` keys state on the

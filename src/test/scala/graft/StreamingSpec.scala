@@ -135,6 +135,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("native session windows split on gaps and agree with batch sessionize") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-session-stream")
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1: two sessions split by a >30min gap; user 2: one session
+    val events = Seq(
+      (1L, t("2024-01-01 10:00:00"), 1L),
+      (2L, t("2024-01-01 10:10:00"), 1L),
+      (3L, t("2024-01-01 11:30:00"), 1L),
+      (4L, t("2024-01-01 10:05:00"), 2L),
+      (5L, t("2024-01-01 23:00:00"), 9L)) // nudges the watermark forward
+      .toDF("event_id", "ts", "user_id")
+    events.repartition(1).write.parquet(dir.toString + "/ev")
+    val stream = spark.readStream.schema(events.schema).parquet(dir.toString + "/ev")
+    val q = Streams.sessionCounts(stream, "30 minutes", "1 minute")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("session_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("session_out")
+        .filter($"user_id" <= 2L)
+        .collect().map(r => (r.getLong(2), r.getTimestamp(0).toString, r.getLong(3))).toSet
+      assert(got == Set(
+        (1L, "2024-01-01 10:00:00.0", 2L),  // events 1+2 merge (10 min apart)
+        (1L, "2024-01-01 11:30:00.0", 1L),  // event 3 after the 80-min gap
+        (2L, "2024-01-01 10:05:00.0", 1L)), s"got $got")
+      // agreement with the batch gap-sessionizer on session COUNT per user
+      val batch = graft.core.Temporal.sessionize(
+          spark.read.parquet(dir.toString + "/ev").filter($"user_id" <= 2L),
+          Seq("user_id"), "ts", F.lit(1800L * 1000000), tieBreak = Seq("event_id"))
+        .groupBy("user_id").agg(F.countDistinct("session").as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(batch == Map(1L -> 2L, 2L -> 1L))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches the batch range predicate") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-ssjoin")
