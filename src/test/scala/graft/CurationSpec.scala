@@ -140,6 +140,25 @@ class CurationSpec extends AnyFunSuite {
     assert(out(2L) == ((100, 50)))  // never upscaled
   }
 
+  test("plan shapes: the scale-critical properties of the curation queries hold") {
+    val dir = "/root/testdata/sf0.001"
+    def plan(name: String): String = graft.queries.Registry.all
+      .find(_.name == name).get.build(spark, dir)
+      .queryExecution.executedPlan.toString
+    // q66: repetition metrics are scan-stage — no aggregate, no join;
+    // the only exchange is the presentation sort
+    val p66 = plan("q66_repetition")
+    assert(!p66.contains("HashAggregate") && !p66.contains("Join"), p66)
+    // q70: per-group top-k must prune partially before the rank shuffle
+    assert(plan("q70_heavy_hitters").contains("WindowGroupLimit"))
+    // q76: the eval shingle set must broadcast (corpus side never
+    // shuffles for the probe)
+    assert(plan("q76_contamination").contains("BroadcastHashJoin"))
+    // q69: both reductions carry integer partials with map-side combine
+    val p69 = plan("q69_cluster_stats")
+    assert(p69.contains("partial_sum"), p69)
+  }
+
   test("clusterStats: exact fixed-point inertia on a known clustering") {
     val df = Seq(
       (0, Array(1.0f, 0.0f)), (0, Array(0.0f, 1.0f)),   // centroid (.5,.5)
