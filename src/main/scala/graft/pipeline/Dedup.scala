@@ -383,13 +383,21 @@ object Dedup {
     * the whole profile is two co-partitioned exchanges plus the final
     * per-doc rollup. */
   def chunkDedupProfile(docs: DataFrame, idCol: String, textCol: String,
-                        size: Int = 3): DataFrame = {
-    val chunks = docs
+                        size: Int = 3, persistChunks: Boolean = false): DataFrame = {
+    val chunks0 = docs
       .select(F.col(idCol), TextOps.tokens(F.col(textCol)).as("__w"))
       .select(F.col(idCol),
         // kernel form: one compiled call per row — the HOF expression
         // form is CodegenFallback and pays interpreted eval per chunk
         F.explode(TextOps.chunkHashesKernel(F.col("__w"), size)).as("chunk_hash"))
+    // The profile side and the instance side both derive from `chunks`,
+    // so the corpus is scanned twice by default. Measured at sf0.1
+    // (ChunkProbe): persist 1.9 s vs warm recompute 2.1 s — a wash
+    // locally. The knob matters at 100 TB: persist caches the full
+    // chunk explosion (O(tokens/size) 16-byte hashes) to trade memory
+    // for the second corpus scan; leave false when the scan is cheaper
+    // than the cache footprint (the usual case on columnar storage).
+    val chunks = if (persistChunks) chunks0.persist() else chunks0
     val profile = chunks.groupBy("chunk_hash")
       .agg(F.min(idCol).as("__mn"), F.max(idCol).as("__mx"))
       .select(F.col("chunk_hash"), (F.col("__mn") =!= F.col("__mx")).as("__dup"))
