@@ -38,16 +38,36 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 }
 
 object SimHash64 {
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** 64-bit token hash = first 8 md5 bytes (big-endian). md5 rather than
+    * a murmur mix so an oracle engine can replay the exact word:
+    * `('0x' || substr(md5(t), 1, 16))::UBIGINT` in DuckDB carries the
+    * identical bit pattern — which is what upgrades the simhash query
+    * from rows-only to a full hash-checked oracle. ~10 ns/token slower
+    * than murmur; irrelevant next to tokenization cost. */
+  def tokenHash64(s: String): Long = {
+    val md = mdLocal.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v
+  }
+
   /** Same algorithm as the pipeline UDF kernel: per token ±1 into 64 bit
-    * sums (Murmur-mixed token hash), sign bits form the word. */
+    * sums (md5-derived token hash), sign bits form the word. */
   def compute(tokens: ArrayData): Long = {
     val n = tokens.numElements()
     val sums = new Array[Int](64)
     var t = 0
     while (t < n) {
       if (!tokens.isNullAt(t)) {
-        val s = tokens.getUTF8String(t).toString
-        val h = scala.util.hashing.MurmurHash3.stringHash(s).toLong * 0x9E3779B97F4A7C15L
+        val h = tokenHash64(tokens.getUTF8String(t).toString)
         var i = 0
         while (i < 64) {
           if (((h >>> i) & 1L) == 1L) sums(i) += 1 else sums(i) -= 1

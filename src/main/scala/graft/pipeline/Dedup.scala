@@ -32,7 +32,8 @@ object Dedup {
     * per element, turning shingling into O(tokens) regex passes per doc
     * (measured 0.7 core-seconds/doc — 20× the whole corpus scan). */
   private val shingleKernel = F.udf { (toks: Seq[String], w: Int) =>
-    if (toks.size < w) Seq(toks.mkString(" "))
+    if (toks == null) null // null text ⇒ null tokens; match Shingles' nullSafeEval
+    else if (toks.size < w) Seq(toks.mkString(" "))
     else toks.sliding(w).map(_.mkString(" ")).toSeq.distinct
   }
 
@@ -53,7 +54,8 @@ object Dedup {
     * evaluations are two orders faster compiled than as k interpreted
     * higher-order transforms). One hash per shingle, then k cheap
     * seed-mix permutations of it — the standard one-hash MinHash family. */
-  private def minhashKernel(k: Int) = F.udf { shingles: Seq[String] =>
+  private def minhashKernel(k: Int) = F.udf { shingles0: Seq[String] =>
+    val shingles = if (shingles0 == null) Seq.empty[String] else shingles0
     val sig = Array.fill(k)(Long.MaxValue)
     shingles.foreach { s =>
       val h0 = scala.util.hashing.MurmurHash3.stringHash(s).toLong
@@ -81,7 +83,8 @@ object Dedup {
     * the whole signature computation once per band. */
   private def minhashBandKernel(k: Int, bands: Int) = {
     val rowsPer = k / bands
-    F.udf { shingles: Seq[String] =>
+    F.udf { shingles0: Seq[String] =>
+      val shingles = if (shingles0 == null) Seq.empty[String] else shingles0
       val sig = Array.fill(k)(Long.MaxValue)
       shingles.foreach { s =>
         val h0 = scala.util.hashing.MurmurHash3.stringHash(s).toLong
@@ -155,7 +158,9 @@ object Dedup {
     * kernel for the same reason as the others: the verify stage sits in
     * a UDF-bearing (interpreted) projection where array_intersect +
     * array_union cost ~2ms/pair; the compiled set version is ~µs. */
-  private val jaccardKernel = F.udf { (a: Seq[String], b: Seq[String]) =>
+  private val jaccardKernel = F.udf { (a0: Seq[String], b0: Seq[String]) =>
+    val a = if (a0 == null) Seq.empty[String] else a0
+    val b = if (b0 == null) Seq.empty[String] else b0
     if (a.isEmpty && b.isEmpty) 0.0
     else {
       val sa = a.toSet; val sb = b.toSet
@@ -331,10 +336,14 @@ object Dedup {
     * is the one deliberate UDF in the pipeline layer. Tokenization stays
     * a native expression; the kernel is one call per row, no shuffle at
     * all (computed inside the scan stage). */
-  private val simhashKernel = F.udf { tokens: Seq[String] =>
+  private val simhashKernel = F.udf { tokens0: Seq[String] =>
+    val tokens = if (tokens0 == null) Seq.empty[String] else tokens0
     val sums = new Array[Int](64)
     tokens.foreach { t =>
-      val h = scala.util.hashing.MurmurHash3.stringHash(t).toLong * 0x9E3779B97F4A7C15L
+      // md5-derived 64-bit token hash — shared with the native
+      // expression so both paths stay bit-identical AND the DuckDB
+      // oracle can replay the word (see SimHash64.tokenHash64)
+      val h = graft.exprs.SimHash64.tokenHash64(t)
       var i = 0
       while (i < 64) {
         if (((h >>> i) & 1L) == 1L) sums(i) += 1 else sums(i) -= 1

@@ -60,8 +60,17 @@ object Embeddings {
         F.sum("xi").as("sx"),
         F.sum(F.col("xi") * F.col("xi")).as("sx2"))
     val sq = scale * scale
+    // Ragged vectors (unequal lengths within a label) would silently
+    // corrupt the variance (n_vecs = max per-dim count ≠ the count the
+    // short dims aggregated over) — fail loudly instead. assert_true
+    // yields NULL when the invariant holds, so folding it into n_vecs
+    // keeps the output schema unchanged while the check rides the same
+    // aggregation (no extra pass over the data).
     perDim.groupBy(labelCol)
-      .agg(F.max("n").as("n_vecs"),
+      .agg(F.when(F.assert_true(F.min("n") === F.max("n"),
+            F.concat(F.lit("clusterStats: ragged vector lengths in label "),
+              F.col(labelCol).cast("string"))).isNull,
+          F.max("n")).as("n_vecs"),
         F.sum("sx2").as("ssq"),
         F.sum(F.col("sx") * F.col("sx")).as("csq"))
       .select(F.col(labelCol), F.col("n_vecs"), F.col("ssq"), F.col("csq"),

