@@ -22,7 +22,8 @@ object CCStress {
     val n = labels.count()
     val nClusters = labels.select(F.countDistinct("cluster")).head.getLong(0)
     val dt = (System.nanoTime() - t0) / 1e9
-    println(f"CCSTRESS nodes=$n clusters=$nClusters time=$dt%.1f s")
+    val rounds = graft.pipeline.Dedup.lastStarRounds
+    println(f"CCSTRESS nodes=$n clusters=$nClusters rounds=$rounds time=$dt%.1f s")
     // sanity vs the local union-find on the same graph
     val local = graft.pipeline.Dedup.connectedComponents(pairs)
     val diff = labels.as("a").join(local.as("b"), "id")

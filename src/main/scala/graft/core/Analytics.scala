@@ -17,6 +17,17 @@ import org.apache.spark.sql.types._
 object Analytics {
   import TadaFrame.ORD
 
+  /** Day-shift that maps `weekStart` onto Monday: (8 − isoDay) mod 7.
+    * All seven weekdays accepted, mirroring the reference's
+    * `time.Weekday` switch (internal.go:2432-2438). */
+  def weekStartShift(weekStart: String): Int = {
+    val iso = Map("MONDAY" -> 1, "TUESDAY" -> 2, "WEDNESDAY" -> 3,
+      "THURSDAY" -> 4, "FRIDAY" -> 5, "SATURDAY" -> 6, "SUNDAY" -> 7)
+    val d = iso.getOrElse(weekStart.toUpperCase,
+      throw new IllegalArgumentException(s"weekStart $weekStart"))
+    (8 - d) % 7
+  }
+
   private def win(f: TadaFrame, partitionBy: Seq[String]): WindowSpec =
     if (partitionBy.isEmpty) f.globalWindow
     else Window.partitionBy(partitionBy.map(f.df(_)): _*).orderBy(f.orderCols: _*)
@@ -117,12 +128,11 @@ object Analytics {
       case "year" | "month" | "day" | "hour" | "minute" | "second" =>
         F.date_trunc(by, v)
       case "week" =>
-        // date_trunc("week") is Monday-start; shift for other starts
-        val shiftDays = weekStart.toUpperCase match {
-          case "MONDAY" => 0
-          case "SUNDAY" => 1
-          case other => throw new IllegalArgumentException(s"weekStart $other")
-        }
+        // date_trunc("week") is Monday-start; any start day W reduces to
+        // it by shifting W onto Monday first and shifting back after —
+        // shift = (8 − isoDay(W)) mod 7 days (internal.go:2432-2438
+        // accepts all seven time.Weekday values; so does this).
+        val shiftDays = Analytics.weekStartShift(weekStart)
         F.date_trunc("week", F.date_add(v, shiftDays)).cast(TimestampType) - F.expr(s"INTERVAL $shiftDays DAYS")
       case other => throw new IllegalArgumentException(s"resample by $other")
     }

@@ -188,27 +188,35 @@ object Dedup {
   }
 
   /** Duplicate-cluster resolution: connected components over verified
-    * candidate pairs by iterative min-label propagation — the final
-    * stage of every near-dup pipeline (pick one keeper per TRANSITIVE
-    * duplicate set, not per pair).
+    * candidate pairs — the final stage of every near-dup pipeline (pick
+    * one keeper per TRANSITIVE duplicate set, not per pair).
     *
-    * Each iteration is one scalar-only (id, label) join + groupBy —
-    * payloads never enter the graph. Convergence takes
-    * O(graph diameter) rounds; near-dup graphs are shallow (clusters are
-    * quasi-cliques because similarity is near-transitive), so 2-3 rounds
-    * close them. The convergence probe is a changed-row existence check.
-    * For adversarial long-chain graphs swap in the large-star/small-star
-    * variant; same per-round shape, O(log d) rounds.
+    * Scale path: alternating large-star/small-star rounds (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC '14).
+    * Each round is two scalar-only (node, node) aggregations + joins —
+    * payloads never enter the graph, no neighbor lists are ever
+    * collected (high-degree nodes cost nothing extra), and per-round
+    * edge volume never exceeds the input's. Unlike plain min-label
+    * propagation (O(diameter) rounds — the previous implementation,
+    * which needed a raised maxIter on adversarial chain graphs), the
+    * star alternation contracts components in O(log d) rounds; the
+    * fixed point is a star per component centered at its minimum id.
+    * The convergence probe is an edge-set-unchanged check that rides
+    * one outer join per round.
     *
     * Lineage MUST be truncated every round (`localCheckpoint`, eager):
     * `persist` caches partitions but leaves the LOGICAL plan growing —
-    * each round references the previous twice (union + convergence
-    * join), so by round ~8 Catalyst is cloning an exponentially-sized
-    * tree and the driver burns minutes of CPU in `TreeNode.clone`
-    * (observed: 340 s of driver CPU at a mere 2k-node graph). With the
-    * checkpoint each round's plan is O(1): two scans of materialized
-    * RDDs. On a cluster prefer `checkpoint` to HDFS for fault tolerance;
-    * same shape. */
+    * each round references the previous several times, so by round ~8
+    * Catalyst is cloning an exponentially-sized tree and the driver
+    * burns minutes of CPU in `TreeNode.clone` (observed: 340 s of
+    * driver CPU at a mere 2k-node graph). With the checkpoint each
+    * round's plan is O(1): scans of materialized RDDs. On a cluster
+    * prefer `checkpoint` to HDFS for fault tolerance; same shape. */
+  /** Star rounds the last `connectedComponents` call took to converge
+    * (0 for the local union-find path) — instrumentation for the scale
+    * harness (`CCStress`), not part of the operator contract. */
+  @volatile var lastStarRounds: Int = 0
+
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b", maxIter: Int = 20,
                           requireConvergence: Boolean = true,
@@ -245,6 +253,7 @@ object Dedup {
       val integralIds = Seq("byte", "short", "integer", "long")
         .contains(edges.schema("src").dataType.typeName)
       val nEdges = edges.count()
+      lastStarRounds = 0
       if (integralIds && nEdges <= localSolveMaxEdges) {
         // src <= dst keeps one direction plus self-pairs (isolated nodes)
         val pairs2 = edges.filter(F.col("src") <= F.col("dst"))
@@ -275,55 +284,62 @@ object Dedup {
           .toDF("id", "cluster")
           .select(F.col("id").cast(idType), F.col("cluster").cast(idType))
       }
-      var labels = edges.select(F.col("src").as("id")).distinct()
-        .withColumn("cluster", F.col("id")).localCheckpoint(true)
+      // All nodes (so self-pairs/isolated ids still get a label), and
+      // the canonical (a < b) simple-edge set the star rounds operate on.
+      val allNodes = edges.select(F.col("src").as("id")).distinct()
+        .localCheckpoint(true)
+      var e = edges.filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").as("a"), F.col("dst").as("b"))
+        .distinct().localCheckpoint(true)
       var converged = false
       var i = 0
-      while (!converged && i < maxIter) {
-        val viaEdges = edges.join(labels, edges("src") === labels("id"))
-          .select(edges("dst").as("id"), labels("cluster"))
-        val propagated = labels.select("id", "cluster").union(viaEdges)
-          .groupBy("id").agg(F.min("cluster").as("cluster"))
-        // Path compression (pointer doubling): follow the cluster
-        // pointer three extra hops per round. Every hop is a self-join
-        // that DOUBLES the label distance covered, and because nothing
-        // materializes until the round's localCheckpoint, all hops fold
-        // into the SAME Spark job — rounds drop from O(diameter) to
-        // O(log d) at almost zero marginal cost. (Measured: 11 rounds →
-        // 4 on the sf0.1 near-dup graph; per-round driver overhead is
-        // the dominant cost at label-frame sizes.)
-        val compressed = (0 until 3).foldLeft(propagated) { (cur, _) =>
-          val par = cur.select(F.col("id").as("pid"), F.col("cluster").as("pcluster"))
-          cur.join(par, cur("cluster") === par("pid"), "left")
-            .select(cur("id"),
-              F.least(F.coalesce(F.col("pcluster"), cur("cluster")),
-                cur("cluster")).as("cluster"))
-        }
-        // The convergence flag rides INSIDE the round's one materializing
-        // job (old-label join + `chg` column, checkpointed together), so
-        // the probe is a scan of 8 cached partitions, not a join job —
-        // and the first two rounds skip it outright (label propagation
-        // on a non-trivial graph cannot converge before its edges have
-        // been applied twice; worst case we do one spare round). Driver
-        // actions per query drop ~2.5×, which is what survives a loaded
-        // host where every action costs multiples of its idle latency.
-        val next = compressed
-          .join(labels.select(F.col("id"), F.col("cluster").as("__old")), "id")
-          .select(F.col("id"), F.col("cluster"),
-            (F.col("cluster") =!= F.col("__old")).cast("int").as("__chg"))
-          .localCheckpoint(true)
-        converged = i >= 2 && next.filter(F.col("__chg") === 1).limit(1).count() == 0
-        labels = next.select("id", "cluster")
+      while (!converged && e.limit(1).count() > 0 && i < maxIter) {
+        // Large-star: for every node u, hang each LARGER neighbor v off
+        // m(u) = min(Γ(u) ∪ {u}). m ≤ u < v, so (m, v) is already
+        // canonical. One aggregation for m, one join — no neighbor
+        // lists, so a million-degree hub costs the same per edge as a
+        // chain link.
+        val bidir = e.select(F.col("a").as("u"), F.col("b").as("v"))
+          .union(e.select(F.col("b").as("u"), F.col("a").as("v")))
+        val mL = bidir.groupBy("u").agg(F.least(F.min("v"), F.col("u")).as("m"))
+        val e1 = bidir.join(mL, "u").filter(F.col("v") > F.col("u"))
+          .select(F.col("m").as("a"), F.col("v").as("b"))
+          .filter(F.col("a") =!= F.col("b"))
+          .distinct().localCheckpoint(true)
+        // Small-star: direct edges large→small; hang every smaller
+        // neighbor (and u itself) off m(u) = min(Γ≤(u)). Again m < v
+        // keeps emissions canonical.
+        val dirDown = e1.select(F.col("b").as("u"), F.col("a").as("v"))
+        val mS = dirDown.groupBy("u").agg(F.min("v").as("m"))
+        val leaves = dirDown.join(mS, "u")
+          .filter(F.col("v") =!= F.col("m"))
+          .select(F.col("m").as("a"), F.col("v").as("b"))
+        val centers = mS.filter(F.col("u") =!= F.col("m"))
+          .select(F.col("m").as("a"), F.col("u").as("b"))
+        val e2 = leaves.union(centers).distinct().localCheckpoint(true)
+        // Fixed point ⟺ the edge set survived a full round unchanged
+        // (stars centered at component minima are stable under both
+        // phases). One outer join; edge frames are scalar pairs.
+        converged = e2.withColumn("__l", F.lit(1))
+          .join(e.withColumn("__r", F.lit(1)), Seq("a", "b"), "full_outer")
+          .filter(F.col("__l").isNull || F.col("__r").isNull)
+          .limit(1).count() == 0
+        e = e2
         i += 1
+        lastStarRounds = i
       }
       // Exiting via the iteration cap means labels are WRONG (some nodes
-      // still carry a non-minimal cluster id) — never return that silently.
-      if (!converged && requireConvergence)
+      // not yet hanging off their component minimum) — never return that
+      // silently.
+      if (!converged && e.limit(1).count() > 0 && requireConvergence)
         throw new IllegalStateException(
-          s"connectedComponents: not converged after $maxIter iterations " +
-          "(graph diameter exceeds maxIter); raise maxIter or pass " +
-          "requireConvergence=false to accept partial labels")
-      labels
+          s"connectedComponents: not converged after $maxIter star rounds; " +
+          "raise maxIter or pass requireConvergence=false to accept " +
+          "partial labels")
+      // Star state: every edge is (component-min, member).
+      e.select(F.col("b").as("id"), F.col("a").as("cluster"))
+        .union(allNodes.select(F.col("id"), F.col("id").as("cluster")))
+        .groupBy("id").agg(F.min("cluster").as("cluster"))
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", oldAqe)
       spark.conf.set("spark.sql.shuffle.partitions", oldParts)

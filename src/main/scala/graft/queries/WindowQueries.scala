@@ -266,6 +266,30 @@ object WindowQueries extends QueryPack {
         ORDER BY bucket
       """)),
 
+    // §2.6 Resample by week with an arbitrary start day (Wednesday):
+    // the reference accepts all seven time.Weekday values
+    // (internal.go:2432-2438) — any start reduces to Monday-truncation
+    // by a (8 − isoDay) mod 7 day shift, applied and reversed around
+    // date_trunc on both engines.
+    Query(
+      "q78_resample_weekstart",
+      (s, dir) => {
+        val o = TadaFrame.ingest(Tables.orders(s, dir))
+        Analytics.resample(o, "o_orderdate", "week", "order_week",
+            weekStart = "WEDNESDAY")
+          .groupBy("order_week")
+          .reduceWith(Seq("n" -> count(lit(1)), "revenue" -> dsum(col("o_totalprice"))))
+          .out.orderBy("order_week")
+      },
+      Some(s"""
+        SELECT date_trunc('week', CAST(o_orderdate AS TIMESTAMP) + INTERVAL 5 DAY)
+                 - INTERVAL 5 DAY AS order_week,
+               count(*) AS n, ${sqlDsum("o_totalprice")} AS revenue
+        FROM orders
+        GROUP BY 1
+        ORDER BY order_week
+      """)),
+
     // §1.4 FillNull forward-fill per user: running last(ignoreNulls).
     Query(
       "q32_fillnull_ffill",

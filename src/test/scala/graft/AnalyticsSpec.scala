@@ -73,6 +73,26 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(dur == "2024-01-10T13:45:00Z")
   }
 
+  test("resample week accepts all seven start days (internal.go:2432-2438)") {
+    // 2024-01-10 is a Wednesday. For each start day, the bucket is the
+    // most recent such day at or before it (a start ON the day itself
+    // buckets to that day, not a week earlier).
+    val expected = Seq(
+      "MONDAY" -> "2024-01-08", "TUESDAY" -> "2024-01-09",
+      "WEDNESDAY" -> "2024-01-10", "THURSDAY" -> "2024-01-04",
+      "FRIDAY" -> "2024-01-05", "SATURDAY" -> "2024-01-06",
+      "SUNDAY" -> "2024-01-07")
+    val f = frame(Seq(java.sql.Timestamp.valueOf("2024-01-10 13:45:00")).toDF("ts"))
+    for ((day, want) <- expected) {
+      val got = Analytics.resample(f, "ts", "week", "w", weekStart = day)
+        .records().tail.head(1)
+      assert(got == s"${want}T00:00:00Z", s"weekStart=$day")
+    }
+    intercept[IllegalArgumentException] {
+      Analytics.resample(f, "ts", "week", "w", weekStart = "NOODLE")
+    }
+  }
+
   test("shift(n) pulls from n rows back in frame order") {
     val f = frame(Seq(("b", 2), ("a", 1), ("c", 3)).toDF("k", "v")).sort(Sorter("k"))
     val got = Analytics.shift(f, "v", 1, "prev").records().tail.map(_(2))

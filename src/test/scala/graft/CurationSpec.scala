@@ -44,23 +44,26 @@ class CurationSpec extends AnyFunSuite {
     assert(h1.contains(h2))
   }
 
-  test("chunkDedupProfile: cross-doc duplicate detection") {
+  test("chunkDedupProfile: cross-doc duplicate detection; null text survives") {
     val df = Seq(
       (1, "a b c d e f"),    // chunks abc, def
       (2, "a b c x y z"),    // chunks abc (dup with 1), xyz
-      (3, "p q r s t u")     // chunks pqr, stu — unique
+      (3, "p q r s t u"),    // chunks pqr, stu — unique
+      (4, null)              // routine in web corpora — must not NPE
     ).toDF("doc_id", "text")
     val out = Dedup.chunkDedupProfile(df, "doc_id", "text", 3)
       .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
     assert(out(1) == ((2L, 1L, 0.5)))
     assert(out(2) == ((2L, 1L, 0.5)))
     assert(out(3) == ((2L, 0L, 0.0)))
+    assert(!out.contains(4)) // null text contributes no chunks, no crash
   }
 
   test("JVM kernels match the expression forms bit-for-bit (chunk hashes, winnow)") {
     val docs = Seq(
       (1, "a b c d e f g h i j k l m"),
-      (2, "a b"), (3, ""), (4, "x y z x y z x y z")
+      (2, "a b"), (3, ""), (4, "x y z x y z x y z"),
+      (5, null.asInstanceOf[String]) // null in ⇒ null out, both forms
     ).toDF("id", "text")
     val base = docs.select($"id", TextOps.tokens($"text").as("w"))
     val ch = base.select($"id",
