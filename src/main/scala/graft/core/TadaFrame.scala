@@ -435,10 +435,11 @@ final case class TadaFrame(
 
   /** Collected records with tada null rendering "(null)"
     * (internal.go:2866-2890) — test/golden harness path, driver-side. */
-  def records(includeLabels: Boolean = true): Seq[Seq[String]] = {
+  def records(includeLabels: Boolean = true,
+              nullPrinter: String = "(null)"): Seq[Seq[String]] = {
     val cs = (if (includeLabels) labels else Nil) ++ valueCols
     val out = sorted.select(cs.map(n =>
-      coalesce(TadaFormat.stringify(df(n), df.schema(n).dataType), lit("(null)")).as(n)): _*)
+      coalesce(TadaFormat.stringify(df(n), df.schema(n).dataType), lit(nullPrinter)).as(n)): _*)
     cs +: out.collect().toSeq.map(r => (0 until r.length).map(r.getString))
   }
 

@@ -18,6 +18,43 @@ import graft.semantics.TadaFormat
   * forms are driver-side by nature — they exist for the reference's
   * test-driven pipeline workflow (readme_test.go), not for bulk data.
   */
+/** Central options surface (options.go:46-132): ONE immutable config
+  * carrying the null-string set, separators, NaN policy, print caps and
+  * datetime formats. The reference mutates package-global state behind
+  * setters (`SetOptionAddNullString`, `PrintOptionMaxRows`, …); a
+  * distributed engine wants an explicit value instead — global mutable
+  * print/parse state lives only on the driver and races across
+  * concurrent queries — so the same knobs thread through `readConfig`
+  * and `TadaIO.render(f, opts)` as a parameter, with `TadaOptions()`
+  * reproducing every reference default. */
+final case class TadaOptions(
+    levelSeparator: String = "|",            // SetOptionDefaultSeparator
+    maxRows: Int = 50,                       // PrintOptionMaxRows
+    maxColumns: Int = 20,                    // PrintOptionMaxColumns
+    maxCellWidth: Int = 30,                  // PrintOptionMaxCellWidth
+    mergeRepeats: Boolean = true,            // PrintOptionMergeRepeats
+    nullPrinter: String = "(null)",          // optionsNullPrinter
+    nullStrings: Set[String] = Set("(null)"),// optionNullStrings
+    emptyStringAsNull: Boolean = false,      // SetOptionEmptyStringAsNull
+    nanIsNull: Boolean = true,               // SetOptionNaNStatus
+    defaultNamePrefix: String = "*",         // optionPrefix
+    dateTimeFormats: Seq[String] = graft.semantics.TadaFormat.defaultTimeFormats) {
+
+  /** SetOptionAddNullString — returns a new config (no global state). */
+  def addNullString(s: String): TadaOptions = copy(nullStrings = nullStrings + s)
+
+  /** SetOptionAddTimeFormat. */
+  def addTimeFormat(f: String): TadaOptions = copy(dateTimeFormats = dateTimeFormats :+ f)
+
+  /** Reader knobs derived from this config (per-read shape settings stay
+    * per-read arguments, as they are in the reference's Reader structs). */
+  def readConfig(headerRows: Int = 1, labelLevels: Int = 0,
+                 inferTypes: Boolean = false, delimiter: Char = ','): TadaIO.ReadConfig =
+    TadaIO.ReadConfig(headerRows, labelLevels, inferTypes,
+      blankAsNull = emptyStringAsNull, nullStrings = nullStrings.toSeq.sorted,
+      delimiter = delimiter, levelSeparator = levelSeparator, nanIsNull = nanIsNull)
+}
+
 object TadaIO {
 
   final case class ReadConfig(
@@ -26,7 +63,9 @@ object TadaIO {
       inferTypes: Boolean = false,
       blankAsNull: Boolean = true,
       nullStrings: Seq[String] = Seq("(null)"),
-      delimiter: Char = ',')
+      delimiter: Char = ',',
+      levelSeparator: String = "|",
+      nanIsNull: Boolean = true)
 
   /** RecordReader (io.go:213-268): [][]string → frame. Validates
     * rectangularity (internal.go:523-528) and non-emptiness
@@ -40,10 +79,11 @@ object TadaIO {
     }
     val headers = records.take(cfg.headerRows)
     val body = records.drop(cfg.headerRows)
-    // multi-row headers collapse with "|" (colLevelNames separator, options.go:9)
+    // multi-row headers collapse with the level separator (options.go:9)
     val names: Seq[String] =
       if (cfg.headerRows == 0) (0 until width).map(i => i.toString)
-      else (0 until width).map(i => headers.map(_(i).trim).filter(_.nonEmpty).mkString("|"))
+      else (0 until width).map(i =>
+        headers.map(_(i).trim).filter(_.nonEmpty).mkString(cfg.levelSeparator))
     val nulls = cfg.nullStrings ++ (if (cfg.blankAsNull) Seq("") else Nil)
     val rows = body.map(r => Row.fromSeq(r.map { v =>
       val t = v.trim
@@ -53,7 +93,7 @@ object TadaIO {
     val df0 = spark.createDataFrame(
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
       schema)
-    val df = if (cfg.inferTypes) castInferred(df0, body, names) else df0
+    val df = if (cfg.inferTypes) castInferred(df0, body, names, cfg.nanIsNull) else df0
     val labels = names.take(cfg.labelLevels)
     TadaFrame.ingest(df, labels)
   }
@@ -69,7 +109,8 @@ object TadaIO {
     else "string"
   }
 
-  private def castInferred(df: DataFrame, body: Seq[Seq[String]], names: Seq[String]): DataFrame = {
+  private def castInferred(df: DataFrame, body: Seq[Seq[String]], names: Seq[String],
+                           nanIsNull: Boolean = true): DataFrame = {
     val sample = body.take(10)
     names.zipWithIndex.foldLeft(df) { case (d, (n, i)) =>
       val votes = sample.map(r => inferType(r(i))).groupBy(identity).view.mapValues(_.size)
@@ -77,7 +118,10 @@ object TadaIO {
       // try_cast: tada's failed coercions produce null (internal.go:1639-1641);
       // Spark 4's default ANSI cast would throw instead
       winner match {
-        case "float" => d.withColumn(n, d(n).try_cast(DoubleType))
+        case "float" =>
+          val cast = d(n).try_cast(DoubleType)
+          // SetOptionNaNStatus default: NaN IS null (internal.go:1835-1926)
+          d.withColumn(n, if (nanIsNull) F.when(F.isnan(cast), F.lit(null)).otherwise(cast) else cast)
         case "date" => d.withColumn(n, d(n).try_cast(DateType))
         case "datetime" => d.withColumn(n, d(n).try_cast(TimestampType))
         case _ => d
@@ -145,18 +189,93 @@ object TadaIO {
       .collect().toSeq
   }
 
-  /** ASCII table renderer (dataframe.go:138-222 look): driver-side, for
-    * the golden-output test layer. */
-  def render(f: TadaFrame, maxRows: Int = 50, maxCellWidth: Int = 30): String = {
-    val recs = f.records()
-    val shown = recs.head +: recs.tail.take(maxRows)
-    val clipped = shown.map(_.map(v => if (v.length > maxCellWidth) v.take(maxCellWidth - 3) + "..." else v))
-    val widths = clipped.transpose.map(col => col.map(_.length).max)
-    def sep = widths.map("-" * _).mkString("+-", "-+-", "-+")
-    def row(r: Seq[String]) =
-      r.zip(widths).map { case (v, w) => v.padTo(w, ' ') }.mkString("| ", " | ", " |")
-    val overflow = if (recs.tail.size > maxRows) s"\n... (${recs.tail.size - maxRows} more rows)" else ""
-    (sep +: row(clipped.head) +: sep +: clipped.tail.map(row) :+ sep).mkString("\n") + overflow
+  /** ASCII table renderer replicating the reference's printed form
+    * byte-for-byte (dataframe.go:138-222 + its tablewriter, as pinned by
+    * the `Example*` golden corpus): label and value sections divided by
+    * a double border, headers centered (left-biased), cells
+    * right-aligned, consecutive repeats blanked in every column
+    * (PrintOptionAutoMerge default), rows truncated to head+`...`+tail
+    * past `maxRows`, middle value columns collapsed to `...` at
+    * `maxColumns`, wide cells truncated to `maxCellWidth`, default
+    * `*N` label names suppressed to `-`, and a `name:` caption.
+    *
+    * A frame with no explicit labels renders the reference's default
+    * positional index, reconstructed as the rank of the hidden ingest
+    * ordinal — so a sorted frame shows its ORIGINAL row positions, like
+    * the reference's index does. (After row-dropping ops the rank is
+    * recomputed over surviving rows; the reference would keep the
+    * original positions — only an eager index column could preserve
+    * that, which the lazy-plan design deliberately avoids.)
+    *
+    * Multi-row headers render collapsed into one row joined by `|`
+    * (the colLevelNames separator) rather than stacked. */
+  /** Render under a full options config (print caps, merge toggle, null
+    * printer, default-name prefix) — the `PrintOption*` surface as one
+    * value. */
+  def render(f: TadaFrame, opts: TadaOptions): String =
+    render(f, opts.maxRows, opts.maxColumns, opts.maxCellWidth,
+      opts.mergeRepeats, opts.nullPrinter, opts.defaultNamePrefix)
+
+  def render(f: TadaFrame, maxRows: Int = 50, maxColumns: Int = 20,
+             maxCellWidth: Int = 30, mergeRepeats: Boolean = true,
+             nullPrinter: String = "(null)", namePrefix: String = "*"): String = {
+    val nLab = math.max(f.labels.size, 1)
+    val src =
+      if (f.labels.nonEmpty) f
+      else f.copy(
+        df = f.df.withColumn("*0",
+          F.row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(f.df(TadaFrame.ORD))) - 1),
+        labels = Seq("*0"))
+    val recs = src.records(nullPrinter = nullPrinter)
+    val header = recs.head.zipWithIndex.map { case (h, j) =>
+      if (j < nLab && h.startsWith(namePrefix)) "-" else h // suppressDefaultName (internal.go:2768)
+    }
+    // row truncation: head + "..." filler + tail (dataframe.go:147-162)
+    val data1 =
+      if (recs.tail.size <= maxRows) recs.tail
+      else {
+        val n = maxRows / 2
+        (recs.tail.take(n) :+ Seq.fill(header.size)("...")) ++ recs.tail.takeRight(n)
+      }
+    // column truncation collapses the middle VALUE columns (>= like the
+    // reference, dataframe.go:171)
+    val (header2, data2) =
+      if (header.size - nLab < maxColumns) (header, data1)
+      else {
+        val n = maxColumns / 2
+        def cut(r: Seq[String]) = {
+          val vals = r.drop(nLab)
+          r.take(nLab) ++ (vals.take(n) :+ "...") ++ vals.takeRight(n)
+        }
+        (cut(header), data1.map(cut))
+      }
+    def clip(v: String) = if (v.length > maxCellWidth) v.take(maxCellWidth - 3) + "..." else v
+    val h = header2.map(clip)
+    val d = data2.map(_.map(clip))
+    // widths over the UNmerged cells, so blanking a repeat never shrinks
+    // its column
+    val widths = (h +: d).transpose.map(col => col.map(_.length).max)
+    val dm =
+      if (!mergeRepeats || d.isEmpty) d
+      else d.head +: d.sliding(2).collect { case Seq(prev, cur) =>
+        cur.zip(prev).map { case (c, p) => if (c == p && c.nonEmpty) "" else c }
+      }.toSeq
+    def center(v: String, w: Int) = {
+      val left = (w - v.length) / 2
+      (" " * left) + v + (" " * (w - v.length - left))
+    }
+    def right(v: String, w: Int) = (" " * (w - v.length)) + v
+    def line(cells: Seq[String], pipe: String, pad: String) =
+      cells.zipWithIndex.map { case (c, j) =>
+        (if (j == nLab) pipe * 2 else pipe) + pad + c + pad
+      }.mkString + pipe
+    def border(ch: String) = line(widths.map(w => "-" * w), ch, "-")
+    val rows =
+      Seq(border("+"), line(h.zip(widths).map((center _).tupled), "|", " "), border("|")) ++
+        dm.map(r => line(r.zip(widths).map((right _).tupled), "|", " ")) :+
+        border("+")
+    rows.mkString("\n") + (if (f.name.nonEmpty) s"\nname: ${f.name}" else "")
   }
 
   /** WriteMockCSV (io.go:537-557): infer dtypes from a source CSV, emit n
@@ -231,14 +350,123 @@ object TadaIO {
       .collect().toSeq.map(r => cols.indices.map(i => r.getDouble(i)))
   }
 
-  /** JSON codec (io.go:126-154 marshal/unmarshal): distributed
-    * line-delimited JSON via Spark's native source — schema inference on
-    * read, one JSON object per row on write. */
+  /** JSON codec, bulk form: distributed line-delimited JSON via Spark's
+    * native source — schema inference on read, one JSON object per row
+    * on write. The scale path for data; frame METADATA (label levels,
+    * name, colLevelNames, null-kind distinctions) does not survive it —
+    * use `marshalFrame`/`unmarshalFrame` for full-fidelity frames. */
   def readJson(spark: SparkSession, path: String): TadaFrame =
     TadaFrame.ingest(spark.read.json(path))
   def writeJson(f: TadaFrame, path: String): Unit =
     f.df.select((f.labels ++ f.valueCols).map(F.col): _*)
       .write.mode("overwrite").json(path)
+
+  /** Frame-level JSON codec with the reference's exact document shape
+    * (io.go:45-97, types.go:44-49/82-87): per-container `slice` +
+    * `isNull` mask + `name` + `id`, split into `labels` and `values`
+    * arrays, plus frame `name` and `colLevelNames`. The explicit null
+    * mask is what the line-JSON form cannot carry: a literal "(null)"
+    * STRING round-trips as a value while a true null round-trips as a
+    * null — the reference's null-kind distinction. Driver-side by
+    * design (one JSON document per frame, the reference's test-fixture
+    * workflow); bulk data goes through `writeJson`. Numeric/boolean
+    * slices stay typed JSON scalars; everything else serializes through
+    * the same Go-style stringification as the record writer. Container
+    * `id`s are emitted empty: the engine addresses containers by name. */
+  def marshalFrame(f: TadaFrame): String = {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    val mapper = new ObjectMapper()
+    val root = mapper.createObjectNode()
+    val cols = (f.labels ++ f.valueCols).toIndexedSeq
+    val stringified = cols.map(n =>
+      F.coalesce(TadaFormat.stringify(f.df(n), f.df.schema(n).dataType), F.lit("")).as(n))
+    val rows = f.sorted.select(cols.map(f.df(_)): _*).collect()
+    val strRows = f.sorted.select(stringified: _*).collect()
+    val labArr = root.putArray("labels")
+    val valArr = root.putArray("values")
+    cols.zipWithIndex.foreach { case (n, j) =>
+      val node = mapper.createObjectNode()
+      val slice = node.putArray("slice")
+      val mask = node.putArray("isNull")
+      rows.zip(strRows).foreach { case (r, sr) =>
+        mask.add(r.isNullAt(j))
+        r.get(j) match {
+          case null => f.df.schema(n).dataType match {
+            case _: NumericType => slice.add(0)     // Go zero value
+            case BooleanType => slice.add(false)
+            case _ => slice.add("")
+          }
+          case d: java.lang.Double => slice.add(d.doubleValue)
+          case fl: java.lang.Float => slice.add(fl.floatValue)
+          case i: java.lang.Integer => slice.add(i.intValue)
+          case l: java.lang.Long => slice.add(l.longValue)
+          case s: java.lang.Short => slice.add(s.intValue)
+          case b: java.lang.Boolean => slice.add(b.booleanValue)
+          case dec: java.math.BigDecimal => slice.add(dec)
+          case _ => slice.add(sr.getString(j))
+        }
+      }
+      node.put("name", n)
+      node.put("id", "")
+      (if (j < f.labels.size) labArr else valArr).add(node)
+    }
+    root.put("name", f.name)
+    val cl = root.putArray("colLevelNames")
+    f.colLevelNames.foreach(cl.add)
+    mapper.writeValueAsString(root)
+  }
+
+  /** Inverse of `marshalFrame`: rebuilds the frame with label levels,
+    * null masks, name and colLevelNames intact. Column types come from
+    * the JSON scalars (all-numeric → double/long, all-boolean →
+    * boolean, else string) — the same inference surface the reference's
+    * reflection-based unmarshal presents. */
+  def unmarshalFrame(spark: SparkSession, json: String): TadaFrame = {
+    import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+    import scala.jdk.CollectionConverters._
+    val root = new ObjectMapper().readTree(json)
+    def containers(key: String): Seq[JsonNode] =
+      Option(root.get(key)).map(_.elements().asScala.toSeq).getOrElse(Nil)
+    val labs = containers("labels")
+    val vals = containers("values")
+    val all = labs ++ vals
+    require(all.nonEmpty, "unmarshalFrame: no containers")
+    val names = all.map(_.get("name").asText)
+    val slices = all.map(_.get("slice").elements().asScala.toIndexedSeq)
+    val masks = all.map(c => Option(c.get("isNull"))
+      .map(_.elements().asScala.map(_.asBoolean).toIndexedSeq)
+      .getOrElse(IndexedSeq.empty))
+    val nRows = slices.headOption.map(_.size).getOrElse(0)
+    def colType(s: Seq[JsonNode], m: IndexedSeq[Boolean]): DataType = {
+      val live = s.zipWithIndex.collect { case (v, i) if !m.lift(i).getOrElse(false) => v }
+      if (live.nonEmpty && live.forall(_.isIntegralNumber)) LongType
+      else if (live.nonEmpty && live.forall(_.isNumber)) DoubleType
+      else if (live.nonEmpty && live.forall(_.isBoolean)) BooleanType
+      else StringType
+    }
+    val types = slices.zip(masks).map { case (s, m) => colType(s, m) }
+    val rows = (0 until nRows).map { i =>
+      Row.fromSeq(slices.indices.map { j =>
+        if (masks(j).lift(i).getOrElse(false)) null
+        else types(j) match {
+          case LongType => slices(j)(i).asLong
+          case DoubleType => slices(j)(i).asDouble
+          case BooleanType => slices(j)(i).asBoolean
+          case _ => slices(j)(i).asText
+        }
+      })
+    }
+    val schema = StructType(names.zip(types).map { case (n, t) => StructField(n, t) }.toIndexedSeq)
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      schema)
+    val levelNames = Option(root.get("colLevelNames"))
+      .map(_.elements().asScala.map(_.asText).toSeq).filter(_.nonEmpty)
+      .getOrElse(Seq("*0"))
+    TadaFrame.ingest(df, names.take(labs.size),
+        Option(root.get("name")).map(_.asText).getOrElse(""))
+      .copy(colLevelNames = levelNames)
+  }
 
   /** Bucketed persist — the co-located-join scale path. Two tables
     * bucketed (and sort-prepped) on the same keys with the same bucket

@@ -62,13 +62,80 @@ class IoSpec extends AnyFunSuite {
     import spark.implicits._
     val f = graft.core.TadaFrame.ingest(Seq(("foo", 1), ("bar", 2)).toDF("name", "n"))
     val want =
-      """+------+---+
-        || name | n |
-        |+------+---+
-        || foo  | 1 |
-        || bar  | 2 |
-        |+------+---+""".stripMargin
+      """+---++------+---+
+        || - || name | n |
+        ||---||------|---|
+        || 0 ||  foo | 1 |
+        || 1 ||  bar | 2 |
+        |+---++------+---+""".stripMargin
     assert(TadaIO.render(f) == want)
+  }
+
+  test("frame JSON codec round-trips labels, null kinds, name, colLevelNames") {
+    import spark.implicits._
+    // two label levels, a double column with a true null, and a string
+    // column where "(null)" is a VALUE on one row and a true null on
+    // another — the distinction the line-JSON form cannot carry
+    val df = Seq(
+      ("a", 1L, Some(1.5), Some("(null)")),
+      ("a", 2L, None, None),
+      ("b", 3L, Some(2.0), Some("x"))
+    ).toDF("l1", "l2", "d", "s")
+    val f = graft.core.TadaFrame.ingest(df, labelCols = Seq("l1", "l2"), name = "fix")
+      .copy(colLevelNames = Seq("*0", "year"))
+    val back = TadaIO.unmarshalFrame(spark, TadaIO.marshalFrame(f))
+    assert(back.labels == Seq("l1", "l2"))
+    assert(back.name == "fix")
+    assert(back.colLevelNames == Seq("*0", "year"))
+    val rows = back.sorted.select("l1", "l2", "d", "s").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("a", "a", "b"))
+    assert(rows(0).getDouble(2) == 1.5 && rows(2).getDouble(2) == 2.0)
+    assert(rows(1).isNullAt(2)) // true null survives
+    assert(rows(0).getString(3) == "(null)") // literal string survives AS a value
+    assert(rows(1).isNullAt(3)) // true null stays null, not "(null)"
+    // document shape matches the reference alias structs (io.go:45-97)
+    val doc = TadaIO.marshalFrame(f)
+    assert(doc.contains("\"labels\"") && doc.contains("\"values\"")
+      && doc.contains("\"slice\"") && doc.contains("\"isNull\"")
+      && doc.contains("\"colLevelNames\""))
+  }
+
+  test("TadaOptions: reference defaults; knobs thread through readers and render") {
+    import graft.io.TadaOptions
+    val defaults = TadaOptions()
+    // default parity with options.go:9-23
+    assert(defaults.levelSeparator == "|" && defaults.maxRows == 50
+      && defaults.maxColumns == 20 && defaults.maxCellWidth == 30
+      && defaults.mergeRepeats && defaults.nullPrinter == "(null)"
+      && defaults.nullStrings == Set("(null)") && !defaults.emptyStringAsNull
+      && defaults.nanIsNull && defaults.defaultNamePrefix == "*")
+    // SetOptionAddNullString: "NA" reads as null
+    val fNa = TadaIO.readRecords(spark, Seq(Seq("x"), Seq("NA"), Seq("v")),
+      defaults.addNullString("NA").readConfig())
+    assert(fNa.records().tail.map(_.head) == Seq("(null)", "v"))
+    // SetOptionDefaultSeparator: multi-row headers collapse with it
+    val fSep = TadaIO.readRecords(spark, Seq(Seq("a"), Seq("b"), Seq("1")),
+      defaults.copy(levelSeparator = "::").readConfig(headerRows = 2))
+    assert(fSep.valueCols == Seq("a::b"))
+    // SetOptionNaNStatus: NaN is null by default, a value when disabled
+    val fNan = TadaIO.readRecords(spark, Seq(Seq("x"), Seq("NaN"), Seq("1.5")),
+      defaults.readConfig(inferTypes = true))
+    assert(fNan.records().tail.map(_.head) == Seq("(null)", "1.5"))
+    val fNanOff = TadaIO.readRecords(spark, Seq(Seq("x"), Seq("NaN"), Seq("1.5")),
+      defaults.copy(nanIsNull = false).readConfig(inferTypes = true))
+    assert(fNanOff.records().tail.map(_.head) == Seq("NaN", "1.5"))
+    // SetOptionEmptyStringAsNull: default off keeps "" a value
+    val fBlank = TadaIO.readRecords(spark, Seq(Seq("x"), Seq(""), Seq("v")),
+      defaults.readConfig())
+    assert(fBlank.records().tail.map(_.head) == Seq("", "v"))
+    val fBlankNull = TadaIO.readRecords(spark, Seq(Seq("x"), Seq(""), Seq("v")),
+      defaults.copy(emptyStringAsNull = true).readConfig())
+    assert(fBlankNull.records().tail.map(_.head) == Seq("(null)", "v"))
+    // PrintOptionMergeRepeats + nullPrinter thread into render
+    val fr = TadaIO.readRecords(spark, Seq(Seq("c"), Seq("v"), Seq("v")))
+    assert(TadaIO.render(fr, defaults).linesIterator.count(_.contains(" v ")) == 1)
+    assert(TadaIO.render(fr, defaults.copy(mergeRepeats = false))
+      .linesIterator.count(_.contains(" v ")) == 2)
   }
 
   test("mock CSV: deterministic, pool-valued, ~10% nulls") {
