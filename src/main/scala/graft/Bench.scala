@@ -186,6 +186,19 @@ object Bench {
     }
 
     val all = SparkEntry.queries.toSeq.sortBy { case (n, _) => (tier(n), n) }
+    // Pin the heavy tail's JIT: the LSH/ANN kernels are compiled JVM
+    // loops whose FIRST execution carries interpreter + C2 compilation
+    // cost — observed as pure run-to-run variance on identical binaries
+    // (q41 4.9 s vs 8.7 s across rounds). One untimed pass over the
+    // heavy tier (skipped when the budget is tight) means every timed
+    // run below is warm, so the emitted numbers are steady-state
+    // throughput, reproducible across rounds.
+    if (budgetSec - elapsed > 150) {
+      all.filter { case (n, _) => tier(n) == 2 }.foreach { case (name, fn) =>
+        withWatchdog(s"bench-warm-$name", sliceSec = 30.0)(fn(spark, sfDir).count())
+        spark.catalog.clearCache()
+      }
+    }
     // Pass 1: one timing for everything, cost-ordered.
     all.zipWithIndex.foreach { case ((name, fn), idx) =>
       val remainingQueries = all.size - idx

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
+
+/** Scale-growth probe: synthesizes a 10× corpus from sf0.1 (6M-row
+  * lineitem, 50k documents, 20k embeddings) by unioning key-shifted
+  * copies, times a representative query subset at both scales, and
+  * prints the per-query scaling exponent e = log10(t_10x / t_1x) —
+  * e ≈ 1 is linear, e ≫ 1 flags a shape that would not survive a
+  * further 100× (PERF.md records the findings).
+  *
+  * Document ids shift by 5,000 per copy so they stay below the 1,000,000
+  * offset the dedup queries use for their corpus∪copy construction;
+  * order keys shift by 10,000,000 so lineitem↔orders joins stay
+  * consistent within each copy. Dimension tables are carried unchanged
+  * (at 100 TB dims stay broadcast-sized — that is the point of a star
+  * schema). Output goes to /tmp, never into the read-only testdata.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val out = if (args.length > 1) args(1) else "/tmp/sfprobe"
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val shiftCols: Map[String, Seq[(String, Long)]] = Map(
+      "lineitem" -> Seq("l_orderkey" -> 10000000L),
+      "orders" -> Seq("o_orderkey" -> 10000000L),
+      "events" -> Seq("event_id" -> 10000000L),
+      "documents" -> Seq("doc_id" -> 5000L),
+      "embeddings" -> Seq("vec_id" -> 2000L))
+
+    if (!new java.io.File(s"$out/lineitem.parquet").exists()) {
+      Tables.names.foreach { t =>
+        val df = spark.read.parquet(s"$base/$t.parquet")
+        val scaled = shiftCols.get(t) match {
+          case None => df // dimension tables stay as-is (broadcast-sized)
+          case Some(shifts) =>
+            (0 until factor).map { i =>
+              shifts.foldLeft(df) { case (d, (c, span)) =>
+                d.withColumn(c, F.col(c) + F.lit(i * span))
+              }
+            }.reduce(_ unionByName _)
+        }
+        scaled.repartition(32).write.mode("overwrite").parquet(s"$out/$t.parquet")
+        println(s"[probe] built $t")
+      }
+    }
+
+    val sel0 = Seq(
+      "q01_agg", "q12_merge_inner", "q33_sort_head", "q40_exact_dedup",
+      "q41_minhash_lsh", "q42_simhash", "q44_embedding_dedup",
+      "q47_langid", "q55_cosine_pairs", "q56_knn_ivf", "q58_dup_clusters",
+      "q62_tfidf", "q67_chunk_dedup", "q73_curation_funnel",
+      "q75_unigram_logprob", "q76_contamination")
+    // optional 4th arg: comma-separated name prefixes to re-probe a subset
+    val sel = if (args.length > 3) {
+      val ps = args(3).split(",")
+      sel0.filter(n => ps.exists(n.startsWith))
+    } else sel0
+    val qs = SparkEntry.queries
+    def time(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
+      val t0 = System.nanoTime()
+      fn(spark, dir).count()
+      spark.catalog.clearCache()
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(f"${"query"}%-22s ${"t_1x"}%8s ${"t_10x"}%8s  exp")
+    sel.foreach { name =>
+      qs.get(name).foreach { fn =>
+        // warm once at 1× (JIT), then min of 2 at each scale
+        time(fn, base)
+        val t1 = Seq(time(fn, base), time(fn, base)).min
+        val t10 = Seq(time(fn, out), time(fn, out)).min
+        val exp = math.log10(t10 / t1) / math.log10(factor.toDouble)
+        println(f"$name%-22s $t1%8.2f $t10%8.2f  $exp%.2f")
+      }
+    }
+    spark.stop()
+  }
+}

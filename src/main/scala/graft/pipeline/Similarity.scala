@@ -178,11 +178,33 @@ object Similarity {
     * true pair at the tested scales. `cosinePairs` (all-pairs) remains
     * the test-only exactness anchor. */
   def cosinePairsViaCells(corpus: DataFrame, threshold: Double,
-                          nlist: Int = 16, mprobe: Int = 8, iters: Int = 2,
+                          nlist: Int = -1, mprobe: Int = 8, iters: Int = 2,
                           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cos = cosineNative(corpus.sparkSession) _
     val c = corpus.select(F.col(idCol).as("cid0"), F.col(vecCol).as("cv"))
-    val centroids = trainCentroids(c, nlist, iters, cos)
+    // nlist must GROW with the corpus or cell size — and with it the
+    // per-cell quadratic verify — grows linearly and the join degrades
+    // toward all-pairs. Auto (-1) picks min(n/125, m·√n): cost is
+    // assignment O(n·nlist) + verify O(Σ|cell|²) = O(n²m²/nlist), so
+    // constant-density cells (n/125) make verify LINEAR (125·m² per
+    // vector) while assignment stays n²/125 — negligible until the
+    // two cross at n = 125²·m² ≈ 1M vectors, exactly where m·√n (the
+    // analytic optimum balancing both terms, total ~n^1.5) takes
+    // over. Measured on the 10× probe: n/125 → exponent 1.17; a pure
+    // √ rule → 1.57 (it starves cells and inflates the dominant
+    // verify term at sub-1M scale). The floor of 16 resolves to the
+    // same partitioning as the fixed default at every oracle-tested
+    // scale (n ≤ 2000), so correctness pins carry over unchanged.
+    val total = c.count()
+    val n = if (nlist > 0) nlist
+      else math.max(16, math.min(
+        math.ceil(total / 125.0), math.ceil(mprobe * math.sqrt(total.toDouble))).toInt)
+    // Lloyd rounds only need REPRESENTATIVE centroids, not every row:
+    // train on a bounded deterministic prefix (lowest ids — same init
+    // the full path uses), then assign the whole corpus once. Identical
+    // to full training for corpora under the cap, linear above it.
+    val trainSet = if (total <= 4000) c else c.orderBy("cid0").limit(4000)
+    val centroids = trainCentroids(trainSet, n, iters, cos)
     val cells = nearestCells(c, centroids, "cid0", "cv", mprobe, cos)
     val a = cells.select(F.col("cid0").as("id_a"), F.col("cell"))
     val b = cells.select(F.col("cid0").as("id_b"), F.col("cell"))

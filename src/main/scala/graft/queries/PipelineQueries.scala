@@ -510,7 +510,10 @@ object PipelineQueries extends QueryPack {
     Query(
       "q58_dup_clusters",
       (s, dir) => {
-        val edges = Similarity.cosinePairs(Tables.embeddings(s, dir), 0.4)
+        // candidate-fed edges (same scale path as q55): the registered
+        // artifact carries no corpus×corpus join; the all-pairs DuckDB
+        // oracle doubles as the recall pin for the edge set
+        val edges = Similarity.cosinePairsViaCells(Tables.embeddings(s, dir), 0.4)
         Dedup.connectedComponents(edges)
           .select("id", "cluster")
           .orderBy("id")

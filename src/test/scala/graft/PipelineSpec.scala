@@ -112,6 +112,10 @@ class PipelineSpec extends AnyFunSuite {
     val got = Similarity.cosinePairs(vecs, 0.5)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((0L, 1L), (0L, 2L), (1L, 2L)))
+    // the candidate-fed scale path must recover the all-pairs anchor
+    val viaCells = Similarity.cosinePairsViaCells(vecs, 0.5, nlist = 2, mprobe = 2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaCells == got)
   }
 
   test("IVF ANN recovers brute-force neighbors on separated clusters") {
