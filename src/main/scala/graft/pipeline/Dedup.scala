@@ -394,6 +394,38 @@ object Dedup {
         F.shiftright(sim, b * 16).bitwiseAND(0xFFFFL).as("bucket"))
     }: _*)
 
+  /** SimHash duplicate-CLUSTER resolution — the scale-honest consumer
+    * shape for banded simhash. Enumerating every Hamming≤`maxHamming`
+    * pair is quadratic in duplicate-cluster size (the 10× probe
+    * measured exponent 1.4 on the pair form, PERF.md): a thousand
+    * identical docs are a Hamming-0 clique of half a million pairs that
+    * nobody needs. Here identical WORDS collapse first (one groupBy —
+    * a clique resolves to its min id with zero pairs), banding and
+    * Hamming verification run between DISTINCT words only (the
+    * candidate volume no longer grows with duplication factor), and
+    * connected components resolve transitive clusters. Output: one
+    * (id, cluster) row per document, cluster = min doc id of its
+    * transitive near-dup set — the keeper-selection contract shared
+    * with `connectedComponents`. */
+  def simhashClusters(docs: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3, maxBucket: Int = 4096): DataFrame = {
+    val sim = simhash(docs, idCol, textCol) // (id, simhash)
+    val words = sim.groupBy("simhash").agg(F.min("id").as("rep"))
+    val banded = words.withColumn("bands", simhashBands(F.col("simhash")))
+    val cand = candidatePairs(banded, "rep", "bands", maxBucket)
+    val edges = cand
+      .join(words.select(F.col("rep").as("id_a"), F.col("simhash").as("h_a")), "id_a")
+      .join(words.select(F.col("rep").as("id_b"), F.col("simhash").as("h_b")), "id_b")
+      .filter(hamming(F.col("h_a"), F.col("h_b")) <= maxHamming)
+      .select("id_a", "id_b")
+    val wordClusters = connectedComponents(edges)
+      .select(F.col("id").as("rep"), F.col("cluster"))
+    sim.join(words, "simhash")
+      .join(wordClusters, Seq("rep"), "left")
+      .select(F.col("id"),
+        F.coalesce(F.col("cluster"), F.col("rep")).as("cluster"))
+  }
+
   /** Cross-document chunk-level exact dedup profile: for each document,
     * the fraction of its `size`-token chunks whose content also appears
     * in some OTHER document — the web-curation middle ground between

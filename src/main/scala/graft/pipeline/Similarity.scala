@@ -229,20 +229,46 @@ object Similarity {
     * engine-independent — the sign (= the bucket bit) can never be
     * flipped by float-accumulation differences, which is what lets a
     * DuckDB oracle replay buckets bit-for-bit. */
+  /** Dims covered by the precomputed literal coordinate tables; vectors
+    * longer than this fall back to computing coordinates as md5
+    * expressions per element (identical values, slower scan). */
+  private val MaxLitDims = 512
+
+  /** c(p, j) = first 60 bits of md5("seed:p:j") mod 1000 − 500, the
+    * JVM-side twin of the SQL/column forms below — equal by
+    * construction: 15 hex chars = the top 7.5 bytes = (first 8 bytes
+    * as unsigned) >>> 4. */
+  private def coordInt(seed: Int, p: Int, j: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(s"$seed:$p:$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    ((v >>> 4) % 1000) - 500
+  }
+
   def hyperplaneBucket(vec: Column, planes: Int = 8, seed: Int = 42): Column = {
-    // c(p, j) = first 60 bits of md5("seed:p:j") mod 1000, shifted to
-    // [-500, 500) — DuckDB: ('0x'||substr(md5(s),1,15))::BIGINT%1000-500
-    val coord: (Int, Column) => Column = (p, j) =>
+    // The coordinates are CONSTANTS of (seed, p, j) — computing them as
+    // md5 expressions per row costs dims × planes digests per vector in
+    // the scan stage. Precompute them once on the driver and embed as
+    // literal arrays; the md5-expression form remains only as the
+    // fallback for vectors beyond the table (same values either way,
+    // and the DuckDB oracle replays the same md5 formula).
+    val exprCoord: (Int, Column) => Column = (p, j) =>
       F.conv(F.substring(F.md5(F.encode(
         F.concat_ws(":", F.lit(seed), F.lit(p), j.cast("string")), "UTF-8")), 1, 15), 16, 10)
         .cast("long") % 1000 - 500
-    val bits = (0 until planes).map { p =>
-      val proj = F.aggregate(
-        F.transform(vec, (x, j) => F.floor(x.cast("double") * (1 << 20)).cast("long") * coord(p, j)),
-        F.lit(0L), (acc, x) => acc + x)
-      F.when(proj >= 0, F.shiftleft(F.lit(1L), p)).otherwise(F.lit(0L))
-    }
-    bits.reduce(_.bitwiseOR(_))
+    def bucket(coord: (Int, Column) => Column): Column =
+      (0 until planes).map { p =>
+        val proj = F.aggregate(
+          F.transform(vec, (x, j) => F.floor(x.cast("double") * (1 << 20)).cast("long") * coord(p, j)),
+          F.lit(0L), (acc, x) => acc + x)
+        F.when(proj >= 0, F.shiftleft(F.lit(1L), p)).otherwise(F.lit(0L))
+      }.reduce(_.bitwiseOR(_))
+    val tables = (0 until planes).map(p =>
+      F.typedLit((0 until MaxLitDims).map(j => coordInt(seed, p, j)).toArray))
+    val litCoord: (Int, Column) => Column = (p, j) => F.element_at(tables(p), j + 1)
+    F.when(F.size(vec) <= MaxLitDims, bucket(litCoord)).otherwise(bucket(exprCoord))
   }
 
   /** LSH-bucketed ANN: probe only the matching bucket per query.

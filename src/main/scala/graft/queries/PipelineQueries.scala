@@ -248,6 +248,56 @@ object PipelineQueries extends QueryPack {
         ORDER BY id_a, id_b
       """)),
 
+    // SimHash duplicate-CLUSTER resolution — the production consumer of
+    // banded simhash (pair ENUMERATION is quadratic in cluster size;
+    // cluster labels are not). Identical words collapse before any
+    // pairing, Hamming verification runs between distinct words only,
+    // connected components resolve transitivity. Oracle: the same
+    // simhash words replayed in SQL, word-level Hamming≤3 edges, and a
+    // recursive-CTE reachability closure — so banding, the cap, the
+    // word collapse AND the cluster labels are all hash-checked.
+    Query(
+      "q79_simhash_clusters",
+      (s, dir) => {
+        Dedup.simhashClusters(dupedDocs(s, dir), "doc_id", "text")
+          .orderBy("id")
+      },
+      Some(s"""
+        WITH RECURSIVE docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL SELECT doc_id + 1000000, text FROM documents),
+        toks AS (
+          SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok FROM docs),
+        th AS (
+          SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM toks),
+        bits AS (
+          SELECT doc_id, i,
+                 sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+          FROM th CROSS JOIN range(64) r(i)
+          GROUP BY doc_id, i),
+        sim AS (
+          SELECT doc_id,
+                 bit_or(CASE WHEN s > 0 THEN (1::UBIGINT << CAST(i AS INT))
+                        ELSE 0::UBIGINT END) AS w
+          FROM bits GROUP BY doc_id),
+        words AS (SELECT w, min(doc_id) AS rep FROM sim GROUP BY w),
+        wedges AS (
+          SELECT a.rep AS src, b.rep AS dst
+          FROM words a, words b
+          WHERE a.rep < b.rep AND bit_count(xor(a.w, b.w)) <= 3),
+        undirected AS (
+          SELECT src, dst FROM wedges UNION SELECT dst, src FROM wedges),
+        reach(id, r) AS (
+          SELECT src, src FROM undirected
+          UNION
+          SELECT u.dst, reach.r FROM undirected u JOIN reach ON u.src = reach.id),
+        wcluster AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+        SELECT s.doc_id AS id, coalesce(wc.cluster, w.rep) AS cluster
+        FROM sim s JOIN words w ON s.w = w.w
+        LEFT JOIN wcluster wc ON w.rep = wc.id
+        ORDER BY id
+      """)),
+
     // Exact n-gram Jaccard on a bounded window of docs — the verify
     // kernel in isolation. Oracle: DuckDB list comprehension rebuilds the
     // same distinct word-bigram sets; |∩|/|∪| of small ints divides to
