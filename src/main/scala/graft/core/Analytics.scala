@@ -105,14 +105,18 @@ object Analytics {
   /** PercentileBin (internal.go:2392-2408): bin the exclusive percentile;
     * edges here are left-INclusive right-EXclusive — opposite of Bin. */
   def percentileBin(f: TadaFrame, c: String, edges: Seq[Double], out: String,
-                    partitionBy: Seq[String] = Nil): TadaFrame = {
+                    partitionBy: Seq[String] = Nil,
+                    labels: Seq[String] = Nil): TadaFrame = {
     val tmp = "__pct"
     val withPct = percentile(f, c, tmp, partitionBy)
     def fmt(d: Double): String = if (d == d.floor && !d.isInfinite) d.toLong.toString else d.toString
     val v = withPct.df(tmp)
+    val binLabels =
+      if (labels.nonEmpty) labels // Binner{Labels} (internal.go:2392-2408)
+      else edges.sliding(2).map { case Seq(a, b) => s"${fmt(a)}-${fmt(b)}" }.toSeq
     var expr: Column = F.lit(null).cast(StringType)
-    edges.sliding(2).toSeq.reverse.foreach { case Seq(lo, hi) =>
-      expr = F.when(v >= lo && v < hi, F.lit(s"${fmt(lo)}-${fmt(hi)}")).otherwise(expr)
+    edges.sliding(2).toSeq.zip(binLabels).reverse.foreach { case (Seq(lo, hi), lab) =>
+      expr = F.when(v >= lo && v < hi, F.lit(lab)).otherwise(expr)
     }
     // top edge inclusive so pct == last edge still bins (reference keeps 1.0 out of range; percentiles are < 1 by construction)
     withPct.withCol(out, F.when(v.isNull, F.lit(null)).otherwise(expr)).dropCols(tmp)

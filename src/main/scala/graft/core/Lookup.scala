@@ -35,6 +35,35 @@ object Lookup {
     shared
   }
 
+  /** Series-style Lookup (series.go Lookup → lookup, pinned by
+    * example_series_test.go:189-267): the result keeps the LEFT's shape —
+    * its labels, name, and value-column names — while the VALUES come
+    * from the right's first-match rows aligned on the join keys.
+    * how="left" keeps every left row (unmatched ⇒ null); "inner" keeps
+    * matched rows only. Right value columns pair with left value columns
+    * positionally (the series case is 1:1). Same scale shape as merge:
+    * first-match window + equi-join, broadcastable right. */
+  def lookup(left: TadaFrame, right: TadaFrame, how: String = "left",
+             leftOn: Seq[String] = Nil, rightOn: Seq[String] = Nil): TadaFrame = {
+    val lk = if (leftOn.nonEmpty) leftOn else autoKeys(left, right)
+    val rk = if (rightOn.nonEmpty) rightOn else lk
+    val rDedup = firstMatchOnly(right, rk)
+    val rvNames = right.valueCols.filterNot(rk.contains)
+    val lvNames = left.valueCols
+    require(rvNames.size == lvNames.size,
+      s"lookup: ${rvNames.size} right value cols for ${lvNames.size} left")
+    var rSel = rDedup.select((rk.map(rDedup(_)) ++ rvNames.map(rDedup(_))): _*)
+    rvNames.zip(lvNames).foreach { case (r, l) =>
+      if (r != l) rSel = rSel.withColumnRenamed(r, l) }
+    rk.zip(lk).foreach { case (r, l) =>
+      if (r != l) rSel = rSel.withColumnRenamed(r, l) }
+    val lCols = (ORD +: (left.labels ++ lk).distinct).map(left.df(_))
+    val joined = left.df.select(lCols: _*)
+      .join(rSel, lk, if (how == "inner") "inner" else "left")
+    TadaFrame(joined, left.labels, left.name, left.colLevelNames, left.order,
+      bands = left.bands)
+  }
+
   /** Merge (dataframe.go:1606-1657): anchor keeps all its containers and
     * gains the right side's value columns; unmatched ⇒ null; `inner` =
     * left-merge then drop rows that found no match; `right` = swap sides.
@@ -54,6 +83,18 @@ object Lookup {
       val rCols = rk.map(rDedup0(_)) ++ right.valueCols.filterNot(rk.contains).map(rDedup0(_))
       var rSel = rDedup0.select(rCols: _*)
       rk.zip(lk).foreach { case (r, l) => if (r != l) rSel = rSel.withColumnRenamed(r, l) }
+      // value names colliding with a left column take the `_N` suffix
+      // BEFORE the join (dataframe.go:457-469) so the joined plan never
+      // holds ambiguous duplicate names (inner-mode na.drop needs them)
+      val taken = scala.collection.mutable.Set(left.df.columns.toSeq: _*)
+      rSel.columns.filterNot(lk.contains).foreach { c =>
+        if (taken.contains(c)) {
+          var i = 1
+          while (taken.contains(s"${c}_$i")) i += 1
+          rSel = rSel.withColumnRenamed(c, s"${c}_$i")
+          taken += s"${c}_$i"
+        } else taken += c
+      }
       val rFinal = if (broadcastRight) F.broadcast(rSel) else rSel
       val joined = left.df.join(rFinal, lk, "left")
       val withMatch = how match {

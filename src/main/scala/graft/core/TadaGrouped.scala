@@ -1,7 +1,7 @@
 package graft.core
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
 import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types._
@@ -144,6 +144,43 @@ final case class TadaGrouped(frame: TadaFrame, keys: Seq[String], aligned: Boole
     val kept = frame.withCol("__having_cnt", F.count(lit(1)).over(w))
       .filter(pred(col("__having_cnt"))).dropCols("__having_cnt")
     copy(frame = kept)
+  }
+
+  /** The grouped VIEW in the reference's printed form (a GroupedSeries/
+    * GroupedDataFrame prints its rows regrouped — groupers.go print via
+    * the Example corpus): each group's rows sit together, groups in
+    * first-appearance FRAME order, original order within each group.
+    * Print-path operator — the row_number windows are order-global by
+    * construction, exactly like `render` itself. */
+  def arranged: TadaFrame = {
+    val rn = F.row_number().over(Window.orderBy(frame.orderCols: _*))
+    val df1 = df.withColumn("__rn", rn)
+    val df2 = df1.withColumn("__gord",
+      F.min(col("__rn")).over(Window.partitionBy(keys.map(df1(_)): _*)))
+    val df3 = df2.withColumn(ORD,
+      F.row_number().over(Window.orderBy(col("__gord").asc, col("__rn").asc))
+        .cast(LongType))
+      .drop("__rn", "__gord")
+    frame.copy(df = df3, order = Nil)
+  }
+
+  /** Grouped Apply (GroupedSeries.Apply groupers.go:230-260): an
+    * elementwise transform per group. Builders receive the group window
+    * so transforms can mix row values with group aggregates (the
+    * reference's ApplyFn sees the whole group slice). Align mode keeps
+    * original rows/labels/order; grouped mode arranges rows into group
+    * order and keeps only the group keys as labels — the reference's
+    * grouped-series shape (`g.Apply(fn).Series()`). */
+  def applyExpr(outs: (String, WindowSpec => Column)*): TadaFrame = {
+    val w = Window.partitionBy(keyExprs: _*)
+    val f2 = outs.foldLeft(frame) { case (f, (n, b)) => f.withCol(n, b(w)) }
+    if (aligned) f2
+    else {
+      val arr = copy(frame = f2).arranged
+      val dropLabels = frame.labels.filterNot(keys.contains)
+      arr.copy(labels = keys.filter(f2.labels.contains),
+        df = arr.df.drop(dropLabels: _*))
+    }
   }
 
   def getGroup(values: Map[String, Any]): TadaFrame = frame.filterByValue(values)

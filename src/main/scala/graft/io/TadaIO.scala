@@ -79,11 +79,14 @@ object TadaIO {
     }
     val headers = records.take(cfg.headerRows)
     val body = records.drop(cfg.headerRows)
-    // multi-row headers collapse with the level separator (options.go:9)
+    // multi-row headers join with the level separator, EMPTY CELLS KEPT
+    // (joinLevelsIntoName internal.go:1501-1503 joins the raw cells), so
+    // a label read from ("", "labels") is named "|labels" and renders
+    // stacked with the blank level on top, exactly like the reference
     val names: Seq[String] =
       if (cfg.headerRows == 0) (0 until width).map(i => i.toString)
       else (0 until width).map(i =>
-        headers.map(_(i).trim).filter(_.nonEmpty).mkString(cfg.levelSeparator))
+        headers.map(_(i).trim).mkString(cfg.levelSeparator))
     val nulls = cfg.nullStrings ++ (if (cfg.blankAsNull) Seq("") else Nil)
     val rows = body.map(r => Row.fromSeq(r.map { v =>
       val t = v.trim
@@ -95,7 +98,10 @@ object TadaIO {
       schema)
     val df = if (cfg.inferTypes) castInferred(df0, body, names, cfg.nanIsNull) else df0
     val labels = names.take(cfg.labelLevels)
-    TadaFrame.ingest(df, labels)
+    // one column level per header row, named *0, *1… (setColLevelNames
+    // internal.go:626-641); render stacks that many header rows
+    val levels = (0 until math.max(cfg.headerRows, 1)).map(l => s"*$l")
+    TadaFrame.ingest(df, labels).copy(colLevelNames = levels)
   }
 
   /** Per-value inference float → date → datetime → string, majority vote
@@ -207,18 +213,21 @@ object TadaIO {
     * original positions — only an eager index column could preserve
     * that, which the lazy-plan design deliberately avoids.)
     *
-    * Multi-row headers render collapsed into one row joined by `|`
-    * (the colLevelNames separator) rather than stacked. */
+    * Multi-row headers render stacked, one row per column level
+    * (String() dataframe.go:211-214 appends numColLevels header rows);
+    * names with fewer parts than levels top-align. */
   /** Render under a full options config (print caps, merge toggle, null
     * printer, default-name prefix) — the `PrintOption*` surface as one
     * value. */
   def render(f: TadaFrame, opts: TadaOptions): String =
     render(f, opts.maxRows, opts.maxColumns, opts.maxCellWidth,
-      opts.mergeRepeats, opts.nullPrinter, opts.defaultNamePrefix)
+      opts.mergeRepeats, opts.nullPrinter, opts.defaultNamePrefix,
+      opts.levelSeparator)
 
   def render(f: TadaFrame, maxRows: Int = 50, maxColumns: Int = 20,
              maxCellWidth: Int = 30, mergeRepeats: Boolean = true,
-             nullPrinter: String = "(null)", namePrefix: String = "*"): String = {
+             nullPrinter: String = "(null)", namePrefix: String = "*",
+             levelSep: String = "|"): String = {
     val nLab = math.max(f.labels.size, 1)
     val src =
       if (f.labels.nonEmpty) f
@@ -228,9 +237,25 @@ object TadaIO {
             .orderBy(f.df(TadaFrame.ORD))) - 1),
         labels = Seq("*0"))
     val recs = src.records(nullPrinter = nullPrinter)
-    val header = recs.head.zipWithIndex.map { case (h, j) =>
-      if (j < nLab && h.startsWith(namePrefix)) "-" else h // suppressDefaultName (internal.go:2768)
+    // one header row per column level (String() dataframe.go:211-214):
+    // "foo|baz" under 2 levels stacks foo over baz; a name with fewer
+    // parts than levels top-aligns (the golden corpus pins "*0" over
+    // blank for the default label, blank over "labels" for a label read
+    // from an empty-then-named header). suppressDefaultName to "-"
+    // applies only in the single-header form (internal.go:2768; the
+    // 2-header golden shows a literal *0).
+    val nLevels = math.max(f.colLevelNames.size, 1)
+    def splitLevels(n: String): Seq[String] =
+      (if (nLevels == 1) Seq(n)
+       else n.split(java.util.regex.Pattern.quote(levelSep), -1).toSeq)
+        .padTo(nLevels, "").take(nLevels)
+    val headerRows: Seq[Seq[String]] = (0 until nLevels).map { l =>
+      recs.head.zipWithIndex.map { case (h, j) =>
+        val cell = splitLevels(h)(l)
+        if (nLevels == 1 && j < nLab && cell.startsWith(namePrefix)) "-" else cell
+      }
     }
+    val header = headerRows.head
     // row truncation: head + "..." filler + tail (dataframe.go:147-162)
     val data1 =
       if (recs.tail.size <= maxRows) recs.tail
@@ -240,22 +265,22 @@ object TadaIO {
       }
     // column truncation collapses the middle VALUE columns (>= like the
     // reference, dataframe.go:171)
-    val (header2, data2) =
-      if (header.size - nLab < maxColumns) (header, data1)
+    val (headers2, data2) =
+      if (header.size - nLab < maxColumns) (headerRows, data1)
       else {
         val n = maxColumns / 2
         def cut(r: Seq[String]) = {
           val vals = r.drop(nLab)
           r.take(nLab) ++ (vals.take(n) :+ "...") ++ vals.takeRight(n)
         }
-        (cut(header), data1.map(cut))
+        (headerRows.map(cut), data1.map(cut))
       }
     def clip(v: String) = if (v.length > maxCellWidth) v.take(maxCellWidth - 3) + "..." else v
-    val h = header2.map(clip)
+    val hs = headers2.map(_.map(clip))
     val d = data2.map(_.map(clip))
     // widths over the UNmerged cells, so blanking a repeat never shrinks
     // its column
-    val widths = (h +: d).transpose.map(col => col.map(_.length).max)
+    val widths = (hs ++ d).transpose.map(col => col.map(_.length).max)
     val dm =
       if (!mergeRepeats || d.isEmpty) d
       else d.head +: d.sliding(2).collect { case Seq(prev, cur) =>
@@ -272,8 +297,10 @@ object TadaIO {
       }.mkString + pipe
     def border(ch: String) = line(widths.map(w => "-" * w), ch, "-")
     val rows =
-      Seq(border("+"), line(h.zip(widths).map((center _).tupled), "|", " "), border("|")) ++
-        dm.map(r => line(r.zip(widths).map((right _).tupled), "|", " ")) :+
+      (border("+") +:
+        hs.map(h => line(h.zip(widths).map((center _).tupled), "|", " "))) ++
+        (border("|") +:
+          dm.map(r => line(r.zip(widths).map((right _).tupled), "|", " "))) :+
         border("+")
     rows.mkString("\n") + (if (f.name.nonEmpty) s"\nname: ${f.name}" else "")
   }

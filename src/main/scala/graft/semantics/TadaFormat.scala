@@ -26,6 +26,12 @@ object TadaFormat {
       regexp_replace(c.cast(StringType), "\\.0$", "")
     case TimestampType =>
       date_format(c, "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    case ArrayType(_, _) =>
+      // Go fmt.Sprint of a slice: space-joined in brackets; a ZERO-length
+      // nested slice is null (setNullsFromInterface internal.go:1835-1926,
+      // pinned by ExampleSeries_nestedSlice)
+      when(size(c) === 0, lit(null).cast(StringType))
+        .otherwise(concat(lit("["), array_join(c.cast(ArrayType(StringType)), " "), lit("]")))
     case _ => c.cast(StringType)
   }
 

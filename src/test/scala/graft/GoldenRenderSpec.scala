@@ -57,6 +57,30 @@ class GoldenRenderSpec extends AnyFunSuite {
         |+-------++------+""", "ExampleNewReader_withLabels")
   }
 
+  test("ExampleNewReader_multipleHeaders: stacked 2-level headers, literal *0") {
+    val f = TadaIO.readCsvString(spark, "foo,bar\nbaz,qux\ncorge,fred",
+      ReadConfig(headerRows = 2))
+    check(TadaIO.render(f),
+      """+----++-------+------+
+        || *0 ||  foo  | bar  |
+        ||    ||  baz  | qux  |
+        ||----||-------|------|
+        ||  0 || corge | fred |
+        |+----++-------+------+""", "ExampleNewReader_multipleHeaders")
+  }
+
+  test("ExampleNewReader_multipleHeadersWithLabels: label name on its own level") {
+    val f = TadaIO.readCsvString(spark, ",foo,bar\nlabels,baz,qux\n1,corge,fred",
+      ReadConfig(headerRows = 2, labelLevels = 1))
+    check(TadaIO.render(f),
+      """+--------++-------+------+
+        ||        ||  foo  | bar  |
+        || labels ||  baz  | qux  |
+        ||--------||-------|------|
+        ||      1 || corge | fred |
+        |+--------++-------+------+""", "ExampleNewReader_multipleHeadersWithLabels")
+  }
+
   test("ExampleNewRecordReader_byColumn: column-major records") {
     val byColumn = Seq(
       Seq("foo", "bar"), Seq("baz", "qux"), Seq("corge", "fred"))
@@ -159,6 +183,107 @@ class GoldenRenderSpec extends AnyFunSuite {
         || 1 || ba... |
         || 2 ||   foo |
         |+---++-------+""", "ExamplePrintOptionMaxCellWidth")
+  }
+
+  test("ExampleNewDataFrame: positional column names 0, 1") {
+    val f = TadaFrame.ingest(Seq((1.0, "baz"), (2.0, "qux")).toDF("0", "1"))
+    check(TadaIO.render(f),
+      """+---++---+-----+
+        || - || 0 |  1  |
+        ||---||---|-----|
+        || 0 || 1 | baz |
+        || 1 || 2 | qux |
+        |+---++---+-----+""", "ExampleNewDataFrame")
+  }
+
+  test("ExampleDataFrame_withLabels: explicit label slice, default name suppressed") {
+    val f = TadaFrame.ingest(Seq(("foo", 1.0), ("bar", 2.0)).toDF("*0", "0"),
+      labelCols = Seq("*0"))
+    check(TadaIO.render(f),
+      """+-----++---+
+        ||  -  || 0 |
+        ||-----||---|
+        || foo || 1 |
+        || bar || 2 |
+        |+-----++---+""", "ExampleDataFrame_withLabels")
+  }
+
+  test("ExampleDataFrame_WithCol_rename") {
+    val f = TadaFrame.ingest(Seq(1.0, 2.0).toDF("foo"))
+    check(TadaIO.render(f.renameCol("foo", "qux")),
+      """+---++-----+
+        || - || qux |
+        ||---||-----|
+        || 0 ||   1 |
+        || 1 ||   2 |
+        |+---++-----+""", "ExampleDataFrame_WithCol_rename")
+  }
+
+  test("ExampleDataFrame_WithCol_overwrite: dtype change float to string") {
+    val f = TadaFrame.ingest(Seq((0, 1.0), (1, 2.0)).toDF("*0", "foo"),
+      labelCols = Seq("*0"))
+    val overwritten = f.withCol("foo",
+      F.element_at(F.array(F.lit("baz"), F.lit("qux")), F.col("*0") + 1))
+    check(TadaIO.render(overwritten),
+      """+---++-----+
+        || - || foo |
+        ||---||-----|
+        || 0 || baz |
+        || 1 || qux |
+        |+---++-----+""", "ExampleDataFrame_WithCol_overwrite")
+  }
+
+  test("ExampleDataFrame_Filter: intersection of per-column predicates, index kept") {
+    val f0 = TadaFrame.ingest(
+      Seq((0, 1.0, "2020-01-01 00:00:00"), (1, 2.0, "2020-01-02 00:00:00"),
+        (2, 3.0, "2020-01-01 00:00:00")).toDF("*0", "foo", "ts"),
+      labelCols = Seq("*0"))
+    val f = f0.withCol("bar", F.col("ts").cast("timestamp")).dropCols("ts")
+    check(TadaIO.render(f),
+      """+---++-----+----------------------+
+        || - || foo |         bar          |
+        ||---||-----|----------------------|
+        || 0 ||   1 | 2020-01-01T00:00:00Z |
+        || 1 ||   2 | 2020-01-02T00:00:00Z |
+        || 2 ||   3 | 2020-01-01T00:00:00Z |
+        |+---++-----+----------------------+""", "ExampleDataFrame_Filter (pre)")
+    val ret = f.filter(Map(
+      "foo" -> ((c: org.apache.spark.sql.Column) => c > 1),
+      "bar" -> ((c: org.apache.spark.sql.Column) =>
+        c < F.lit("2020-01-02 00:00:00").cast("timestamp"))))
+    check(TadaIO.render(ret),
+      """+---++-----+----------------------+
+        || - || foo |         bar          |
+        ||---||-----|----------------------|
+        || 2 ||   3 | 2020-01-01T00:00:00Z |
+        |+---++-----+----------------------+""", "ExampleDataFrame_Filter")
+  }
+
+  test("ExampleDataFrame_Where: unnamed bool series") {
+    val f = TadaFrame.ingest(Seq(1.0, 2.0).toDF("foo"))
+    val ret = f.where("", Seq("foo"), F.col("foo") > 1, F.lit(true), F.lit(false))
+    check(TadaIO.render(ret.col("")),
+      """+---++-------+
+        || - ||       |
+        ||---||-------|
+        || 0 || false |
+        || 1 ||  true |
+        |+---++-------+""", "ExampleDataFrame_Where")
+  }
+
+  test("ExampleDataFrame_GroupBy: grouped view, first-appearance order") {
+    val f = TadaFrame.ingest(
+      Seq(("foo", 1.0), ("bar", 2.0), ("foo", 3.0), ("bar", 4.0)).toDF("*0", "baz"),
+      labelCols = Seq("*0"))
+    check(TadaIO.render(f.groupBy().arranged),
+      """+-----++-----+
+        ||  -  || baz |
+        ||-----||-----|
+        || foo ||   1 |
+        ||     ||   3 |
+        || bar ||   2 |
+        ||     ||   4 |
+        |+-----++-----+""", "ExampleDataFrame_GroupBy")
   }
 
   test("ExampleNewStructReader: masked value renders as (null)") {

@@ -26,12 +26,16 @@ class IoSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { TadaIO.readCsvString(spark, "") }
   }
 
-  test("label levels + multi-row headers collapse with |") {
+  test("label levels + multi-row headers join with |, empty cells kept") {
+    // joinLevelsIntoName (internal.go:1501-1503) joins the raw header
+    // cells — ("lbl","") names the label "lbl|", preserving which level
+    // each part came from for stacked rendering
     val f = TadaIO.readRecords(spark,
       Seq(Seq("lbl", "x", "x"), Seq("", "a", "b"), Seq("r1", "1", "2")),
       ReadConfig(headerRows = 2, labelLevels = 1))
-    assert(f.listLabelNames == Seq("lbl"))
+    assert(f.listLabelNames == Seq("lbl|"))
     assert(f.listColNames == Seq("x|a", "x|b"))
+    assert(f.colLevelNames == Seq("*0", "*1"))
   }
 
   test("type inference: 10-row majority vote casts to double/date") {
