@@ -81,6 +81,18 @@ class GoldenRenderSpec extends AnyFunSuite {
         |+--------++-------+------+""", "ExampleNewReader_multipleHeadersWithLabels")
   }
 
+  test("ExampleNewRecordReader: row-major records, first row is the header") {
+    val f = TadaIO.readRecords(spark,
+      Seq(Seq("foo", "bar"), Seq("baz", "qux"), Seq("corge", "fred")))
+    check(TadaIO.render(f),
+      """+---++-------+------+
+        || - ||  foo  | bar  |
+        ||---||-------|------|
+        || 0 ||   baz |  qux |
+        || 1 || corge | fred |
+        |+---++-------+------+""", "ExampleNewRecordReader")
+  }
+
   test("ExampleNewRecordReader_byColumn: column-major records") {
     val byColumn = Seq(
       Seq("foo", "bar"), Seq("baz", "qux"), Seq("corge", "fred"))
