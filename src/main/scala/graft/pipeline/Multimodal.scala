@@ -26,6 +26,17 @@ object Multimodal {
       doc_id: Long, n_bytes: Int, format: String,
       width: Int, height: Int, checksum: Long)
 
+  /** The codec seam: a real decoder (JNI/FFI image or audio library)
+    * implements this one trait and plugs into `extractFeatures` without
+    * touching the Spark plumbing. The contract is BATCH-level on purpose
+    * — real codecs amortize per-call init (context setup, scratch
+    * buffers) across a batch, and the batch size is what bounds executor
+    * memory to `batch × payload`. Must be Serializable: the kernel ships
+    * to executors inside the mapPartitions closure. */
+  trait DecodeKernel extends Serializable {
+    def decodeBatch(rows: Seq[MediaRow]): Seq[MediaFeatures]
+  }
+
   /** STUB decode kernel — deterministic fake features from the payload.
     * A real implementation would decode headers/frames here.
     *
@@ -47,15 +58,21 @@ object Multimodal {
       checksum = h)
   }
 
+  /** Default kernel: the stub, one payload at a time within the batch. */
+  object StubDecodeKernel extends DecodeKernel {
+    def decodeBatch(rows: Seq[MediaRow]): Seq[MediaFeatures] = rows.map(fakeDecode)
+  }
+
   /** Batched per-partition feature extraction. Input: (doc_id, payload)
     * rows; output: typed features, binary column dropped on the spot. */
-  def extractFeatures(media: DataFrame, batchSize: Int = 256)
+  def extractFeatures(media: DataFrame, batchSize: Int = 256,
+                      kernel: DecodeKernel = StubDecodeKernel)
                      (implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { it =>
-      // batches bound peak memory to batchSize payloads; a real codec
-      // would amortize its init cost across each batch
-      it.grouped(batchSize).flatMap(_.map(fakeDecode))
+      // batches bound peak memory to batchSize payloads; the kernel sees
+      // whole batches so a real codec can amortize its init cost
+      it.grouped(batchSize).flatMap(kernel.decodeBatch)
     }
   }
 

@@ -218,4 +218,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(a.forall(f => f.n_bytes > 0 && f.width >= 64 && f.height >= 64))
     assert(a(0).checksum == a(1).checksum) // identical payloads
   }
+
+  test("decode kernel seam: a custom codec swaps in without plumbing changes") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val media = Multimodal.documentsAsMedia(docs)
+    // a "codec" that only reads container headers: batch sizes prove the
+    // kernel really receives whole batches (a real codec amortizes init)
+    object HeaderKernel extends Multimodal.DecodeKernel {
+      def decodeBatch(rows: Seq[Multimodal.MediaRow]): Seq[Multimodal.MediaFeatures] = {
+        val batchTag = rows.size.toLong // same for every row of the batch
+        rows.map(r => Multimodal.MediaFeatures(
+          r.doc_id, r.payload.length, "raw", 1, 1, batchTag))
+      }
+    }
+    val out = Multimodal.extractFeatures(media, batchSize = 7, kernel = HeaderKernel)
+      .collect()
+    assert(out.forall(_.format == "raw"))
+    // every batch the kernel saw had at most batchSize rows
+    assert(out.forall(_.checksum <= 7))
+    assert(out.map(_.doc_id).distinct.length == out.length)
+  }
 }
