@@ -187,6 +187,48 @@ object Dedup {
     F.when(union === 0, 0.0).otherwise(inter / union)
   }
 
+  /** Storable LSH index rows for a corpus: (id, sh, bands), computed
+    * ONCE per document as it enters the corpus. At 100 TB this frame is
+    * what you persist between ingests — write it as parquet bucketed by
+    * the exploded band key and nightly increments never re-hash (or
+    * re-shuffle) the accumulated index. */
+  def lshIndex(docs: DataFrame, idCol: String, textCol: String,
+               w: Int = 3, k: Int = 32, bands: Int = 8): DataFrame =
+    docs.select(F.col(idCol).as("id"), shingles(F.col(textCol), w).as("sh"))
+      .select(F.col("id"), F.col("sh"),
+        bandKeysDirect(F.col("sh"), k, bands).as("bands"))
+
+  /** Incremental near-dup: a NEW batch against an EXISTING indexed
+    * corpus — the production shape of a continuously-ingesting pipeline
+    * (daily increments vs the accumulated index). Candidates come from
+    * one scalar (id, band-key) equi-join of the batch against the stored
+    * index (`lshIndex` frames on both sides; ids must be disjoint) —
+    * the index is NEVER re-paired against itself, so an increment costs
+    * hashing the batch plus a join that is linear in the batch's bucket
+    * hits. Shingle payloads join back only for surviving candidate
+    * pairs; `maxBucket` caps pathological index buckets (boilerplate
+    * spam — the q42 lesson: the cap must sit above the largest
+    * correlated cluster or true pairs silently drop).
+    *
+    * Returns (id_a = index doc, id_b = batch doc, jaccard) for every
+    * candidate pair with exact Jaccard ≥ `threshold`. Batch-internal
+    * duplicates are a separate `candidatePairs(batch…)` call. */
+  def incrementalPairs(index: DataFrame, batch: DataFrame,
+                       threshold: Double = 0.8, maxBucket: Int = 64): DataFrame = {
+    val ix = index.select(F.col("id").as("id_a"), F.explode(F.col("bands")).as("bk"))
+    val bx = batch.select(F.col("id").as("id_b"), F.explode(F.col("bands")).as("bk"))
+    val okBuckets = ix.groupBy("bk").count()
+      .filter(F.col("count") <= maxBucket).select("bk")
+    val cand = bx.join(ix.join(okBuckets, "bk"), "bk")
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(index.select(F.col("id").as("id_a"), F.col("sh").as("sh_a")), "id_a")
+      .join(batch.select(F.col("id").as("id_b"), F.col("sh").as("sh_b")), "id_b")
+      .select(F.col("id_a"), F.col("id_b"),
+        jaccard(F.col("sh_a"), F.col("sh_b")).as("jaccard"))
+      .filter(F.col("jaccard") >= threshold)
+  }
+
   /** Duplicate-cluster resolution: connected components over verified
     * candidate pairs — the final stage of every near-dup pipeline (pick
     * one keeper per TRANSITIVE duplicate set, not per pair).

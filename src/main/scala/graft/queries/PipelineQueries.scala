@@ -191,6 +191,55 @@ object PipelineQueries extends QueryPack {
         ORDER BY id_a, id_b
       """)),
 
+    // Incremental near-dup: a NEW batch (shifted copy) deduped against
+    // the EXISTING corpus index — the daily-ingest shape. The index is
+    // hashed once and never re-paired against itself; candidates come
+    // from one batch×index band-key join. Oracle: the exact set of
+    // cross-set Jaccard≥0.8 pairs via the same prefix-filtered AllPairs
+    // join as q41 — hash-equality iff the incremental path finds every
+    // true (index, batch) pair.
+    Query(
+      "q80_incremental_dedup",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select(F.col("doc_id"), F.col("text"))
+          .repartition(s.sparkContext.defaultParallelism)
+        val index = Dedup.lshIndex(d, "doc_id", "text").persist()
+        val batch = Dedup.lshIndex(
+          d.select((F.col("doc_id") + 1000000).as("doc_id"), F.col("text")),
+          "doc_id", "text").persist()
+        Dedup.incrementalPairs(index, batch, 0.8)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""
+        WITH docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL SELECT doc_id + 1000000, text FROM documents),
+        ws AS (SELECT doc_id, string_split($normSql, ' ') AS ws FROM docs),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                      ELSE list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                          FOR i IN range(1, len(ws) - 1)])
+                 END AS sh
+          FROM ws),
+        pref AS (
+          SELECT doc_id,
+                 unnest(list_sort(sh)[1 : len(sh) - CAST(ceil(0.8 * len(sh)) AS INT) + 1]) AS g
+          FROM sh),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM pref a JOIN pref b
+            ON a.g = b.g AND a.doc_id < 1000000 AND b.doc_id >= 1000000)
+        SELECT id_a, id_b, jaccard FROM (
+          SELECT id_a, id_b,
+                 CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+          FROM cand JOIN sh sa ON cand.id_a = sa.doc_id
+                    JOIN sh sb ON cand.id_b = sb.doc_id)
+        WHERE jaccard >= 0.8
+        ORDER BY id_a, id_b
+      """)),
+
     // SimHash near-dup: 64-bit sign fingerprint, 4×16-bit bands,
     // Hamming ≤ 3 verification.
     Query(

@@ -31,6 +31,22 @@ class PipelineSpec extends AnyFunSuite {
       s"unrelated docs should not be candidates: $cand")
   }
 
+  test("incremental dedup: batch pairs against the stored index only") {
+    val index = Dedup.lshIndex(docs, "doc_id", "text").persist()
+    val batch = Dedup.lshIndex(Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again"), // dup of 0,1
+      (101L, "fresh novel sentences that appear nowhere in the index corpus"))
+      .toDF("doc_id", "text"), "doc_id", "text").persist()
+    val pairs = Dedup.incrementalPairs(index, batch, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the duplicate batch doc matches BOTH identical index docs at J=1
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((0L, 100L), (1L, 100L)),
+      s"got ${pairs.toSeq}")
+    assert(pairs.forall(_._3 == 1.0))
+    // result never contains index-internal pairs (both ids < 100)
+    assert(pairs.forall(_._2 >= 100L))
+  }
+
   test("native shingle/minhash expressions match the UDF kernels") {
     val got = docs.select(
       Dedup.shingles(F.col("text")).as("sh_n"),
