@@ -217,6 +217,33 @@ object Similarity {
       .filter(F.col("cos") > threshold)
   }
 
+  /** Storable hyperplane-bucket index for an embedding corpus:
+    * (id, vec, bucket), computed ONCE per vector as it enters the
+    * corpus — the embedding twin of `Dedup.lshIndex`. At 100 TB this is
+    * the frame you persist between ingests (bucketed by `bucket` so the
+    * increment join below is shuffle-free on the index side). */
+  def hyperplaneIndex(corpus: DataFrame, idCol: String = "vec_id",
+                      vecCol: String = "embedding",
+                      planes: Int = 8, seed: Int = 42): DataFrame =
+    corpus.select(F.col(idCol).as("id"), F.col(vecCol).as("vec"),
+      hyperplaneBucket(F.col(vecCol), planes, seed).as("bucket"))
+
+  /** Incremental embedding near-dup: a NEW vector batch against an
+    * EXISTING `hyperplaneIndex` — one bucket equi-join (the index is
+    * never re-paired against itself), exact cosine verify on the
+    * candidates only. Each vector carries exactly one bucket, so the
+    * join emits each candidate pair once. Returns (id_a = index,
+    * id_b = batch, cos) at or above `threshold`. */
+  def incrementalCosinePairs(index: DataFrame, batch: DataFrame,
+                             threshold: Double): DataFrame = {
+    val cos = cosineNative(index.sparkSession) _
+    val a = index.select(F.col("id").as("id_a"), F.col("vec").as("v_a"), F.col("bucket"))
+    val b = batch.select(F.col("id").as("id_b"), F.col("vec").as("v_b"), F.col("bucket"))
+    a.join(b, "bucket")
+      .select(F.col("id_a"), F.col("id_b"), cos(F.col("v_a"), F.col("v_b")).as("cos"))
+      .filter(F.col("cos") >= threshold)
+  }
+
   /** Sign-bit bucket under `planes` pseudo-random hyperplanes. Plane p's
     * j-th coordinate is md5-derived from (seed, p, j) mapped to an
     * integer in [-500, 500) — reproducible on any cluster (and any SQL

@@ -395,6 +395,29 @@ object PipelineQueries extends QueryPack {
     // so engine float-accumulation differences cannot flip membership).
     // The cos value itself is excluded: last-ULP accumulation order
     // differs across engines.
+    // Incremental embedding near-dup: new vector batch (shifted copy)
+    // against the stored hyperplane index — q80's embedding twin. Same
+    // 0.99 threshold and containment argument as q44: identical vectors
+    // share a bucket by construction and the corpus has a ≥0.01 margin
+    // below the threshold, so the cross-set oracle is exact.
+    Query(
+      "q81_incremental_embedding",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir).select(F.col("vec_id"), F.col("embedding"))
+        val index = Similarity.hyperplaneIndex(e).persist()
+        val batch = Similarity.hyperplaneIndex(
+          e.select((F.col("vec_id") + 1000000).as("vec_id"), F.col("embedding"))).persist()
+        Similarity.incrementalCosinePairs(index, batch, 0.99)
+          .select("id_a", "id_b")
+          .orderBy("id_a", "id_b")
+      },
+      Some("""
+        SELECT a.vec_id AS id_a, b.vec_id + 1000000 AS id_b
+        FROM embeddings a, embeddings b
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
+        ORDER BY id_a, id_b
+      """)),
+
     Query(
       "q44_embedding_dedup",
       (s, dir) => {
