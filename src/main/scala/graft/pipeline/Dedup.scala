@@ -187,6 +187,26 @@ object Dedup {
     F.when(union === 0, 0.0).otherwise(inter / union)
   }
 
+  /** Keeper selection — the final stage of every dedup pipeline: given
+    * transitive cluster labels (`connectedComponents` /
+    * `simhashClusters` output: (id, cluster)) and a per-document
+    * priority (quality score, length, recency…), keep exactly ONE
+    * representative per cluster — the highest-priority member, ties to
+    * the lowest id — and emit the keep/drop verdict per document.
+    * Production pipelines keep the BEST duplicate, not an arbitrary
+    * one; min-id cluster labels are a grouping key, not a quality
+    * judgment. Shape: one groupBy(cluster) over scalar (id, priority)
+    * rows — document payloads never enter the shuffle. */
+  def resolveKeepers(clusters: DataFrame, priority: DataFrame): DataFrame = {
+    val joined = clusters.join(priority, "id")
+    val keepers = joined.groupBy("cluster").agg(
+      F.max_by(F.col("id"),
+        F.struct(F.col("priority"), (-F.col("id")).as("nid"))).as("__keeper"))
+    joined.join(keepers, "cluster")
+      .select(F.col("id"), F.col("cluster"),
+        (F.col("id") === F.col("__keeper")).as("keep"))
+  }
+
   /** Storable LSH index rows for a corpus: (id, sh, bands), computed
     * ONCE per document as it enters the corpus. At 100 TB this frame is
     * what you persist between ingests — write it as parquet bucketed by

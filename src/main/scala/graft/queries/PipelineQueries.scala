@@ -347,6 +347,61 @@ object PipelineQueries extends QueryPack {
         ORDER BY id
       """)),
 
+    // Keeper selection over simhash clusters: one keep=true per
+    // transitive near-dup set — the HIGHEST-priority member (char
+    // length here; quality score in production), ties to the lowest id.
+    // Oracle: q79's recursive-CTE closure extended with the same
+    // priority and a per-cluster ranking window.
+    Query(
+      "q82_dedup_keepers",
+      (s, dir) => {
+        val docs = dupedDocs(s, dir)
+        val clusters = Dedup.simhashClusters(docs, "doc_id", "text")
+        val priority = docs.select(F.col("doc_id").as("id"),
+          F.length(F.col("text")).as("priority"))
+        Dedup.resolveKeepers(clusters, priority).orderBy("id")
+      },
+      Some(s"""
+        WITH RECURSIVE docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL SELECT doc_id + 1000000, text FROM documents),
+        toks AS (
+          SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok FROM docs),
+        th AS (
+          SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM toks),
+        bits AS (
+          SELECT doc_id, i,
+                 sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+          FROM th CROSS JOIN range(64) r(i)
+          GROUP BY doc_id, i),
+        sim AS (
+          SELECT doc_id,
+                 bit_or(CASE WHEN s > 0 THEN (1::UBIGINT << CAST(i AS INT))
+                        ELSE 0::UBIGINT END) AS w
+          FROM bits GROUP BY doc_id),
+        words AS (SELECT w, min(doc_id) AS rep FROM sim GROUP BY w),
+        wedges AS (
+          SELECT a.rep AS src, b.rep AS dst
+          FROM words a, words b
+          WHERE a.rep < b.rep AND bit_count(xor(a.w, b.w)) <= 3),
+        undirected AS (
+          SELECT src, dst FROM wedges UNION SELECT dst, src FROM wedges),
+        reach(id, r) AS (
+          SELECT src, src FROM undirected
+          UNION
+          SELECT u.dst, reach.r FROM undirected u JOIN reach ON u.src = reach.id),
+        wcluster AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+        clustered AS (
+          SELECT s.doc_id AS id, coalesce(wc.cluster, w.rep) AS cluster
+          FROM sim s JOIN words w ON s.w = w.w
+          LEFT JOIN wcluster wc ON w.rep = wc.id)
+        SELECT c.id, c.cluster,
+               (row_number() OVER (PARTITION BY c.cluster
+                  ORDER BY length(d.text) DESC, c.id ASC) = 1) AS keep
+        FROM clustered c JOIN docs d ON c.id = d.doc_id
+        ORDER BY id
+      """)),
+
     // Exact n-gram Jaccard on a bounded window of docs — the verify
     // kernel in isolation. Oracle: DuckDB list comprehension rebuilds the
     // same distinct word-bigram sets; |∩|/|∪| of small ints divides to

@@ -47,6 +47,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.forall(_._2 >= 100L))
   }
 
+  test("resolveKeepers keeps the highest-priority member, ties to lowest id") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L)).toDF("id", "cluster")
+    val prio = Seq((1L, 10), (2L, 30), (3L, 30), (7L, 5)).toDF("id", "priority")
+    val out = Dedup.resolveKeepers(clusters, prio).collect()
+      .map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    // 2 and 3 tie on priority 30 -> lowest id (2) wins; singleton 7 keeps
+    assert(out == Map(1L -> false, 2L -> true, 3L -> false, 7L -> true))
+  }
+
   test("native shingle/minhash expressions match the UDF kernels") {
     val got = docs.select(
       Dedup.shingles(F.col("text")).as("sh_n"),
