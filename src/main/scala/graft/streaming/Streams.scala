@@ -85,6 +85,42 @@ object Streams {
     stream.join(F.broadcast(dedup), keys, "left")
   }
 
+  /** Streaming incremental near-dup: the streaming form of
+    * `Dedup.incrementalPairs` — arriving documents are checked against
+    * the STORED corpus index (an `lshIndex` frame from the last ingest)
+    * as they land. The index explodes ONCE to scalar (id, shingles,
+    * band-key) rows (pathological buckets capped, like the batch
+    * operator) and is broadcast per micro-batch; each arriving doc is
+    * hashed in its own projection and equi-joined on the band key, then
+    * exact-Jaccard verified. A pair sharing several bands would emit
+    * once per band, so the pair key is deduped within the watermark —
+    * state is bounded by the dedup horizon, never by the stream.
+    * Emits (id_a = index doc, id_b = arriving doc, jaccard ≥ threshold). */
+  def dedupAgainstIndex(stream: DataFrame, index: DataFrame,
+                        idCol: String, tsCol: String, textCol: String,
+                        watermark: String, threshold: Double = 0.8,
+                        maxBucket: Int = 64): DataFrame = {
+    val D = graft.pipeline.Dedup
+    val ix = index.select(F.col("id").as("id_a"), F.col("sh").as("sh_a"),
+      F.explode(F.col("bands")).as("bk"))
+    val counts = ix.groupBy("bk").count()
+      .filter(F.col("count") <= maxBucket).select("bk")
+    // static side resolves once, not per micro-batch
+    val ixOk = ix.join(counts, "bk").localCheckpoint(true)
+    val b = stream
+      .select(F.col(idCol).as("id_b"), F.col(tsCol).as("__ts"),
+        D.shingles(F.col(textCol)).as("sh_b"))
+      .select(F.col("id_b"), F.col("__ts"), F.col("sh_b"),
+        F.explode(D.bandKeysDirect(F.col("sh_b"))).as("bk"))
+    b.join(F.broadcast(ixOk), "bk")
+      .select(F.col("id_a"), F.col("id_b"), F.col("__ts"),
+        D.jaccard(F.col("sh_a"), F.col("sh_b")).as("jaccard"))
+      .filter(F.col("jaccard") >= threshold)
+      .withWatermark("__ts", watermark)
+      .dropDuplicatesWithinWatermark(Seq("id_a", "id_b"))
+      .drop("__ts")
+  }
+
   /** Streaming deterministic sampling: the md5 row-coordinate predicate
     * (`Sampling.hashBp`) is stateless and partition-independent, so the
     * SAME rows survive in a replayed/reordered stream as in the batch

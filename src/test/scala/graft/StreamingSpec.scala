@@ -205,6 +205,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup against a stored index equals the batch operator") {
+    import spark.implicits._
+    val D = graft.pipeline.Dedup
+    val dir = java.nio.file.Files.createTempDirectory("graft-incr-stream")
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again"),
+      (1L, "completely different content about spark query engines at scale"))
+      .toDF("doc_id", "text")
+    val index = D.lshIndex(corpus, "doc_id", "text").persist()
+    val arrivals = Seq(
+      (100L, t("2024-01-01 00:00:00"), "the quick brown fox jumps over the lazy dog again and again"), // dup of 0
+      (101L, t("2024-01-01 00:01:00"), "fresh novel sentences that appear nowhere in the index corpus"))
+      .toDF("doc_id", "ts", "text")
+    arrivals.repartition(1).write.parquet(dir.toString + "/docs")
+    val stream = spark.readStream.schema(arrivals.schema).parquet(dir.toString + "/docs")
+    val q = graft.streaming.Streams
+      .dedupAgainstIndex(stream, index, "doc_id", "ts", "text", "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("incr_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("incr_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = D.incrementalPairs(index,
+          D.lshIndex(arrivals, "doc_id", "text"), 0.8).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batch, s"stream $streamed != batch $batch")
+      assert(streamed == Set((0L, 100L)))
+    } finally q.stop()
+  }
+
   test("streaming curation pipeline (quality gate + dedup + sample) agrees with batch") {
     import spark.implicits._
     val T = graft.pipeline.TextOps
