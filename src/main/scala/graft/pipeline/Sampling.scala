@@ -38,4 +38,23 @@ object Sampling {
     }
     df.filter(hashBp(key) < rate)
   }
+
+  /** Sequence packing (training-batch construction): assign documents,
+    * in deterministic per-`partitionCol` order, to fixed token-budget
+    * packs — the concat-and-chunk shape that turns a curated corpus
+    * into training sequences. A document belongs to the pack its FIRST
+    * token falls in (`floor(tokens_before / budget)`); a straddling doc
+    * is split at materialization time, but the ASSIGNMENT is what the
+    * distributed job shuffles on. The running total is a window cumsum
+    * partitioned by `partitionCol` (source/shard) — packing never needs
+    * a global single-partition pass, and a power-of-two budget keeps
+    * the double division exact so any engine replays the same packs. */
+  def packSequences(docs: DataFrame, partitionCol: String, orderCol: String,
+                    tokens: Column, budget: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(partitionCol).orderBy(orderCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val before = F.sum(tokens).over(w) - tokens
+    docs.withColumn("pack_id", F.floor(before / F.lit(budget.toDouble)))
+  }
 }

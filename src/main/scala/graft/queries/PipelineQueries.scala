@@ -638,6 +638,31 @@ object PipelineQueries extends QueryPack {
         ORDER BY doc_id
       """)),
 
+    // Sequence packing: per-source concat-and-chunk pack assignment at
+    // a 512-token budget (power of two => the double division is exact
+    // on every engine). Oracle: the same ws-token count and a
+    // partitioned cumsum window in SQL.
+    Query(
+      "q83_sequence_packing",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(F.col("doc_id"), F.col("source"),
+            TextOps.tokenCount(F.col("text")).cast("long").as("tok"))
+        Sampling.packSequences(docs, "source", "doc_id", F.col("tok"), 512)
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        SELECT doc_id, source, tok,
+               CAST(floor((sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) - tok) / 512.0) AS BIGINT)
+                 AS pack_id
+        FROM (SELECT doc_id, source,
+                CASE WHEN length($normSql) = 0 THEN 0
+                     ELSE len(string_split($normSql, ' ')) END AS tok
+              FROM documents)
+        ORDER BY doc_id
+      """)),
+
     // Document fingerprinting: md5 of normalized content, rolled up by
     // source to spot templated/boilerplate sources.
     Query(
