@@ -39,6 +39,26 @@ object Sampling {
     df.filter(hashBp(key) < rate)
   }
 
+  /** Mixture reweighting (data mixing): per-source keep-rates, in basis
+    * points, that reshape the corpus toward TARGET source proportions
+    * under a total document budget — the stage that turns "we want 50%
+    * web, 30% code, 20% reference" into concrete per-source sampling
+    * rates. rate_s = min(1, budget·w_s / n_s); sources outside the
+    * target map rate 0. The numerator multiplies in exact long
+    * arithmetic before one double division, so any engine replays the
+    * identical rates. Feed the result straight into `stratified` to
+    * materialize the mixture deterministically. One count aggregation —
+    * payloads never shuffle. */
+  def mixtureRates(docs: DataFrame, sourceCol: String,
+                   targetsBp: Map[String, Int], budget: Long): DataFrame = {
+    val targetBp = targetsBp.foldLeft(F.lit(0L)) { case (acc, (s, w)) =>
+      F.when(F.col(sourceCol) === s, F.lit(w.toLong)).otherwise(acc)
+    }
+    docs.groupBy(sourceCol).agg(F.count(F.lit(1)).as("n"))
+      .withColumn("rate_bp", F.least(F.lit(10000L),
+        F.floor((F.lit(budget) * targetBp).cast("double") / F.col("n"))))
+  }
+
   /** Sequence packing (training-batch construction): assign documents,
     * in deterministic per-`partitionCol` order, to fixed token-budget
     * packs — the concat-and-chunk shape that turns a curated corpus

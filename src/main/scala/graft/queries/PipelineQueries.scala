@@ -663,6 +663,28 @@ object PipelineQueries extends QueryPack {
         ORDER BY doc_id
       """)),
 
+    // Mixture reweighting: per-source keep-rates toward a 50/30/20
+    // target over src0/src1/src2 under a 200-doc budget; untargeted
+    // sources rate 0. Oracle: the same counts and exact-long-then-one-
+    // double-division arithmetic in SQL.
+    Query(
+      "q84_mixture_rates",
+      (s, dir) => {
+        Sampling.mixtureRates(Tables.documents(s, dir), "source",
+          Map("src0" -> 5000, "src1" -> 3000, "src2" -> 2000), budget = 200L)
+          .orderBy("source")
+      },
+      Some("""
+        SELECT source, count(*) AS n,
+               least(10000, CAST(floor(
+                 CAST(200 * (CASE source WHEN 'src0' THEN 5000
+                                         WHEN 'src1' THEN 3000
+                                         WHEN 'src2' THEN 2000
+                                         ELSE 0 END) AS DOUBLE)
+                 / count(*)) AS BIGINT)) AS rate_bp
+        FROM documents GROUP BY source ORDER BY source
+      """)),
+
     // Document fingerprinting: md5 of normalized content, rolled up by
     // source to spot templated/boilerplate sources.
     Query(
