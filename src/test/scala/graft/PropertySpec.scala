@@ -96,6 +96,47 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("packSequences: packs are contiguous per source and never overfill past one doc") {
+    val gen = Gen.listOfN(20, Gen.choose(0, 40))
+    check("packing", 8)(Prop.forAll(gen) { toks =>
+      val docs = toks.zipWithIndex
+        .map { case (t, i) => (i.toLong, if (i % 2 == 0) "a" else "b", t.toLong) }
+        .toDF("id", "src", "tok")
+      val out = Sampling.packSequences(docs, "src", "id", F.col("tok"), budget = 32)
+        .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3)))
+      out.groupBy(_._1).forall { case (_, rows) =>
+        val sorted = rows.sortBy(_._2)
+        // pack ids never decrease in source order (contiguity)...
+        val packs = sorted.map(_._4)
+        val monotone = packs.zip(packs.drop(1)).forall { case (a, b) => a <= b }
+        // ...and a pack's token total minus its LAST doc stays under budget
+        // (only the straddling doc may push past the boundary)
+        val bounded = sorted.groupBy(_._4).values.forall { p =>
+          val total = p.map(_._3).sum
+          total - p.map(_._3).max <= 32
+        }
+        monotone && bounded
+      }
+    })
+  }
+
+  test("mixtureRates: rates are always in [0, 10000] and 0 for untargeted sources") {
+    val gen = for {
+      ns <- Gen.listOfN(4, Gen.choose(1, 30))
+      budget <- Gen.choose(1L, 500L)
+    } yield (ns, budget)
+    check("mixture", 8)(Prop.forAll(gen) { case (ns, budget) =>
+      val docs = ns.zipWithIndex.flatMap { case (n, s) =>
+        (0 until n).map(i => (s"s$s", i))
+      }.toDF("source", "x")
+      val rates = Sampling.mixtureRates(docs, "source",
+        Map("s0" -> 6000, "s1" -> 4000), budget)
+        .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+      rates.values.forall(r => r >= 0 && r <= 10000) &&
+        rates.getOrElse("s2", 0L) == 0L && rates.getOrElse("s3", 0L) == 0L
+    })
+  }
+
   test("clusterStats: within-variance and centroid norm are never negative") {
     val vec = Gen.listOfN(4, Gen.choose(-1000, 1000).map(_ / 1000.0f))
     val gen = Gen.listOfN(6, Gen.zip(Gen.choose(0, 1), vec))
