@@ -35,6 +35,31 @@ class GoldenSeriesSpec extends AnyFunSuite {
         |+---++-----+""", "ExampleSeries")
   }
 
+  test("ExampleSeries_setNaNStatus: NaN is null by default, a value when disabled") {
+    import graft.io.TadaOptions
+    def mask(f: TadaFrame) = f.records().tail.map(_.head == "(null)")
+    val on = TadaIO.readRecords(spark, Seq(Seq("x"), Seq("0"), Seq("NaN")),
+      TadaOptions().readConfig(inferTypes = true))
+    assert(mask(on) == Seq(false, true)) // isNull: [false true]
+    val off = TadaIO.readRecords(spark, Seq(Seq("x"), Seq("0"), Seq("NaN")),
+      TadaOptions(nanIsNull = false).readConfig(inferTypes = true))
+    assert(mask(off) == Seq(false, false)) // isNull: [false false]
+  }
+
+  test("ExampleSeries_setEmptyStringAsNull: sentinel set vs empty-string nulls") {
+    import graft.io.TadaOptions
+    def mask(f: TadaFrame) = f.records().tail.map(_.head == "(null)")
+    // default null-string set {"(null)"}: "" stays a value
+    val defaults = TadaIO.readRecords(spark,
+      Seq(Seq("x"), Seq("foo"), Seq(""), Seq("(null)")),
+      TadaOptions().readConfig())
+    assert(mask(defaults) == Seq(false, false, true)) // isNull: [false false true]
+    val enabled = TadaIO.readRecords(spark,
+      Seq(Seq("x"), Seq("foo"), Seq(""), Seq("(null)")),
+      TadaOptions(emptyStringAsNull = true).readConfig())
+    assert(mask(enabled) == Seq(false, true, true)) // isNull: [false true true]
+  }
+
   test("ExampleSeries_nestedSlice: Go-style [a b] join, empty slice is null") {
     val f = TadaFrame.ingest(
       Seq(Seq("foo", "bar"), Seq("baz"), Seq.empty[String]).toDF("a"))
