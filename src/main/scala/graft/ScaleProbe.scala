@@ -31,6 +31,15 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // the shift spans below assume the sf0.1 base corpus (5k docs, 2k
+    // vectors, <10M order keys); a larger base would make copies
+    // overlap, and factor > 200 would push doc ids past the 1,000,000
+    // corpus∪copy offset the dedup queries use — fail loudly instead of
+    // emitting silently-wrong exponents
+    require(factor >= 2 && factor <= 200, s"factor $factor outside [2, 200]")
+    require(spark.read.parquet(s"$base/documents.parquet").count() <= 5000,
+      s"$base has more than 5000 documents; shift spans assume the sf0.1 base")
+
     val shiftCols: Map[String, Seq[(String, Long)]] = Map(
       "lineitem" -> Seq("l_orderkey" -> 10000000L),
       "orders" -> Seq("o_orderkey" -> 10000000L),
@@ -71,8 +80,11 @@ object ScaleProbe {
     def time(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
       val t0 = System.nanoTime()
       fn(spark, dir).count()
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // cache teardown happens OUTSIDE the measured interval — it would
+      // otherwise skew the overhead-bound sub-second exponents
       spark.catalog.clearCache()
-      (System.nanoTime() - t0) / 1e9
+      elapsed
     }
     println(f"${"query"}%-22s ${"t_1x"}%8s ${"t_10x"}%8s  exp")
     sel.foreach { name =>

@@ -87,6 +87,8 @@ object Analytics {
           labels: Seq[String] = Nil, andLess: Boolean = false,
           andMore: Boolean = false): TadaFrame = {
     require(edges.size >= 2, "bin: need at least 2 edges")
+    require(labels.isEmpty || labels.size == edges.size - 1,
+      s"bin: ${labels.size} labels for ${edges.size - 1} bins")
     def fmt(d: Double): String = if (d == d.floor && !d.isInfinite) d.toLong.toString else d.toString
     val coreLabels =
       if (labels.nonEmpty) labels
@@ -107,6 +109,8 @@ object Analytics {
   def percentileBin(f: TadaFrame, c: String, edges: Seq[Double], out: String,
                     partitionBy: Seq[String] = Nil,
                     labels: Seq[String] = Nil): TadaFrame = {
+    require(labels.isEmpty || labels.size == edges.size - 1,
+      s"percentileBin: ${labels.size} labels for ${edges.size - 1} bins")
     val tmp = "__pct"
     val withPct = percentile(f, c, tmp, partitionBy)
     def fmt(d: Double): String = if (d == d.floor && !d.isInfinite) d.toLong.toString else d.toString

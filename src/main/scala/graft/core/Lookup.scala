@@ -45,6 +45,7 @@ object Lookup {
     * first-match window + equi-join, broadcastable right. */
   def lookup(left: TadaFrame, right: TadaFrame, how: String = "left",
              leftOn: Seq[String] = Nil, rightOn: Seq[String] = Nil): TadaFrame = {
+    require(how == "left" || how == "inner", s"lookup: unsupported how=$how")
     val lk = if (leftOn.nonEmpty) leftOn else autoKeys(left, right)
     val rk = if (rightOn.nonEmpty) rightOn else lk
     val rDedup = firstMatchOnly(right, rk)
@@ -52,11 +53,11 @@ object Lookup {
     val lvNames = left.valueCols
     require(rvNames.size == lvNames.size,
       s"lookup: ${rvNames.size} right value cols for ${lvNames.size} left")
-    var rSel = rDedup.select((rk.map(rDedup(_)) ++ rvNames.map(rDedup(_))): _*)
-    rvNames.zip(lvNames).foreach { case (r, l) =>
-      if (r != l) rSel = rSel.withColumnRenamed(r, l) }
-    rk.zip(lk).foreach { case (r, l) =>
-      if (r != l) rSel = rSel.withColumnRenamed(r, l) }
+    // all renames ride ONE projection: sequential withColumnRenamed can
+    // merge distinct columns when a rename target equals a later source
+    val rSel = rDedup.select(
+      rk.zip(lk).map { case (r, l) => rDedup(r).as(l) } ++
+        rvNames.zip(lvNames).map { case (r, l) => rDedup(r).as(l) }: _*)
     val lCols = (ORD +: (left.labels ++ lk).distinct).map(left.df(_))
     val joined = left.df.select(lCols: _*)
       .join(rSel, lk, if (how == "inner") "inner" else "left")

@@ -229,13 +229,19 @@ object TadaIO {
              nullPrinter: String = "(null)", namePrefix: String = "*",
              levelSep: String = "|"): String = {
     val nLab = math.max(f.labels.size, 1)
+    // the injected default index is named "*0" (the reference's default
+    // label name — printed literally in multi-header mode), falling
+    // back to a fresh *-prefixed name only when a real column already
+    // holds "*0" (overwriting it would silently drop its values)
+    val idxName = (Iterator("*0") ++ Iterator.from(0).map(i => s"*idx$i"))
+      .find(n => !f.df.columns.contains(n)).get
     val src =
       if (f.labels.nonEmpty) f
       else f.copy(
-        df = f.df.withColumn("*0",
+        df = f.df.withColumn(idxName,
           F.row_number().over(org.apache.spark.sql.expressions.Window
             .orderBy(f.df(TadaFrame.ORD))) - 1),
-        labels = Seq("*0"))
+        labels = Seq(idxName))
     val recs = src.records(nullPrinter = nullPrinter)
     // one header row per column level (String() dataframe.go:211-214):
     // "foo|baz" under 2 levels stacks foo over baz; a name with fewer
@@ -405,17 +411,20 @@ object TadaIO {
     val mapper = new ObjectMapper()
     val root = mapper.createObjectNode()
     val cols = (f.labels ++ f.valueCols).toIndexedSeq
-    val stringified = cols.map(n =>
-      F.coalesce(TadaFormat.stringify(f.df(n), f.df.schema(n).dataType), F.lit("")).as(n))
-    val rows = f.sorted.select(cols.map(f.df(_)): _*).collect()
-    val strRows = f.sorted.select(stringified: _*).collect()
+    // raw and stringified images ride ONE projection/collect (two
+    // sorted collects would double the scan and rely on the two jobs
+    // enumerating rows identically)
+    val stringified = cols.zipWithIndex.map { case (n, j) =>
+      F.coalesce(TadaFormat.stringify(f.df(n), f.df.schema(n).dataType), F.lit(""))
+        .as(s"__s$j") }
+    val rows = f.sorted.select(cols.map(f.df(_)) ++ stringified: _*).collect()
     val labArr = root.putArray("labels")
     val valArr = root.putArray("values")
     cols.zipWithIndex.foreach { case (n, j) =>
       val node = mapper.createObjectNode()
       val slice = node.putArray("slice")
       val mask = node.putArray("isNull")
-      rows.zip(strRows).foreach { case (r, sr) =>
+      rows.foreach { r =>
         mask.add(r.isNullAt(j))
         r.get(j) match {
           case null => f.df.schema(n).dataType match {
@@ -430,7 +439,7 @@ object TadaIO {
           case s: java.lang.Short => slice.add(s.intValue)
           case b: java.lang.Boolean => slice.add(b.booleanValue)
           case dec: java.math.BigDecimal => slice.add(dec)
-          case _ => slice.add(sr.getString(j))
+          case _ => slice.add(r.getString(cols.size + j))
         }
       }
       node.put("name", n)

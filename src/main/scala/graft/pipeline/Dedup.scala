@@ -471,7 +471,12 @@ object Dedup {
     * with `connectedComponents`. */
   def simhashClusters(docs: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3, maxBucket: Int = 4096): DataFrame = {
+    // null text ⇒ null simhash word; grouping those together would fuse
+    // every null-text document into one bogus "duplicate" cluster, so
+    // they are dropped — exactly what the q79 recursive-CTE oracle does
+    // (a null token list unnests to no rows)
     val sim = simhash(docs, idCol, textCol) // (id, simhash)
+      .filter(F.col("simhash").isNotNull)
     val words = sim.groupBy("simhash").agg(F.min("id").as("rep"))
     val banded = words.withColumn("bands", simhashBands(F.col("simhash")))
     val cand = candidatePairs(banded, "rep", "bands", maxBucket)

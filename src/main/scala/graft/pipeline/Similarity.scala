@@ -202,8 +202,12 @@ object Similarity {
     // Lloyd rounds only need REPRESENTATIVE centroids, not every row:
     // train on a bounded deterministic prefix (lowest ids — same init
     // the full path uses), then assign the whole corpus once. Identical
-    // to full training for corpora under the cap, linear above it.
-    val trainSet = if (total <= 4000) c else c.orderBy("cid0").limit(4000)
+    // to full training for corpora under the cap, linear above it. The
+    // cap must scale with nlist (≥ a few vectors per cell) or a fixed
+    // 4000 would silently clamp the m·√n regime's cell count — limit(n)
+    // over fewer than n rows returns fewer than n centroids.
+    val trainCap = math.max(4000L, 8L * n)
+    val trainSet = if (total <= trainCap) c else c.orderBy("cid0").limit(trainCap.toInt)
     val centroids = trainCentroids(trainSet, n, iters, cos)
     val cells = nearestCells(c, centroids, "cid0", "cv", mprobe, cos)
     val a = cells.select(F.col("cid0").as("id_a"), F.col("cell"))

@@ -226,8 +226,12 @@ object CurationQueries extends QueryPack {
         // byte-wise. Equal only for ASCII — so non-ASCII text fails
         // loudly here (assert_true rides the payload column; null
         // result = invariant held) instead of silently hash-diverging.
+        // null text passes the guard (coalesce): assert_true throws on a
+        // NULL condition, and a null payload simply emits no frames —
+        // matching the oracle, which drops null rows too
         val ascii = F.assert_true(
-          F.octet_length(F.col("text")) === F.length(F.col("text")),
+          F.coalesce(
+            F.octet_length(F.col("text")) === F.length(F.col("text")), F.lit(true)),
           F.lit("q72 oracle requires ASCII text (byte-wise vs char-wise slicing)"))
         val media = Tables.documents(s, dir).select(F.col("doc_id"),
           F.when(ascii.isNull, F.encode(F.col("text"), "UTF-8")).as("payload"))

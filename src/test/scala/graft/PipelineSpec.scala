@@ -47,6 +47,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.forall(_._2 >= 100L))
   }
 
+  test("simhashClusters drops null-text docs instead of fusing them into one cluster") {
+    val withNulls = docs.unionByName(Seq(
+      (100L, null.asInstanceOf[String]), (101L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text"))
+    val out = Dedup.simhashClusters(withNulls, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // null-text docs are absent (matching the q79 oracle), NOT clustered together
+    assert(out.map(_._1).toSet == Set(0L, 1L, 2L, 3L, 4L), s"got ${out.toSeq}")
+    val m = out.toMap
+    assert(m(0L) == m(1L)) // exact dups still share a cluster
+  }
+
   test("resolveKeepers keeps the highest-priority member, ties to lowest id") {
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L)).toDF("id", "cluster")
     val prio = Seq((1L, 10), (2L, 30), (3L, 30), (7L, 5)).toDF("id", "priority")
