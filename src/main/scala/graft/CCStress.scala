@@ -20,7 +20,7 @@ object CCStress {
     val labels = graft.pipeline.Dedup.connectedComponents(
       pairs, localSolveMaxEdges = 0, maxIter = 60) // force the iterative scale path
     val n = labels.count()
-    val nClusters = labels.select(F.countDistinct("cluster")).head.getLong(0)
+    val nClusters = labels.select(F.countDistinct("cluster")).head().getLong(0)
     val dt = (System.nanoTime() - t0) / 1e9
     val rounds = graft.pipeline.Dedup.lastStarRounds
     println(f"CCSTRESS nodes=$n clusters=$nClusters rounds=$rounds time=$dt%.1f s")

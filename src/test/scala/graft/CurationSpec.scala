@@ -85,7 +85,7 @@ class CurationSpec extends AnyFunSuite {
     val base = df.select($"id", Embeddings.asDouble($"vec").as("v"))
       .withColumn("scale", Embeddings.int8Scale($"v"))
     val r = base.select($"scale", Embeddings.l2Norm($"v").as("n"),
-      Embeddings.maxQuantError($"v", $"scale").as("e")).head
+      Embeddings.maxQuantError($"v", $"scale").as("e")).head()
     val scale = r.getDouble(0)
     assert(scale == 0.4f.toDouble / 127.0) // float32 ingest is exact in double
     assert(math.abs(r.getDouble(1) - 0.5) < 1e-7) // 3-4-5 triangle
@@ -130,7 +130,7 @@ class CurationSpec extends AnyFunSuite {
     val df = Seq((1, Array(0.0f, 0.0f))).toDF("id", "vec")
     val r = df.select(Embeddings.asDouble($"vec").as("v"))
       .withColumn("scale", Embeddings.int8Scale($"v"))
-      .select(Embeddings.maxQuantError($"v", $"scale")).head.getDouble(0)
+      .select(Embeddings.maxQuantError($"v", $"scale")).head().getDouble(0)
     assert(r == 0.0)
     implicit val s = spark
     import spark.implicits._

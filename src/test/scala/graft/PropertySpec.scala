@@ -71,7 +71,7 @@ class PropertySpec extends AnyFunSuite {
     check("repetition-range", 8)(Prop.forAll(gen) { ws =>
       val df = Seq(Tuple1(ws.mkString(" "))).toDF("text")
       val f = df.select(TextOps.dupNgramFraction(F.col("text"), 2).as("f"))
-        .head.getDouble(0)
+        .head().getDouble(0)
       if (ws.size < 2) f == 0.0 else f >= 0.0 && f < 1.0
     })
   }

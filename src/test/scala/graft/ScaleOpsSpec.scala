@@ -140,14 +140,14 @@ class ScaleOpsSpec extends AnyFunSuite {
     // here because sketch internals differ per engine (no DuckDB hash
     // oracle possible).
     val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
-    val exactD = li.select(F.countDistinct(F.col("l_orderkey"))).head.getLong(0)
+    val exactD = li.select(F.countDistinct(F.col("l_orderkey"))).head().getLong(0)
     val approxD = li.select(F.approx_count_distinct(F.col("l_orderkey"), 0.02))
-      .head.getLong(0)
+      .head().getLong(0)
     assert(math.abs(approxD - exactD).toDouble / exactD < 0.05,
       s"HLL off by >5%: $approxD vs $exactD")
-    val exactP = li.select(F.expr("percentile(l_extendedprice, 0.5)")).head.getDouble(0)
+    val exactP = li.select(F.expr("percentile(l_extendedprice, 0.5)")).head().getDouble(0)
     val approxP = li.select(F.percentile_approx(F.col("l_extendedprice"),
-      F.lit(0.5), F.lit(1000))).head.getDouble(0)
+      F.lit(0.5), F.lit(1000))).head().getDouble(0)
     assert(math.abs(approxP - exactP) / exactP < 0.01,
       s"approx median off by >1%: $approxP vs $exactP")
     // partial aggregation must ride the shuffle (sketches, not rows)
