@@ -162,6 +162,27 @@ class CurationSpec extends AnyFunSuite {
     assert(p69.contains("partial_sum"), p69)
   }
 
+  test("no un-broadcast cartesian product appears in any join-bearing query plan") {
+    // the one true scale-killer shape: a CartesianProduct node means a
+    // non-broadcast corpus×corpus join slipped into a registered query.
+    // BroadcastNestedLoopJoin is fine (broadcast by definition — the
+    // brute-force anchor and centroid assignment use it deliberately).
+    val dir = "/root/testdata/sf0.001"
+    val joinBearing = Seq(
+      "q41_minhash_lsh", "q42_simhash", "q44_embedding_dedup",
+      "q45_knn_brute", "q46_knn_lsh", "q53_revenue_top10",
+      "q54_nation_revenue", "q55_cosine_pairs", "q56_knn_ivf",
+      "q58_dup_clusters", "q59_asof_join", "q60_range_join", "q62_tfidf",
+      "q65_range_join_binned", "q67_chunk_dedup", "q76_contamination",
+      "q79_simhash_clusters", "q80_incremental_dedup",
+      "q81_incremental_embedding", "q82_dedup_keepers")
+    joinBearing.foreach { n =>
+      val p = graft.queries.Registry.all.find(_.name == n).get
+        .build(spark, dir).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$n plans a cartesian product")
+    }
+  }
+
   test("clusterStats: exact fixed-point inertia on a known clustering") {
     val df = Seq(
       (0, Array(1.0f, 0.0f)), (0, Array(0.0f, 1.0f)),   // centroid (.5,.5)
