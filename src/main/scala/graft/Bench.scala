@@ -29,11 +29,12 @@ import org.apache.spark.sql.SparkSession
   *     cost 10 s, and the hard deadline bounds the sum.
   *  4. A per-query watchdog cancels the Spark jobs of any query that
   *     exceeds its slice (a hang costs one slice, not the artifact).
-  *  5. IMPROVEMENT PASSES instead of per-query reruns: after one full
-  *     pass, remaining budget re-runs every failed or >2 s query, up to
-  *     3 more times. The host carries multi-minute external load spikes
-  *     (identical back-to-back full runs: 672.8 s vs 46.1 s) — a spike
-  *     anywhere during pass 1 is healed by any later clean window. The
+  *  5. MIN-OF-2 FOR EVERY QUERY plus improvement passes: pass 2
+  *     mandatorily re-times the full set (the host carries multi-minute
+  *     external load spikes — identical back-to-back full runs measured
+  *     672.8 s vs 46.1 s — and r5 proved a spike on a 1–5 s query was
+  *     previously recorded as-is), then remaining budget re-runs every
+  *     failed or still-unsettled >1 s query up to 3 more times. The
   *     JSON reports BOTH the pass-1 time (`first`) and the min
   *     (`queries`), so cold/loaded costs stay legible (ADVICE r02).
   *  6. The JVM shutdown hook still emits on an external SIGTERM that
@@ -42,7 +43,6 @@ import org.apache.spark.sql.SparkSession
   * Start/end loadavg ride along for forensics.
   */
 object Bench {
-  private val RerunThreshold = 5.0 // seconds
   private val emitted = new AtomicBoolean(false)
   private val minTimes = TrieMap.empty[String, Double]
   private val firstTimes = TrieMap.empty[String, Double]
@@ -216,20 +216,44 @@ object Bench {
       if (!ok) failures(name) = true
     }
     pass1Done = true
-    // Improvement passes: re-run failed and slow (>2 s) queries while
-    // budget remains — a load spike anywhere in pass 1 is healed by any
-    // later clean window; a pass-1 watchdog kill gets another chance.
-    // A retry that doesn't beat the current min by ≥10% marks the query
-    // settled (its cost is real, not load) — no further retries, so a
-    // clean run does pass 1 + one confirmation retry per slow query
-    // instead of burning the whole budget re-measuring stable numbers.
     val settled = TrieMap.empty[String, Boolean]
+    // Pass 2 — MANDATORY min-of-2 over EVERY query (r5 verdict: the
+    // retry policy only covered the >2 s tier, so a load spike landing
+    // on a 1–5 s query was recorded as-is with no second chance; six
+    // mid-tier queries carried 3.6–8.3× load artifacts on unchanged
+    // code). A clean full pass is ~45 s against a 420 s budget, so one
+    // extra sweep is cheap insurance: every emitted number is now a
+    // best-of-two minimum, and a query whose two runs agree within 10%
+    // is marked settled (its cost is real, not load).
+    if (elapsed < budgetSec * 0.7) {
+      all.zipWithIndex.foreach { case ((name, fn), idx) =>
+        if (elapsed < budgetSec * 0.85) {
+          val slice = math.max(15.0, math.min(120.0,
+            (budgetSec - elapsed) / math.max(1, all.size - idx)))
+          val (dt, ok) = timeOne(name, fn, slice)
+          if (ok) {
+            failures.remove(name)
+            errors.remove(name)
+            val prev = minTimes.getOrElse(name, Double.MaxValue)
+            if (dt < prev) minTimes(name) = dt
+            if (dt >= prev * 0.9) settled(name) = true
+          }
+        }
+      }
+    }
+    // Improvement passes: re-run failed and still-unsettled >1 s
+    // queries while budget remains — a load spike spanning both full
+    // passes is healed by any later clean window; a watchdog kill gets
+    // another chance. A retry that doesn't beat the current min by ≥10%
+    // marks the query settled — no further retries, so a clean run
+    // does two full passes + one confirmation retry per slow query
+    // instead of burning the whole budget re-measuring stable numbers.
     var pass = 0
     var improving = true
     while (improving && pass < 3 && elapsed < budgetSec * 0.8) {
       val targets = all.filter { case (n, _) =>
         failures.getOrElse(n, false) ||
-          (minTimes.getOrElse(n, 0.0) > RerunThreshold / 2.5 && !settled.getOrElse(n, false)) }
+          (minTimes.getOrElse(n, 0.0) > 1.0 && !settled.getOrElse(n, false)) }
       improving = targets.nonEmpty
       targets.foreach { case (name, fn) =>
         if (elapsed < budgetSec * 0.95) {

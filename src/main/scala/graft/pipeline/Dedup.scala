@@ -195,16 +195,20 @@ object Dedup {
     * the lowest id — and emit the keep/drop verdict per document.
     * Production pipelines keep the BEST duplicate, not an arbitrary
     * one; min-id cluster labels are a grouping key, not a quality
-    * judgment. Shape: one groupBy(cluster) over scalar (id, priority)
-    * rows — document payloads never enter the shuffle. */
+    * judgment. Shape: one window over scalar (id, priority) rows
+    * shuffled by cluster — document payloads never enter the shuffle,
+    * and the rank is a plain sort key, so ids may be any orderable
+    * type (string/decimal ids work; the earlier max_by(-id) tie-break
+    * negated the id, which overflows on Long.MinValue and rejects
+    * non-numeric schemas). Documents with no priority row rank as
+    * nulls-last — they can only be kept when their whole cluster lacks
+    * priorities, never silently dropped. */
   def resolveKeepers(clusters: DataFrame, priority: DataFrame): DataFrame = {
-    val joined = clusters.join(priority, "id")
-    val keepers = joined.groupBy("cluster").agg(
-      F.max_by(F.col("id"),
-        F.struct(F.col("priority"), (-F.col("id")).as("nid"))).as("__keeper"))
-    joined.join(keepers, "cluster")
-      .select(F.col("id"), F.col("cluster"),
-        (F.col("id") === F.col("__keeper")).as("keep"))
+    val joined = clusters.join(priority, Seq("id"), "left")
+    val w = Window.partitionBy("cluster")
+      .orderBy(F.col("priority").desc_nulls_last, F.col("id").asc)
+    joined.withColumn("__rn", F.row_number().over(w))
+      .select(F.col("id"), F.col("cluster"), (F.col("__rn") === 1).as("keep"))
   }
 
   /** Storable LSH index rows for a corpus: (id, sh, bands), computed

@@ -18,6 +18,12 @@ import org.apache.spark.sql.{functions => F}
   */
 object Similarity {
 
+  /** Memoized corpus row counts keyed by canonicalized logical plan —
+    * see `cosinePairsViaCells`: auto-nlist needs the size, and plan
+    * inspection must not re-pay a count job per build. */
+  private val countCache =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
   /** dot(a, b) over float arrays, accumulated in double — zip_with +
     * aggregate form (reference implementation; higher-order functions
     * are interpreted in Spark, so the hot path below uses the kernel). */
@@ -127,13 +133,20 @@ object Similarity {
       // localCheckpoint truncates the per-round lineage (iterative plans
       // otherwise grow multiplicatively — see Dedup.connectedComponents);
       // the frame is nlist rows, so materializing it is free.
+      // persist(), NOT localCheckpoint: checkpoint — even lazy — runs
+      // every AQE shuffle stage at CALL time, so query construction
+      // (explain, the cartesian plan guard, registry sweeps) paid
+      // Lloyd-round jobs per build. persist is plan-time free and
+      // still compute-once at first action (each round's frame is
+      // nlist rows, so the cache is trivial); `iters` is small and
+      // fixed, so the un-truncated lineage stays bounded.
       centroids = c.join(nearestCells(c, centroids, "cid0", "cv", 1, cos), "cid0")
         .select(F.col("cell"), F.posexplode(F.col("cv")).as(Seq("dim", "x")))
         .groupBy("cell", "dim").agg(F.avg(F.col("x").cast("double")).as("m"))
         .groupBy("cell").agg(
           F.transform(F.array_sort(F.collect_list(F.struct(F.col("dim"), F.col("m")))),
             s => s.getField("m").cast("float")).as("centroid"))
-        .localCheckpoint(true)
+        .persist()
     }
     centroids
   }
@@ -179,7 +192,8 @@ object Similarity {
     * the test-only exactness anchor. */
   def cosinePairsViaCells(corpus: DataFrame, threshold: Double,
                           nlist: Int = -1, mprobe: Int = 8, iters: Int = 2,
-                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                          idCol: String = "vec_id", vecCol: String = "embedding",
+                          rowCount: Long = -1L): DataFrame = {
     val cos = cosineNative(corpus.sparkSession) _
     val c = corpus.select(F.col(idCol).as("cid0"), F.col(vecCol).as("cv"))
     // nlist must GROW with the corpus or cell size — and with it the
@@ -195,7 +209,17 @@ object Similarity {
     // verify term at sub-1M scale). The floor of 16 resolves to the
     // same partitioning as the fixed default at every oracle-tested
     // scale (n ≤ 2000), so correctness pins carry over unchanged.
-    val total = c.count()
+    // Auto-nlist needs the corpus size, but a count() here is a driver
+    // action inside query CONSTRUCTION — every build (explain, the
+    // cartesian plan guard) would pay a scan. Callers that know the
+    // size pass `rowCount`; otherwise the count is memoized per
+    // canonicalized corpus plan, so repeated builds of the same query
+    // cost one job total, not one per build.
+    val total: Long =
+      if (nlist > 0) -1L
+      else if (rowCount >= 0) rowCount
+      else countCache.getOrElseUpdate(
+        c.queryExecution.logical.canonicalized.toString, c.count())
     val n = if (nlist > 0) nlist
       else math.max(16, math.min(
         math.ceil(total / 125.0), math.ceil(mprobe * math.sqrt(total.toDouble))).toInt)
@@ -207,7 +231,11 @@ object Similarity {
     // 4000 would silently clamp the m·√n regime's cell count — limit(n)
     // over fewer than n rows returns fewer than n centroids.
     val trainCap = math.max(4000L, 8L * n)
-    val trainSet = if (total <= trainCap) c else c.orderBy("cid0").limit(trainCap.toInt)
+    // limit over fewer rows returns them all, so the bounded prefix IS
+    // the full corpus whenever total <= cap — no size check needed,
+    // which keeps this branch-free of driver actions on the nlist /
+    // rowCount-hinted paths.
+    val trainSet = c.orderBy("cid0").limit(trainCap.toInt)
     val centroids = trainCentroids(trainSet, n, iters, cos)
     val cells = nearestCells(c, centroids, "cid0", "cv", mprobe, cos)
     val a = cells.select(F.col("cid0").as("id_a"), F.col("cell"))

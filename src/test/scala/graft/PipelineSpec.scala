@@ -68,6 +68,55 @@ class PipelineSpec extends AnyFunSuite {
     assert(out == Map(1L -> false, 2L -> true, 3L -> false, 7L -> true))
   }
 
+  test("resolveKeepers: extreme longs, string ids, missing priority rows") {
+    // the former max_by(struct(priority, -id)) tie-break negated the id;
+    // -Long.MinValue overflows to itself, silently reordering ties
+    val ext = Seq((Long.MinValue, 1L), (Long.MaxValue, 1L), (0L, 1L))
+      .toDF("id", "cluster")
+    val extPrio = Seq((Long.MinValue, 5), (Long.MaxValue, 5), (0L, 5))
+      .toDF("id", "priority")
+    val extOut = Dedup.resolveKeepers(ext, extPrio).collect()
+      .map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    assert(extOut == Map(Long.MinValue -> true, Long.MaxValue -> false, 0L -> false))
+    // string ids must work (connectedComponents supports them)
+    val s = Seq(("b", "a"), ("a", "a")).toDF("id", "cluster")
+    val sPrio = Seq(("b", 1), ("a", 1)).toDF("id", "priority")
+    val sOut = Dedup.resolveKeepers(s, sPrio).collect()
+      .map(r => (r.getString(0), r.getBoolean(2))).toMap
+    assert(sOut == Map("a" -> true, "b" -> false))
+    // a doc with no priority row is retained (nulls-last), not dropped;
+    // it still wins when its whole cluster lacks priorities
+    val m = Seq((1L, 1L), (2L, 1L), (9L, 9L)).toDF("id", "cluster")
+    val mPrio = Seq((2L, 1)).toDF("id", "priority")
+    val mOut = Dedup.resolveKeepers(m, mPrio).collect()
+      .map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    assert(mOut == Map(1L -> false, 2L -> true, 9L -> true))
+  }
+
+  test("cosinePairsViaCells plan construction launches zero Spark jobs when hinted") {
+    // query CONSTRUCTION (explain, the cartesian plan guard) must be
+    // action-free: lazy Lloyd-round checkpoints + rowCount hint
+    val vecs = (0L until 64L).map(i =>
+      (i, Array.tabulate(8)(d => (i % 7 + d).toFloat))).toDF("vec_id", "embedding")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val descs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        descs.add(js.stageInfos.map(_.name).mkString("|"))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = Similarity.cosinePairsViaCells(vecs, 0.5, rowCount = 64L)
+      df.queryExecution.executedPlan.toString // force planning, not execution
+      Thread.sleep(500) // listener bus is async; let any job-start event land
+      assert(jobs.get() == 0,
+        s"plan construction ran ${jobs.get()} Spark jobs: ${descs.toArray.mkString("; ")}")
+      assert(df.count() > 0) // and the hinted plan still executes
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("native shingle/minhash expressions match the UDF kernels") {
     val got = docs.select(
       Dedup.shingles(F.col("text")).as("sh_n"),
