@@ -104,6 +104,26 @@ final case class TadaFrame(
 
   def withCol(n: String, c: Column): TadaFrame = copy(df = df.withColumn(n, c))
 
+  /** Cast (series.go:135, dataframe.go Cast, types.go:205-219): column →
+    * target dtype in the reference's DType vocabulary — string, float64,
+    * datetime, date, time. `time` maps to the HH:mm:ss string image:
+    * Spark has no time-of-day type, and the reference's civil.Time
+    * surface IS its printed form (pinned by ExampleSeries_Cast_time).
+    * Failed coercions null out (try_cast), matching castToFloat64/
+    * castToTime's duck-error contract (internal.go:1639-1641). */
+  def cast(types: Map[String, String]): TadaFrame =
+    types.foldLeft(this) { case (f, (n, dt)) =>
+      val c = f.df(n)
+      dt match {
+        case "string"   => f.withCol(n, TadaFormat.stringify(c, f.df.schema(n).dataType))
+        case "float64" | "float" => f.withCol(n, c.try_cast(DoubleType))
+        case "datetime" => f.withCol(n, c.try_cast(TimestampType))
+        case "date"     => f.withCol(n, c.try_cast(DateType))
+        case "time"     => f.withCol(n, date_format(c.try_cast(TimestampType), "HH:mm:ss"))
+        case other      => throw new IllegalArgumentException(s"cast: unknown dtype $other")
+      }
+    }
+
   def renameCol(from: String, to: String): TadaFrame = {
     val lab = labels.map(l => if (l == from) to else l)
     copy(df = df.withColumnRenamed(from, to), labels = lab,

@@ -184,6 +184,132 @@ object TadaIO {
   def writeRecords(f: TadaFrame, includeLabels: Boolean = true): Seq[Seq[String]] =
     f.records(includeLabels)
 
+  /** Go `fmt.Sprint` image of a JVM value — the string form tada's
+    * stringified operators key on (float 1.0 → "1", timestamps RFC3339,
+    * slices "[a b c]"). Driver-side twin of `TadaFormat.stringify`. */
+  private[graft] def goSprint(v: Any): String = v match {
+    case d: Double =>
+      // same transform as TadaFormat.stringify's regexp_replace("\.0$")
+      val s = d.toString; if (s.endsWith(".0")) s.dropRight(2) else s
+    case f: Float => goSprint(f.toDouble)
+    case t: java.time.Instant =>
+      java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'")
+        .withZone(java.time.ZoneOffset.UTC).format(t)
+    case t: java.sql.Timestamp => goSprint(t.toInstant)
+    case s: Seq[_] => s.map(goSprint).mkString("[", " ", "]")
+    case a: Array[_] => goSprint(a.toSeq)
+    case other => String.valueOf(other)
+  }
+
+  /** Per-cell null sentinel (isNullInterface internal.go:1928-1966):
+    * nil, NaN float (under the default NaN-is-null option), a
+    * null-string, a zero-length slice. */
+  private def isNullCell(v: Any, cfg: ReadConfig): Boolean = v match {
+    case null => true
+    case d: Double => (cfg.nanIsNull && d.isNaN) || false
+    case f: Float => cfg.nanIsNull && f.isNaN
+    case s: String => cfg.nullStrings.contains(s) || (cfg.blankAsNull && s.isEmpty)
+    case s: Seq[_] => s.isEmpty
+    case a: Array[_] => a.isEmpty
+    case _ => false
+  }
+
+  /** InterfaceRecordReader (io.go:363-432, internal.go:572-600):
+    * mixed-typed `Seq[Seq[Any]]` records → frame. The reference stores
+    * every column as `[]interface{}` and stringifies lazily; a Spark
+    * column needs ONE concrete type, so each column gets the narrowest
+    * type holding every non-null cell — uniform integral → long, any
+    * numeric → double, boolean / date / timestamp / string → native —
+    * and a genuinely mixed column falls back to the `fmt.Sprint` string
+    * image, which is exactly the value the reference's stringified
+    * group/filter/join semantics would key on (§1.5). Per-cell null
+    * sentinels follow isNullInterface; header cells are stringified
+    * with `fmt.Sprint` and multi-row headers join with the level
+    * separator, like the string-record reader. */
+  def readInterfaceRecords(spark: SparkSession, records: Seq[Seq[Any]],
+                           cfg: ReadConfig = ReadConfig(),
+                           byColumn: Boolean = false): TadaFrame = {
+    require(records.nonEmpty, "readInterfaceRecords: must have at least one record")
+    require(records.head.nonEmpty, "readInterfaceRecords: first record cannot be empty")
+    val width = records.head.size
+    records.zipWithIndex.foreach { case (r, i) =>
+      require(r.size == width,
+        s"readInterfaceRecords: num items in row $i [${r.size}] does not match row 0 [$width]")
+    }
+    // normalize to column-major (transposeInterfaceRecords internal.go:602-616)
+    val cols: Seq[Seq[Any]] =
+      if (byColumn) records else records.transpose
+    val names: Seq[String] =
+      if (cfg.headerRows == 0) cols.indices.map(_.toString)
+      else cols.map(c => c.take(cfg.headerRows).map(goSprint).mkString(cfg.levelSeparator))
+    val body: Seq[Seq[Any]] = cols.map(_.drop(cfg.headerRows))
+    require(body.head.nonEmpty || body.forall(_.isEmpty),
+      "readInterfaceRecords: header rows exceed record count")
+    // per-column Spark type from the non-null cells
+    val typed: Seq[(Seq[Any], DataType)] = body.map { col =>
+      val cells = col.map(v => if (isNullCell(v, cfg)) null else v)
+      val present = cells.filter(_ != null)
+      def all(p: Any => Boolean) = present.nonEmpty && present.forall(p)
+      val isIntegral = (v: Any) => v.isInstanceOf[Byte] || v.isInstanceOf[Short] ||
+        v.isInstanceOf[Int] || v.isInstanceOf[Long]
+      val isNumeric = (v: Any) => isIntegral(v) || v.isInstanceOf[Float] ||
+        v.isInstanceOf[Double] || v.isInstanceOf[java.math.BigDecimal] ||
+        v.isInstanceOf[BigDecimal]
+      if (all(_.isInstanceOf[Boolean]))
+        (cells.map { case null => null; case b => Boolean.box(b.asInstanceOf[Boolean]) }, BooleanType)
+      else if (all(isIntegral))
+        (cells.map { case null => null
+          case n: Number => Long.box(n.longValue) }, LongType)
+      else if (all(isNumeric))
+        (cells.map { case null => null
+          case b: BigDecimal => Double.box(b.toDouble)
+          case n: Number => Double.box(n.doubleValue) }, DoubleType)
+      else if (all(v => v.isInstanceOf[java.time.LocalDate] || v.isInstanceOf[java.sql.Date]))
+        (cells.map { case null => null
+          case d: java.time.LocalDate => java.sql.Date.valueOf(d)
+          case d: java.sql.Date => d }, DateType)
+      else if (all(v => v.isInstanceOf[java.time.Instant] ||
+                        v.isInstanceOf[java.sql.Timestamp] ||
+                        v.isInstanceOf[java.time.LocalDateTime]))
+        (cells.map { case null => null
+          case t: java.time.Instant => java.sql.Timestamp.from(t)
+          case t: java.time.LocalDateTime => java.sql.Timestamp.valueOf(t)
+          case t: java.sql.Timestamp => t }, TimestampType)
+      else if (all(_.isInstanceOf[String]))
+        (cells, StringType)
+      else // mixed: the fmt.Sprint image, the reference's keying form
+        (cells.map { case null => null; case v => goSprint(v) }, StringType)
+    }
+    val schema = StructType(names.zip(typed).map { case (n, (_, dt)) =>
+      StructField(n, dt) }.toIndexedSeq)
+    val nRows = body.head.size
+    val rows = (0 until nRows).map(i => Row.fromSeq(typed.map(_._1(i))))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      schema)
+    val labels = names.take(cfg.labelLevels)
+    val levels = (0 until math.max(cfg.headerRows, 1)).map(l => s"*$l")
+    TadaFrame.ingest(df, labels).copy(colLevelNames = levels)
+  }
+
+  /** InterfaceRecordWriter (io.go:404-432, internal.go:2892-2908):
+    * frame → typed `Seq[Seq[Any]]`, nulls as `null` (NOT "(null)" — the
+    * typed writer's contract). One header slot per column level, names
+    * split into levels, short names leaving excess slots null. */
+  def writeInterfaceRecords(f: TadaFrame, includeLabels: Boolean = false,
+                            byColumn: Boolean = false,
+                            levelSep: String = "|"): Seq[Seq[Any]] = {
+    val cs = (if (includeLabels) f.labels else Nil) ++ f.valueCols
+    val nLevels = math.max(f.colLevelNames.size, 1)
+    val collected = f.sorted.select(cs.map(f.df(_)): _*).collect()
+    val colMajor: Seq[Seq[Any]] = cs.zipWithIndex.map { case (n, j) =>
+      val headerSlots: Seq[Any] = n.split(java.util.regex.Pattern.quote(levelSep), -1)
+        .toSeq.padTo(nLevels, null).take(nLevels)
+      headerSlots ++ collected.toSeq.map(_.get(j))
+    }
+    if (byColumn) colMajor else colMajor.transpose
+  }
+
   /** Case-class reader (StructReader io.go:436-500) — `Dataset[T]`. */
   def readCaseClass[T <: Product : Encoder](spark: SparkSession, data: Seq[T]): TadaFrame =
     TadaFrame.ingest(spark.createDataset(data)(implicitly[Encoder[T]]).toDF())

@@ -310,4 +310,39 @@ class GoldenRenderSpec extends AnyFunSuite {
         || 2 ||    bar |
         |+---++--------+""", "ExampleNewStructReader")
   }
+
+  test("ExampleDataFrameMutator_WithCol_rename: before and after renders") {
+    // example_dataframe_test.go:187-209 — the InPlace mutator form
+    // prints the frame before and after the rename; both tables pinned
+    val f = TadaFrame.ingest(Seq(1.0, 2.0).toDF("foo"))
+    check(TadaIO.render(f),
+      """+---++-----+
+        || - || foo |
+        ||---||-----|
+        || 0 ||   1 |
+        || 1 ||   2 |
+        |+---++-----+""", "ExampleDataFrameMutator_WithCol_rename/before")
+    check(TadaIO.render(f.renameCol("foo", "qux")),
+      """+---++-----+
+        || - || qux |
+        ||---||-----|
+        || 0 ||   1 |
+        || 1 ||   2 |
+        |+---++-----+""", "ExampleDataFrameMutator_WithCol_rename/after")
+  }
+
+  test("ExampleNewStructWriter: typed rows out, Go %+v image pinned") {
+    // example_dataframe_test.go:504-520 — WriteTo(NewStructWriter(&out))
+    // yields [{Foo:1} {Foo:2}]; the typed surface here is writeCaseClass
+    val f = TadaFrame.ingest(Seq(1.0, 2.0).toDF("foo"))
+    val out = TadaIO.writeCaseClass[GoldenRenderSpec.FooOut](f)
+    assert(out == Seq(GoldenRenderSpec.FooOut(1.0), GoldenRenderSpec.FooOut(2.0)))
+    val goImage = out.map(o => s"{Foo:${TadaIO.goSprint(o.foo)}}")
+      .mkString("[", " ", "]")
+    check(goImage, "[{Foo:1} {Foo:2}]", "ExampleNewStructWriter")
+  }
+}
+
+object GoldenRenderSpec {
+  final case class FooOut(foo: Double)
 }

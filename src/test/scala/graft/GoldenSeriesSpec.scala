@@ -258,6 +258,25 @@ class GoldenSeriesSpec extends AnyFunSuite {
         |+---++------------+""", "ExampleSeries_Cast_date")
   }
 
+  test("ExampleSeries_Cast_time: datetime renders RFC3339, time cast renders HH:mm:ss") {
+    // example_series_test.go:487-507 — Cast(map{foo: tada.Time}) narrows
+    // the printed form from the full RFC3339 instant to the time of day
+    val f = TadaFrame.ingest(
+      spark.range(1).select(ts("2020-01-15 12:15:00").as("foo")))
+    check(TadaIO.render(f),
+      """+---++----------------------+
+        || - ||         foo          |
+        ||---||----------------------|
+        || 0 || 2020-01-15T12:15:00Z |
+        |+---++----------------------+""", "ExampleSeries_Cast_time/before")
+    check(TadaIO.render(f.cast(Map("foo" -> "time"))),
+      """+---++----------+
+        || - ||   foo    |
+        ||---||----------|
+        || 0 || 12:15:00 |
+        |+---++----------+""", "ExampleSeries_Cast_time/after")
+  }
+
   test("ExampleSeries_GroupBy: grouped view in first-appearance order") {
     val f = TadaFrame.ingest(
       Seq(("foo", 1.0), ("bar", 2.0), ("foo", 3.0), ("bar", 4.0)).toDF("*0", "0"),

@@ -154,6 +154,60 @@ class IoSpec extends AnyFunSuite {
       Seq(".1", ".25", ".5", ".75", ".9", "(null)").contains(r.head)))
   }
 
+  test("interface records: mixed-typed cells, per-column inference, null sentinels") {
+    // io_test.go:325-384 "pass - by rows - 1 header": float cells under
+    // string headers, default label level
+    val f = TadaIO.readInterfaceRecords(spark,
+      Seq(Seq("foo", "bar"), Seq(1.0, 2.0)))
+    assert(f.listColNames == Seq("foo", "bar"))
+    assert(f.df.schema("foo").dataType.typeName == "double")
+    assert(f.records().tail == Seq(Seq("1", "2")))
+    // per-column types: uniform integral → long, numeric mix → double,
+    // bool/date/string native, genuinely mixed → fmt.Sprint string
+    val g = TadaIO.readInterfaceRecords(spark,
+      Seq(
+        Seq("i", "d", "b", "dt", "s", "mixed"),
+        Seq(1, 1.5, true, java.time.LocalDate.of(2020, 1, 1), "x", 1),
+        Seq(2L, 2, false, java.time.LocalDate.of(2020, 1, 2), "y", "two")))
+    val types = g.valueCols.map(c => g.df.schema(c).dataType.typeName)
+    assert(types == Seq("long", "double", "boolean", "date", "string", "string"))
+    assert(g.records().tail.map(_.last) == Seq("1", "two"))
+    // null sentinels (isNullInterface internal.go:1928-1966): nil, NaN,
+    // null-string, empty nested slice
+    val h = TadaIO.readInterfaceRecords(spark,
+      Seq(
+        Seq("a", "b", "c", "d"),
+        Seq(null, Double.NaN, "(null)", Seq.empty[Int]),
+        Seq(1, 2.0, "ok", Seq(1, 2))))
+    assert(h.records().tail.head == Seq("(null)", "(null)", "(null)", "(null)"))
+    // error paths (io_test.go "fail - no records" / "first record empty")
+    intercept[IllegalArgumentException] {
+      TadaIO.readInterfaceRecords(spark, Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      TadaIO.readInterfaceRecords(spark, Seq(Seq.empty, Seq(0)))
+    }
+    // by-column form (io_test.go ByColumn) + ragged check
+    val byCol = TadaIO.readInterfaceRecords(spark,
+      Seq(Seq("foo", 1.0, 2.0), Seq("bar", 3L, 4L)), byColumn = true)
+    assert(byCol.listColNames == Seq("foo", "bar"))
+    assert(byCol.records().tail == Seq(Seq("1", "3"), Seq("2", "4")))
+  }
+
+  test("interface writer: typed values out, nulls as null, header slots per level") {
+    val f = TadaIO.readInterfaceRecords(spark,
+      Seq(Seq("n", "v"), Seq("a", 1.5), Seq("b", null)))
+    val recs = TadaIO.writeInterfaceRecords(f)
+    // row-major: header row then typed rows; null stays null (not "(null)")
+    assert(recs == Seq(Seq("n", "v"), Seq("a", 1.5), Seq("b", null)))
+    // typed roundtrip: reading the written records reproduces the frame
+    val back = TadaIO.readInterfaceRecords(spark, recs)
+    assert(back.records() == f.records())
+    // column-major with labels: one header slot per column level
+    val byCol = TadaIO.writeInterfaceRecords(f, includeLabels = false, byColumn = true)
+    assert(byCol == Seq(Seq("n", "a", "b"), Seq("v", 1.5, null)))
+  }
+
   import IoSpec.P
   test("case-class roundtrip (StructReader/StructWriter)") {
     import spark.implicits._
