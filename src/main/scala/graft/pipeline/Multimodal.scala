@@ -9,10 +9,13 @@ import org.apache.spark.sql.{functions => F}
   *
   * The Spark-side shape is the real thing — schema, partition-parallel
   * batched execution, typed input/output rows, bounded memory per batch.
-  * The decode kernel itself is a STUB: the container has no image/audio
-  * codecs, so `fakeDecode` derives deterministic pseudo-features from the
-  * bytes. Swap `fakeDecode` for a real codec (JNI/FFI) without touching
-  * the plumbing.
+  * Two kernels plug into the seam: `ImageIoDecodeKernel` is a REAL image
+  * header decoder (JDK `javax.imageio` — PNG/JPEG/GIF/BMP format +
+  * dimensions, no external deps), and `StubDecodeKernel` derives
+  * deterministic pseudo-features from the bytes — it remains the oracle
+  * path because the test corpus ships text payloads, not images, and its
+  * checksum is SQL-replayable. Audio/video codecs would implement the
+  * same one-trait seam (JNI/FFI) without touching the plumbing.
   *
   * At 100 TB: binary payloads dominate I/O — this stage must stay in the
   * scan's partitioning (mapPartitions, no shuffle), prune the binary
@@ -37,20 +40,24 @@ object Multimodal {
     def decodeBatch(rows: Seq[MediaRow]): Seq[MediaFeatures]
   }
 
+  /** Payload checksum shared by every kernel: first 60 bits of md5 as a
+    * non-negative long — chosen over a bespoke rolling hash so an oracle
+    * engine can replay the exact values in SQL:
+    * `('0x' || substring(md5(x),1,15))::BIGINT` matches bit-for-bit,
+    * which upgrades the decode query from rows-only to a full
+    * hash-checked oracle. */
+  private[pipeline] def payloadChecksum(payload: Array[Byte]): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(payload).take(8).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16) // 60 bits, >= 0
+  }
+
   /** STUB decode kernel — deterministic fake features from the payload.
-    * A real implementation would decode headers/frames here.
-    *
-    * The fake features derive from md5 of the payload bytes (first 60
-    * bits of the digest as a non-negative long) — chosen over a bespoke
-    * rolling hash so an oracle engine can replay the exact values in
-    * SQL: `('0x' || substring(md5(x),1,15))::BIGINT` matches `checksum`
-    * bit-for-bit, which upgrades the decode query from rows-only to a
-    * full hash-checked oracle. */
+    * A real implementation would decode headers/frames here (see
+    * `ImageIoDecodeKernel` for one that does). */
   def fakeDecode(r: MediaRow): MediaFeatures = {
     val n = r.payload.length
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(r.payload).take(8).map(b => f"$b%02x").mkString
-    val h = java.lang.Long.parseLong(hex.substring(0, 15), 16) // 60 bits, >= 0
+    val h = payloadChecksum(r.payload)
     val fmt = if (n % 3 == 0) "png" else if (n % 3 == 1) "jpeg" else "webp"
     MediaFeatures(r.doc_id, n, fmt,
       width = 64 + ((h % 8L) * 32L).toInt,
@@ -61,6 +68,39 @@ object Multimodal {
   /** Default kernel: the stub, one payload at a time within the batch. */
   object StubDecodeKernel extends DecodeKernel {
     def decodeBatch(rows: Seq[MediaRow]): Seq[MediaFeatures] = rows.map(fakeDecode)
+  }
+
+  /** REAL image codec through the same seam: `javax.imageio` (JDK
+    * built-in — PNG, JPEG, GIF, BMP, WBMP) reads format + dimensions
+    * from the image HEADER via `ImageReader.getWidth/getHeight`, which
+    * does NOT decode pixel data — per-row cost is header parsing, not a
+    * full raster decode, exactly what a 100 TB metadata-extraction scan
+    * wants. Undecodable payloads degrade to format "unknown" with zero
+    * dimensions instead of failing the partition (a corrupt image in a
+    * billion-row scan must not kill the job). The checksum stays the
+    * md5 image, so downstream exact-dup grouping on `checksum` behaves
+    * identically under either kernel. */
+  object ImageIoDecodeKernel extends DecodeKernel {
+    def decodeBatch(rows: Seq[MediaRow]): Seq[MediaFeatures] = rows.map { r =>
+      val base = MediaFeatures(r.doc_id, r.payload.length, "unknown", 0, 0,
+        payloadChecksum(r.payload))
+      val in = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(r.payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(in)
+        if (!readers.hasNext) base
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(in, true, true)
+            base.copy(format = reader.getFormatName.toLowerCase,
+              width = reader.getWidth(0), height = reader.getHeight(0))
+          } catch {
+            case scala.util.control.NonFatal(_) => base
+          } finally reader.dispose()
+        }
+      } finally if (in != null) in.close()
+    }
   }
 
   /** Batched per-partition feature extraction. Input: (doc_id, payload)

@@ -324,4 +324,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.forall(_.checksum <= 7))
     assert(out.map(_.doc_id).distinct.length == out.length)
   }
+
+  test("ImageIoDecodeKernel decodes real PNG/JPEG headers through the batch seam") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import s.implicits._
+    // real images, encoded with the JDK itself: a 5x3 PNG and a 4x7 JPEG
+    def encode(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y =>
+        img.setRGB(x, y, (x * 31 + y * 7) & 0xffffff)))
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos))
+      bos.toByteArray
+    }
+    val media = Seq(
+      (1L, encode(5, 3, "png")),
+      (2L, encode(4, 7, "jpg")),
+      (3L, "definitely not an image".getBytes("UTF-8"))) // must degrade, not throw
+      .toDF("doc_id", "payload")
+    val out = Multimodal
+      .extractFeatures(media, batchSize = 2, kernel = Multimodal.ImageIoDecodeKernel)
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(out(1L).format == "png" && out(1L).width == 5 && out(1L).height == 3)
+    assert(out(2L).format.startsWith("jp") && out(2L).width == 4 && out(2L).height == 7)
+    assert(out(3L).format == "unknown" && out(3L).width == 0 && out(3L).height == 0)
+    // checksum is kernel-independent: exact-dup grouping on it behaves
+    // the same whichever kernel produced the features
+    val stub = Multimodal
+      .extractFeatures(media, kernel = Multimodal.StubDecodeKernel)
+      .collect().map(f => f.doc_id -> f.checksum).toMap
+    assert(out.forall { case (id, f) => f.checksum == stub(id) })
+  }
 }
