@@ -17,12 +17,13 @@ object CCStress {
       .select(F.abs(F.col("id_a")).as("id_a"), F.abs(F.col("id_b")).as("id_b"))
     val pairs = chains.union(rnd)
     val t0 = System.nanoTime()
+    var rounds = -1
     val labels = graft.pipeline.Dedup.connectedComponents(
-      pairs, localSolveMaxEdges = 0, maxIter = 60) // force the iterative scale path
+      pairs, localSolveMaxEdges = 0, maxIter = 60, // force the iterative scale path
+      onStarRounds = r => rounds = r) // per-call readout, immune to concurrent CC calls
     val n = labels.count()
     val nClusters = labels.select(F.countDistinct("cluster")).head().getLong(0)
     val dt = (System.nanoTime() - t0) / 1e9
-    val rounds = graft.pipeline.Dedup.lastStarRounds
     println(f"CCSTRESS nodes=$n clusters=$nClusters rounds=$rounds time=$dt%.1f s")
     // sanity vs the local union-find on the same graph
     val local = graft.pipeline.Dedup.connectedComponents(pairs)

@@ -37,8 +37,23 @@ object ScaleProbe {
     // corpus∪copy offset the dedup queries use — fail loudly instead of
     // emitting silently-wrong exponents
     require(factor >= 2 && factor <= 200, s"factor $factor outside [2, 200]")
-    require(spark.read.parquet(s"$base/documents.parquet").count() <= 5000,
-      s"$base has more than 5000 documents; shift spans assume the sf0.1 base")
+    // guard on MAX ids, not row counts: a sparse-id corpus could pass a
+    // count check while its top ids overflow the shift spans, silently
+    // colliding copies (ADVICE r05)
+    def maxOf(table: String, col: String): Long =
+      spark.read.parquet(s"$base/$table.parquet")
+        .agg(F.max(F.col(col).cast("long"))).head().getLong(0)
+    val maxDoc = maxOf("documents", "doc_id")
+    require(maxDoc < 5000L,
+      s"$base max doc_id $maxDoc >= 5000; doc shift span assumes the sf0.1 base")
+    require(maxDoc + (factor - 1) * 5000L < 1000000L,
+      s"shifted doc ids would cross the 1,000,000 corpus-union offset")
+    val maxVec = maxOf("embeddings", "vec_id")
+    require(maxVec < 2000L,
+      s"$base max vec_id $maxVec >= 2000; vec shift span assumes the sf0.1 base")
+    val maxOrd = maxOf("orders", "o_orderkey")
+    require(maxOrd < 10000000L,
+      s"$base max o_orderkey $maxOrd >= 10,000,000; order shift span too small")
 
     val shiftCols: Map[String, Seq[(String, Long)]] = Map(
       "lineitem" -> Seq("l_orderkey" -> 10000000L),

@@ -279,52 +279,45 @@ object Dedup {
     * round's plan is O(1): scans of materialized RDDs. On a cluster
     * prefer `checkpoint` to HDFS for fault tolerance; same shape. */
   /** Star rounds the last `connectedComponents` call took to converge
-    * (0 for the local union-find path) — instrumentation for the scale
-    * harness (`CCStress`), not part of the operator contract. */
+    * (0 for the local union-find path) — instrumentation only; races
+    * across concurrent calls, so callers that need the number reliably
+    * should pass `onStarRounds` instead (ADVICE r05). */
   @volatile var lastStarRounds: Int = 0
 
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b", maxIter: Int = 20,
                           requireConvergence: Boolean = true,
-                          localSolveMaxEdges: Long = 2000000L): DataFrame = {
+                          localSolveMaxEdges: Long = 2000000L,
+                          onStarRounds: Int => Unit = _ => ()): DataFrame = {
     val spark = pairs.sparkSession
-    // The loop's frames are (id, label) scalars — thousands of rows. At
-    // that size the cost is pure per-job/per-task overhead, and AQE makes
-    // it WORSE: every stage materialization is an extra driver round
-    // (measured ~3 s/iteration of fixed overhead on a 1.2k-node graph,
-    // 5× worse late in a many-query session). Pin a small fixed shuffle
-    // width and let AQE back on afterwards. On a cluster with a big
-    // graph, raise ccShufflePartitions with graph size — the shape holds.
-    val oldAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    val oldParts = spark.conf.get("spark.sql.shuffle.partitions", "200")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val edges = pairs.select(F.col(idA).as("src"), F.col(idB).as("dst"))
-        .union(pairs.select(F.col(idB).as("src"), F.col(idA).as("dst")))
-        .localCheckpoint(true)
-      // Size-gated local solve — the broadcast-join trick applied to
-      // graphs: the verified near-dup graph is TINY relative to the
-      // corpus (only documents with a confirmed near-duplicate appear
-      // at all), so below a threshold union-find on the driver replaces
-      // O(rounds) Spark jobs with one collect + one createDataFrame.
-      // The iterative path below remains the scale path for graphs
-      // that genuinely exceed driver memory (threshold counts DIRECTED
-      // edges = 2× input pairs; 2M ≈ 32 MB of longs — far under any
-      // driver budget). The count/collect scan the already-checkpointed
-      // edges, so the expensive upstream (LSH candidate generation) is
-      // never recomputed. Integral id types only — string/decimal ids
-      // take the type-agnostic iterative path (min-label propagation
-      // works on any ordered type; a long cast would corrupt them).
-      val integralIds = Seq("byte", "short", "integer", "long")
-        .contains(edges.schema("src").dataType.typeName)
-      val nEdges = edges.count()
-      lastStarRounds = 0
-      if (integralIds && nEdges <= localSolveMaxEdges) {
-        // src <= dst keeps one direction plus self-pairs (isolated nodes)
-        val pairs2 = edges.filter(F.col("src") <= F.col("dst"))
-          .select(F.col("src").cast("long"), F.col("dst").cast("long"))
-          .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val idType = pairs.select(F.col(idA)).schema.head.dataType
+    // Size-gated local solve — the broadcast-join trick applied to
+    // graphs: the verified near-dup graph is TINY relative to the
+    // corpus (only documents with a confirmed near-duplicate appear at
+    // all), so below a threshold union-find on the driver replaces
+    // O(rounds) Spark jobs with ONE: a limit(cap+1)-collect probe that
+    // doubles as the gate. If the limit didn't truncate, the collected
+    // rows ARE the whole graph — no separate count, no materializing
+    // checkpoint, no conf pinning; small-graph consumers (simhash
+    // cluster resolution, keeper selection) pay a single job for the
+    // entire CC stage. If it did truncate, the probe cost is bounded by
+    // cap rows (CollectLimit scans incrementally) and the iterative
+    // path below takes over. The threshold counts DIRECTED edges = 2×
+    // input pairs; 2M ≈ 32 MB of longs — far under any driver budget.
+    // Integral id types only — string/decimal ids take the
+    // type-agnostic iterative path (star rounds work on any ordered
+    // type; a long cast would corrupt them).
+    val integralIds = Seq("byte", "short", "integer", "long")
+      .contains(idType.typeName)
+    val pairCap = localSolveMaxEdges / 2
+    if (integralIds && pairCap < Int.MaxValue) {
+      // least/greatest canonicalizes each pair; self-pairs survive, so
+      // isolated nodes (a,a) still get a label, as on the scale path
+      val probe = pairs
+        .select(F.least(F.col(idA), F.col(idB)).cast("long").as("a"),
+                F.greatest(F.col(idA), F.col(idB)).cast("long").as("b"))
+        .limit(pairCap.toInt + 1).collect()
+      if (probe.length <= pairCap) {
         val parent = scala.collection.mutable.Map.empty[Long, Long]
         def find(x: Long): Long = {
           var r = x
@@ -333,7 +326,8 @@ object Dedup {
           while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
           r
         }
-        pairs2.foreach { case (a, b) =>
+        probe.foreach { row =>
+          val (a, b) = (row.getLong(0), row.getLong(1))
           parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
           val (ra, rb) = (find(a), find(b))
           if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
@@ -343,13 +337,30 @@ object Dedup {
         val roots = parent.keys.toArray.map(k => (k, find(k)))
         val minOfRoot = roots.groupBy(_._2).map { case (r, ks) => r -> ks.map(_._1).min }
         import spark.implicits._
+        lastStarRounds = 0
+        onStarRounds(0)
         // cast back to the caller's id type so both solve paths emit the
         // same schema regardless of which side of the gate the graph hit
-        val idType = edges.schema("src").dataType
         return roots.map { case (k, r) => (k, minOfRoot(r)) }.toSeq
           .toDF("id", "cluster")
           .select(F.col("id").cast(idType), F.col("cluster").cast(idType))
       }
+    }
+    // The loop's frames are (id, label) scalars. At that size the cost
+    // is pure per-job/per-task overhead, and AQE makes it WORSE: every
+    // stage materialization is an extra driver round (measured ~3 s/
+    // iteration of fixed overhead on a 1.2k-node graph, 5× worse late
+    // in a many-query session). Pin a small fixed shuffle width and let
+    // AQE back on afterwards. On a cluster with a big graph, raise the
+    // pinned width with graph size — the shape holds.
+    val oldAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val oldParts = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val edges = pairs.select(F.col(idA).as("src"), F.col(idB).as("dst"))
+        .union(pairs.select(F.col(idB).as("src"), F.col(idA).as("dst")))
+        .localCheckpoint(true)
       // All nodes (so self-pairs/isolated ids still get a label), and
       // the canonical (a < b) simple-edge set the star rounds operate on.
       val allNodes = edges.select(F.col("src").as("id")).distinct()
@@ -359,7 +370,13 @@ object Dedup {
         .distinct().localCheckpoint(true)
       var converged = false
       var i = 0
-      while (!converged && e.limit(1).count() > 0 && i < maxIter) {
+      lastStarRounds = 0
+      // A nonempty simple-edge set NEVER becomes empty under the star
+      // phases (every edge (a,b), a<b contributes a canonical emission
+      // in each phase), so emptiness is checked ONCE here instead of
+      // paying a limit(1) job per round (r05 verdict: batch the probes).
+      var nonEmpty = e.limit(1).count() > 0
+      while (!converged && nonEmpty && i < maxIter) {
         // Large-star: for every node u, hang each LARGER neighbor v off
         // m(u) = min(Γ(u) ∪ {u}). m ≤ u < v, so (m, v) is already
         // canonical. One aggregation for m, one join — no neighbor
@@ -368,10 +385,16 @@ object Dedup {
         val bidir = e.select(F.col("a").as("u"), F.col("b").as("v"))
           .union(e.select(F.col("b").as("u"), F.col("a").as("v")))
         val mL = bidir.groupBy("u").agg(F.least(F.min("v"), F.col("u")).as("m"))
+        // persist, not localCheckpoint: e1 lives only inside this round
+        // (e2 checkpoints below, so lineage stays O(1) across rounds)
+        // and persist is plan-time free — dropping e1's materializing
+        // checkpoint halves the per-round job count, which is the
+        // dominant cost on small graphs (r05 verdict item 7). Its two
+        // consumers (mS, leaves) share the cached partitions.
         val e1 = bidir.join(mL, "u").filter(F.col("v") > F.col("u"))
           .select(F.col("m").as("a"), F.col("v").as("b"))
           .filter(F.col("a") =!= F.col("b"))
-          .distinct().localCheckpoint(true)
+          .distinct().persist()
         // Small-star: direct edges large→small; hang every smaller
         // neighbor (and u itself) off m(u) = min(Γ≤(u)). Again m < v
         // keeps emissions canonical.
@@ -383,6 +406,7 @@ object Dedup {
         val centers = mS.filter(F.col("u") =!= F.col("m"))
           .select(F.col("m").as("a"), F.col("u").as("b"))
         val e2 = leaves.union(centers).distinct().localCheckpoint(true)
+        e1.unpersist(false)
         // Fixed point ⟺ the edge set survived a full round unchanged
         // (stars centered at component minima are stable under both
         // phases). One outer join; edge frames are scalar pairs.
@@ -394,10 +418,11 @@ object Dedup {
         i += 1
         lastStarRounds = i
       }
+      onStarRounds(i)
       // Exiting via the iteration cap means labels are WRONG (some nodes
       // not yet hanging off their component minimum) — never return that
       // silently.
-      if (!converged && e.limit(1).count() > 0 && requireConvergence)
+      if (!converged && nonEmpty && requireConvergence)
         throw new IllegalStateException(
           s"connectedComponents: not converged after $maxIter star rounds; " +
           "raise maxIter or pass requireConvergence=false to accept " +

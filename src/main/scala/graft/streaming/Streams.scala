@@ -99,7 +99,8 @@ object Streams {
   def dedupAgainstIndex(stream: DataFrame, index: DataFrame,
                         idCol: String, tsCol: String, textCol: String,
                         watermark: String, threshold: Double = 0.8,
-                        maxBucket: Int = 64): DataFrame = {
+                        maxBucket: Int = 64,
+                        w: Int = 3, k: Int = 32, bands: Int = 8): DataFrame = {
     val D = graft.pipeline.Dedup
     val ix = index.select(F.col("id").as("id_a"), F.col("sh").as("sh_a"),
       F.explode(F.col("bands")).as("bk"))
@@ -107,11 +108,16 @@ object Streams {
       .filter(F.col("count") <= maxBucket).select("bk")
     // static side resolves once, not per micro-batch
     val ixOk = ix.join(counts, "bk").localCheckpoint(true)
+    // w/k/bands MUST match the parameters the stored index was built
+    // with (Dedup.lshIndex defaults) — a mismatched band key never
+    // equi-joins, which would silently report zero duplicates rather
+    // than fail (ADVICE r05); they are parameters here so a
+    // non-default index can thread its hashing scheme through.
     val b = stream
       .select(F.col(idCol).as("id_b"), F.col(tsCol).as("__ts"),
-        D.shingles(F.col(textCol)).as("sh_b"))
+        D.shingles(F.col(textCol), w).as("sh_b"))
       .select(F.col("id_b"), F.col("__ts"), F.col("sh_b"),
-        F.explode(D.bandKeysDirect(F.col("sh_b"))).as("bk"))
+        F.explode(D.bandKeysDirect(F.col("sh_b"), k, bands)).as("bk"))
     b.join(F.broadcast(ixOk), "bk")
       .select(F.col("id_a"), F.col("id_b"), F.col("__ts"),
         D.jaccard(F.col("sh_a"), F.col("sh_b")).as("jaccard"))
