@@ -237,6 +237,61 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("incremental dedup stream: late replays drop, in-watermark replays dedup") {
+    // q80's streaming twin under at-least-once delivery: the SAME
+    // (index doc, arriving doc) pair re-delivered within the watermark
+    // must emit once; a replay arriving BEHIND the advanced watermark
+    // must be dropped, not re-emitted — so the emitted pair set equals
+    // the batch replay's distinct pairs regardless of delivery noise.
+    import spark.implicits._
+    val D = graft.pipeline.Dedup
+    val dir = java.nio.file.Files.createTempDirectory("graft-late-stream")
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    val index = D.lshIndex(corpus, "doc_id", "text").persist()
+    val dupText = "the quick brown fox jumps over the lazy dog again and again"
+    val schema = Seq((0L, t("2024-01-01 00:00:00"), "x"))
+      .toDF("doc_id", "ts", "text").schema
+    def writeBatch(rows: Seq[(Long, java.sql.Timestamp, String)]): Unit =
+      rows.toDF("doc_id", "ts", "text")
+        .repartition(1).write.mode("append").parquet(dir.toString + "/docs")
+    // the file source needs at least one file before start
+    writeBatch(Seq((100L, t("2024-01-01 00:00:00"), dupText)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString + "/docs")
+    val q = graft.streaming.Streams
+      .dedupAgainstIndex(stream, index, "doc_id", "ts", "text", "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("late_dedup_out").start()
+    try {
+      q.processAllAvailable() // emits (0,100); watermark -> 23:50 prev day
+      // advance the watermark far past the first event
+      writeBatch(Seq((101L, t("2024-01-01 01:00:00"), dupText)))
+      q.processAllAvailable() // emits (0,101); watermark -> 00:50
+      // replay of doc 100 at 00:05 — BEHIND the 00:50 watermark: dropped
+      writeBatch(Seq((100L, t("2024-01-01 00:05:00"), dupText)))
+      q.processAllAvailable()
+      // replay of doc 101 at 01:02 — within the watermark: deduped
+      writeBatch(Seq((101L, t("2024-01-01 01:02:00"), dupText)))
+      q.processAllAvailable()
+      val emitted = spark.table("late_dedup_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(emitted.length == 2, s"expected exactly 2 emissions, got ${emitted.toSeq}")
+      assert(emitted.toSet == Set((0L, 100L), (0L, 101L)))
+      // batch replay over ALL deliveries agrees on the distinct-pair set
+      val allArrivals = Seq(
+        (100L, dupText), (101L, dupText)).toDF("doc_id", "text")
+      val batch = D.incrementalPairs(index,
+          D.lshIndex(allArrivals, "doc_id", "text"), 0.8)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(emitted.toSet == batch)
+    } finally q.stop()
+  }
+
   test("streaming curation pipeline (quality gate + dedup + sample) agrees with batch") {
     import spark.implicits._
     val T = graft.pipeline.TextOps
