@@ -85,7 +85,8 @@ object ScaleProbe {
       "q47_langid", "q55_cosine_pairs", "q56_knn_ivf", "q58_dup_clusters",
       "q62_tfidf", "q67_chunk_dedup", "q73_curation_funnel",
       "q75_unigram_logprob", "q76_contamination", "q79_simhash_clusters",
-      "q80_incremental_dedup", "q81_incremental_embedding")
+      "q80_incremental_dedup", "q81_incremental_embedding",
+      "q82_dedup_keepers", "q83_sequence_packing", "q84_mixture_rates")
     // optional 4th arg: comma-separated name prefixes to re-probe a subset
     val sel = if (args.length > 3) {
       val ps = args(3).split(",")

@@ -128,4 +128,25 @@ class ApiSurfaceSpec extends AnyFunSuite {
       SparkSession.setDefaultSession(base)
     }
   }
+
+  test("registry hygiene: names well-formed, unique, single-pack, oracle aliases sane") {
+    import graft.queries.Registry
+    val all = Registry.all // also fires the runtime duplicate-name guard
+    // the driver keys CORRECTNESS_r{N}.json on these names — a typo'd
+    // or re-used name silently drops a query from the gate
+    val namePat = "^q\\d+_[a-z0-9_]+$".r
+    all.foreach(q => assert(namePat.matches(q.name),
+      s"query name '${q.name}' does not match q<digits>_<snake_case>"))
+    assert(all.map(_.name).distinct.size == all.size)
+    // every query belongs to exactly ONE pack (a query listed twice
+    // would double-run in Verify and confuse per-pack attribution)
+    val byPack = Registry.packs.flatMap(p => p.queries.map(q => q.name -> p))
+    val multi = byPack.groupBy(_._1).collect { case (n, ps) if ps.size > 1 => n }
+    assert(multi.isEmpty, s"queries in more than one pack: ${multi.mkString(",")}")
+    // numeric prefixes are unique too — two q41_* entries would collide
+    // in every prefix-addressed harness (Verify subset arg, ScaleProbe)
+    val numDup = all.map(_.name.takeWhile(_ != '_')).groupBy(identity)
+      .collect { case (n, g) if g.size > 1 => n }
+    assert(numDup.isEmpty, s"duplicate query numbers: ${numDup.mkString(",")}")
+  }
 }
