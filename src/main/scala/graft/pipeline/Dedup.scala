@@ -291,31 +291,37 @@ object Dedup {
                           onStarRounds: Int => Unit = _ => ()): DataFrame = {
     val spark = pairs.sparkSession
     val idType = pairs.select(F.col(idA)).schema.head.dataType
+    // Canonicalize each pair to (least, greatest) — self-pairs survive,
+    // so isolated nodes (a,a) still get a label — and materialize ONCE.
+    // Every downstream consumer (the size probe, the local collect, the
+    // star rounds, allNodes) reads this RDD, so the expensive upstream
+    // (LSH candidate generation + verification) never recomputes. This
+    // matters doubly: a limit-collect probe straight over the un-
+    // materialized plan re-executes the upstream incrementally AND the
+    // iterative path would pay it again (measured: q58's 10× probe run
+    // went 24 s → 423 s without this checkpoint). Also half the
+    // materialized volume of the previous both-directions `edges`
+    // checkpoint.
+    val canon = pairs
+      .select(F.least(F.col(idA), F.col(idB)).as("a"),
+              F.greatest(F.col(idA), F.col(idB)).as("b"))
+      .localCheckpoint(true)
     // Size-gated local solve — the broadcast-join trick applied to
     // graphs: the verified near-dup graph is TINY relative to the
     // corpus (only documents with a confirmed near-duplicate appear at
     // all), so below a threshold union-find on the driver replaces
-    // O(rounds) Spark jobs with ONE: a limit(cap+1)-collect probe that
-    // doubles as the gate. If the limit didn't truncate, the collected
-    // rows ARE the whole graph — no separate count, no materializing
-    // checkpoint, no conf pinning; small-graph consumers (simhash
-    // cluster resolution, keeper selection) pay a single job for the
-    // entire CC stage. If it did truncate, the probe cost is bounded by
-    // cap rows (CollectLimit scans incrementally) and the iterative
-    // path below takes over. The threshold counts DIRECTED edges = 2×
-    // input pairs; 2M ≈ 32 MB of longs — far under any driver budget.
-    // Integral id types only — string/decimal ids take the
-    // type-agnostic iterative path (star rounds work on any ordered
-    // type; a long cast would corrupt them).
+    // O(rounds) Spark jobs with the materialization above plus one
+    // cheap collect of the checkpointed rows. The threshold counts
+    // DIRECTED edges = 2× input pairs; 2M ≈ 32 MB of longs — far under
+    // any driver budget. Integral id types only — string/decimal ids
+    // take the type-agnostic iterative path (star rounds work on any
+    // ordered type; a long cast would corrupt them).
     val integralIds = Seq("byte", "short", "integer", "long")
       .contains(idType.typeName)
     val pairCap = localSolveMaxEdges / 2
     if (integralIds && pairCap < Int.MaxValue) {
-      // least/greatest canonicalizes each pair; self-pairs survive, so
-      // isolated nodes (a,a) still get a label, as on the scale path
-      val probe = pairs
-        .select(F.least(F.col(idA), F.col(idB)).cast("long").as("a"),
-                F.greatest(F.col(idA), F.col(idB)).cast("long").as("b"))
+      val probe = canon
+        .select(F.col("a").cast("long"), F.col("b").cast("long"))
         .limit(pairCap.toInt + 1).collect()
       if (probe.length <= pairCap) {
         val parent = scala.collection.mutable.Map.empty[Long, Long]
@@ -358,15 +364,14 @@ object Dedup {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      val edges = pairs.select(F.col(idA).as("src"), F.col(idB).as("dst"))
-        .union(pairs.select(F.col(idB).as("src"), F.col(idA).as("dst")))
-        .localCheckpoint(true)
       // All nodes (so self-pairs/isolated ids still get a label), and
-      // the canonical (a < b) simple-edge set the star rounds operate on.
-      val allNodes = edges.select(F.col("src").as("id")).distinct()
+      // the canonical (a < b) simple-edge set the star rounds operate
+      // on — both derived from the checkpointed `canon`, never from the
+      // raw upstream plan.
+      val allNodes = canon.select(F.col("a").as("id"))
+        .union(canon.select(F.col("b").as("id"))).distinct()
         .localCheckpoint(true)
-      var e = edges.filter(F.col("src") < F.col("dst"))
-        .select(F.col("src").as("a"), F.col("dst").as("b"))
+      var e = canon.filter(F.col("a") =!= F.col("b"))
         .distinct().localCheckpoint(true)
       var converged = false
       var i = 0
@@ -504,9 +509,16 @@ object Dedup {
     // every null-text document into one bogus "duplicate" cluster, so
     // they are dropped — exactly what the q79 recursive-CTE oracle does
     // (a null token list unnests to no rows)
+    // persist both scalar frames: `sim` is referenced twice and `words`
+    // four times downstream (banding, the two edge joins, the final
+    // join) — without the cache each reference re-runs the simhash
+    // kernel over the full corpus, which dominated q79/q82 at sf0.1
+    // (~4 s, of which ~2.5 s was repeated hashing). Both frames are
+    // (id, long) scalars, so the cache is tiny at any corpus size.
     val sim = simhash(docs, idCol, textCol) // (id, simhash)
       .filter(F.col("simhash").isNotNull)
-    val words = sim.groupBy("simhash").agg(F.min("id").as("rep"))
+      .persist()
+    val words = sim.groupBy("simhash").agg(F.min("id").as("rep")).persist()
     val banded = words.withColumn("bands", simhashBands(F.col("simhash")))
     val cand = candidatePairs(banded, "rep", "bands", maxBucket)
     val edges = cand

@@ -238,7 +238,18 @@ object Similarity {
     val trainSet = c.orderBy("cid0").limit(trainCap.toInt)
     val centroids = trainCentroids(trainSet, n, iters, cos)
     val cells = nearestCells(c, centroids, "cid0", "cv", mprobe, cos)
-    val a = cells.select(F.col("cid0").as("id_a"), F.col("cell"))
+    // The Σ|cell|² candidate explosion is generated by joining two
+    // frames of TINY bytes ((id, cell) scalars) whose per-row DOWNSTREAM
+    // cost is huge — AQE coalesces the streamed side to ~2 partitions by
+    // shuffle size, and the explosion plus the distinct's partial hash
+    // aggregation then run 2-wide with multi-hundred-million-entry maps
+    // (measured: 423 s vs ~40 s for q58's 200k-vector probe). A NUMERIC
+    // repartition is exempt from AQE coalescing, so pin the explosion
+    // stage to full machine width explicitly.
+    val parts = math.max(corpus.sparkSession.sparkContext.defaultParallelism,
+      corpus.sparkSession.sessionState.conf.numShufflePartitions)
+    val a = cells.repartition(parts, F.col("cell"))
+      .select(F.col("cid0").as("id_a"), F.col("cell"))
     val b = cells.select(F.col("cid0").as("id_b"), F.col("cell"))
     val cand = a.join(b, "cell").filter(F.col("id_a") < F.col("id_b"))
       .select("id_a", "id_b").distinct()
