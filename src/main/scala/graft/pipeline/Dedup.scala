@@ -222,6 +222,38 @@ object Dedup {
       .select(F.col("id"), F.col("sh"),
         bandKeysDirect(F.col("sh"), k, bands).as("bands"))
 
+  /** Bloom sketch of an indexed corpus's content keys — the exact-dedup
+    * twin of `lshIndex`: built ONCE per ingest cycle and stored/shipped
+    * alongside the corpus (a few MB at fpp 1% even for 10⁹ keys). This
+    * is deliberately an ACTION — it is the "write the index" step, not
+    * part of a query plan; the lazy consumer is `bloomNewDocs`. */
+  def bloomSketch(index: DataFrame, keyCol: String, expectedItems: Long,
+                  fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter =
+    index.stat.bloomFilter(keyCol, expectedItems, fpp)
+
+  /** Bloom-gated incremental EXACT dedup: the batch documents whose
+    * content key does NOT already appear in the indexed corpus. The
+    * sketch prunes on the SCAN side — a batch row the sketch rules out
+    * is provably new and passes with no join at all, so the exact
+    * anti-join shuffle carries only true duplicates plus the fpp share
+    * of false positives instead of the whole batch (at 100 TB the batch
+    * is mostly-new by construction, so this removes almost all of the
+    * anti-join's left input). The anti-join then removes the false
+    * positives: the sketch is a PERFORMANCE layer, never a correctness
+    * layer — output is exactly `batch ANTI JOIN index ON key`, which is
+    * what lets a DuckDB oracle replay it. Null keys are never claimed
+    * by the sketch and never match the anti-join: they pass as new on
+    * both engines. */
+  def bloomNewDocs(batch: DataFrame, index: DataFrame,
+                   sketch: org.apache.spark.util.sketch.BloomFilter,
+                   keyCol: String): DataFrame = {
+    val bf = batch.sparkSession.sparkContext.broadcast(sketch)
+    val might = F.udf((k: String) => k != null && bf.value.mightContainString(k))
+    val positives = batch.filter(might(F.col(keyCol)))
+      .join(index.select(F.col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+    batch.filter(!might(F.col(keyCol))).unionByName(positives)
+  }
+
   /** Incremental near-dup: a NEW batch against an EXISTING indexed
     * corpus — the production shape of a continuously-ingesting pipeline
     * (daily increments vs the accumulated index). Candidates come from

@@ -39,6 +39,26 @@ object Sampling {
     df.filter(hashBp(key) < rate)
   }
 
+  /** Deterministic train/val/test split: every row gets a permanent
+    * split label from its hash coordinate — `train` below `trainBp`,
+    * `val` below `trainBp + valBp`, `test` otherwise. The property that
+    * matters for training pipelines is LEAK-FREENESS UNDER CHURN: a
+    * row's label never changes when the corpus is re-read, repartitioned,
+    * grown, or re-split by another engine, so a document can never
+    * migrate from test into train between experiment runs. Scan-stage
+    * when-chain — no shuffle, no RNG state. */
+  def split(df: DataFrame, key: Column,
+            trainBp: Int = 9000, valBp: Int = 500,
+            splitCol: String = "split"): DataFrame = {
+    require(trainBp >= 0 && valBp >= 0 && trainBp + valBp <= 10000,
+      s"split: trainBp + valBp must be within [0, 10000], got $trainBp + $valBp")
+    val c = hashBp(key)
+    df.withColumn(splitCol,
+      F.when(c < trainBp, F.lit("train"))
+        .when(c < trainBp + valBp, F.lit("val"))
+        .otherwise(F.lit("test")))
+  }
+
   /** Mixture reweighting (data mixing): per-source keep-rates, in basis
     * points, that reshape the corpus toward TARGET source proportions
     * under a total document budget — the stage that turns "we want 50%

@@ -685,6 +685,45 @@ object PipelineQueries extends QueryPack {
         FROM documents GROUP BY source ORDER BY source
       """)),
 
+    // Bloom-gated incremental EXACT dedup: a daily batch (half exact
+    // copies of the indexed corpus, half genuinely new revisions)
+    // against a stored Bloom sketch of the index's content keys. The
+    // sketch rules most new rows out on the scan side; only
+    // bloom-positives reach the exact anti-join, whose output equals a
+    // plain anti-join — the sketch is a performance layer only, so the
+    // DuckDB oracle replays it as NOT EXISTS.
+    Query(
+      "q85_bloom_incremental",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select(F.col("doc_id"), F.col("text"))
+        val index = d.select(Dedup.exactKey(F.col("text")).as("content_key"))
+        val batch = d.select(
+            (F.col("doc_id") + 1000000L).as("doc_id"),
+            F.when(F.col("doc_id") % 2 === 1,
+                F.concat(F.col("text"), F.lit(" v2")))
+              .otherwise(F.col("text")).as("text"))
+          .select(F.col("doc_id"),
+            Dedup.exactKey(F.col("text")).as("content_key"))
+        // the sketch build is the stored-index step of an ingest cycle
+        // (deliberate action at build; see Dedup.bloomSketch)
+        val sketch = Dedup.bloomSketch(index, "content_key",
+          expectedItems = 100000L)
+        Dedup.bloomNewDocs(batch, index, sketch, "content_key")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH index_keys AS (SELECT md5($normSql) AS content_key FROM documents),
+        batch AS (
+          SELECT doc_id + 1000000 AS doc_id,
+                 CASE WHEN doc_id % 2 = 1 THEN text || ' v2' ELSE text END AS text
+          FROM documents),
+        batch_keys AS (SELECT doc_id, md5($normSql) AS content_key FROM batch)
+        SELECT doc_id, content_key FROM batch_keys b
+        WHERE NOT EXISTS (SELECT 1 FROM index_keys i
+                          WHERE i.content_key = b.content_key)
+        ORDER BY doc_id
+      """)),
+
     // Document fingerprinting: md5 of normalized content, rolled up by
     // source to spot templated/boilerplate sources.
     Query(

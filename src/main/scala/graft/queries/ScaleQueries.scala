@@ -208,5 +208,32 @@ object ScaleQueries extends QueryPack {
               < CASE event_type WHEN 'click' THEN 2000 WHEN 'view' THEN 500
                                 WHEN 'purchase' THEN 10000 ELSE 0 END
         GROUP BY 1 ORDER BY 1
+      """)),
+
+    // Deterministic train/val/test split: each row's permanent hash
+    // coordinate buckets it 80/10/10; the property under test is
+    // leak-freeness under churn (a row never migrates between splits
+    // across reruns/repartitions/engines). Scan-stage when-chain.
+    Query(
+      "q86_train_val_test",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val key = F.concat(F.col("l_orderkey").cast("string"), F.lit("_"),
+          F.col("l_linenumber").cast("string"))
+        Sampling.split(li, key, trainBp = 8000, valBp = 1000)
+          .groupBy("split")
+          .agg(F.count(F.lit(1)).as("n"), Exact.dsum(F.col("l_quantity")).as("sum_qty"))
+          .orderBy("split")
+      },
+      Some(s"""
+        SELECT CASE WHEN c < 8000 THEN 'train'
+                    WHEN c < 9000 THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*) AS n, ${Exact.sqlDsum("l_quantity")} AS sum_qty
+        FROM (SELECT l_quantity,
+                ('0x' || substring(md5(l_orderkey || '_' || l_linenumber), 1, 15))::BIGINT
+                % 10000 AS c
+              FROM lineitem)
+        GROUP BY 1 ORDER BY 1
       """)))
 }

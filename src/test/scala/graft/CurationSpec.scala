@@ -175,7 +175,8 @@ class CurationSpec extends AnyFunSuite {
       "q58_dup_clusters", "q59_asof_join", "q60_range_join", "q62_tfidf",
       "q65_range_join_binned", "q67_chunk_dedup", "q76_contamination",
       "q79_simhash_clusters", "q80_incremental_dedup",
-      "q81_incremental_embedding", "q82_dedup_keepers")
+      "q81_incremental_embedding", "q82_dedup_keepers",
+      "q85_bloom_incremental")
     joinBearing.foreach { n =>
       val p = graft.queries.Registry.all.find(_.name == n).get
         .build(spark, dir).queryExecution.executedPlan.toString

@@ -325,6 +325,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.map(_.doc_id).distinct.length == out.length)
   }
 
+  test("bloomNewDocs: exact new-docs under the sketch gate; a lossy sketch changes nothing") {
+    val index = (0 until 10).map(i => s"k$i").toDF("content_key")
+    val batch = (
+      (0 until 5).map(i => (i.toLong, s"k$i")) ++        // exact dups of the index
+      (0 until 5).map(i => (100L + i, s"n$i")) :+        // genuinely new
+      ((999L, null: String))                             // null key: never claimed, passes as new
+    ).toDF("doc_id", "content_key")
+    val sketch = Dedup.bloomSketch(index, "content_key", expectedItems = 1000L)
+    val out = Dedup.bloomNewDocs(batch, index, sketch, "content_key")
+      .collect().map(_.getLong(0)).toSet
+    assert(out == ((100L until 105L).toSet + 999L))
+    // the sketch is a performance layer, not a correctness layer: a
+    // deliberately undersized, high-fpp sketch (every key bloom-positive)
+    // still yields the exact anti-join answer via the refine join
+    val lossy = Dedup.bloomSketch(index, "content_key", expectedItems = 2L, fpp = 0.5)
+    val out2 = Dedup.bloomNewDocs(batch, index, lossy, "content_key")
+      .collect().map(_.getLong(0)).toSet
+    assert(out2 == out)
+  }
+
   test("ImageIoDecodeKernel decodes real PNG/JPEG headers through the batch seam") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     import s.implicits._

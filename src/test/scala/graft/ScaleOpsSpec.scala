@@ -104,6 +104,29 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(a.size > 350 && a.size < 650, s"got ${a.size} of 5000 at 10%")
   }
 
+  test("train/val/test split: permanent labels, partition-invariant, exhaustive") {
+    val df = spark.range(0, 5000).select(F.col("id"))
+    def labels(d: org.apache.spark.sql.DataFrame) =
+      Sampling.split(d, F.col("id").cast("string"), trainBp = 8000, valBp = 1000)
+        .collect().map(r => r.getLong(0) -> r.getAs[String]("split")).toMap
+    val a = labels(df)
+    val b = labels(df.repartition(13))
+    assert(a == b, "a row's split must not depend on partitioning")
+    // every row gets exactly one label; proportions near 80/10/10
+    val byLabel = a.values.groupBy(identity).view.mapValues(_.size)
+    assert(byLabel.values.sum == 5000)
+    assert(byLabel("train") > 3800 && byLabel("val") < 800 && byLabel("test") < 800)
+    // split is consistent with the sampling coordinate: the train set IS
+    // the deterministic 80% sample under the same key
+    val trainIds = a.collect { case (id, "train") => id }.toSet
+    val det = Sampling.deterministic(df, F.col("id").cast("string"), bp = 8000)
+      .collect().map(_.getLong(0)).toSet
+    assert(trainIds == det)
+    intercept[IllegalArgumentException] {
+      Sampling.split(df, F.col("id").cast("string"), trainBp = 9000, valBp = 2000)
+    }
+  }
+
   test("stratified sample applies per-stratum rates") {
     val df = spark.range(0, 4000)
       .select(F.col("id"), (F.col("id") % 2 === 0).cast("string").as("s"))
