@@ -134,6 +134,23 @@ object Streams {
   def sampleStream(in: DataFrame, key: org.apache.spark.sql.Column, bp: Int): DataFrame =
     in.filter(graft.pipeline.Sampling.hashBp(key) < bp)
 
+  /** Streaming twin of `Dedup.bloomNewDocs`: arriving documents whose
+    * content key is not in the indexed corpus. The stored sketch gates
+    * every micro-batch on the SCAN side (stateless filter — no
+    * watermark, no state store), so the stream-static anti-join only
+    * ever buffers the bloom-positive slice; a mostly-new stream flows
+    * through with no join work at all. Output is EXACT — the sketch is
+    * a performance layer, identical contract to the batch operator. */
+  def newDocsStream(stream: DataFrame, index: DataFrame,
+                    sketch: org.apache.spark.util.sketch.BloomFilter,
+                    keyCol: String): DataFrame = {
+    val bf = stream.sparkSession.sparkContext.broadcast(sketch)
+    val might = F.udf((k: String) => k != null && bf.value.mightContainString(k))
+    val positives = stream.filter(might(F.col(keyCol)))
+      .join(index.select(F.col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+    stream.filter(!might(F.col(keyCol))).unionByName(positives)
+  }
+
   /** Stream-stream interval join — the streaming form of the batch
     * as-of/range join family (`Temporal.asofJoin`): left events matched
     * to right events of the same key whose timestamp falls in

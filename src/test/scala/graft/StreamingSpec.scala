@@ -292,6 +292,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming bloom-gated exact dedup equals the batch operator") {
+    import spark.implicits._
+    val D = graft.pipeline.Dedup
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom-stream")
+    val index = Seq("k0", "k1", "k2").toDF("content_key")
+    val sketch = D.bloomSketch(index, "content_key", expectedItems = 100L)
+    val batch = Seq(
+      (1L, "k0"), (2L, "k1"),          // dups of the index
+      (3L, "x0"), (4L, "x1"),          // new
+      (5L, null.asInstanceOf[String])) // null key: new on both paths
+      .toDF("doc_id", "content_key")
+    batch.repartition(1).write.parquet(dir.toString + "/docs")
+    val stream = spark.readStream.schema(batch.schema).parquet(dir.toString + "/docs")
+    val q = graft.streaming.Streams.newDocsStream(stream, index, sketch, "content_key")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("bloom_new_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("bloom_new_out").collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      val batched = D.bloomNewDocs(batch, index, sketch, "content_key")
+        .collect().map(_.getLong(0)).toSet
+      assert(streamed == batched && streamed == Set(3L, 4L, 5L))
+    } finally q.stop()
+  }
+
   test("streaming curation pipeline (quality gate + dedup + sample) agrees with batch") {
     import spark.implicits._
     val T = graft.pipeline.TextOps
