@@ -247,6 +247,12 @@ object Dedup {
   def bloomNewDocs(batch: DataFrame, index: DataFrame,
                    sketch: org.apache.spark.util.sketch.BloomFilter,
                    keyCol: String): DataFrame = {
+    // string keys only (mightContainString) — fail at build time with a
+    // clear message instead of a runtime ClassCastException in the UDF
+    require(batch.schema(keyCol).dataType ==
+        org.apache.spark.sql.types.StringType,
+      s"bloomNewDocs: $keyCol must be a string content key, " +
+        s"got ${batch.schema(keyCol).dataType.typeName}")
     val bf = batch.sparkSession.sparkContext.broadcast(sketch)
     val might = F.udf((k: String) => k != null && bf.value.mightContainString(k))
     val positives = batch.filter(might(F.col(keyCol)))

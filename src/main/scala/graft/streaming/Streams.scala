@@ -144,6 +144,10 @@ object Streams {
   def newDocsStream(stream: DataFrame, index: DataFrame,
                     sketch: org.apache.spark.util.sketch.BloomFilter,
                     keyCol: String): DataFrame = {
+    require(stream.schema(keyCol).dataType ==
+        org.apache.spark.sql.types.StringType,
+      s"newDocsStream: $keyCol must be a string content key, " +
+        s"got ${stream.schema(keyCol).dataType.typeName}")
     val bf = stream.sparkSession.sparkContext.broadcast(sketch)
     val might = F.udf((k: String) => k != null && bf.value.mightContainString(k))
     val positives = stream.filter(might(F.col(keyCol)))
