@@ -316,12 +316,6 @@ object Dedup {
     * driver CPU at a mere 2k-node graph). With the checkpoint each
     * round's plan is O(1): scans of materialized RDDs. On a cluster
     * prefer `checkpoint` to HDFS for fault tolerance; same shape. */
-  /** Star rounds the last `connectedComponents` call took to converge
-    * (0 for the local union-find path) — instrumentation only; races
-    * across concurrent calls, so callers that need the number reliably
-    * should pass `onStarRounds` instead (ADVICE r05). */
-  @volatile var lastStarRounds: Int = 0
-
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b", maxIter: Int = 20,
                           requireConvergence: Boolean = true,
@@ -381,7 +375,6 @@ object Dedup {
         val roots = parent.keys.toArray.map(k => (k, find(k)))
         val minOfRoot = roots.groupBy(_._2).map { case (r, ks) => r -> ks.map(_._1).min }
         import spark.implicits._
-        lastStarRounds = 0
         onStarRounds(0)
         // cast back to the caller's id type so both solve paths emit the
         // same schema regardless of which side of the gate the graph hit
@@ -413,7 +406,6 @@ object Dedup {
         .distinct().localCheckpoint(true)
       var converged = false
       var i = 0
-      lastStarRounds = 0
       // A nonempty simple-edge set NEVER becomes empty under the star
       // phases (every edge (a,b), a<b contributes a canonical emission
       // in each phase), so emptiness is checked ONCE here instead of
@@ -459,7 +451,6 @@ object Dedup {
           .limit(1).count() == 0
         e = e2
         i += 1
-        lastStarRounds = i
       }
       onStarRounds(i)
       // Exiting via the iteration cap means labels are WRONG (some nodes
