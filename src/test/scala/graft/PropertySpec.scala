@@ -37,6 +37,32 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("interface records roundtrip read->write->read for any mixed table") {
+    // cells drawn from the mixed-type families the reference's
+    // [][]interface{} reader accepts; the roundtrip contract is that a
+    // second read of the written records reproduces the same stringified
+    // frame (typed values survive, nulls stay null, headers survive)
+    val cell: Gen[Any] = Gen.oneOf(
+      Gen.choose(-1000L, 1000L).map(x => x: Any),
+      Gen.choose(-10.0, 10.0).map(x => x: Any),
+      Gen.alphaNumStr.map(s => s.take(8): Any),
+      Gen.oneOf(true, false).map(x => x: Any),
+      Gen.const(null: Any))
+    val table: Gen[(Int, List[List[Any]])] = for {
+      w <- Gen.choose(1, 4)
+      h <- Gen.choose(1, 6)
+      rows <- Gen.listOfN(h, Gen.listOfN(w, cell))
+    } yield (w, rows)
+    check("interface-roundtrip", 10)(Prop.forAll(table) { case (w, rows) =>
+      val header = (0 until w).map(i => s"c$i": Any).toList
+      val recs = header +: rows.map(_.toList)
+      val f = graft.io.TadaIO.readInterfaceRecords(spark, recs)
+      val out = graft.io.TadaIO.writeInterfaceRecords(f)
+      val f2 = graft.io.TadaIO.readInterfaceRecords(spark, out)
+      f.records() == f2.records()
+    })
+  }
+
   test("sort places nulls last in BOTH directions, for any null mix") {
     val gen = Gen.listOfN(10, Gen.option(Gen.choose(-50, 50)))
     check("nulls-last", 8)(Prop.forAll(gen) { xs =>
