@@ -222,6 +222,31 @@ object Dedup {
       .select(F.col("id"), F.col("sh"),
         bandKeysDirect(F.col("sh"), k, bands).as("bands"))
 
+  /** Cross-source chunk-overlap matrix: for each unordered pair of
+    * corpus slices (sources), the number of DISTINCT `size`-token chunk
+    * contents present in BOTH — the slice-level contamination /
+    * boilerplate diagnostic (which scrapes copy from each other, where
+    * a benchmark slice leaks into a training slice) run at chunk
+    * granularity because whole documents rarely match exactly.
+    *
+    * Shape at scale: the (16-byte hash, source) projection is deduped
+    * on one shuffle; the self equi-join reuses that partitioning, and
+    * each hash joins at most #sources rows per side — fan-out is
+    * bounded by sources² PER HASH, never documents². The aggregate is
+    * |sources|² cells at most, map-side combined. */
+  def sourceChunkOverlap(docs: DataFrame, textCol: String,
+                         sourceCol: String, size: Int = 3): DataFrame = {
+    val ch = docs
+      .select(F.col(sourceCol).as("source"),
+        F.explode(TextOps.chunkHashesKernel(
+          TextOps.tokens(F.col(textCol)), size)).as("chunk_hash"))
+      .distinct()
+    val a = ch.select(F.col("chunk_hash"), F.col("source").as("source_a"))
+    val b = ch.select(F.col("chunk_hash"), F.col("source").as("source_b"))
+    a.join(b, "chunk_hash").filter(F.col("source_a") < F.col("source_b"))
+      .groupBy("source_a", "source_b").agg(F.count(F.lit(1)).as("n_shared"))
+  }
+
   /** Bloom sketch of an indexed corpus's content keys — the exact-dedup
     * twin of `lshIndex`: built ONCE per ingest cycle and stored/shipped
     * alongside the corpus (a few MB at fpp 1% even for 10⁹ keys). This

@@ -105,6 +105,30 @@ object CurationQueries extends QueryPack {
         GROUP BY doc_id ORDER BY doc_id
       """)),
 
+    // Cross-source chunk-overlap matrix: which corpus slices share
+    // verbatim 3-token chunks — slice-level contamination/boilerplate
+    // diagnostics. Distinct (hash, source) on one shuffle; the
+    // self-join fans out at most sources² per hash.
+    Query(
+      "q87_source_overlap",
+      (s, dir) => {
+        Dedup.sourceChunkOverlap(Tables.documents(s, dir), "text", "source", size = 3)
+          .orderBy("source_a", "source_b")
+      },
+      Some(s"""
+        WITH ws AS (
+          SELECT source, string_split($normSql, ' ') AS w FROM documents),
+        ch AS (
+          SELECT DISTINCT source,
+                 unnest([md5(array_to_string(w[i*3+1:i*3+3], ' '))
+                         FOR i IN range(0, len(w)//3)]) AS chunk_hash
+          FROM ws)
+        SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+        FROM ch a JOIN ch b
+          ON a.chunk_hash = b.chunk_hash AND a.source < b.source
+        GROUP BY 1, 2 ORDER BY 1, 2
+      """)),
+
     // Int8 quantization audit: per-vector scale, L2 norm, and max
     // round-trip reconstruction error — the compression step of an
     // embedding pipeline, run entirely inside the scan stage (vectors

@@ -176,7 +176,7 @@ class CurationSpec extends AnyFunSuite {
       "q65_range_join_binned", "q67_chunk_dedup", "q76_contamination",
       "q79_simhash_clusters", "q80_incremental_dedup",
       "q81_incremental_embedding", "q82_dedup_keepers",
-      "q85_bloom_incremental")
+      "q85_bloom_incremental", "q87_source_overlap")
     joinBearing.foreach { n =>
       val p = graft.queries.Registry.all.find(_.name == n).get
         .build(spark, dir).queryExecution.executedPlan.toString
