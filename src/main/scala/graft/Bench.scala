@@ -37,10 +37,18 @@ import org.apache.spark.sql.SparkSession
   *     failed or still-unsettled >1 s query up to 3 more times. The
   *     JSON reports BOTH the pass-1 time (`first`) and the min
   *     (`queries`), so cold/loaded costs stay legible (ADVICE r02).
-  *  6. The JVM shutdown hook still emits on an external SIGTERM that
+  *  6. LOAD-AWARE CLEAN-WINDOW POLICY (r8): every timed run records the
+  *     EXTERNAL cpu-cores competing during it (/proc/stat busy jiffies
+  *     minus this JVM's own cpu — raw loadavg can't tell our 32-thread
+  *     bench from external tenants). A >1 s min recorded under > ~2
+  *     external cores is never trusted: it stays retry-eligible, the
+  *     retry loop waits out busy windows in bounded 15 s slices, and if
+  *     no quiet run ever lands the artifact is stamped `loaded:true`
+  *     with per-query `ext_load_at_min` for adjudication.
+  *  7. The JVM shutdown hook still emits on an external SIGTERM that
   *     lands before our deadline.
   *
-  * Start/end loadavg ride along for forensics.
+  * Start/end loadavg + per-pass load notes ride along for forensics.
   */
 object Bench {
   private val emitted = new AtomicBoolean(false)
@@ -48,6 +56,56 @@ object Bench {
   private val firstTimes = TrieMap.empty[String, Double]
   private val failures = TrieMap.empty[String, Boolean]
   private val errors = TrieMap.empty[String, String]
+  // External CPU-cores busy (other processes) during the run that set
+  // each query's current min — the adjudication signal for "is this
+  // number load-contaminated?". Raw loadavg can't distinguish our own
+  // 32-thread bench from external tenants (r4's CLEAN run showed
+  // load_end 4.76 from our own work); busy-jiffies-minus-our-own can.
+  private val extAtMin = TrieMap.empty[String, Double]
+  private val loadPasses = scala.collection.mutable.ArrayBuffer.empty[String]
+
+  /** Runs whose external competition exceeds this many cores (of 32)
+    * are treated as load-contaminated: they can't settle a query, and
+    * >1 s mins recorded under them get clean-window retries. Loaded
+    * rounds measured ~6 external cores; clean ones ~0. */
+  val ExtQuiet = 2.0
+
+  /** (total busy jiffies across all cpus incl. iowait excluded,
+    *  this JVM's cpu ns, wall ns) — deltas give external load. */
+  private def cpuSnap(): (Long, Long, Long) = {
+    val busy =
+      try {
+        val parts = scala.io.Source.fromFile("/proc/stat").getLines().next()
+          .trim.split("\\s+").drop(1).map(_.toLong)
+        // user+nice+system+irq+softirq+steal; idle(3)+iowait(4) excluded
+        parts.indices.collect { case i if i != 3 && i != 4 => parts(i) }.sum
+      } catch { case _: Throwable => -1L }
+    val proc =
+      try java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .asInstanceOf[com.sun.management.OperatingSystemMXBean].getProcessCpuTime
+      catch { case _: Throwable => -1L }
+    (busy, proc, System.nanoTime())
+  }
+
+  /** External cores busy between two snapshots: (machine busy CPU −
+    * our own CPU) / wall. Pure; USER_HZ=100. Unmeasurable ⇒ 0. */
+  def externalCores(a: (Long, Long, Long), b: (Long, Long, Long)): Double = {
+    if (a._1 < 0 || b._1 < 0 || a._2 < 0 || b._2 < 0) return 0.0
+    val wallSec = (b._3 - a._3) / 1e9
+    if (wallSec <= 0.01) return 0.0
+    val busySec = (b._1 - a._1) / 100.0
+    val procSec = (b._2 - a._2) / 1e9
+    math.max(0.0, (busySec - procSec) / wallSec)
+  }
+
+  /** Pure settle decision (ADVICE r7, Bench.scala:239): a query's cost
+    * is only "real, not load" when the re-run AGREES with the current
+    * min within ±10% BOTH ways and the re-run itself was externally
+    * quiet. The old `dt >= prev*0.9` accepted a WORSE pass-2 time —
+    * a spike spanning both passes got excluded from retries, the exact
+    * failure mode of the r6/r7 artifacts. */
+  def settledAfterRun(dt: Double, prevMin: Double, extCores: Double): Boolean =
+    dt >= prevMin * 0.9 && dt <= prevMin * 1.1 && extCores <= ExtQuiet
   // `partial` in the JSON means pass 1 did NOT cover every query — a
   // deadline that fires during the optional improvement passes still
   // yields a complete artifact and must not be labeled partial.
@@ -86,10 +144,21 @@ object Bench {
     val errs = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }.mkString("{", ",", "}")
     val total = names.toSeq.collect { case k if !failures.getOrElse(k, false) => minTimes.getOrElse(k, 0.0) }.sum
+    // Per-query external load at the run that produced the min — only
+    // for the >0.5 s tier (sub-second numbers don't need adjudication).
+    val extm = names.toSeq.sorted
+      .filter(k => minTimes.getOrElse(k, 0.0) > 0.5 && !failures.getOrElse(k, false))
+      .map(k => f""""$k":${extAtMin.getOrElse(k, -1.0)}%.2f""").mkString("{", ",", "}")
+    // loaded = some successful >1 s min was recorded under external
+    // competition and never re-achieved in a quiet window: its number
+    // is an upper bound, not a clean measurement.
+    val loaded = names.exists(k => !failures.getOrElse(k, false) &&
+      minTimes.getOrElse(k, 0.0) > 1.0 && extAtMin.getOrElse(k, 0.0) > ExtQuiet)
+    val passes = loadPasses.map("\"" + _ + "\"").mkString("[", ",", "]")
     // raw stdout, single line: sbt [info] prefixes and log4j noise both
     // broke driver-side parsing before; System.out directly is safest
     System.out.println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${m(minTimes)},"first":${m(firstTimes)},"failed":$failed,"errors":$errs,"partial":$partial,"load_start":$loadStart,"load_end":$load1,"sf":"$sfDirSeen"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${m(minTimes)},"first":${m(firstTimes)},"failed":$failed,"errors":$errs,"partial":$partial,"loaded":$loaded,"ext_load_at_min":$extm,"load_passes":$passes,"load_start":$loadStart,"load_end":$load1,"sf":"$sfDirSeen"}""")
     System.out.flush()
   }
 
@@ -176,13 +245,31 @@ object Bench {
       }
     }
 
+    // (seconds, ok, external cores busy during the run)
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-                sliceSec: Double): (Double, Boolean) = {
-      val r = withWatchdog(s"bench-$name", sliceSec)(fn(spark, sfDir).count())
+                sliceSec: Double): (Double, Boolean, Double) = {
+      val snap0 = cpuSnap()
+      val (dt, ok) = withWatchdog(s"bench-$name", sliceSec)(fn(spark, sfDir).count())
+      val ext = externalCores(snap0, cpuSnap())
       // queries may persist() intermediates; drop them so one query's
       // cache never bleeds into the next one's memory budget
       spark.catalog.clearCache()
-      r
+      (dt, ok, ext)
+    }
+
+    // Record a successful timing: min-tracking + per-min external load
+    // + the fixed settle rule. Returns true if this run improved the min.
+    def record(name: String, dt: Double, ext: Double,
+               settled: TrieMap[String, Boolean]): Unit = {
+      failures.remove(name)
+      errors.remove(name)
+      val prev = minTimes.getOrElse(name, Double.MaxValue)
+      if (dt < prev) { minTimes(name) = dt; extAtMin(name) = ext }
+      else if (dt <= prev * 1.1 && ext <= ExtQuiet)
+        // a quiet run CONFIRMING the min within 10% upgrades its
+        // provenance: the number is real even if first recorded loaded
+        extAtMin(name) = math.min(extAtMin.getOrElse(name, ext), ext)
+      if (settledAfterRun(dt, prev, ext)) settled(name) = true
     }
 
     val all = SparkEntry.queries.toSeq.sortBy { case (n, _) => (tier(n), n) }
@@ -199,7 +286,11 @@ object Bench {
         spark.catalog.clearCache()
       }
     }
+    def notePass(tag: String): Unit =
+      loadPasses += f"$tag@${elapsed}%.0fs load1=$load1%.2f"
+
     // Pass 1: one timing for everything, cost-ordered.
+    notePass("pass1")
     all.zipWithIndex.foreach { case ((name, fn), idx) =>
       val remainingQueries = all.size - idx
       val remainingBudget = budgetSec - elapsed
@@ -210,9 +301,10 @@ object Bench {
       val slice =
         if (remainingBudget <= 0) 10.0
         else math.max(15.0, math.min(120.0, remainingBudget / math.max(1, remainingQueries)))
-      val (dt, ok) = timeOne(name, fn, slice)
+      val (dt, ok, ext) = timeOne(name, fn, slice)
       firstTimes(name) = dt
       minTimes(name) = dt
+      extAtMin(name) = ext
       if (!ok) failures(name) = true
     }
     pass1Done = true
@@ -222,52 +314,58 @@ object Bench {
     // on a 1–5 s query was recorded as-is with no second chance; six
     // mid-tier queries carried 3.6–8.3× load artifacts on unchanged
     // code). A clean full pass is ~45 s against a 420 s budget, so one
-    // extra sweep is cheap insurance: every emitted number is now a
-    // best-of-two minimum, and a query whose two runs agree within 10%
-    // is marked settled (its cost is real, not load).
+    // extra sweep is cheap insurance: every emitted number is a
+    // best-of-two minimum, and a query whose two runs genuinely agree
+    // (±10% both ways, externally quiet) is marked settled.
     if (elapsed < budgetSec * 0.7) {
+      notePass("pass2")
       all.zipWithIndex.foreach { case ((name, fn), idx) =>
         if (elapsed < budgetSec * 0.85) {
           val slice = math.max(15.0, math.min(120.0,
             (budgetSec - elapsed) / math.max(1, all.size - idx)))
-          val (dt, ok) = timeOne(name, fn, slice)
-          if (ok) {
-            failures.remove(name)
-            errors.remove(name)
-            val prev = minTimes.getOrElse(name, Double.MaxValue)
-            if (dt < prev) minTimes(name) = dt
-            if (dt >= prev * 0.9) settled(name) = true
-          }
+          val (dt, ok, ext) = timeOne(name, fn, slice)
+          if (ok) record(name, dt, ext, settled)
         }
       }
     }
-    // Improvement passes: re-run failed and still-unsettled >1 s
-    // queries while budget remains — a load spike spanning both full
-    // passes is healed by any later clean window; a watchdog kill gets
-    // another chance. A retry that doesn't beat the current min by ≥10%
-    // marks the query settled — no further retries, so a clean run
-    // does two full passes + one confirmation retry per slow query
-    // instead of burning the whole budget re-measuring stable numbers.
+    // Improvement + clean-window passes (r6/r7 verdict task 1): re-run
+    // failed, still-unsettled, and LOAD-CONTAMINATED >1 s queries while
+    // budget remains. A query whose min was recorded with > ExtQuiet
+    // external cores competing is never trusted: it stays a retry
+    // target until a quiet-window run lands (which either confirms or
+    // beats it), or budget runs out — in which case emit() stamps the
+    // artifact `loaded:true`. When the box is externally busy RIGHT
+    // NOW, sleeping is worth more than measuring: wait in 15 s slices
+    // (budget-bounded) for the tenant spike to pass instead of burning
+    // retries into known-dirty windows.
     var pass = 0
     var improving = true
-    while (improving && pass < 3 && elapsed < budgetSec * 0.8) {
+    while (improving && pass < 6 && elapsed < budgetSec * 0.8) {
       val targets = all.filter { case (n, _) =>
         failures.getOrElse(n, false) ||
-          (minTimes.getOrElse(n, 0.0) > 1.0 && !settled.getOrElse(n, false)) }
+          (minTimes.getOrElse(n, 0.0) > 1.0 &&
+            (!settled.getOrElse(n, false) || extAtMin.getOrElse(n, 0.0) > ExtQuiet)) }
       improving = targets.nonEmpty
-      targets.foreach { case (name, fn) =>
-        if (elapsed < budgetSec * 0.95) {
-          // retries may have most of the budget to themselves — allow a
-          // longer slice than pass 1 so a load-inflated heavy query can
-          // still land a number (hard deadline still bounds the JVM)
-          val slice = math.max(15.0, math.min(180.0, budgetSec - elapsed))
-          val (dt, ok) = timeOne(name, fn, slice)
-          if (ok) {
-            failures.remove(name)
-            errors.remove(name)
-            val prev = minTimes.getOrElse(name, Double.MaxValue)
-            if (dt < prev) minTimes(name) = dt
-            if (dt >= prev * 0.9) settled(name) = true
+      if (improving) {
+        // Probe current external load over a short idle window; wait
+        // out a busy box (max ~3 slices per pass, never past 0.85).
+        var probes = 0
+        var extNow = { val s = cpuSnap(); Thread.sleep(1500); externalCores(s, cpuSnap()) }
+        while (extNow > ExtQuiet && probes < 3 && elapsed < budgetSec * 0.85) {
+          loadPasses += f"wait@${elapsed}%.0fs ext=$extNow%.1f"
+          Thread.sleep(15000)
+          val s = cpuSnap(); Thread.sleep(1500); extNow = externalCores(s, cpuSnap())
+          probes += 1
+        }
+        notePass(f"retry$pass ext=$extNow%.1f")
+        targets.foreach { case (name, fn) =>
+          if (elapsed < budgetSec * 0.95) {
+            // retries may have most of the budget to themselves — allow a
+            // longer slice than pass 1 so a load-inflated heavy query can
+            // still land a number (hard deadline still bounds the JVM)
+            val slice = math.max(15.0, math.min(180.0, budgetSec - elapsed))
+            val (dt, ok, ext) = timeOne(name, fn, slice)
+            if (ok) record(name, dt, ext, settled)
           }
         }
       }

@@ -242,9 +242,15 @@ object TadaIO {
     val names: Seq[String] =
       if (cfg.headerRows == 0) cols.indices.map(_.toString)
       else cols.map(c => c.take(cfg.headerRows).map(goSprint).mkString(cfg.levelSeparator))
+    // Real bound (ADVICE r7: the old `body.head.nonEmpty || all empty`
+    // was a tautology — equal-length columns make the sides equivalent,
+    // so headerRows > record count silently yielded an empty frame with
+    // truncated header names). The reference PANICS on records[k][:n]
+    // when n exceeds the record count (internal.go:604-610) and yields
+    // an empty body when equal; we error on the former, allow the latter.
+    require(cfg.headerRows <= cols.head.size,
+      s"readInterfaceRecords: header rows [${cfg.headerRows}] exceed record count [${cols.head.size}]")
     val body: Seq[Seq[Any]] = cols.map(_.drop(cfg.headerRows))
-    require(body.head.nonEmpty || body.forall(_.isEmpty),
-      "readInterfaceRecords: header rows exceed record count")
     // per-column Spark type from the non-null cells
     val typed: Seq[(Seq[Any], DataType)] = body.map { col =>
       val cells = col.map(v => if (isNullCell(v, cfg)) null else v)

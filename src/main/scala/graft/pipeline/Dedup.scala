@@ -268,10 +268,23 @@ object Dedup {
     * layer — output is exactly `batch ANTI JOIN index ON key`, which is
     * what lets a DuckDB oracle replay it. Null keys are never claimed
     * by the sketch and never match the anti-join: they pass as new on
-    * both engines. */
+    * both engines.
+    *
+    * Scan discipline (ADVICE r7): the verdict splits the batch into a
+    * join branch and a pass-through branch — Spark has no cross-branch
+    * subplan reuse, so naively both branches re-scan the source and
+    * re-compute the key + bloom probe per row. `persistTagged` (default
+    * true) caches the batch WITH its bloom verdict after ONE scan; both
+    * branches read the cache. The cache is exactly one increment's rows
+    * (MEMORY_AND_DISK — safe at any batch size) and lives until the
+    * session's next `clearCache()`; callers that would rather re-scan
+    * than cache (e.g. per-micro-batch invocations where the cache would
+    * accumulate) pass false and get the previous two-scan plan. Either
+    * way the SHUFFLE prune — the point of the sketch — is identical:
+    * only bloom-positive rows enter the anti-join exchange. */
   def bloomNewDocs(batch: DataFrame, index: DataFrame,
                    sketch: org.apache.spark.util.sketch.BloomFilter,
-                   keyCol: String): DataFrame = {
+                   keyCol: String, persistTagged: Boolean = true): DataFrame = {
     // string keys only (mightContainString) — fail at build time with a
     // clear message instead of a runtime ClassCastException in the UDF
     require(batch.schema(keyCol).dataType ==
@@ -280,9 +293,11 @@ object Dedup {
         s"got ${batch.schema(keyCol).dataType.typeName}")
     val bf = batch.sparkSession.sparkContext.broadcast(sketch)
     val might = F.udf((k: String) => k != null && bf.value.mightContainString(k))
-    val positives = batch.filter(might(F.col(keyCol)))
+    val tagged0 = batch.withColumn("__might", might(F.col(keyCol)))
+    val tagged = if (persistTagged) tagged0.persist() else tagged0
+    val positives = tagged.filter(F.col("__might"))
       .join(index.select(F.col(keyCol)).distinct(), Seq(keyCol), "left_anti")
-    batch.filter(!might(F.col(keyCol))).unionByName(positives)
+    tagged.filter(!F.col("__might")).unionByName(positives).drop("__might")
   }
 
   /** Incremental near-dup: a NEW batch against an EXISTING indexed

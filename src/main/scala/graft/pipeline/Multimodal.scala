@@ -84,7 +84,14 @@ object Multimodal {
     def decodeBatch(rows: Seq[MediaRow]): Seq[MediaFeatures] = rows.map { r =>
       val base = MediaFeatures(r.doc_id, r.payload.length, "unknown", 0, 0,
         payloadChecksum(r.payload))
-      val in = javax.imageio.ImageIO.createImageInputStream(
+      // MemoryCacheImageInputStream, NOT ImageIO.createImageInputStream:
+      // the factory consults the default USE-FILE-CACHE setting and wraps
+      // the stream in a FileCacheImageInputStream — a temp file created
+      // and deleted PER ROW on every executor, which at billion-row scale
+      // turns a header-only metadata scan into disk churn (ADVICE r7).
+      // The payload is already fully in memory; the memory-backed stream
+      // is allocation-only.
+      val in = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(r.payload))
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(in)

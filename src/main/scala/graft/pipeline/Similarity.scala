@@ -18,11 +18,46 @@ import org.apache.spark.sql.{functions => F}
   */
 object Similarity {
 
-  /** Memoized corpus row counts keyed by canonicalized logical plan —
-    * see `cosinePairsViaCells`: auto-nlist needs the size, and plan
-    * inspection must not re-pay a count job per build. */
+  /** Memoized corpus row counts — see `cosinePairsViaCells`: auto-nlist
+    * needs the size, and plan inspection must not re-pay a count job per
+    * build. ADVICE r7 hardening: (a) the key folds in the size +
+    * modification time of every file the plan reads, so a parquet path
+    * that GROEW between ingests of a long incremental session gets a
+    * fresh count instead of a stale (too-small) auto-nlist; (b) the map
+    * is bounded — a session that builds queries over many distinct
+    * corpora evicts oldest-inserted entries instead of growing without
+    * limit. (Access-order true LRU isn't worth a lock here: the cache
+    * exists to dedupe REPEATED builds of the same query, which insertion
+    * order serves equally.) */
+  private val CountCacheMax = 256
   private val countCache =
-    scala.collection.concurrent.TrieMap.empty[String, Long]
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, Long](64, 0.75f, false) {
+        override def removeEldestEntry(e: java.util.Map.Entry[String, Long]): Boolean =
+          size() > CountCacheMax
+      })
+
+  /** Cache key for a corpus plan: canonicalized logical plan + the
+    * (path, size, mtime) of every file it scans. Two plans over the
+    * same path diverge the moment the underlying data changes. */
+  private[graft] def corpusKey(df: DataFrame): String = {
+    val files = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r.relation
+    }.flatMap {
+      case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+        h.location.inputFiles.toSeq.sorted.map { p =>
+          val st = try {
+            val path = new org.apache.hadoop.fs.Path(p)
+            val fs = path.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+            val s = fs.getFileStatus(path)
+            s"${s.getLen}:${s.getModificationTime}"
+          } catch { case _: Throwable => "?" }
+          s"$p@$st"
+        }
+      case _ => Nil
+    }
+    df.queryExecution.logical.canonicalized.toString + files.mkString("|")
+  }
 
   /** dot(a, b) over float arrays, accumulated in double — zip_with +
     * aggregate form (reference implementation; higher-order functions
@@ -218,8 +253,13 @@ object Similarity {
     val total: Long =
       if (nlist > 0) -1L
       else if (rowCount >= 0) rowCount
-      else countCache.getOrElseUpdate(
-        c.queryExecution.logical.canonicalized.toString, c.count())
+      else {
+        // no lock held across the count job: a racing duplicate count
+        // is harmless, a blocked construction thread is not
+        val k = corpusKey(c)
+        if (countCache.containsKey(k)) countCache.get(k)
+        else { val v = c.count(); countCache.put(k, v); v }
+      }
     val n = if (nlist > 0) nlist
       else math.max(16, math.min(
         math.ceil(total / 125.0), math.ceil(mprobe * math.sqrt(total.toDouble))).toInt)

@@ -192,6 +192,18 @@ class IoSpec extends AnyFunSuite {
       Seq(Seq("foo", 1.0, 2.0), Seq("bar", 3L, 4L)), byColumn = true)
     assert(byCol.listColNames == Seq("foo", "bar"))
     assert(byCol.records().tail == Seq(Seq("1", "3"), Seq("2", "4")))
+    // header-rows bound (ADVICE r7: the old guard was a tautology that
+    // silently yielded an empty frame with truncated names). Reference
+    // semantics: headers > records panics (internal.go:604-610) → error
+    // here; headers == records yields an empty body.
+    intercept[IllegalArgumentException] {
+      TadaIO.readInterfaceRecords(spark, Seq(Seq("h1", "h2")),
+        ReadConfig(headerRows = 2))
+    }
+    val emptyBody = TadaIO.readInterfaceRecords(spark,
+      Seq(Seq("a", "b"), Seq("x", "y")), ReadConfig(headerRows = 2))
+    assert(emptyBody.listColNames == Seq("a|x", "b|y"))
+    assert(emptyBody.records().tail.isEmpty)
   }
 
   test("interface writer: typed values out, nulls as null, header slots per level") {

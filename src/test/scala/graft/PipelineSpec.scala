@@ -376,4 +376,66 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(f => f.doc_id -> f.checksum).toMap
     assert(out.forall { case (id, f) => f.checksum == stub(id) })
   }
+
+  test("ImageIoDecodeKernel never touches the ImageIO file cache (ADVICE r7)") {
+    // The old path went through ImageIO.createImageInputStream, which
+    // consults the default use-file-cache setting and creates/deletes a
+    // TEMP FILE PER ROW on executors. Point the cache at a directory
+    // that no longer exists: the file-cache path would fail to create
+    // its temp file; the memory-backed stream never looks.
+    def encode(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos))
+      bos.toByteArray
+    }
+    val png = encode(9, 4) // encode BEFORE breaking the cache: write() uses it too
+    val oldUse = javax.imageio.ImageIO.getUseCache
+    val oldDir = javax.imageio.ImageIO.getCacheDirectory
+    val dir = java.nio.file.Files.createTempDirectory("graft-imageio").toFile
+    try {
+      javax.imageio.ImageIO.setUseCache(true)
+      javax.imageio.ImageIO.setCacheDirectory(dir)
+      assert(dir.delete()) // cache dir now unusable
+      val out = Multimodal.ImageIoDecodeKernel.decodeBatch(
+        Seq(Multimodal.MediaRow(7L, png)))
+      assert(out.head.format == "png" && out.head.width == 9 && out.head.height == 4)
+    } finally {
+      javax.imageio.ImageIO.setUseCache(oldUse)
+      if (oldDir == null || oldDir.isDirectory)
+        javax.imageio.ImageIO.setCacheDirectory(oldDir)
+      dir.delete()
+    }
+  }
+
+  test("bloomNewDocs: verdict schema is the batch schema; both scan modes agree") {
+    val index = (0 until 8).map(i => s"k$i").toDF("content_key")
+    val batch = ((0 until 4).map(i => (i.toLong, s"k$i")) ++
+      (0 until 3).map(i => (50L + i, s"x$i"))).toDF("doc_id", "content_key")
+    val sketch = Dedup.bloomSketch(index, "content_key", expectedItems = 100L)
+    val cached = Dedup.bloomNewDocs(batch, index, sketch, "content_key")
+    // the internal bloom-verdict tag must not leak into the output
+    assert(cached.columns.toSeq == Seq("doc_id", "content_key"))
+    val rescan = Dedup.bloomNewDocs(batch, index, sketch, "content_key",
+      persistTagged = false)
+    assert(cached.collect().map(_.getLong(0)).toSet ==
+      rescan.collect().map(_.getLong(0)).toSet)
+    assert(rescan.collect().map(_.getLong(0)).toSet == Set(50L, 51L, 52L))
+  }
+
+  test("auto-nlist countCache key tracks the underlying file, not just the plan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-countkey").toString
+    val p = s"$dir/corpus.parquet"
+    (0 until 10).map(_.toLong).toDF("vec_id").write.mode("overwrite").parquet(p)
+    val k1 = Similarity.corpusKey(spark.read.parquet(p))
+    // same path, same plan shape — but the corpus GREW between ingests:
+    // the key must change so a memoized count can't serve a stale size
+    (0 until 200).map(_.toLong).toDF("vec_id").write.mode("overwrite").parquet(p)
+    val k2 = Similarity.corpusKey(spark.read.parquet(p))
+    assert(k1 != k2)
+    // stable across re-reads of unchanged data
+    val k3 = Similarity.corpusKey(spark.read.parquet(p))
+    assert(k2 == k3)
+  }
 }
