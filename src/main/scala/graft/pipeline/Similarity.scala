@@ -22,7 +22,7 @@ object Similarity {
     * needs the size, and plan inspection must not re-pay a count job per
     * build. ADVICE r7 hardening: (a) the key folds in the size +
     * modification time of every file the plan reads, so a parquet path
-    * that GROEW between ingests of a long incremental session gets a
+    * that GREW between ingests of a long incremental session gets a
     * fresh count instead of a stale (too-small) auto-nlist; (b) the map
     * is bounded — a session that builds queries over many distinct
     * corpora evicts oldest-inserted entries instead of growing without
@@ -233,17 +233,19 @@ object Similarity {
     val c = corpus.select(F.col(idCol).as("cid0"), F.col(vecCol).as("cv"))
     // nlist must GROW with the corpus or cell size — and with it the
     // per-cell quadratic verify — grows linearly and the join degrades
-    // toward all-pairs. Auto (-1) picks min(n/125, m·√n): cost is
-    // assignment O(n·nlist) + verify O(Σ|cell|²) = O(n²m²/nlist), so
-    // constant-density cells (n/125) make verify LINEAR (125·m² per
-    // vector) while assignment stays n²/125 — negligible until the
-    // two cross at n = 125²·m² ≈ 1M vectors, exactly where m·√n (the
-    // analytic optimum balancing both terms, total ~n^1.5) takes
-    // over. Measured on the 10× probe: n/125 → exponent 1.17; a pure
-    // √ rule → 1.57 (it starves cells and inflates the dominant
-    // verify term at sub-1M scale). The floor of 16 resolves to the
-    // same partitioning as the fixed default at every oracle-tested
-    // scale (n ≤ 2000), so correctness pins carry over unchanged.
+    // toward all-pairs. Auto (-1) picks m·√n, the analytic optimum:
+    // cost is assignment O(n·nlist) + verify O(Σ|cell|²) =
+    // O(n²m²/nlist), and nlist = m·√n balances the two terms at
+    // ~m·n^1.5 total — the best achievable exponent for this family.
+    // The r6 rule min(n/125, m·√n) kept assignment at n²/125 below
+    // ~1M vectors (QUADRATIC, the family's only super-linear term);
+    // r8 moved to m·√n at all scales after re-pinning recall: q55/
+    // q56/q58 hash-match their all-pairs oracles at every tested SF
+    // with the finer partitioning (nlist 16 → ~360 at n = 2000),
+    // measured ~25% faster at the 200k-vector probe point. A pure
+    // √n rule (without the m factor) measured e = 1.57 — it starves
+    // cells m-fold and inflates the verify term; the m multiplier is
+    // load-bearing.
     // Auto-nlist needs the corpus size, but a count() here is a driver
     // action inside query CONSTRUCTION — every build (explain, the
     // cartesian plan guard) would pay a scan. Callers that know the
@@ -261,8 +263,7 @@ object Similarity {
         else { val v = c.count(); countCache.put(k, v); v }
       }
     val n = if (nlist > 0) nlist
-      else math.max(16, math.min(
-        math.ceil(total / 125.0), math.ceil(mprobe * math.sqrt(total.toDouble))).toInt)
+      else math.max(16, math.ceil(mprobe * math.sqrt(total.toDouble)).toInt)
     // Lloyd rounds only need REPRESENTATIVE centroids, not every row:
     // train on a bounded deterministic prefix (lowest ids — same init
     // the full path uses), then assign the whole corpus once. Identical
