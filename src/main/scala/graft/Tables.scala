@@ -24,15 +24,26 @@ object Tables {
   def nation(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "region")
   def part(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "part")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark cannot read as a
-    * timestamp. Read it as a raw nanosecond long and truncate to
-    * microseconds — the same truncation DuckDB applies — so oracle
-    * comparisons see identical values. */
+  /** events.ts has shipped as both parquet TIMESTAMP(NANOS) (which Spark
+    * only reads as a raw nanosecond long under `nanosAsLong`) and plain
+    * TIMESTAMP(MICROS). Normalize either encoding to a microsecond
+    * TimestampType — the same truncation DuckDB applies — so oracle
+    * comparisons see identical values regardless of the file's physical
+    * type. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    val raw = apply(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // parquet isAdjustedToUTC=false reads as NTZ; session tz is UTC so
+        // the cast to LTZ is value-preserving and keeps unix_micros legal
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw // already a (micros) timestamp
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")

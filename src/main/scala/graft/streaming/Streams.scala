@@ -16,8 +16,14 @@ object Streams {
   def readEvents(spark: SparkSession, pathOrGlob: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(pathOrGlob).schema
-    spark.readStream.schema(schema).parquet(pathOrGlob)
-      .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    val raw = spark.readStream.schema(schema).parquet(pathOrGlob)
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", F.col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   /** Tumbling-window aggregate (streaming Resample): event-time windows
