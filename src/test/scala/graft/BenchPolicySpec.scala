@@ -30,20 +30,61 @@ class BenchPolicySpec extends AnyFunSuite {
     assert(!Bench.settledAfterRun(dt = 1.0, prevMin = 1.0, extCores = 6.4))
   }
 
+  private def snap(busy: Long = 0L, iowait: Long = 0L, psiIo: Long = 0L,
+                   psiMem: Long = 0L, proc: Long = 0L, wall: Long = 0L) =
+    Bench.LoadSnap(busy, iowait, psiIo, psiMem, proc, wall)
+
   test("externalCores subtracts our own cpu from machine busy time") {
     // 10 s wall; machine burned 8000 jiffies = 80 cpu-sec; we burned
     // 60 cpu-sec ourselves => 2.0 external cores
-    val a = (100000L, 0L, 0L)
-    val b = (108000L, 60_000_000_000L, 10_000_000_000L)
+    val a = snap(busy = 100000L)
+    val b = snap(busy = 108000L, proc = 60_000_000_000L, wall = 10_000_000_000L)
     assert(math.abs(Bench.externalCores(a, b) - 2.0) < 1e-9)
   }
 
   test("externalCores is 0 on unmeasurable snapshots and never negative") {
-    assert(Bench.externalCores((-1L, 0L, 0L), (100L, 1L, 1_000_000_000L)) == 0.0)
+    assert(Bench.externalCores(snap(busy = -1L),
+      snap(busy = 100L, proc = 1L, wall = 1_000_000_000L)) == 0.0)
     // we measured more cpu than the machine reports busy (USER_HZ
     // rounding): clamp to 0, not negative
-    val a = (1000L, 0L, 0L)
-    val b = (1010L, 5_000_000_000L, 1_000_000_000L)
+    val a = snap(busy = 1000L)
+    val b = snap(busy = 1010L, proc = 5_000_000_000L, wall = 1_000_000_000L)
     assert(Bench.externalCores(a, b) == 0.0)
+  }
+
+  // --- r10: the IO blind spot (r8 verdict). A D-state co-tenant shows
+  // ~0 external cpu but high PSI io stall / machine iowait; the quiet
+  // test must flag it dirty and the settle rule must refuse it.
+
+  test("ioStallFraction sees PSI io stall that external cpu misses") {
+    // 10 s wall; PSI io some-stall advanced 4 s => 40% stall
+    val a = snap()
+    val b = snap(psiIo = 4_000_000L, wall = 10_000_000_000L)
+    assert(math.abs(Bench.ioStallFraction(a, b, cpus = 32) - 0.4) < 1e-9)
+    // same window carries zero external cpu: the r8 test called it clean
+    assert(Bench.externalCores(a, b) == 0.0)
+    assert(!Bench.quietRun(Bench.externalCores(a, b), Bench.ioStallFraction(a, b, 32)))
+  }
+
+  test("ioStallFraction falls back to normalized machine iowait") {
+    // PSI unreadable (-1); 10 s wall, 3200 iowait jiffies = 32 core-sec
+    // over 32 cpus => 10% of machine capacity waiting on IO
+    val a = snap(psiIo = -1L, psiMem = -1L)
+    val b = snap(iowait = 3200L, psiIo = -1L, psiMem = -1L, wall = 10_000_000_000L)
+    assert(math.abs(Bench.ioStallFraction(a, b, cpus = 32) - 0.1) < 1e-9)
+  }
+
+  test("ioStallFraction is 0 on unmeasurable snapshots") {
+    val a = snap(iowait = -1L, psiIo = -1L, psiMem = -1L)
+    val b = snap(iowait = -1L, psiIo = -1L, psiMem = -1L, wall = 10_000_000_000L)
+    assert(Bench.ioStallFraction(a, b, cpus = 32) == 0.0)
+  }
+
+  test("agreeing runs inside the same IO-dirty window never settle") {
+    // the r8 failure shape: two passes agree at 10.4 s, ext=0.0, but
+    // the box is IO-thrashed — must stay retry-eligible
+    assert(!Bench.settledAfterRun(dt = 10.4, prevMin = 10.4, extCores = 0.0, ioStall = 0.4))
+    // and a genuinely quiet agreeing pair still settles
+    assert(Bench.settledAfterRun(dt = 10.4, prevMin = 10.4, extCores = 0.0, ioStall = 0.01))
   }
 }
