@@ -133,11 +133,37 @@ object Dedup {
   /** Candidate pairs from LSH buckets (id_a < id_b). `maxBucket` caps
     * pathological buckets (boilerplate spam) — at scale an unbounded
     * bucket is a quadratic blowup; capped buckets are logged as dropped
-    * by callers that care. */
+    * by callers that care.
+    *
+    * Width sizing (r8 verdict task 3): the band-fanout shuffle
+    * (docs × bands rows into groupBy(bk)) is sized from a memoized doc
+    * count so each partition's collect_list state stays bounded at any
+    * corpus size — the count prunes to the id column (metadata-cheap on
+    * parquet) and is paid once per (plan, file-state) per session.
+    * `estDocs` overrides for callers that already know the size;
+    * `estDocs = -2` skips sizing entirely (machine width, no count
+    * job) for sessionless/unit-test frames. */
   def candidatePairs(docs: DataFrame, idCol: String, bandsCol: String,
-                     maxBucket: Int = 64): DataFrame = {
+                     maxBucket: Int = 64, estDocs: Long = -1L,
+                     bandsPerDoc: Int = 8): DataFrame = {
     val exploded = docs.select(F.col(idCol).as("id"), F.explode(F.col(bandsCol)).as("bk"))
-    val buckets = exploded.groupBy(F.col("bk"))
+    val spark = docs.sparkSession
+    val machine = math.max(spark.sparkContext.defaultParallelism,
+      spark.sessionState.conf.numShufflePartitions)
+    val nDocs: Long =
+      if (estDocs >= 0) estDocs
+      else if (estDocs == -2L) -1L
+      else try Similarity.memoizedCount(docs.select(F.col(idCol)))
+      catch { case _: Throwable => -1L }
+    val estFanout = if (nDocs < 0) -1.0 else nDocs.toDouble * bandsPerDoc
+    val w = Explosion.width(estFanout, machine)
+    if (w != machine) Explosion.logWidth("candidatePairs", estFanout, w)
+    // hash-repartition on the group key satisfies the aggregation's
+    // required distribution, so this is ONE shuffle at the derived
+    // width, not an extra exchange
+    val grouped =
+      if (w == machine) exploded else exploded.repartition(w, F.col("bk"))
+    val buckets = grouped.groupBy(F.col("bk"))
       .agg(F.collect_list(F.col("id")).as("ids"))
       .filter(F.size(F.col("ids")).between(2, maxBucket))
     // pairs within a bucket; sort_array makes (a<b) canonical

@@ -59,6 +59,17 @@ object Similarity {
     df.queryExecution.logical.canonicalized.toString + files.mkString("|")
   }
 
+  /** Memoized `df.count()` keyed by `corpusKey` — one count job per
+    * distinct (plan, file-state) per session. No lock held across the
+    * count job: a racing duplicate count is harmless, a blocked
+    * construction thread is not. Shared with `Dedup` for band-fanout
+    * width sizing. */
+  private[pipeline] def memoizedCount(df: DataFrame): Long = {
+    val k = corpusKey(df)
+    if (countCache.containsKey(k)) countCache.get(k)
+    else { val v = df.count(); countCache.put(k, v); v }
+  }
+
   /** dot(a, b) over float arrays, accumulated in double — zip_with +
     * aggregate form (reference implementation; higher-order functions
     * are interpreted in Spark, so the hot path below uses the kernel). */
@@ -255,13 +266,7 @@ object Similarity {
     val total: Long =
       if (nlist > 0) -1L
       else if (rowCount >= 0) rowCount
-      else {
-        // no lock held across the count job: a racing duplicate count
-        // is harmless, a blocked construction thread is not
-        val k = corpusKey(c)
-        if (countCache.containsKey(k)) countCache.get(k)
-        else { val v = c.count(); countCache.put(k, v); v }
-      }
+      else memoizedCount(c)
     val n = if (nlist > 0) nlist
       else math.max(16, math.ceil(mprobe * math.sqrt(total.toDouble)).toInt)
     // Lloyd rounds only need REPRESENTATIVE centroids, not every row:
@@ -289,10 +294,18 @@ object Similarity {
     // shuffle size, and the explosion plus the distinct's partial hash
     // aggregation then run 2-wide with multi-hundred-million-entry maps
     // (measured: 423 s vs ~40 s for q58's 200k-vector probe). A NUMERIC
-    // repartition is exempt from AQE coalescing, so pin the explosion
-    // stage to full machine width explicitly.
-    val parts = math.max(corpus.sparkSession.sparkContext.defaultParallelism,
+    // repartition is exempt from AQE coalescing, so pin the stage width
+    // explicitly — and DERIVE it from the same Σ|cell|² estimate the
+    // design's cost model rests on (balanced cells ⇒ expected candidates
+    // ≈ (n·m)²/nlist), so each partition's share stays bounded at any
+    // corpus size instead of machine width silently becoming
+    // rows/32-per-partition at 100× (r8 verdict task 3).
+    val machine = math.max(corpus.sparkSession.sparkContext.defaultParallelism,
       corpus.sparkSession.sessionState.conf.numShufflePartitions)
+    val estCand: Double =
+      if (total >= 0) { val nm = total.toDouble * mprobe; nm * nm / n } else -1.0
+    val parts = Explosion.width(estCand, machine)
+    Explosion.logWidth("cosinePairsViaCells", estCand, parts)
     val a = cells.repartition(parts, F.col("cell"))
       .select(F.col("cid0").as("id_a"), F.col("cell"))
     val b = cells.select(F.col("cid0").as("id_b"), F.col("cell"))

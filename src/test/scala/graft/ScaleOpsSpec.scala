@@ -180,4 +180,33 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(plan.contains("partial_approx_count_distinct"),
       s"sketch must combine map-side:\n$plan")
   }
+
+  test("Explosion.width bounds candidate rows per partition") {
+    import graft.pipeline.Explosion
+    // unknown estimate: keep machine width
+    assert(Explosion.width(-1.0, 32) === 32)
+    // small explosions never shrink below machine width
+    assert(Explosion.width(1e5, 32) === 32)
+    // the r8 spill case: ~7e8 candidates at the 200k-vector probe must
+    // widen past 32 so partial maps hold ≤ RowsPerPartition entries
+    val w = Explosion.width(7e8, 32)
+    assert(w === math.ceil(7e8 / Explosion.RowsPerPartition).toInt)
+    assert(7e8 / w <= Explosion.RowsPerPartition)
+    // clamped: scheduling overhead must not grow without bound
+    assert(Explosion.width(1e12, 32) === Explosion.MaxWidth)
+  }
+
+  test("sized candidate explosion plans one exchange at the derived width") {
+    import graft.pipeline.Dedup
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val banded = Dedup.lshIndex(docs, "doc_id", "text")
+    // estDocs forces a width above machine: the groupBy must reuse the
+    // repartition's hash distribution (one exchange, no second one)
+    val plan = Dedup.candidatePairs(banded, "id", "bands", estDocs = 400_000_000L)
+      .queryExecution.executedPlan.toString
+    val width = math.ceil(400_000_000L * 8 / graft.pipeline.Explosion.RowsPerPartition).toInt
+    assert(plan.contains(s"Exchange hashpartitioning"), plan.take(500))
+    assert(plan.contains(width.toString),
+      s"derived width $width not in plan:\n${plan.take(2000)}")
+  }
 }
