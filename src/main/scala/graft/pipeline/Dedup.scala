@@ -262,15 +262,66 @@ object Dedup {
     * |sources|² cells at most, map-side combined. */
   def sourceChunkOverlap(docs: DataFrame, textCol: String,
                          sourceCol: String, size: Int = 3): DataFrame = {
-    val ch = docs
-      .select(F.col(sourceCol).as("source"),
-        F.explode(TextOps.chunkHashesKernel(
-          TextOps.tokens(F.col(textCol)), size)).as("chunk_hash"))
-      .distinct()
+    val ch = chunkHashIndex(docs, textCol, sourceCol, size)
     val a = ch.select(F.col("chunk_hash"), F.col("source").as("source_a"))
     val b = ch.select(F.col("chunk_hash"), F.col("source").as("source_b"))
     a.join(b, "chunk_hash").filter(F.col("source_a") < F.col("source_b"))
       .groupBy("source_a", "source_b").agg(F.count(F.lit(1)).as("n_shared"))
+  }
+
+  /** Distinct (chunk_hash, source) membership — the stored form of a
+    * corpus's chunk vocabulary per slice, and the index
+    * `sourceChunkOverlapIncremental` consumes. At 100 TB persist it
+    * bucketed on chunk_hash (`TadaIO.writeBucketed`): hash-subset
+    * bucketing satisfies every join/anti-join below, so nightly
+    * increments never re-shuffle the accumulated membership. */
+  def chunkHashIndex(docs: DataFrame, textCol: String,
+                     sourceCol: String, size: Int = 3): DataFrame =
+    docs.select(F.col(sourceCol).as("source"),
+        F.explode(TextOps.chunkHashesKernel(
+          TextOps.tokens(F.col(textCol)), size)).as("chunk_hash"))
+      .distinct()
+
+  /** Incremental twin of `sourceChunkOverlap` (r8 verdict task 5, the
+    * q87 family's q80/q85-shaped member): fold a NEW document batch
+    * into a stored (index, matrix) pair without ever re-pairing the
+    * index against itself.
+    *
+    * Correctness: `n_shared(A,B)` is |chunks(A) ∩ chunks(B)|, and a
+    * hash h adds a NEW (A,B) intersection iff at least one of its two
+    * memberships is new — so the delta is exactly the pairs generated
+    * by fresh membership rows (batch rows anti-joined against the
+    * index) against (index ∪ fresh), canonicalized and deduped per
+    * hash. Pairs already counted stay untouched because their two
+    * memberships both predate the batch. Output ≡ rebuilding
+    * `sourceChunkOverlap` over the full corpus (q88 hash-matches the
+    * batch-rebuilt DuckDB answer).
+    *
+    * Scale shape: the index is touched by one anti-join and one
+    * equi-join, both on chunk_hash — with the index stored bucketed on
+    * chunk_hash neither shuffles it; `fresh` and the delta aggregate
+    * are batch-sized; the matrix merge is |sources|² rows. An
+    * increment costs O(batch), never O(corpus). */
+  def sourceChunkOverlapIncremental(index: DataFrame, oldMatrix: DataFrame,
+                                    batch: DataFrame, textCol: String,
+                                    sourceCol: String, size: Int = 3): DataFrame = {
+    val fresh = chunkHashIndex(batch, textCol, sourceCol, size)
+      .join(index, Seq("chunk_hash", "source"), "left_anti")
+    val others = index.unionByName(fresh)
+      .select(F.col("chunk_hash"), F.col("source").as("other"))
+    val delta = fresh.join(others, "chunk_hash")
+      .filter(F.col("source") =!= F.col("other"))
+      // canonical unordered pair, then per-hash dedup: a fresh×fresh
+      // pair arrives in both orientations, a fresh×index pair in one
+      .select(F.col("chunk_hash"),
+        F.least(F.col("source"), F.col("other")).as("source_a"),
+        F.greatest(F.col("source"), F.col("other")).as("source_b"))
+      .distinct()
+      .groupBy("source_a", "source_b").agg(F.count(F.lit(1)).as("n_shared"))
+    oldMatrix.select("source_a", "source_b", "n_shared")
+      .unionByName(delta)
+      .groupBy("source_a", "source_b")
+      .agg(F.sum(F.col("n_shared")).as("n_shared"))
   }
 
   /** Bloom sketch of an indexed corpus's content keys — the exact-dedup
@@ -351,6 +402,64 @@ object Dedup {
       .select("id_a", "id_b").distinct()
     cand
       .join(index.select(F.col("id").as("id_a"), F.col("sh").as("sh_a")), "id_a")
+      .join(batch.select(F.col("id").as("id_b"), F.col("sh").as("sh_b")), "id_b")
+      .select(F.col("id_a"), F.col("id_b"),
+        jaccard(F.col("sh_a"), F.col("sh_b")).as("jaccard"))
+      .filter(F.col("jaccard") >= threshold)
+  }
+
+  /** Bucketed-store layout for an LSH index (r8 verdict task 4): the
+    * zero-exchange shape `incrementalPairs`'s doc only promised. Two
+    * tables, each `TadaIO.writeBucketed`:
+    *
+    *  - `{prefix}_bands`: band keys exploded FLAT — (id, band, bucket)
+    *    scalars, bucketed on (band, bucket). Pre-exploding matters: a
+    *    stored array column can't carry a partitioning, so the join-time
+    *    explode of `incrementalPairs` forces a shuffle of the whole
+    *    accumulated index every night. Flat rows bucketed on the join
+    *    key make the index side of the candidate join AND the
+    *    bucket-size profile exchange-free — only the (small) nightly
+    *    batch shuffles.
+    *  - `{prefix}_docs`: (id, sh) shingle payloads bucketed on id, so
+    *    the verify join's index side is exchange-free too — and the
+    *    8×-per-band payload duplication the single-table flat layout
+    *    would pay never materializes.
+    *
+    * At 100 TB the accumulated index dwarfs any nightly batch; never
+    * shuffling it is the difference between an increment costing
+    * O(batch) and O(corpus). */
+  def writeLshIndexBucketed(index: DataFrame, tablePrefix: String,
+                            buckets: Int = 32): Unit = {
+    val exploded = index.select(F.col("id"), F.explode(F.col("bands")).as("bk"))
+      .select(F.col("id"), F.col("bk.band").as("band"), F.col("bk.bucket").as("bucket"))
+    graft.io.TadaIO.writeBucketed(exploded, s"${tablePrefix}_bands",
+      Seq("band", "bucket"), buckets)
+    graft.io.TadaIO.writeBucketed(index.select(F.col("id"), F.col("sh")),
+      s"${tablePrefix}_docs", Seq("id"), buckets)
+  }
+
+  /** `incrementalPairs` against a `writeLshIndexBucketed` store: same
+    * semantics (batch vs index candidates from shared band keys, capped
+    * buckets, exact-Jaccard verify, index never self-paired), but every
+    * index-side stage — the bucket-size profile, the candidate join,
+    * the payload verify join — reads the bucketed tables' partitioning
+    * instead of shuffling (`PipelineSpec` plan-asserts exactly one
+    * batch-side exchange per join key). */
+  def incrementalPairsStored(spark: org.apache.spark.sql.SparkSession,
+                             tablePrefix: String, batch: DataFrame,
+                             threshold: Double = 0.8, maxBucket: Int = 64): DataFrame = {
+    val ixBands = spark.table(s"${tablePrefix}_bands")
+      .select(F.col("id").as("id_a"), F.col("band"), F.col("bucket"))
+    val ixDocs = spark.table(s"${tablePrefix}_docs")
+      .select(F.col("id").as("id_a"), F.col("sh").as("sh_a"))
+    val bx = batch.select(F.col("id").as("id_b"), F.explode(F.col("bands")).as("bk"))
+      .select(F.col("id_b"), F.col("bk.band").as("band"), F.col("bk.bucket").as("bucket"))
+    val ok = ixBands.groupBy("band", "bucket").agg(F.count(F.lit(1)).as("n"))
+      .filter(F.col("n") <= maxBucket).select("band", "bucket")
+    val cand = bx.join(ixBands.join(ok, Seq("band", "bucket")), Seq("band", "bucket"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(ixDocs, "id_a")
       .join(batch.select(F.col("id").as("id_b"), F.col("sh").as("sh_b")), "id_b")
       .select(F.col("id_a"), F.col("id_b"),
         jaccard(F.col("sh_a"), F.col("sh_b")).as("jaccard"))

@@ -129,6 +129,39 @@ object CurationQueries extends QueryPack {
         GROUP BY 1, 2 ORDER BY 1, 2
       """)),
 
+    // Incremental cross-source overlap (q87's q80/q85-shaped twin):
+    // even-id docs are the indexed corpus (stored chunk-hash index +
+    // stored matrix), odd-id docs arrive as the nightly batch; the
+    // incremental fold must reproduce the full-corpus matrix EXACTLY —
+    // the oracle is the same full rebuild q87 runs, so hash-equality
+    // proves increment ≡ rebuild. The index is never self-joined: it
+    // is touched by one anti-join and one equi-join, both batch-driven.
+    Query(
+      "q88_source_overlap_incremental",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val ixDocs = d.filter(F.col("doc_id") % 2 === 0)
+        val batchDocs = d.filter(F.col("doc_id") % 2 === 1)
+        val index = Dedup.chunkHashIndex(ixDocs, "text", "source", size = 3).persist()
+        val oldMatrix = Dedup.sourceChunkOverlap(ixDocs, "text", "source", size = 3)
+        Dedup.sourceChunkOverlapIncremental(index, oldMatrix, batchDocs,
+            "text", "source", size = 3)
+          .orderBy("source_a", "source_b")
+      },
+      Some(s"""
+        WITH ws AS (
+          SELECT source, string_split($normSql, ' ') AS w FROM documents),
+        ch AS (
+          SELECT DISTINCT source,
+                 unnest([md5(array_to_string(w[i*3+1:i*3+3], ' '))
+                         FOR i IN range(0, len(w)//3)]) AS chunk_hash
+          FROM ws)
+        SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+        FROM ch a JOIN ch b
+          ON a.chunk_hash = b.chunk_hash AND a.source < b.source
+        GROUP BY 1, 2 ORDER BY 1, 2
+      """)),
+
     // Int8 quantization audit: per-vector scale, L2 norm, and max
     // round-trip reconstruction error — the compression step of an
     // embedding pipeline, run entirely inside the scan stage (vectors

@@ -47,6 +47,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.forall(_._2 >= 100L))
   }
 
+  test("bucketed LSH index store: same pairs, zero index-side exchange") {
+    val index = Dedup.lshIndex(docs, "doc_id", "text")
+    val batchDocs = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again"), // dup of 0,1
+      (101L, "fresh novel sentences that appear nowhere in the index corpus"))
+      .toDF("doc_id", "text")
+    val batch = Dedup.lshIndex(batchDocs, "doc_id", "text").persist()
+    Dedup.writeLshIndexBucketed(index, "lsh_ix_spec", buckets = 8)
+    val stored = Dedup.incrementalPairsStored(spark, "lsh_ix_spec", batch, 0.8)
+    // semantics: identical pair set to the unbucketed incremental path
+    val expect = Dedup.incrementalPairs(index, batch, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stored.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == expect)
+    // plan: with broadcast off, every index-side stage (bucket profile,
+    // candidate join, payload verify) must ride the buckets — exactly
+    // ONE batch-side exchange per join key, none for the index
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = Dedup.incrementalPairsStored(spark, "lsh_ix_spec", batch, 0.8)
+        .queryExecution.executedPlan.toString
+      def n(pat: String) = pat.r.findAllIn(plan).size
+      assert(n("Exchange hashpartitioning\\(band") == 1,
+        s"expected exactly 1 band-key exchange (the batch side):\n$plan")
+      // single-key id_a exchange = the candidate side of the verify
+      // join; the (id_a, id_b) pair-distinct exchange is batch-bound
+      // and expected, so it is excluded by the trailing numPartitions
+      assert(n("Exchange hashpartitioning\\(id_a#\\d+L?, \\d+\\)") == 1,
+        s"expected exactly 1 id_a-only exchange (the candidate side):\n$plan")
+      // and the index scans themselves ride their buckets
+      assert(n("Bucketed: true") >= 3, s"index scans must be bucketed:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("simhashClusters drops null-text docs instead of fusing them into one cluster") {
     val withNulls = docs.unionByName(Seq(
       (100L, null.asInstanceOf[String]), (101L, null.asInstanceOf[String]))
