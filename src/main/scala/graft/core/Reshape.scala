@@ -56,16 +56,34 @@ object Reshape {
 
   /** Transpose (dataframe.go:1183-1263): rows ↔ columns, all values
     * stringified. Inherently driver-side (the result schema IS the row
-    * count) — capped, for small summary frames only. */
-  def transpose(f: TadaFrame, headerCol: String, maxRows: Int = 1000): TadaFrame = {
+    * count) — capped, for small summary frames only.
+    *
+    * Cap discipline (r8 verdict task 9): the cap must bound what the
+    * driver RECEIVES, and a row count alone does not — 1000 rows of
+    * multi-MB string cells is still a driver OOM. The limit is pushed
+    * into the job (never collect-then-check), and the stringified
+    * payload of the capped prefix is measured executor-side (one tiny
+    * aggregate over ≤ maxRows+1 rows) before any row reaches the
+    * driver; `maxBytes` bounds it (chars ≈ bytes for the ASCII stat
+    * frames this op is for). */
+  def transpose(f: TadaFrame, headerCol: String, maxRows: Int = 1000,
+                maxBytes: Long = 64L << 20): TadaFrame = {
     val cols = f.valueCols.filterNot(_ == headerCol)
     val src = f.sorted.select(
       (headerCol +: cols).map(n =>
         F.coalesce(TadaFormat.stringify(f.df(n), f.df.schema(n).dataType),
           F.lit("(null)")).as(n)): _*)
+      .limit(maxRows + 1)
+    val audit = src.select(F.count(F.lit(1)).as("n"),
+      F.coalesce(F.sum((headerCol +: cols)
+        .map(c => F.length(F.col(c)).cast("long")).reduce(_ + _)), F.lit(0L)).as("chars"))
+      .head()
+    require(audit.getLong(0) <= maxRows,
+      s"transpose: > cap $maxRows rows — transpose is a driver-side op")
+    require(audit.getLong(1) <= maxBytes,
+      s"transpose: ~${audit.getLong(1)} chars > byte cap $maxBytes — " +
+        "wide cells make even few-row transposes a driver hazard")
     val rows: Array[Row] = src.collect()
-    require(rows.length <= maxRows,
-      s"transpose: ${rows.length} rows > cap $maxRows — transpose is a driver-side op")
     val spark = f.df.sparkSession
     val outCols = rows.map(_.getString(0))
     val schema = StructType(StructField("stat", StringType) +:

@@ -89,20 +89,57 @@ final case class TadaFrame(
 
   // ===== §2.2 projections / column ops =====
 
-  def col(n: String): TadaFrame =
-    copy(df = df.select((ORD +: labels :+ resolve(n)).distinct.map(df(_)): _*))
+  /** Re-anchor the hidden ordinal to the CURRENT frame order before a
+    * structural op removes/renames/overwrites a sort-key column.
+    * tada's sorts are PHYSICAL (internal.go:1257-1330) — row order must
+    * survive the key's disappearance — but our sort is a lazy spec over
+    * live columns, so the order is materialized into `__ord` once (one
+    * global row_number, the same single-partition shape `globalWindow`
+    * documents) and the affected spec entries drop. No-op when no
+    * affected column is an order key — the common path stays lazy and
+    * shuffle-free. Surfaced by PropertySpec's label-move model fuzz
+    * (r8 verdict task 7): sort(k) → subsetLabels/dropCols(k) previously
+    * threw on the next order-sensitive operator. */
+  private def anchorOrder(affected: Iterable[String]): TadaFrame = {
+    val hit = order.exists(s => affected.exists(_ == s.name))
+    if (!hit) this
+    else copy(
+      df = df.withColumn(ORD,
+        row_number().over(Window.orderBy(orderCols: _*)).cast(LongType)),
+      order = Nil, bands = 1)
+  }
 
-  def cols(ns: String*): TadaFrame =
-    copy(df = df.select((ORD +: labels).distinct.map(df(_)) ++
-      ns.filterNot(n => n == ORD || labels.contains(n)).map(n => df(resolve(n))): _*))
+  def col(n: String): TadaFrame = {
+    val keep = (ORD +: labels :+ resolve(n)).distinct
+    val f = anchorOrder(df.columns.toSeq.diff(keep))
+    f.copy(df = f.df.select(keep.map(f.df(_)): _*))
+  }
+
+  def cols(ns: String*): TadaFrame = {
+    val keep = (ORD +: labels).distinct ++
+      ns.filterNot(n => n == ORD || labels.contains(n)).map(resolve)
+    val f = anchorOrder(df.columns.toSeq.diff(keep))
+    f.copy(df = f.df.select(keep.map(f.df(_)): _*))
+  }
 
   def subsetCols(idx: Seq[Int]): TadaFrame = cols(idx.map(valueCols): _*)
 
-  def dropCols(ns: String*): TadaFrame = copy(df = df.drop(ns: _*))
+  def dropCols(ns: String*): TadaFrame = {
+    val f = anchorOrder(ns)
+    f.copy(df = f.df.drop(ns: _*))
+  }
 
   def reorderCols(ns: Seq[String]): TadaFrame = cols(ns: _*)
 
-  def withCol(n: String, c: Column): TadaFrame = copy(df = df.withColumn(n, c))
+  def withCol(n: String, c: Column): TadaFrame =
+    // overwriting an order key's VALUES must not reorder settled rows:
+    // anchor and overwrite in ONE projection (both expressions resolve
+    // against the pre-overwrite plan — a sequential anchor would strand
+    // `c` if it references the old `__ord`, as the fill windows do)
+    if (order.exists(_.name == n) && df.columns.contains(n)) {
+      val rn = row_number().over(Window.orderBy(orderCols: _*)).cast(LongType)
+      copy(df = df.withColumns(Map(ORD -> rn, n -> c)), order = Nil, bands = 1)
+    } else copy(df = df.withColumn(n, c))
 
   /** Cast (series.go:135, dataframe.go Cast, types.go:205-219): column →
     * target dtype in the reference's DType vocabulary — string, float64,
@@ -383,15 +420,19 @@ final case class TadaFrame(
 
   def resetLabels(ns: String*): TadaFrame = {
     val drop = if (ns.isEmpty) labels else ns
-    val renamed = drop.foldLeft(df) { (d, n) =>
+    // "*"-prefixed labels get renamed on reset — anchor order first or
+    // a sort spec naming the old name dangles
+    val f = anchorOrder(drop.filter(_.startsWith("*")))
+    val renamed = drop.foldLeft(f.df) { (d, n) =>
       if (n.startsWith("*")) d.withColumnRenamed(n, n.stripPrefix("*")) else d
     }
-    copy(df = renamed, labels = labels.filterNot(drop.contains))
+    f.copy(df = renamed, labels = labels.filterNot(drop.contains))
   }
 
   def relabel(): TadaFrame = {
-    val d = df.drop(labels.filterNot(_ == ORD): _*)
-    copy(df = d, labels = Nil).defaultLabels
+    val gone = labels.filterNot(_ == ORD)
+    val f = anchorOrder(gone)
+    f.copy(df = f.df.drop(gone: _*), labels = Nil).defaultLabels
   }
 
   def swapLabels(a: String, b: String): TadaFrame = {
@@ -400,8 +441,11 @@ final case class TadaFrame(
     copy(labels = labels.updated(i, b).updated(j, a))
   }
 
-  def subsetLabels(ns: Seq[String]): TadaFrame =
-    copy(df = df.drop(labels.filterNot(ns.contains): _*), labels = ns)
+  def subsetLabels(ns: Seq[String]): TadaFrame = {
+    val gone = labels.filterNot(ns.contains)
+    val f = anchorOrder(gone)
+    f.copy(df = f.df.drop(gone: _*), labels = ns)
+  }
 
   private def defaultLabels: TadaFrame =
     if (labels.nonEmpty) this

@@ -25,6 +25,24 @@ class CoreSemanticsSpec extends AnyFunSuite {
     assert(vals(f.fillNull(Map("v" -> FillNullHow.Const(9.0)))) == Seq(9.0, 1.0, 9.0, 9.0, 4.0))
   }
 
+  test("transpose cap bounds bytes AND rows before anything reaches the driver") {
+    // normal small frame transposes fine
+    val small = frame(Seq(("a", 1.0, 2.0), ("b", 3.0, 4.0)).toDF("h", "x", "y"))
+    val t = Reshape.transpose(small, "h")
+    assert(t.records().head == Seq("stat", "a", "b"))
+    // row cap fires without collecting the frame
+    val tall = frame((0 until 50).map(i => (s"r$i", i.toDouble)).toDF("h", "x"))
+    val eRows = intercept[IllegalArgumentException](
+      Reshape.transpose(tall, "h", maxRows = 10))
+    assert(eRows.getMessage.contains("cap 10 rows"))
+    // byte cap fires on FEW rows of WIDE string cells — the r8 audit:
+    // a row cap alone would have admitted this driver hazard
+    val wide = frame(Seq(("a", "x" * 60000), ("b", "y" * 60000)).toDF("h", "blob"))
+    val eBytes = intercept[IllegalArgumentException](
+      Reshape.transpose(wide, "h", maxBytes = 10000))
+    assert(eBytes.getMessage.contains("byte cap 10000"))
+  }
+
   test("saltedAgg matches plain groupBy on a skewed key for every algebraic op") {
     val rows = (0 until 1000).map(i =>
       (if (i < 900) "hot" else s"k${i % 17}", i.toDouble))

@@ -174,4 +174,124 @@ class PropertySpec extends AnyFunSuite {
         }
     })
   }
+
+  // ===== label ↔ column move family vs an in-memory model (r8 task 7) =====
+
+  /** The model mirrors the frame's ORDER MACHINERY, not just its names:
+    * `tiebreak` is what `__ord` encodes (ingest order until a structural
+    * op removes/overwrites a live sort key, at which point the frame
+    * anchors the current order into `__ord` and clears the spec), and
+    * `spec` is the lazy sort. Rendered rows = stable nulls-last sort of
+    * `tiebreak` by `spec`. */
+  private case class MoveModel(schema: Vector[String],
+                               data: Map[String, Vector[Option[String]]],
+                               labels: Vector[String],
+                               tiebreak: Vector[Int],
+                               spec: List[(String, Boolean)]) {
+    def valueCols: Vector[String] = schema.filterNot(labels.contains)
+    def rows: Vector[Int] = {
+      val ord = new Ordering[Int] {
+        def compare(a: Int, b: Int): Int =
+          spec.iterator.map { case (c, desc) =>
+            (data(c)(a), data(c)(b)) match {
+              case (None, None) => 0
+              case (None, _) => 1 // nulls last, both directions
+              case (_, None) => -1
+              case (Some(u), Some(v)) =>
+                val d = u.compareTo(v); if (desc) -d else d
+            }
+          }.find(_ != 0).getOrElse(0)
+      }
+      tiebreak.sorted(ord) // TimSort — stable, so tiebreak IS the tie rule
+    }
+    private def anchorIf(affected: Iterable[String]): MoveModel =
+      if (spec.exists(s => affected.exists(_ == s._1)))
+        copy(tiebreak = rows, spec = Nil)
+      else this
+    def setLabel(c: String): MoveModel = copy(labels = labels :+ c)
+    def resetAll(): MoveModel = copy(labels = Vector.empty)
+    def swap(i: Int, j: Int): MoveModel =
+      copy(labels = labels.updated(i, labels(j)).updated(j, labels(i)))
+    def subset(keep: Vector[String]): MoveModel = {
+      val gone = labels.filterNot(keep.contains)
+      val m = anchorIf(gone)
+      m.copy(schema = m.schema.filterNot(gone.contains),
+        data = m.data -- gone, labels = keep)
+    }
+    def dropValue(c: String): MoveModel = {
+      val m = anchorIf(Seq(c))
+      m.copy(schema = m.schema.filterNot(_ == c), data = m.data - c)
+    }
+    def sort(keys: List[(String, Boolean)]): MoveModel = copy(spec = keys)
+    def render: Seq[Seq[String]] =
+      (labels ++ valueCols) +:
+        rows.map(r => (labels ++ valueCols).map(c => data(c)(r).getOrElse("(null)")))
+  }
+
+  private sealed trait Move
+  private case class MvSet(i: Int) extends Move
+  private case object MvResetAll extends Move
+  private case class MvSwap(i: Int, j: Int) extends Move
+  private case class MvSubset(keep: List[Int]) extends Move
+  private case class MvDrop(i: Int) extends Move
+  private case class MvSort(keys: List[(Int, Boolean)]) extends Move
+
+  test("label/column move sequences + multi-key sorts match the model") {
+    val cell = Gen.option(Gen.oneOf("a", "b", "c", "d", "e"))
+    val gen = for {
+      h <- Gen.choose(4, 7)
+      rows <- Gen.listOfN(h, Gen.listOfN(3, cell))
+      moves <- Gen.listOfN(6, Gen.oneOf(
+        Gen.choose(0, 9).map(MvSet),
+        Gen.const(MvResetAll),
+        Gen.zip(Gen.choose(0, 9), Gen.choose(0, 9)).map { case (i, j) => MvSwap(i, j) },
+        Gen.listOfN(2, Gen.choose(0, 9)).map(MvSubset),
+        Gen.choose(0, 9).map(MvDrop),
+        Gen.listOfN(2, Gen.zip(Gen.choose(0, 9), Gen.oneOf(true, false)))
+          .map(ks => MvSort(ks))))
+    } yield (rows, moves)
+    check("label-moves", 12)(Prop.forAll(gen) { case (rows, moves) =>
+      val names = Vector("c0", "c1", "c2")
+      val df = rows.map(r => (r(0).orNull, r(1).orNull, r(2).orNull))
+        .toDF(names: _*)
+      var frame = TadaFrame.ingest(df)
+      var model = MoveModel(names,
+        names.zipWithIndex.map { case (n, i) =>
+          n -> rows.map(_(i)).toVector }.toMap,
+        Vector.empty, rows.indices.toVector, Nil)
+      // interpret each move against CURRENT state; skip when its
+      // precondition fails (the generator is state-blind on purpose —
+      // validity is decided here so long sequences stay productive)
+      moves.foreach {
+        case MvSet(i) if model.valueCols.nonEmpty =>
+          val c = model.valueCols(i % model.valueCols.size)
+          frame = frame.setAsLabels(c); model = model.setLabel(c)
+        case MvResetAll if model.labels.nonEmpty =>
+          frame = frame.resetLabels(); model = model.resetAll()
+        case MvSwap(i, j) if model.labels.size >= 2 =>
+          val (a, b) = (i % model.labels.size, j % model.labels.size)
+          frame = frame.swapLabels(model.labels(a), model.labels(b))
+          model = model.swap(a, b)
+        case MvSubset(keep) if model.labels.nonEmpty =>
+          val ks = keep.map(k => model.labels(k % model.labels.size)).distinct.toVector
+          frame = frame.subsetLabels(ks); model = model.subset(ks)
+        case MvDrop(i)
+          // keep ≥2 value cols so later moves still have material
+          if model.valueCols.size >= 2 =>
+          val c = model.valueCols(i % model.valueCols.size)
+          frame = frame.dropCols(c); model = model.dropValue(c)
+        case MvSort(keys) if model.schema.nonEmpty =>
+          val ks = keys.map { case (i, d) => (model.schema(i % model.schema.size), d) }
+            .distinctBy(_._1)
+          frame = frame.sort(ks.map { case (c, d) => Sorter(c, descending = d) }: _*)
+          model = model.sort(ks)
+        case _ => ()
+      }
+      val got = frame.records()
+      val want = model.render
+      if (got != want)
+        println(s"DIVERGENCE\n got: $got\nwant: $want\nlabels=${model.labels} spec=${model.spec}")
+      got == want
+    })
+  }
 }
