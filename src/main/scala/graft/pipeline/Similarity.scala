@@ -311,12 +311,33 @@ object Similarity {
     val b = cells.select(F.col("cid0").as("id_b"), F.col("cell"))
     val cand = a.join(b, "cell").filter(F.col("id_a") < F.col("id_b"))
       .select("id_a", "id_b").distinct()
+    // Verify payload joins: the candidate stream is O(Σ|cell|²) SCALAR
+    // pairs, and a sort-merge join against the vector payloads turns it
+    // into (pair, 256B-vector) rows that must SORT — the 100× probe
+    // (200k vectors, ~7e8 candidates) spilled ~78 GB and died on disk.
+    // When the corpus is broadcast-sized (id→vec map; n·dim·4B ≈ 51 MB
+    // at 200k×64f, well under executor memory at any sane config) hint
+    // BOTH payload sides broadcast: the pair stream stays narrow and
+    // fully pipelined from the distinct into the cosine filter — no
+    // payload ever shuffles or sorts. Above the bound fall back to the
+    // shuffled join (at that scale you pre-partition corpus and
+    // candidates by id instead — nothing broadcast-sized remains).
+    val va = corpus.select(F.col(idCol).as("id_a"), F.col(vecCol).as("va"))
+    val vb = corpus.select(F.col(idCol).as("id_b"), F.col(vecCol).as("vb"))
+    val (ja, jb) =
+      if (total >= 0 && total <= BroadcastVecMax) (F.broadcast(va), F.broadcast(vb))
+      else (va, vb)
     cand
-      .join(corpus.select(F.col(idCol).as("id_a"), F.col(vecCol).as("va")), "id_a")
-      .join(corpus.select(F.col(idCol).as("id_b"), F.col(vecCol).as("vb")), "id_b")
+      .join(ja, "id_a")
+      .join(jb, "id_b")
       .select(F.col("id_a"), F.col("id_b"), cos(F.col("va"), F.col("vb")).as("cos"))
       .filter(F.col("cos") > threshold)
   }
+
+  /** Max corpus rows whose (id → vector) payload we'll broadcast for
+    * the verify join: 500k × 64f ≈ 128 MB serialized — comfortably
+    * under driver/executor headroom while covering every probe scale. */
+  val BroadcastVecMax: Long = 500000L
 
   /** Storable hyperplane-bucket index for an embedding corpus:
     * (id, vec, bucket), computed ONCE per vector as it enters the
