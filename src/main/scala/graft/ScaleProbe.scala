@@ -87,7 +87,8 @@ object ScaleProbe {
       "q75_unigram_logprob", "q76_contamination", "q79_simhash_clusters",
       "q80_incremental_dedup", "q81_incremental_embedding",
       "q82_dedup_keepers", "q83_sequence_packing", "q84_mixture_rates",
-      "q85_bloom_incremental", "q86_train_val_test")
+      "q85_bloom_incremental", "q86_train_val_test",
+      "q87_source_overlap", "q88_source_overlap_incremental")
     // optional 4th arg: comma-separated name prefixes to re-probe a subset
     val sel = if (args.length > 3) {
       val ps = args(3).split(",")

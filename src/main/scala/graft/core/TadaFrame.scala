@@ -126,7 +126,9 @@ final case class TadaFrame(
 
   def dropCols(ns: String*): TadaFrame = {
     val f = anchorOrder(ns)
-    f.copy(df = f.df.drop(ns: _*))
+    // dropping a LABEL column must also retire the label designation, or
+    // `labels` dangles on a missing column and the next projection throws
+    f.copy(df = f.df.drop(ns: _*), labels = labels.filterNot(ns.contains))
   }
 
   def reorderCols(ns: Seq[String]): TadaFrame = cols(ns: _*)

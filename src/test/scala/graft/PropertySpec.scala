@@ -220,7 +220,8 @@ class PropertySpec extends AnyFunSuite {
     }
     def dropValue(c: String): MoveModel = {
       val m = anchorIf(Seq(c))
-      m.copy(schema = m.schema.filterNot(_ == c), data = m.data - c)
+      m.copy(schema = m.schema.filterNot(_ == c), data = m.data - c,
+        labels = m.labels.filterNot(_ == c))
     }
     def sort(keys: List[(String, Boolean)]): MoveModel = copy(spec = keys)
     def render: Seq[Seq[String]] =
@@ -276,9 +277,10 @@ class PropertySpec extends AnyFunSuite {
           val ks = keep.map(k => model.labels(k % model.labels.size)).distinct.toVector
           frame = frame.subsetLabels(ks); model = model.subset(ks)
         case MvDrop(i)
-          // keep ≥2 value cols so later moves still have material
-          if model.valueCols.size >= 2 =>
-          val c = model.valueCols(i % model.valueCols.size)
+          // any column — including a LABEL (its designation must retire
+          // with it); keep ≥2 so later moves still have material
+          if model.schema.size >= 2 =>
+          val c = model.schema(i % model.schema.size)
           frame = frame.dropCols(c); model = model.dropValue(c)
         case MvSort(keys) if model.schema.nonEmpty =>
           val ks = keys.map { case (i, d) => (model.schema(i % model.schema.size), d) }
