@@ -309,29 +309,42 @@ object Similarity {
     val a = cells.repartition(parts, F.col("cell"))
       .select(F.col("cid0").as("id_a"), F.col("cell"))
     val b = cells.select(F.col("cid0").as("id_b"), F.col("cell"))
-    val cand = a.join(b, "cell").filter(F.col("id_a") < F.col("id_b"))
-      .select("id_a", "id_b").distinct()
+    val candDup = a.join(b, "cell").filter(F.col("id_a") < F.col("id_b"))
+      .select("id_a", "id_b")
     // Verify payload joins: the candidate stream is O(Σ|cell|²) SCALAR
     // pairs, and a sort-merge join against the vector payloads turns it
     // into (pair, 256B-vector) rows that must SORT — the 100× probe
     // (200k vectors, ~7e8 candidates) spilled ~78 GB and died on disk.
     // When the corpus is broadcast-sized (id→vec map; n·dim·4B ≈ 51 MB
     // at 200k×64f, well under executor memory at any sane config) hint
-    // BOTH payload sides broadcast: the pair stream stays narrow and
-    // fully pipelined from the distinct into the cosine filter — no
-    // payload ever shuffles or sorts. Above the bound fall back to the
-    // shuffled join (at that scale you pre-partition corpus and
-    // candidates by id instead — nothing broadcast-sized remains).
+    // BOTH payload sides broadcast — and dedupe AFTER the threshold
+    // filter instead of before the join: the full chain
+    // explode→join→cosine→filter then pipelines in ONE stage (the only
+    // wide op left is the final tiny distinct), where a pre-join
+    // `.distinct()` on ~7e8 pairs cost a ~22 GB exchange plus a
+    // 3.6e8-key aggregate. Duplicated candidates (pairs sharing
+    // several cells, ≤ mprobe of them) recompute the same cosine —
+    // compiled-kernel flops are ~3× cheaper than shuffling the pair
+    // set, and identical inputs give bit-identical cosines, so the
+    // late distinct is exact. Above the broadcast bound fall back to
+    // dedupe-early + shuffled joins (there the 2× pair shrink from
+    // distinct outweighs pipelining; at that scale you pre-partition
+    // corpus and candidates by id — nothing broadcast-sized remains).
     val va = corpus.select(F.col(idCol).as("id_a"), F.col(vecCol).as("va"))
     val vb = corpus.select(F.col(idCol).as("id_b"), F.col(vecCol).as("vb"))
-    val (ja, jb) =
-      if (total >= 0 && total <= BroadcastVecMax) (F.broadcast(va), F.broadcast(vb))
-      else (va, vb)
-    cand
-      .join(ja, "id_a")
-      .join(jb, "id_b")
-      .select(F.col("id_a"), F.col("id_b"), cos(F.col("va"), F.col("vb")).as("cos"))
-      .filter(F.col("cos") > threshold)
+    if (total >= 0 && total <= BroadcastVecMax)
+      candDup
+        .join(F.broadcast(va), "id_a")
+        .join(F.broadcast(vb), "id_b")
+        .select(F.col("id_a"), F.col("id_b"), cos(F.col("va"), F.col("vb")).as("cos"))
+        .filter(F.col("cos") > threshold)
+        .distinct()
+    else
+      candDup.distinct()
+        .join(va, "id_a")
+        .join(vb, "id_b")
+        .select(F.col("id_a"), F.col("id_b"), cos(F.col("va"), F.col("vb")).as("cos"))
+        .filter(F.col("cos") > threshold)
   }
 
   /** Max corpus rows whose (id → vector) payload we'll broadcast for
