@@ -32,19 +32,29 @@ object Tables {
     * type. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = apply(spark, dir, "events")
+    normalizeEventTs(apply(spark, dir, "events"))
+  }
+
+  /** Normalize any of the three `ts` encodings the driver has shipped —
+    * raw nanosecond long (parquet TIMESTAMP(NANOS) under `nanosAsLong`),
+    * TIMESTAMP_NTZ (isAdjustedToUTC=false micros), or a plain micros
+    * TIMESTAMP — to a microsecond TimestampType, the same truncation
+    * DuckDB applies, so oracle comparisons see identical values
+    * regardless of the file's physical type. Split out of [[events]] so
+    * the branch table is regression-testable without parquet fixtures
+    * (the r9 gate lost 11 queries to exactly this drift). */
+  def normalizeEventTs(raw: DataFrame): DataFrame =
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts DIV 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
-        // parquet isAdjustedToUTC=false reads as NTZ; session tz is UTC so
-        // the cast to LTZ is value-preserving and keeps unix_micros legal
+        // session tz is UTC so the cast to LTZ is value-preserving and
+        // keeps unix_micros legal
         raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
           .cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw // already a (micros) timestamp
     }
-  }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
 }

@@ -777,4 +777,56 @@ object Dedup {
       .withColumn("dup_frac",
         F.col("n_dup_chunks").cast("double") / F.col("n_chunks").cast("double"))
   }
+
+  /** Asymmetric near-containment pairs: (id_small, id_big) where the
+    * smaller document's distinct k-gram set is ≥ `tau` contained in the
+    * larger's — |A∩B| / min(|A|,|B|). Catches subset-duplicates (a doc
+    * embedded inside a longer one) that symmetric Jaccard misses: a
+    * 100-token doc pasted into a 10k-token page has Jaccard ≈ 0.01 but
+    * containment 1.0 — the shape web-corpus boilerplate dedup needs.
+    *
+    * Shape at scale: inverted-index equi-joins only, never all-pairs.
+    * One explode to (gram, id) scalars; the per-gram posting frequency
+    * (computed once, persisted — vocabulary-sized) both drops
+    * non-discriminative grams with > `maxDf` postings (stop-gram
+    * blowup guard: pair fan-out is Σ df², so one boilerplate gram in
+    * 10^6 docs is a 10^12-pair explosion) and yields the EXACT pair-rows
+    * estimate Σ df·(df−1) that sizes the pair-aggregation shuffle via
+    * [[Explosion.width]]. Intersections and set sizes cross the wires
+    * as scalar counts; the τ filter sees only (pair, counts) rows. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int = 3, tau: Double = 0.8, maxDf: Int = 1000): DataFrame = {
+    val spark = docs.sparkSession
+    val machine = math.max(spark.sparkContext.defaultParallelism,
+      spark.sessionState.conf.numShufflePartitions)
+    val grams0 = docs
+      .select(F.col(idCol).as("id"), TextOps.tokens(F.col(textCol)).as("__w"))
+      .select(F.col("id"), F.explode(TextOps.distinctKgramHashes(F.col("__w"), k)).as("g"))
+    val gdf = grams0.groupBy("g").agg(F.count(F.lit(1)).as("__df")).persist()
+    val estPairs = Option(gdf.agg(F.sum(F.col("__df") * (F.col("__df") - F.lit(1L))))
+        .head.get(0)).map(_.asInstanceOf[Long].toDouble).getOrElse(-1.0)
+    val w = Explosion.width(estPairs, machine)
+    if (w != machine) Explosion.logWidth("containmentPairs", estPairs, w)
+    val grams = grams0.join(gdf, "g").filter(F.col("__df") <= maxDf).select("id", "g")
+    val sizes = grams.groupBy("id").agg(F.count(F.lit(1)).as("__n"))
+    val pairs0 = grams.select(F.col("g"), F.col("id").as("id_a"))
+      .join(grams.select(F.col("g"), F.col("id").as("id_b")), "g")
+      .filter(F.col("id_a") < F.col("id_b"))
+    // hash-repartition on the group key satisfies the aggregation's
+    // required distribution — sizing adds no extra exchange
+    val paired =
+      if (w == machine) pairs0 else pairs0.repartition(w, F.col("id_a"), F.col("id_b"))
+    val inter = paired.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).as("inter"))
+    inter
+      .join(sizes.select(F.col("id").as("id_a"), F.col("__n").as("__na")), "id_a")
+      .join(sizes.select(F.col("id").as("id_b"), F.col("__n").as("__nb")), "id_b")
+      .select(
+        F.when(F.col("__na") <= F.col("__nb"), F.col("id_a")).otherwise(F.col("id_b")).as("id_small"),
+        F.when(F.col("__na") <= F.col("__nb"), F.col("id_b")).otherwise(F.col("id_a")).as("id_big"),
+        F.least(F.col("__na"), F.col("__nb")).as("n_small"),
+        F.col("inter"),
+        F.round(F.col("inter").cast("double") / F.least(F.col("__na"), F.col("__nb")), 6)
+          .as("containment"))
+      .filter(F.col("containment") >= tau)
+  }
 }

@@ -97,4 +97,26 @@ object Sampling {
     val before = F.sum(tokens).over(w) - tokens
     docs.withColumn("pack_id", F.floor(before / F.lit(budget.toDouble)))
   }
+
+  /** Per-group cap: keep at most `cap` rows per `group`, chosen
+    * deterministically as the `cap` smallest md5(key) values — the
+    * "no single domain may dominate the mix" primitive (domain caps in
+    * web-corpus curation). Unlike the rate-based samplers above this is
+    * an absolute bound, so a 10^9-page domain and a 10^3-page domain
+    * both land ≤ cap.
+    *
+    * Shape at scale: rank-over-window then `rn <= cap` is rewritten by
+    * Catalyst's InferWindowGroupLimit into a WindowGroupLimit physical
+    * node — every task discards past-cap rows map-side BEFORE the
+    * group shuffle, so the exchange carries O(groups × cap), not the
+    * corpus (plan-asserted in CurationSpec). The md5 order key makes
+    * the chosen rows engine-portable and churn-stable, same as
+    * `deterministic`. */
+  def capPerGroup(df: DataFrame, key: Column, group: Column, cap: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(group).orderBy(F.md5(key.cast("string")), key)
+    df.withColumn("__rn", F.row_number().over(w))
+      .filter(F.col("__rn") <= cap)
+      .drop("__rn")
+  }
 }

@@ -55,6 +55,29 @@ object TextOps {
       (F.lit(1.0) - F.least(punctRatio * 5.0, F.lit(1.0))) * 0.2
   }
 
+  /** Per-group quality gate: keep documents whose quality score sits at
+    * or above the `pct` percent-rank WITHIN their group (source/domain).
+    * A single global threshold lets one high-scoring domain crowd out
+    * every low-register source; the per-source relative cut keeps the
+    * best `1-pct` slice of EACH source — the mixture-preserving form of
+    * quality filtering.
+    *
+    * Exact percent_rank is (rank−1)/(n−1) on integers over a
+    * deterministic (score, id) order, so any engine replays the same
+    * cut. One shuffle on the group key + per-group sort; at extreme
+    * per-group row counts swap in approx_percentile for the threshold
+    * and keep the same filter shape. */
+  def qualityGate(docs: DataFrame, idCol: String, textCol: String,
+                  groupCol: String, pct: Double): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(F.col("__q"), F.col(idCol))
+    docs
+      .withColumn("__q", qualityScore(F.col(textCol)))
+      .withColumn("__pr", F.percent_rank().over(w))
+      .filter(F.col("__pr") >= pct)
+      .select(F.col(idCol), F.col(groupCol), F.round(F.col("__q"), 6).as("quality"))
+  }
+
   /** Language marker lexicons for the n-gram/stopword language-ID
     * heuristic. Tiny on purpose: the operator shape (N marker scans +
     * argmax, one pass, no shuffle) is what matters at scale. */
@@ -162,11 +185,22 @@ object TextOps {
     }
   }
 
+  private val distinctKgramKernel = F.udf { (toks: Seq[String], k: Int) =>
+    if (toks == null) null
+    else if (toks.size < k) Seq.empty[Long]
+    else toks.sliding(k).map(g => md5Top60(g.mkString(" "))).toArray.distinct.toSeq
+  }
+
   /** Kernel forms (production path for the hot pipeline stages). */
   def chunkHashesKernel(toks: Column, size: Int): Column =
     chunkHashKernel(toks, F.lit(size))
   def winnowFromTokens(toks: Column, k: Int, w: Int): Column =
     winnowKernel(toks, F.lit(k), F.lit(w))
+  /** Distinct 60-bit k-gram hashes per document (the SET of k-grams, no
+    * positions) — the unit of the containment/overlap family. Same hash
+    * as `kgramHashes`, so DuckDB replays it verbatim. */
+  def distinctKgramHashes(toks: Column, k: Int): Column =
+    distinctKgramKernel(toks, F.lit(k))
 
   /** Positional 60-bit k-gram hashes (in order, WITH duplicates — unlike
     * `Dedup.shingles`, which is distinct): first 60 bits of md5 of each

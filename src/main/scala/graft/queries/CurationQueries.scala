@@ -545,5 +545,89 @@ object CurationQueries extends QueryPack {
                ((CAST(sum(sx2) AS DOUBLE) - CAST(sum(sx * sx) AS DOUBLE) / max(n))
                  / max(n) / 1000000000000.0) AS within_var
         FROM perdim GROUP BY label ORDER BY label
+      """)),
+
+    // Asymmetric near-containment dedup: pairs where the smaller doc's
+    // distinct 3-gram set is ≥ 80% inside the larger's — the
+    // subset-duplicate shape symmetric Jaccard (q43) misses. Inverted-
+    // index equi-joins only; the per-gram posting count caps stop-gram
+    // blowup AND sizes the pair shuffle (Σ df·(df−1), exact).
+    Query(
+      "q89_containment_pairs",
+      (s, dir) => {
+        Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text",
+            k = 3, tau = 0.8, maxDf = 1000)
+          .orderBy("id_small", "id_big")
+      },
+      Some(s"""
+        WITH ws AS (
+          SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+        kg AS (
+          SELECT doc_id, list_distinct(CASE WHEN len(w) < 3 THEN []
+                   ELSE [('0x' || substring(md5(array_to_string(w[i:i+2], ' ')), 1, 15))::BIGINT
+                         FOR i IN range(1, len(w) - 1)] END) AS gs
+          FROM ws),
+        gx AS (SELECT doc_id, unnest(gs) AS g FROM kg),
+        gdf AS (SELECT g, count(*) AS df FROM gx GROUP BY g),
+        gf AS (SELECT doc_id, g FROM gx JOIN gdf USING (g) WHERE df <= 1000),
+        sizes AS (SELECT doc_id, count(*) AS n FROM gf GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+          FROM gf a JOIN gf b USING (g) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        j AS (
+          SELECT CASE WHEN sa.n <= sb.n THEN ia ELSE ib END AS id_small,
+                 CASE WHEN sa.n <= sb.n THEN ib ELSE ia END AS id_big,
+                 least(sa.n, sb.n) AS n_small, inter,
+                 round(CAST(inter AS DOUBLE) / least(sa.n, sb.n), 6) AS containment
+          FROM pairs
+          JOIN sizes sa ON sa.doc_id = ia
+          JOIN sizes sb ON sb.doc_id = ib)
+        SELECT * FROM j WHERE containment >= 0.8 ORDER BY id_small, id_big
+      """)),
+
+    // Per-source document cap: at most 10 docs per source, chosen as the
+    // 10 smallest md5(doc_id) — the "domain cap" curation primitive.
+    // rank-filter form → Catalyst InferWindowGroupLimit discards
+    // past-cap rows map-side before the shuffle (plan-asserted in
+    // CurationSpec); the hash order key is churn-stable and
+    // engine-portable.
+    Query(
+      "q90_source_caps",
+      (s, dir) => {
+        graft.pipeline.Sampling.capPerGroup(
+            Tables.documents(s, dir), F.col("doc_id"), F.col("source"), cap = 10)
+          .select("doc_id", "source")
+          .orderBy("source", "doc_id")
+      },
+      Some("""
+        SELECT doc_id, source FROM (
+          SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM documents) t
+        WHERE rn <= 10 ORDER BY source, doc_id
+      """)),
+
+    // Per-source quality gate: keep each source's top quartile by
+    // quality score — the mixture-preserving form of quality filtering
+    // (a global threshold would let one clean domain crowd out every
+    // low-register source). Exact percent_rank on a deterministic
+    // (score, id) order, replayed identically by DuckDB.
+    Query(
+      "q91_quality_gate",
+      (s, dir) => {
+        graft.pipeline.TextOps.qualityGate(
+            Tables.documents(s, dir), "doc_id", "text", "source", pct = 0.75)
+          .orderBy("source", "doc_id")
+      },
+      Some(s"""
+        WITH q AS (
+          SELECT doc_id, source, ($qualitySql) AS qs FROM documents),
+        r AS (
+          SELECT doc_id, source, qs,
+                 percent_rank() OVER (PARTITION BY source ORDER BY qs, doc_id) AS pr
+          FROM q)
+        SELECT doc_id, source, round(qs, 6) AS quality
+        FROM r WHERE pr >= 0.75 ORDER BY source, doc_id
       """)))
 }

@@ -17,13 +17,7 @@ object Streams {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(pathOrGlob).schema
     val raw = spark.readStream.schema(schema).parquet(pathOrGlob)
-    schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        raw.withColumn("ts", F.col("ts").cast(org.apache.spark.sql.types.TimestampType))
-      case _ => raw
-    }
+    graft.Tables.normalizeEventTs(raw) // same branch table as the batch reader
   }
 
   /** Tumbling-window aggregate (streaming Resample): event-time windows

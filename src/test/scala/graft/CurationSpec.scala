@@ -197,4 +197,91 @@ class CurationSpec extends AnyFunSuite {
     val (n1, cn1, wv1) = out(1)
     assert(n1 == 2 && math.abs(cn1 - 8.0) < 1e-9 && math.abs(wv1) < 1e-9)
   }
+
+  test("containmentPairs matches a set model, including the df cap path") {
+    val texts = Seq(
+      1 -> "the quick brown fox jumps over the lazy dog today and tomorrow",
+      2 -> "quick brown fox jumps over the lazy dog", // fully inside doc 1
+      3 -> "alpha beta gamma delta epsilon zeta eta theta",
+      4 -> "gamma delta epsilon zeta eta theta iota kappa", // 4/6 of doc 3
+      5 -> "one two three")
+    val docs = texts.toDF("doc_id", "text")
+    def grams3(t: String): Set[String] = {
+      val w = t.split(" ")
+      if (w.length < 3) Set.empty else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val sets = texts.map { case (id, t) => id -> grams3(t) }.toMap
+    for (maxDf <- Seq(1000, 1)) {
+      val docFreq = sets.values.flatten.toSeq.groupBy(identity).map { case (g, xs) => g -> xs.size }
+      val kept = sets.map { case (id, s) => id -> s.filter(g => docFreq(g) <= maxDf) }
+      val expected = (for {
+        a <- kept.keys; b <- kept.keys if a < b
+        inter = (kept(a) & kept(b)).size if inter > 0
+        nSmall = math.min(kept(a).size, kept(b).size)
+        // valueOf, not the exact-binary constructor — matches Spark's Round
+        c = BigDecimal(java.math.BigDecimal.valueOf(inter.toDouble / nSmall))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble if c >= 0.5
+        (s, l) = if (kept(a).size <= kept(b).size) (a, b) else (b, a)
+      } yield (s, l) -> ((nSmall.toLong, inter.toLong, c))).toMap
+      val out = Dedup.containmentPairs(docs, "doc_id", "text", k = 3, tau = 0.5, maxDf = maxDf)
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3), r.getDouble(4))))
+        .toMap
+      assert(out == expected, s"maxDf=$maxDf")
+      if (maxDf == 1000) { // sanity on the shape itself, not just the model
+        assert(out((2, 1)) == ((6L, 6L, 1.0)), "subset dup must score containment 1.0")
+        assert(out.contains((3, 4)) || out.contains((4, 3)))
+      } else assert(out.isEmpty, "df cap 1 drops every shared gram")
+    }
+  }
+
+  test("capPerGroup: absolute bound, churn-stable selection, map-side group limit") {
+    import graft.pipeline.Sampling
+    val df = (1 to 100).map(i => (i.toLong, if (i <= 90) "big" else "small")).toDF("id", "grp")
+    val out = Sampling.capPerGroup(df, F.col("id"), F.col("grp"), 15)
+    val counts = out.groupBy("grp").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("big" -> 15L, "small" -> 10L))
+    // the chosen rows are exactly the cap smallest md5(id) per group
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val expBig = (1L to 90L).sortBy(i => md5hex(i.toString)).take(15).toSet
+    val gotBig = out.filter($"grp" === "big").select("id").collect().map(_.getLong(0)).toSet
+    assert(gotBig == expBig)
+    // invariant under physical layout
+    val re = Sampling.capPerGroup(df.repartition(7), F.col("id"), F.col("grp"), 15)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(re == out.select("id").collect().map(_.getLong(0)).toSet)
+    // rank filter must compile to a WindowGroupLimit (pre-shuffle top-k)
+    assert(out.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      "cap filter should plan a map-side WindowGroupLimit")
+  }
+
+  test("qualityGate keeps each group's top (1-pct) slice by score") {
+    val docs = Seq(
+      (1, "s1", "the cat and the dog walked to the house with a friend"),
+      (2, "s1", "zz!! ## @@ %%"),
+      (3, "s1", "one plain sentence that is of the usual sort and length"),
+      (4, "s1", "x"),
+      (5, "s2", "this is that and the other with more of the usual words"),
+      (6, "s2", "qq ww ee rr tt"),
+      (7, "s2", "short"),
+      (8, "s2", "the of and to is that this with all stopwords here today")
+    ).toDF("doc_id", "source", "text")
+    val scored = docs
+      .select($"doc_id", $"source", TextOps.qualityScore($"text").as("q"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+    val expected = scored.groupBy(_._2).iterator.flatMap { case (_, rows) =>
+      val sorted = rows.toSeq.sortBy(r => (r._3, r._1))
+      val n = sorted.size
+      sorted.zipWithIndex.collect {
+        case ((id, _, q), i) if i.toDouble / (n - 1) >= 0.75 =>
+          id -> BigDecimal(java.math.BigDecimal.valueOf(q))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }.toMap
+    val out = TextOps.qualityGate(docs, "doc_id", "text", "source", pct = 0.75)
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(out == expected)
+    assert(out.keySet.intersect(Set(2, 4, 6, 7)).isEmpty, "garbage/short docs must not pass")
+  }
 }

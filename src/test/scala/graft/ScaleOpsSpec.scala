@@ -209,4 +209,22 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(plan.contains(width.toString),
       s"derived width $width not in plan:\n${plan.take(2000)}")
   }
+
+  test("normalizeEventTs folds all three shipped ts encodings to the same micros") {
+    // the r9 gate lost 11 queries to the driver switching events.ts from
+    // TIMESTAMP(NANOS) to NTZ micros — pin the whole branch table
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val micros = 1700000000123456L // 2023-11-14 22:13:20.123456 UTC
+    val asNanosLong = Seq((1L, micros * 1000 + 789L)).toDF("event_id", "ts")
+    val asNtz = Seq((1L, "2023-11-14 22:13:20.123456")).toDF("event_id", "s")
+      .select($"event_id", $"s".cast(TimestampNTZType).as("ts"))
+    val asLtz = Seq((1L, "2023-11-14 22:13:20.123456")).toDF("event_id", "s")
+      .select($"event_id", $"s".cast(TimestampType).as("ts"))
+    for ((enc, df) <- Seq("nanos-long" -> asNanosLong, "ntz" -> asNtz, "ltz" -> asLtz)) {
+      val out = graft.Tables.normalizeEventTs(df)
+      assert(out.schema("ts").dataType == TimestampType, s"$enc: wrong type")
+      val got = out.select(F.unix_micros($"ts")).head.getLong(0)
+      assert(got == micros, s"$enc: $got != $micros")
+    }
+  }
 }
