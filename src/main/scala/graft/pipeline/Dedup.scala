@@ -795,7 +795,8 @@ object Dedup {
     * [[Explosion.width]]. Intersections and set sizes cross the wires
     * as scalar counts; the τ filter sees only (pair, counts) rows. */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
-                       k: Int = 3, tau: Double = 0.8, maxDf: Int = 1000): DataFrame = {
+                       k: Int = 3, tau: Double = 0.8, maxDf: Int = 1000,
+                       persistGrams: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     val machine = math.max(spark.sparkContext.defaultParallelism,
       spark.sessionState.conf.numShufflePartitions)
@@ -807,7 +808,14 @@ object Dedup {
         .head.get(0)).map(_.asInstanceOf[Long].toDouble).getOrElse(-1.0)
     val w = Explosion.width(estPairs, machine)
     if (w != machine) Explosion.logWidth("containmentPairs", estPairs, w)
-    val grams = grams0.join(gdf, "g").filter(F.col("__df") <= maxDf).select("id", "g")
+    // the filtered gram frame feeds three consumers (sizes + both join
+    // sides) = three corpus scans by default. Same knob/tradeoff as
+    // `chunkDedupProfile.persistChunks`: persist caches the (id, g)
+    // scalar explosion — O(tokens) 16-byte rows — to trade memory for
+    // the repeated scan; leave false when columnar re-scan is cheaper
+    // than the cache footprint (the usual case).
+    val grams1 = grams0.join(gdf, "g").filter(F.col("__df") <= maxDf).select("id", "g")
+    val grams = if (persistGrams) grams1.persist() else grams1
     val sizes = grams.groupBy("id").agg(F.count(F.lit(1)).as("__n"))
     val pairs0 = grams.select(F.col("g"), F.col("id").as("id_a"))
       .join(grams.select(F.col("g"), F.col("id").as("id_b")), "g")

@@ -180,6 +180,42 @@ object Streams {
                          event_type: String, value: Double)
   final case class SessionSummary(user_id: Long, n_events: Int, total_value: Double)
 
+  /** Streaming per-group ingest quota — the streaming twin of
+    * `Sampling.capPerGroup`: admit at most `cap` rows per group over
+    * the stream's lifetime. State is ONE counter per group (bounded
+    * O(groups), never row-shaped). Within each micro-batch candidates
+    * are admitted in (md5(key), key) order, so replaying the same
+    * batch admits the same rows under at-least-once delivery. The
+    * batch op's churn-stable md5-MINIMUM selection would need
+    * retraction to maintain incrementally (a later row can displace an
+    * emitted one), so the streaming form trades it for append-only
+    * admission — the standard live-ingest quota semantics; run the
+    * batch op over the accumulated store when exact md5-min selection
+    * matters. Emits (group, key) admissions for the caller to join. */
+  def quotaPerGroup(in: DataFrame, groupCol: String, keyCol: String,
+                    cap: Int): DataFrame = {
+    import in.sparkSession.implicits._
+    in.select(F.col(groupCol).cast("string").as("g"),
+        F.col(keyCol).cast("string").as("k"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (String, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (g: String, rows: Iterator[(String, String)], state: GroupState[Long]) =>
+          val admitted = state.getOption.getOrElse(0L)
+          val room = (cap - admitted).toInt
+          if (room <= 0) Iterator.empty
+          else {
+            def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+              .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+            val take = rows.map(_._2).toArray.sortBy(k => (md5hex(k), k)).take(room)
+            state.update(admitted + take.length)
+            take.iterator.map(k => (g, k))
+          }
+      }
+      .toDF(groupCol, keyCol)
+  }
+
   /** Custom per-key state (KeyValueGroupedDataset.flatMapGroupsWithState):
     * running per-user session summaries with processing-time timeout —
     * the escape hatch for stateful logic windows can't express. */

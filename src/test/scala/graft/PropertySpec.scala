@@ -296,4 +296,42 @@ class PropertySpec extends AnyFunSuite {
       got == want
     })
   }
+
+  test("containmentPairs equals the set model for random corpora and caps") {
+    // small alphabet forces heavy gram sharing — the adversarial regime
+    // for the inverted-index join and the df cap
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee")
+    val doc = Gen.choose(0, 9).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    val corpus = for {
+      n <- Gen.choose(2, 7)
+      ds <- Gen.listOfN(n, doc)
+      cap <- Gen.oneOf(1, 2, 1000)
+      tau <- Gen.oneOf(0.3, 0.8)
+    } yield (ds, cap, tau)
+    check("containment-model", 8)(Prop.forAll(corpus) { case (ds, cap, tau) =>
+      val texts = ds.zipWithIndex.map { case (t, i) => (i, t) }
+      def grams(t: String): Set[String] = {
+        val w = t.split(" ").filter(_.nonEmpty)
+        if (w.length < 3) Set.empty else w.sliding(3).map(_.mkString(" ")).toSet
+      }
+      val sets = texts.map { case (i, t) => i -> grams(t) }.toMap
+      val docFreq = sets.values.flatten.toSeq.groupBy(identity).map { case (g, xs) => g -> xs.size }
+      val kept = sets.map { case (i, s) => i -> s.filter(g => docFreq(g) <= cap) }
+      val want = (for {
+        a <- kept.keys; b <- kept.keys if a < b
+        inter = (kept(a) & kept(b)).size if inter > 0
+        nS = math.min(kept(a).size, kept(b).size)
+        c = BigDecimal(java.math.BigDecimal.valueOf(inter.toDouble / nS))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble if c >= tau
+        (s, l) = if (kept(a).size <= kept(b).size) (a, b) else (b, a)
+      } yield (s, l) -> ((nS.toLong, inter.toLong, c))).toMap
+      val got = graft.pipeline.Dedup.containmentPairs(
+          texts.toDF("doc_id", "text"), "doc_id", "text", k = 3, tau = tau, maxDf = cap)
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3), r.getDouble(4))))
+        .toMap
+      if (got != want) println(s"DIVERGENCE docs=$texts cap=$cap tau=$tau\n got=$got\nwant=$want")
+      got == want
+    })
+  }
 }

@@ -381,4 +381,35 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed.nonEmpty)
     } finally q.stop()
   }
+
+  test("streaming quotaPerGroup: per-group admission stays bounded across batches") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-quota-stream")
+    val schema = Seq(("a", 1L)).toDF("grp", "id").schema
+    def writeBatch(rows: Seq[(String, Long)]): Unit =
+      rows.toDF("grp", "id").repartition(1)
+        .write.mode("append").parquet(dir.toString + "/in")
+    writeBatch((1L to 5L).map(("a", _)) ++ Seq(("b", 1L), ("b", 2L)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString + "/in")
+    val q = Streams.quotaPerGroup(stream, "grp", "id", cap = 3)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("quota_out").start()
+    try {
+      def got = spark.table("quota_out").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      q.processAllAvailable()
+      // within-batch admission is (md5, key)-ordered — deterministic
+      val expA = (1L to 5L).map(_.toString).sortBy(k => (md5hex(k), k)).take(3).toSet
+      assert(got.filter(_._1 == "a").map(_._2).toSet == expA)
+      assert(got.count(_._1 == "b") == 2, "under-quota group admits everything")
+      writeBatch(Seq(("a", 6L), ("a", 7L), ("b", 3L)))
+      q.processAllAvailable()
+      assert(got.count(_._1 == "a") == 3, "full group admits nothing more")
+      assert(got.filter(_._1 == "b").map(_._2).toSet == Set("1", "2", "3"),
+        "group with room admits up to the quota")
+    } finally q.stop()
+  }
 }
