@@ -88,7 +88,9 @@ object ScaleProbe {
       "q80_incremental_dedup", "q81_incremental_embedding",
       "q82_dedup_keepers", "q83_sequence_packing", "q84_mixture_rates",
       "q85_bloom_incremental", "q86_train_val_test",
-      "q87_source_overlap", "q88_source_overlap_incremental")
+      "q87_source_overlap", "q88_source_overlap_incremental",
+      "q89_containment_pairs", "q90_source_caps", "q91_quality_gate",
+      "q92_containment_incremental")
     // optional 4th arg: comma-separated name prefixes to re-probe a subset
     val sel = if (args.length > 3) {
       val ps = args(3).split(",")

@@ -837,4 +837,92 @@ object Dedup {
           .as("containment"))
       .filter(F.col("containment") >= tau)
   }
+
+  /** The stored membership artifact for incremental containment: one
+    * (id, gram-hash) row per distinct k-gram per document. A nightly
+    * ingest persists this bucketed on `g` (`TadaIO.writeBucketed`) so
+    * increments join it without shuffling it, alongside the two derived
+    * scalar frames `containmentPairsIncremental` consumes: the
+    * per-gram posting counts (vocabulary-sized) and the per-doc CAPPED
+    * set sizes (one long per doc). */
+  def containmentGramIndex(docs: DataFrame, idCol: String, textCol: String,
+                           k: Int = 3): DataFrame =
+    docs.select(F.col(idCol).as("id"),
+      F.explode(TextOps.distinctKgramHashes(
+        TextOps.tokens(F.col(textCol)), k)).as("g"))
+
+  /** Incremental twin of [[containmentPairs]] (the q89 family's
+    * q80/q85/q88-shaped member): fold a NEW document batch into a
+    * stored gram index and emit every containment pair that involves a
+    * batch document, at the values a full rebuild over index ∪ batch
+    * would produce — WITHOUT re-pairing the index against itself.
+    *
+    * The subtle part is the `maxDf` stop-gram cap: posting counts grow
+    * with the batch, so a gram can cross the cap only now. Every such
+    * "crosser" must appear in the batch (its index-only count was
+    * within the cap), so the set is batch-bounded — index documents'
+    * stored capped sizes are corrected by joining the crossers back
+    * through the membership index (`__cut` below), never by recounting
+    * the corpus. Grams already past the cap in the index stay excluded;
+    * every gram the pairs need is a batch gram, so the whole df update
+    * is pruned to the batch's vocabulary.
+    *
+    * Scale shape: the index is touched by two equi-joins on `g`
+    * (candidates + crosser corrections) — bucketed storage shuffles
+    * neither; everything else is batch-sized scalars. An increment
+    * costs O(batch fan-out), never O(corpus). Batch ids must be
+    * disjoint from index ids (new documents).
+    *
+    * `sizesIdx` must be the capped sizes AT `maxDf` of the SAME index
+    * (as built by the expression in q92's registration / the nightly
+    * job); passing sizes computed at a different cap breaks the
+    * rebuild equivalence. */
+  def containmentPairsIncremental(index: DataFrame, gramDfIdx: DataFrame,
+                                  sizesIdx: DataFrame, batch: DataFrame,
+                                  idCol: String, textCol: String,
+                                  k: Int = 3, tau: Double = 0.8,
+                                  maxDf: Int = 1000): DataFrame = {
+    val bGrams = containmentGramIndex(batch, idCol, textCol, k)
+    val bDf = bGrams.groupBy("g").agg(F.count(F.lit(1)).as("__dfb"))
+    // df update pruned to the batch's vocabulary (left join: unseen
+    // grams have index count 0)
+    val dfNew = bDf
+      .join(gramDfIdx.select(F.col("g"), F.col("df").as("__dfi")), Seq("g"), "left")
+      .select(F.col("g"), F.coalesce(F.col("__dfi"), F.lit(0L)).as("__dfi"),
+        (F.coalesce(F.col("__dfi"), F.lit(0L)) + F.col("__dfb")).as("__dft"))
+    val keptG = dfNew.filter(F.col("__dft") <= maxDf).select("g")
+    val bKept = bGrams.join(keptG, "g")
+    val bSizes = bKept.groupBy("id").agg(F.count(F.lit(1)).as("__n"))
+    // index rows sharing a kept batch gram — candidate pair evidence
+    val idxCand = index.join(keptG, "g")
+    // grams the batch pushed past the cap: stored capped sizes shrink
+    val crossers = dfNew
+      .filter(F.col("__dfi") <= maxDf && F.col("__dft") > maxDf).select("g")
+    val corr = index.join(crossers, "g").groupBy("id").agg(F.count(F.lit(1)).as("__cut"))
+    val iSizes = sizesIdx.select(F.col("id"), F.col("n").as("__n0"))
+      .join(corr, Seq("id"), "left")
+      .select(F.col("id"),
+        (F.col("__n0") - F.coalesce(F.col("__cut"), F.lit(0L))).as("__n"))
+    val sizes = bSizes.unionByName(iSizes)
+    val bi = bKept.select(F.col("g"), F.col("id").as("__x"))
+      .join(idxCand.select(F.col("g"), F.col("id").as("__y")), "g")
+    val bb = bKept.select(F.col("g"), F.col("id").as("__x"))
+      .join(bKept.select(F.col("g"), F.col("id").as("__y")), "g")
+      .filter(F.col("__x") < F.col("__y"))
+    val inter = bi.unionByName(bb)
+      .select(F.least(F.col("__x"), F.col("__y")).as("id_a"),
+        F.greatest(F.col("__x"), F.col("__y")).as("id_b"))
+      .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).as("inter"))
+    inter
+      .join(sizes.select(F.col("id").as("id_a"), F.col("__n").as("__na")), "id_a")
+      .join(sizes.select(F.col("id").as("id_b"), F.col("__n").as("__nb")), "id_b")
+      .select(
+        F.when(F.col("__na") <= F.col("__nb"), F.col("id_a")).otherwise(F.col("id_b")).as("id_small"),
+        F.when(F.col("__na") <= F.col("__nb"), F.col("id_b")).otherwise(F.col("id_a")).as("id_big"),
+        F.least(F.col("__na"), F.col("__nb")).as("n_small"),
+        F.col("inter"),
+        F.round(F.col("inter").cast("double") / F.least(F.col("__na"), F.col("__nb")), 6)
+          .as("containment"))
+      .filter(F.col("containment") >= tau)
+  }
 }

@@ -629,5 +629,56 @@ object CurationQueries extends QueryPack {
           FROM q)
         SELECT doc_id, source, round(qs, 6) AS quality
         FROM r WHERE pr >= 0.75 ORDER BY source, doc_id
+      """)),
+
+    // Incremental containment: fold a new batch (10% of the corpus
+    // replayed under shifted ids — the daily-ingest shape) into the
+    // stored gram index; emit every containment pair involving a batch
+    // doc at full-rebuild values, index never self-paired. Oracle =
+    // the q89 rebuild over corpus ∪ batch, restricted to batch pairs.
+    Query(
+      "q92_containment_incremental",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select(F.col("doc_id"), F.col("text"))
+        val index = Dedup.containmentGramIndex(d, "doc_id", "text").persist()
+        val gramDf = index.groupBy("g").agg(F.count(F.lit(1)).as("df"))
+        val sizes = index.join(gramDf.filter(F.col("df") <= 1000), "g")
+          .groupBy("id").agg(F.count(F.lit(1)).as("n"))
+        val batch = d.filter(F.pmod(F.col("doc_id"), F.lit(10)) === 0)
+          .select((F.col("doc_id") + 1000000).as("doc_id"), F.col("text"))
+        Dedup.containmentPairsIncremental(index, gramDf, sizes, batch,
+            "doc_id", "text", k = 3, tau = 0.8, maxDf = 1000)
+          .orderBy("id_small", "id_big")
+      },
+      Some(s"""
+        WITH docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+        ws AS (
+          SELECT doc_id, string_split($normSql, ' ') AS w FROM docs),
+        kg AS (
+          SELECT doc_id, list_distinct(CASE WHEN len(w) < 3 THEN []
+                   ELSE [('0x' || substring(md5(array_to_string(w[i:i+2], ' ')), 1, 15))::BIGINT
+                         FOR i IN range(1, len(w) - 1)] END) AS gs
+          FROM ws),
+        gx AS (SELECT doc_id, unnest(gs) AS g FROM kg),
+        gdf AS (SELECT g, count(*) AS df FROM gx GROUP BY g),
+        gf AS (SELECT doc_id, g FROM gx JOIN gdf USING (g) WHERE df <= 1000),
+        sizes AS (SELECT doc_id, count(*) AS n FROM gf GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+          FROM gf a JOIN gf b USING (g) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        j AS (
+          SELECT CASE WHEN sa.n <= sb.n THEN ia ELSE ib END AS id_small,
+                 CASE WHEN sa.n <= sb.n THEN ib ELSE ia END AS id_big,
+                 least(sa.n, sb.n) AS n_small, inter,
+                 round(CAST(inter AS DOUBLE) / least(sa.n, sb.n), 6) AS containment
+          FROM pairs
+          JOIN sizes sa ON sa.doc_id = ia
+          JOIN sizes sb ON sb.doc_id = ib)
+        SELECT * FROM j
+        WHERE containment >= 0.8 AND (id_small >= 1000000 OR id_big >= 1000000)
+        ORDER BY id_small, id_big
       """)))
 }

@@ -235,6 +235,35 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("containmentPairsIncremental equals the rebuild restricted to batch pairs") {
+    // maxDf = 2 makes "p q r" (index df 2) a CAP-CROSSER when doc 11
+    // arrives — the stored capped sizes must shrink via the crosser
+    // correction, never by recounting the corpus
+    val corpus = Seq(
+      (1, "p q r s"), (2, "p q r t"), (3, "a b c d e")).toDF("doc_id", "text")
+    val batch = Seq((11, "p q r s"), (12, "a b c d")).toDF("doc_id", "text")
+    for (maxDf <- Seq(1000, 2)) {
+      val index = Dedup.containmentGramIndex(corpus, "doc_id", "text")
+      val gramDf = index.groupBy("g").agg(F.count(F.lit(1)).as("df"))
+      val sizes = index.join(gramDf.filter(F.col("df") <= maxDf), "g")
+        .groupBy("id").agg(F.count(F.lit(1)).as("n"))
+      val inc = Dedup.containmentPairsIncremental(index, gramDf, sizes, batch,
+          "doc_id", "text", k = 3, tau = 0.3, maxDf = maxDf)
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3), r.getDouble(4))))
+        .toMap
+      val full = Dedup.containmentPairs(corpus.unionByName(batch), "doc_id", "text",
+          k = 3, tau = 0.3, maxDf = maxDf)
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3), r.getDouble(4))))
+        .filter { case ((a, b), _) => a >= 11 || b >= 11 }
+        .toMap
+      assert(inc == full, s"maxDf=$maxDf")
+      if (maxDf == 2)
+        assert(inc.nonEmpty && full.keys.forall { case (a, b) => a >= 11 || b >= 11 })
+    }
+  }
+
   test("capPerGroup: absolute bound, churn-stable selection, map-side group limit") {
     import graft.pipeline.Sampling
     val df = (1 to 100).map(i => (i.toLong, if (i <= 90) "big" else "small")).toDF("id", "grp")
