@@ -334,4 +334,37 @@ class PropertySpec extends AnyFunSuite {
       got == want
     })
   }
+
+  test("incremental containment equals the rebuild on random corpus/batch splits") {
+    // the equivalence that makes q92 trustworthy: for ANY corpus, batch
+    // and cap — including caps the batch pushes grams across — the
+    // incremental fold must reproduce the full rebuild's batch pairs
+    val word = Gen.oneOf("aa", "bb", "cc", "dd")
+    val doc = Gen.choose(3, 8).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    val scenario = for {
+      nc <- Gen.choose(2, 5)
+      nb <- Gen.choose(1, 3)
+      cs <- Gen.listOfN(nc, doc)
+      bs <- Gen.listOfN(nb, doc)
+      cap <- Gen.oneOf(1, 2, 3, 1000)
+    } yield (cs, bs, cap)
+    check("incremental-containment", 8)(Prop.forAll(scenario) { case (cs, bs, cap) =>
+      val D = graft.pipeline.Dedup
+      val corpus = cs.zipWithIndex.map { case (t, i) => (i, t) }.toDF("doc_id", "text")
+      val batch = bs.zipWithIndex.map { case (t, i) => (100 + i, t) }.toDF("doc_id", "text")
+      val index = D.containmentGramIndex(corpus, "doc_id", "text")
+      val gramDf = index.groupBy("g").agg(F.count(F.lit(1)).as("df"))
+      val sizes = index.join(gramDf.filter(F.col("df") <= cap), "g")
+        .groupBy("id").agg(F.count(F.lit(1)).as("n"))
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3), r.getDouble(4))))
+      val inc = rows(D.containmentPairsIncremental(index, gramDf, sizes, batch,
+        "doc_id", "text", k = 3, tau = 0.3, maxDf = cap)).toMap
+      val full = rows(D.containmentPairs(corpus.unionByName(batch), "doc_id", "text",
+        k = 3, tau = 0.3, maxDf = cap))
+        .filter { case ((a, b), _) => a >= 100 || b >= 100 }.toMap
+      if (inc != full) println(s"DIVERGENCE cs=$cs bs=$bs cap=$cap\n inc=$inc\nfull=$full")
+      inc == full
+    })
+  }
 }
