@@ -64,6 +64,16 @@ object Similarity {
     * count job: a racing duplicate count is harmless, a blocked
     * construction thread is not. Shared with `Dedup` for band-fanout
     * width sizing. */
+  /** Memoized scalar action keyed like [[memoizedCount]] — the
+    * generalization for width-sizing aggregates (Σ df·(df−1) etc.):
+    * one job per (plan, file-state) per session, so repeated builds of
+    * the same query never re-pay the estimate. */
+  private[pipeline] def memoizedScalar(df: DataFrame)(action: DataFrame => Long): Long = {
+    val k = "scalar:" + corpusKey(df)
+    if (countCache.containsKey(k)) countCache.get(k)
+    else { val v = action(df); countCache.put(k, v); v }
+  }
+
   private[pipeline] def memoizedCount(df: DataFrame): Long = {
     val k = corpusKey(df)
     if (countCache.containsKey(k)) countCache.get(k)
