@@ -261,10 +261,17 @@ object Dedup {
     * bounded by sources² PER HASH, never documents². The aggregate is
     * |sources|² cells at most, map-side combined. */
   def sourceChunkOverlap(docs: DataFrame, textCol: String,
-                         sourceCol: String, size: Int = 3): DataFrame = {
-    val ch = chunkHashIndex(docs, textCol, sourceCol, size)
-    val a = ch.select(F.col("chunk_hash"), F.col("source").as("source_a"))
-    val b = ch.select(F.col("chunk_hash"), F.col("source").as("source_b"))
+                         sourceCol: String, size: Int = 3): DataFrame =
+    sourceChunkOverlapFromIndex(chunkHashIndex(docs, textCol, sourceCol, size))
+
+  /** The matrix derived from an ALREADY-BUILT (chunk_hash, source)
+    * membership index — the form a stored pipeline uses: the index is
+    * hashed once per ingest and both the matrix and every incremental
+    * fold read it back, instead of re-scanning + re-distincting the
+    * corpus per consumer. */
+  def sourceChunkOverlapFromIndex(index: DataFrame): DataFrame = {
+    val a = index.select(F.col("chunk_hash"), F.col("source").as("source_a"))
+    val b = index.select(F.col("chunk_hash"), F.col("source").as("source_b"))
     a.join(b, "chunk_hash").filter(F.col("source_a") < F.col("source_b"))
       .groupBy("source_a", "source_b").agg(F.count(F.lit(1)).as("n_shared"))
   }

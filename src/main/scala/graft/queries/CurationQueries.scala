@@ -143,7 +143,9 @@ object CurationQueries extends QueryPack {
         val ixDocs = d.filter(F.col("doc_id") % 2 === 0)
         val batchDocs = d.filter(F.col("doc_id") % 2 === 1)
         val index = Dedup.chunkHashIndex(ixDocs, "text", "source", size = 3).persist()
-        val oldMatrix = Dedup.sourceChunkOverlap(ixDocs, "text", "source", size = 3)
+        // derive the stored matrix from the SAME persisted index — the
+        // corpus is scanned and distinct-shuffled once, not per consumer
+        val oldMatrix = Dedup.sourceChunkOverlapFromIndex(index)
         Dedup.sourceChunkOverlapIncremental(index, oldMatrix, batchDocs,
             "text", "source", size = 3)
           .orderBy("source_a", "source_b")
