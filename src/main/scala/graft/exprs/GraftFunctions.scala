@@ -23,7 +23,23 @@ object GraftFunctions {
       es => Shingles(es.head, es(1).eval().asInstanceOf[Int])),
     ("minhash_bands", "_FUNC_(shingles, k, bands) - LSH band keys",
       es => MinHashBands(es.head,
-        es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])))
+        es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])),
+    // Spark ships BloomFilterMightContain for its runtime-filter rewrite
+    // but does not expose it in FunctionRegistry; registering it here
+    // gives the dedup pipeline a codegen'd membership probe (the sketch
+    // rides the plan as a binary literal — no UDF ser/de boundary, no
+    // broadcast variable). Probe values must be xxhash64 longs, matching
+    // bloom_filter_agg's insertion hashing.
+    ("bloom_might_contain", "_FUNC_(sketch, xxhash64_value) - bloom membership",
+      es => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(es(0), es(1))),
+    // …and its build-side twin (also unregistered in OSS Spark): the
+    // analyzer wraps the returned AggregateFunction in an
+    // AggregateExpression during resolution.
+    ("bloom_sketch_agg",
+      "_FUNC_(xxhash64_value, items, bits) - serialized bloom sketch",
+      es => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(es(0), es(1), es(2))))
 
   /** Idempotent: re-registering an existing name invalidates session
     * caches (measured 12× slowdown on the next run of the same query),

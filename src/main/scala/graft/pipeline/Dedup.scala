@@ -335,10 +335,34 @@ object Dedup {
     * twin of `lshIndex`: built ONCE per ingest cycle and stored/shipped
     * alongside the corpus (a few MB at fpp 1% even for 10⁹ keys). This
     * is deliberately an ACTION — it is the "write the index" step, not
-    * part of a query plan; the lazy consumer is `bloomNewDocs`. */
+    * part of a query plan; the lazy consumer is `bloomNewDocs`.
+    *
+    * Built with Spark's native `BloomFilterAggregate` (registered by
+    * GraftFunctions as `bloom_sketch_agg` — OSS Spark ships it for the
+    * runtime-filter rewrite but doesn't expose it) over `xxhash64(key)`
+    * (r10 verdict task 3) so both build and probe stay inside codegen:
+    * the returned bytes are the aggregate's serialized sketch, probed by
+    * `bloom_might_contain(lit(bytes), xxhash64(key))` — insertion and
+    * probe share the same hash, and the sketch travels as a plan literal
+    * instead of a broadcast variable. `numBits` is sized from (items,
+    * fpp) by the standard -n·ln p/ln²2 formula but clamped to the
+    * session's `spark.sql.optimizer.runtime.bloomFilter.maxNumBits`
+    * (the aggregate rejects larger): past the clamp the fpp degrades
+    * gracefully — the sketch is a performance layer, never correctness. */
   def bloomSketch(index: DataFrame, keyCol: String, expectedItems: Long,
-                  fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter =
-    index.stat.bloomFilter(keyCol, expectedItems, fpp)
+                  fpp: Double = 0.01): Array[Byte] = {
+    val spark = index.sparkSession
+    val want = math.ceil(
+      -expectedItems.toDouble * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    val cap = spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    val bits = math.max(64L, math.min(want, cap))
+    graft.exprs.GraftFunctions.register(spark)
+    index
+      .select(F.call_function("bloom_sketch_agg",
+        F.xxhash64(F.col(keyCol)), F.lit(expectedItems), F.lit(bits)))
+      .head().getAs[Array[Byte]](0)
+  }
 
   /** Bloom-gated incremental EXACT dedup: the batch documents whose
     * content key does NOT already appear in the indexed corpus. The
@@ -367,17 +391,22 @@ object Dedup {
     * way the SHUFFLE prune — the point of the sketch — is identical:
     * only bloom-positive rows enter the anti-join exchange. */
   def bloomNewDocs(batch: DataFrame, index: DataFrame,
-                   sketch: org.apache.spark.util.sketch.BloomFilter,
+                   sketch: Array[Byte],
                    keyCol: String, persistTagged: Boolean = true): DataFrame = {
-    // string keys only (mightContainString) — fail at build time with a
-    // clear message instead of a runtime ClassCastException in the UDF
+    // string keys only — the content-key contract (and the oracle's)
     require(batch.schema(keyCol).dataType ==
         org.apache.spark.sql.types.StringType,
       s"bloomNewDocs: $keyCol must be a string content key, " +
         s"got ${batch.schema(keyCol).dataType.typeName}")
-    val bf = batch.sparkSession.sparkContext.broadcast(sketch)
-    val might = F.udf((k: String) => k != null && bf.value.mightContainString(k))
-    val tagged0 = batch.withColumn("__might", might(F.col(keyCol)))
+    graft.exprs.GraftFunctions.register(batch.sparkSession)
+    // xxhash64 of a null key is the (non-null) seed hash, so the probe
+    // itself never yields null; whichever branch a null key lands in it
+    // passes as new (pass-through directly, or positives via the
+    // anti-join where null never equals an index key) — the same
+    // "nulls pass as new" contract as before, now without a UDF.
+    val might = F.call_function("bloom_might_contain",
+      F.lit(sketch), F.xxhash64(F.col(keyCol)))
+    val tagged0 = batch.withColumn("__might", might)
     val tagged = if (persistTagged) tagged0.persist() else tagged0
     val positives = tagged.filter(F.col("__might"))
       .join(index.select(F.col(keyCol)).distinct(), Seq(keyCol), "left_anti")

@@ -142,17 +142,21 @@ object Streams {
     * through with no join work at all. Output is EXACT — the sketch is
     * a performance layer, identical contract to the batch operator. */
   def newDocsStream(stream: DataFrame, index: DataFrame,
-                    sketch: org.apache.spark.util.sketch.BloomFilter,
+                    sketch: Array[Byte],
                     keyCol: String): DataFrame = {
     require(stream.schema(keyCol).dataType ==
         org.apache.spark.sql.types.StringType,
       s"newDocsStream: $keyCol must be a string content key, " +
         s"got ${stream.schema(keyCol).dataType.typeName}")
-    val bf = stream.sparkSession.sparkContext.broadcast(sketch)
-    val might = F.udf((k: String) => k != null && bf.value.mightContainString(k))
-    val positives = stream.filter(might(F.col(keyCol)))
+    // Native codegen probe (see Dedup.bloomSketch): the sketch bytes are
+    // a plan LITERAL, so every micro-batch reuses the deserialized
+    // filter from the compiled plan — no broadcast variable, no UDF.
+    graft.exprs.GraftFunctions.register(stream.sparkSession)
+    val might = F.call_function("bloom_might_contain",
+      F.lit(sketch), F.xxhash64(F.col(keyCol)))
+    val positives = stream.filter(might)
       .join(index.select(F.col(keyCol)).distinct(), Seq(keyCol), "left_anti")
-    stream.filter(!might(F.col(keyCol))).unionByName(positives)
+    stream.filter(!might).unionByName(positives)
   }
 
   /** Stream-stream interval join — the streaming form of the batch
