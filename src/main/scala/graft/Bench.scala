@@ -217,8 +217,18 @@ object Bench {
       minTimes.getOrElse(k, 0.0) > 1.0 &&
       !quietRun(extAtMin.getOrElse(k, 0.0), ioAtMin.getOrElse(k, 0.0)))
     val passes = loadPasses.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Block-manager hygiene audit (r10 verdict task 4): every timed run
+    // released the cache registry and cleared the session cache, so a
+    // non-empty cache manager or leftover tracked tag HERE is a leak —
+    // an operator persisted outside the registry contract.
+    val leftoverTags = graft.core.CacheRegistry.trackedTags
+    // emit can run from the watchdog/shutdown thread, where the
+    // thread-local active session is unset — fall back to the default
+    val cacheLeak = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .exists(s => !s.sharedState.cacheManager.isEmpty) || leftoverTags.nonEmpty
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${m(minTimes)},"first":${m(firstTimes)},"failed":$failed,"errors":$errs,"partial":$partial,"loaded":$loaded,"ext_load_at_min":$extm,"io_stall_at_min":$iom,"load_passes":$passes,"load_start":$loadStart,"load_end":$load1,"sf":"$sfDirSeen"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${m(minTimes)},"first":${m(firstTimes)},"failed":$failed,"errors":$errs,"partial":$partial,"loaded":$loaded,"ext_load_at_min":$extm,"io_stall_at_min":$iom,"load_passes":$passes,"load_start":$loadStart,"load_end":$load1,"cache_leak":$cacheLeak,"leftover_cache_tags":${leftoverTags.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDirSeen"}"""
     // The driver captures only the LAST ~2000 chars of output and
     // parses the JSON it finds there — the full artifact above is
     // 6-10 KB, so BENCH_r08/r09 both landed `parsed: null` and were
@@ -245,7 +255,7 @@ object Bench {
     // raw stdout, single line: sbt [info] prefixes and log4j noise both
     // broke driver-side parsing before; System.out directly is safest
     System.out.println(
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qShort,"failed":$failedShort,"partial":$partial,"loaded":$loaded,"dirty_at_min":$dirty,"load_start":$loadStart%.2f,"load_end":$load1%.2f,"sf":"$sfDirSeen","detail":"BENCH_DETAIL.json"}""")
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qShort,"failed":$failedShort,"partial":$partial,"loaded":$loaded,"dirty_at_min":$dirty,"load_start":$loadStart%.2f,"load_end":$load1%.2f,"cache_leak":$cacheLeak,"sf":"$sfDirSeen","detail":"BENCH_DETAIL.json"}""")
     System.out.flush()
   }
 
@@ -341,7 +351,10 @@ object Bench {
       val (dt, ok) = withWatchdog(s"bench-$name", sliceSec)(fn(spark, sfDir).count())
       val snap1 = cpuSnap()
       // queries may persist() intermediates; drop them so one query's
-      // cache never bleeds into the next one's memory budget
+      // cache never bleeds into the next one's memory budget (the
+      // registry release clears graft's tracked handles; clearCache
+      // sweeps anything persisted outside it)
+      graft.core.CacheRegistry.releaseAll()
       spark.catalog.clearCache()
       (dt, ok, externalCores(snap0, snap1), ioStallFraction(snap0, snap1, ncpu))
     }
@@ -374,6 +387,7 @@ object Bench {
     if (budgetSec - elapsed > 150) {
       all.filter { case (n, _) => tier(n) == 2 }.foreach { case (name, fn) =>
         withWatchdog(s"bench-warm-$name", sliceSec = 30.0)(fn(spark, sfDir).count())
+        graft.core.CacheRegistry.releaseAll()
         spark.catalog.clearCache()
       }
     }

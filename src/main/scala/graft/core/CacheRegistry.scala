@@ -1,0 +1,47 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import scala.collection.mutable.ArrayBuffer
+
+/** Session-scoped registry for the pipeline layer's internal persists
+  * (r10 verdict task 4).
+  *
+  * Operators like `Dedup.simhashClusters` and `Dedup.containmentPairs`
+  * cache small scalar intermediates that the RETURNED lazy plan still
+  * references — the builder can never unpersist them itself, so in a
+  * long-lived session (Bench's 92 queries, a notebook) they accumulate
+  * in the block manager. Every such persist goes through [[track]];
+  * a consumer that has finished its actions calls [[releaseAll]] (or
+  * Spark's own `catalog.clearCache()`, which `track`ed frames also
+  * honor — this registry adds the explicit handle plus an audit count,
+  * it does not invent a second cache).
+  *
+  * Contract: `track` persists and records; caches live until the
+  * session's next `releaseAll`/`clearCache`. Bench releases after every
+  * timed query and asserts the block manager is empty at the end of the
+  * run; ad-hoc sessions own their release point.
+  */
+object CacheRegistry {
+
+  private val tracked = ArrayBuffer.empty[(String, DataFrame)]
+
+  /** Persist `df` (default storage level) and remember it under `tag`. */
+  def track(tag: String, df: DataFrame): DataFrame = synchronized {
+    val p = df.persist()
+    tracked += tag -> p
+    p
+  }
+
+  /** Tags currently held — the audit surface for specs and bench logs. */
+  def trackedTags: Seq[String] = synchronized { tracked.map(_._1).toSeq }
+
+  /** Unpersist everything tracked (non-blocking) and forget it.
+    * Idempotent; frames already dropped by `clearCache()` unpersist as
+    * a no-op. */
+  def releaseAll(): Unit = synchronized {
+    tracked.foreach { case (_, df) =>
+      try df.unpersist(false) catch { case _: Throwable => () }
+    }
+    tracked.clear()
+  }
+}

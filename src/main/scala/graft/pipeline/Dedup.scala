@@ -407,7 +407,8 @@ object Dedup {
     val might = F.call_function("bloom_might_contain",
       F.lit(sketch), F.xxhash64(F.col(keyCol)))
     val tagged0 = batch.withColumn("__might", might)
-    val tagged = if (persistTagged) tagged0.persist() else tagged0
+    val tagged = if (persistTagged)
+      graft.core.CacheRegistry.track("bloomNewDocs.tagged", tagged0) else tagged0
     val positives = tagged.filter(F.col("__might"))
       .join(index.select(F.col(keyCol)).distinct(), Seq(keyCol), "left_anti")
     tagged.filter(!F.col("__might")).unionByName(positives).drop("__might")
@@ -755,10 +756,14 @@ object Dedup {
     // kernel over the full corpus, which dominated q79/q82 at sf0.1
     // (~4 s, of which ~2.5 s was repeated hashing). Both frames are
     // (id, long) scalars, so the cache is tiny at any corpus size.
-    val sim = simhash(docs, idCol, textCol) // (id, simhash)
-      .filter(F.col("simhash").isNotNull)
-      .persist()
-    val words = sim.groupBy("simhash").agg(F.min("id").as("rep")).persist()
+    // Tracked (not raw persist): the returned plan references both, so
+    // only the CONSUMER can release them — CacheRegistry.releaseAll()
+    // after the action, or the session's next clearCache().
+    val sim = graft.core.CacheRegistry.track("simhashClusters.sim",
+      simhash(docs, idCol, textCol) // (id, simhash)
+        .filter(F.col("simhash").isNotNull))
+    val words = graft.core.CacheRegistry.track("simhashClusters.words",
+      sim.groupBy("simhash").agg(F.min("id").as("rep")))
     val banded = words.withColumn("bands", simhashBands(F.col("simhash")))
     val cand = candidatePairs(banded, "rep", "bands", maxBucket)
     val edges = cand
@@ -802,7 +807,8 @@ object Dedup {
     // chunk explosion (O(tokens/size) 16-byte hashes) to trade memory
     // for the second corpus scan; leave false when the scan is cheaper
     // than the cache footprint (the usual case on columnar storage).
-    val chunks = if (persistChunks) chunks0.persist() else chunks0
+    val chunks = if (persistChunks)
+      graft.core.CacheRegistry.track("chunkDedupProfile.chunks", chunks0) else chunks0
     val profile = chunks.groupBy("chunk_hash")
       .agg(F.min(idCol).as("__mn"), F.max(idCol).as("__mx"))
       .select(F.col("chunk_hash"), (F.col("__mn") =!= F.col("__mx")).as("__dup"))
@@ -839,7 +845,10 @@ object Dedup {
     val grams0 = docs
       .select(F.col(idCol).as("id"), TextOps.tokens(F.col(textCol)).as("__w"))
       .select(F.col("id"), F.explode(TextOps.distinctKgramHashes(F.col("__w"), k)).as("g"))
-    val gdf = grams0.groupBy("g").agg(F.count(F.lit(1)).as("__df")).persist()
+    // tracked cache (vocabulary-sized): released by the consumer via
+    // CacheRegistry.releaseAll() / clearCache() — see CacheRegistry
+    val gdf = graft.core.CacheRegistry.track("containmentPairs.gdf",
+      grams0.groupBy("g").agg(F.count(F.lit(1)).as("__df")))
     // memoized like the LSH band-fanout count: one estimate job per
     // (plan, file-state) per session, so repeated builds (bench
     // min-of-2, Explain) never re-pay the corpus scan
@@ -858,7 +867,8 @@ object Dedup {
     // the repeated scan; leave false when columnar re-scan is cheaper
     // than the cache footprint (the usual case).
     val grams1 = grams0.join(gdf, "g").filter(F.col("__df") <= maxDf).select("id", "g")
-    val grams = if (persistGrams) grams1.persist() else grams1
+    val grams = if (persistGrams)
+      graft.core.CacheRegistry.track("containmentPairs.grams", grams1) else grams1
     val sizes = grams.groupBy("id").agg(F.count(F.lit(1)).as("__n"))
     val pairs0 = grams.select(F.col("g"), F.col("id").as("id_a"))
       .join(grams.select(F.col("g"), F.col("id").as("id_b")), "g")

@@ -297,7 +297,8 @@ object Similarity {
     // the cache each side re-runs the full corpus×centroid assignment
     // (the n·nlist cosine term — the single most expensive stage) —
     // the frame is (id, cell) scalars, so the cache is tiny at any n
-    val cells = nearestCells(c, centroids, "cid0", "cv", mprobe, cos).persist()
+    val cells = graft.core.CacheRegistry.track("cosinePairsViaCells.cells",
+      nearestCells(c, centroids, "cid0", "cv", mprobe, cos))
     // The Σ|cell|² candidate explosion is generated by joining two
     // frames of TINY bytes ((id, cell) scalars) whose per-row DOWNSTREAM
     // cost is huge — AQE coalesces the streamed side to ~2 partitions by

@@ -81,6 +81,27 @@ class PipelineSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("cache hygiene: registry releases every operator persist (r10 verdict 4)") {
+    import graft.core.CacheRegistry
+    // clean slate so cross-test caches can't mask or fake a leak
+    CacheRegistry.releaseAll()
+    spark.catalog.clearCache()
+    val sc = Dedup.simhashClusters(docs, "doc_id", "text")
+    val cp = Dedup.containmentPairs(docs, "doc_id", "text", k = 2, tau = 0.1,
+      persistGrams = true)
+    sc.count(); cp.count()
+    // both operators registered their internal persists...
+    val tags = CacheRegistry.trackedTags
+    assert(tags.exists(_.startsWith("simhashClusters")), tags)
+    assert(tags.exists(_.startsWith("containmentPairs")), tags)
+    // ...and one release empties the session cache completely: no
+    // block-manager growth is left for the next query in the session
+    CacheRegistry.releaseAll()
+    assert(CacheRegistry.trackedTags.isEmpty)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "dataset cache must be empty after CacheRegistry.releaseAll()")
+  }
+
   test("simhashClusters drops null-text docs instead of fusing them into one cluster") {
     val withNulls = docs.unionByName(Seq(
       (100L, null.asInstanceOf[String]), (101L, null.asInstanceOf[String]))
