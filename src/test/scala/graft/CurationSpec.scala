@@ -313,4 +313,52 @@ class CurationSpec extends AnyFunSuite {
     assert(out == expected)
     assert(out.keySet.intersect(Set(2, 4, 6, 7)).isEmpty, "garbage/short docs must not pass")
   }
+
+  test("qualityGateApprox matches the exact gate within its rank bound on skewed groups") {
+    // one big group with distinct scores (all-stopword text below the
+    // 200-char length saturation => score strictly increases with
+    // length), one tiny group — the skew shape the sketch path exists for
+    val big = (1 to 50).map(i => (i, "big", ("the " * i).trim))
+    val small = (101 to 105).map(i => (i, "small", ("the " * (i - 100)).trim))
+    val docs = (big ++ small).toDF("doc_id", "source", "text")
+    val exact = TextOps.qualityGate(docs, "doc_id", "text", "source", pct = 0.8)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+    val approx = TextOps.qualityGateApprox(docs, "doc_id", "text", "source",
+      pct = 0.8, accuracy = 100000)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+    // same filter shape, sketch threshold: the exact keep-set is always
+    // contained (the sketch's threshold sits at-or-below the exact cut
+    // by its rank bound), and with accuracy >> n the difference is at
+    // most the nearest-rank rounding row per group
+    val exIds = exact.map(_._1).toSet
+    val apIds = approx.map(_._1).toSet
+    assert(exIds.subsetOf(apIds), s"exact=$exIds approx=$apIds")
+    Seq("big", "small").foreach { g =>
+      val ex = exact.count(_._2 == g); val ap = approx.count(_._2 == g)
+      assert(ap - ex >= 0 && ap - ex <= 2, s"group $g: exact=$ex approx=$ap")
+    }
+    // scores agree bit-for-bit on the shared rows
+    val exQ = exact.map(r => r._1 -> r._3).toMap
+    approx.filter(r => exQ.contains(r._1)).foreach { r =>
+      assert(r._3 == exQ(r._1), s"doc ${r._1}")
+    }
+  }
+
+  test("qualityGateAuto dispatches by corpus size and falls back exact") {
+    val docs = (1 to 20).map(i => (i, "s", ("the " * i).trim))
+      .toDF("doc_id", "source", "text")
+    val exact = TextOps.qualityGate(docs, "doc_id", "text", "source", 0.5)
+      .collect().map(_.getInt(0)).toSet
+    // below the threshold: byte-identical to the exact gate
+    val auto = TextOps.qualityGateAuto(docs, "doc_id", "text", "source", 0.5)
+      .collect().map(_.getInt(0)).toSet
+    assert(auto == exact)
+    // above the (forced-tiny) threshold: the sketch path engages and
+    // stays inside the rank bound
+    val autoApprox = TextOps.qualityGateAuto(docs, "doc_id", "text", "source", 0.5,
+      approxAbove = 5L)
+      .collect().map(_.getInt(0)).toSet
+    assert(exact.subsetOf(autoApprox) && (autoApprox.size - exact.size) <= 2,
+      s"exact=$exact approx=$autoApprox")
+  }
 }
