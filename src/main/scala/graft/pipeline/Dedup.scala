@@ -142,7 +142,12 @@ object Dedup {
     * parquet) and is paid once per (plan, file-state) per session.
     * `estDocs` overrides for callers that already know the size;
     * `estDocs = -2` skips sizing entirely (machine width, no count
-    * job) for sessionless/unit-test frames. */
+    * job) for sessionless/unit-test frames.
+    *
+    * Like [[containmentPairs]], plan construction can BLOCK on that
+    * one memoized count job the first time a given (plan, file-state)
+    * is sized in a session; pass `estDocs` to keep construction fully
+    * lazy. */
   def candidatePairs(docs: DataFrame, idCol: String, bandsCol: String,
                      maxBucket: Int = 64, estDocs: Long = -1L,
                      bandsPerDoc: Int = 8): DataFrame = {
@@ -268,7 +273,14 @@ object Dedup {
     * membership index — the form a stored pipeline uses: the index is
     * hashed once per ingest and both the matrix and every incremental
     * fold read it back, instead of re-scanning + re-distincting the
-    * corpus per consumer. */
+    * corpus per consumer.
+    *
+    * PRECONDITION (ADVICE r10): the input must be `chunkHashIndex`-
+    * shaped — (chunk_hash, source) rows DISTINCT. The count below
+    * counts rows, not distinct hashes, so a non-deduped frame inflates
+    * `n_shared` silently; re-deduplicating here would double-pay the
+    * shuffle the stored index already paid (the bucketed store
+    * qualifies by construction). */
   def sourceChunkOverlapFromIndex(index: DataFrame): DataFrame = {
     val a = index.select(F.col("chunk_hash"), F.col("source").as("source_a"))
     val b = index.select(F.col("chunk_hash"), F.col("source").as("source_b"))
@@ -835,7 +847,15 @@ object Dedup {
     * 10^6 docs is a 10^12-pair explosion) and yields the EXACT pair-rows
     * estimate Σ df·(df−1) that sizes the pair-aggregation shuffle via
     * [[Explosion.width]]. Intersections and set sizes cross the wires
-    * as scalar counts; the τ filter sees only (pair, counts) rows. */
+    * as scalar counts; the τ filter sees only (pair, counts) rows.
+    *
+    * NOT fully lazy: sizing that exchange runs ONE Spark job at plan
+    * CONSTRUCTION time (the Σ df·(df−1) aggregate over the gram
+    * frequencies — a corpus scan on first build). It is memoized per
+    * (plan, file-state) per session, so rebuilds (bench min-of-N,
+    * Explain, registry sweeps) are job-free — PipelineSpec pins that —
+    * and on failure the width falls back to machine parallelism, so the
+    * action is never load-bearing for correctness. */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        k: Int = 3, tau: Double = 0.8, maxDf: Int = 1000,
                        persistGrams: Boolean = false): DataFrame = {

@@ -172,6 +172,27 @@ class PipelineSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("containmentPairs width estimate is memoized: rebuild launches no new job") {
+    // prime the memo — the FIRST build pays one estimate job by design
+    // (documented in the scaladoc); every rebuild must be job-free
+    Dedup.containmentPairs(docs, "doc_id", "text", k = 2)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Thread.sleep(300) // drain any in-flight event from the priming build
+      val before = jobs.get()
+      Dedup.containmentPairs(docs, "doc_id", "text", k = 2) // same (plan, file-state)
+      Thread.sleep(500) // listener bus is async
+      assert(jobs.get() == before,
+        s"rebuild ran ${jobs.get() - before} estimate job(s); the memo must serve it")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("native shingle/minhash expressions match the UDF kernels") {
     val got = docs.select(
       Dedup.shingles(F.col("text")).as("sh_n"),
