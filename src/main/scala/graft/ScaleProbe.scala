@@ -28,6 +28,11 @@ object ScaleProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // probe knob (r10 verdict task 1): starve the exact-verify
+      // broadcast budget to force the shuffled fallback branch at
+      // corpus sizes this box can actually build
+      .config("graft.broadcastVecMaxBytes", sys.env.getOrElse(
+        "GRAFT_BC_VEC_BYTES", (128L * 1024 * 1024).toString))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

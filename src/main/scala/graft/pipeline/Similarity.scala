@@ -343,7 +343,7 @@ object Similarity {
     // corpus and candidates by id — nothing broadcast-sized remains).
     val va = corpus.select(F.col(idCol).as("id_a"), F.col(vecCol).as("va"))
     val vb = corpus.select(F.col(idCol).as("id_b"), F.col(vecCol).as("vb"))
-    if (total >= 0 && total <= BroadcastVecMax)
+    if (total >= 0 && broadcastableVecs(c, "cv", total))
       candDup
         .join(F.broadcast(va), "id_a")
         .join(F.broadcast(vb), "id_b")
@@ -358,10 +358,45 @@ object Similarity {
         .filter(F.col("cos") > threshold)
   }
 
-  /** Max corpus rows whose (id → vector) payload we'll broadcast for
-    * the verify join: 500k × 64f ≈ 128 MB serialized — comfortably
-    * under driver/executor headroom while covering every probe scale. */
-  val BroadcastVecMax: Long = 500000L
+  /** Byte budget for broadcasting the verify join's (id → vector)
+    * payload (r10 verdict task 1 — the bound is BYTES-adaptive, not a
+    * fixed row count): default 128 MiB, the measured-safe point at the
+    * 200k×64f probe (≈54 MB serialized) with ~2× headroom, comfortably
+    * under executor memory at any sane config. Override per session
+    * via `graft.broadcastVecMaxBytes` (probes use this to force the
+    * shuffled fallback at corpus sizes a test box can build). */
+  def broadcastVecMaxBytes(spark: org.apache.spark.sql.SparkSession): Long =
+    try spark.conf.get("graft.broadcastVecMaxBytes",
+      (128L * 1024 * 1024).toString).toLong
+    catch { case _: Throwable => 128L * 1024 * 1024 }
+
+  /** Decide the verify-join branch: true iff `total` vectors of this
+    * corpus fit the broadcast byte budget. Row bytes come from the
+    * vector dimension — but a dimension probe is a Spark job, and plan
+    * construction must stay job-free on the hinted paths (PipelineSpec
+    * pins that), so the decision is three-zone: corpora that fit the
+    * budget even at a 4096-float worst case broadcast with NO probe;
+    * corpora that blow it even at 8 floats fall back with NO probe;
+    * only the ambiguous middle pays one single-row `size()` job,
+    * memoized per (plan, file-state) like the width-sizing counts.
+    * An unreadable/empty corpus falls back to a 64-float estimate —
+    * the branch choice only ever affects PERFORMANCE; both branches
+    * compute the identical pair set. */
+  private[pipeline] def broadcastableVecs(corpus: DataFrame, vecCol: String,
+                                          total: Long): Boolean = {
+    def rowBytes(dim: Long) = dim * 4L + 24L // float payload + overhead
+    val budget = broadcastVecMaxBytes(corpus.sparkSession)
+    if (total * rowBytes(4096L) <= budget) true
+    else if (total * rowBytes(8L) > budget) false
+    else {
+      val dim: Long =
+        try memoizedScalar(corpus.select(F.col(vecCol))) { d =>
+          d.select(F.size(F.col(vecCol)).cast("long")).limit(1).head().getLong(0)
+        }
+        catch { case _: Throwable => 64L }
+      total * rowBytes(dim) <= budget
+    }
+  }
 
   /** Storable hyperplane-bucket index for an embedding corpus:
     * (id, vec, bucket), computed ONCE per vector as it enters the

@@ -193,6 +193,43 @@ class PipelineSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("exact-verify branch selection is bytes-adaptive, both branches agree") {
+    val vecs = (0L until 64L).map(i =>
+      (i, Array.tabulate(8)(d => (i % 7 + d).toFloat))).toDF("vec_id", "embedding")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // rule out Spark choosing broadcast on its own size stats — only
+      // the operator's explicit hint can put a BroadcastHashJoin here
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // default budget: 64 tiny vectors broadcast (and the certain zone
+      // decides with no dimension-probe job — the zero-jobs test above
+      // covers that)
+      // assert on the id_a/id_b VERIFY joins specifically — the
+      // centroid-assignment stage legitimately broadcasts its (tiny)
+      // centroid frame in both branches
+      val bc = Similarity.cosinePairsViaCells(vecs, 0.5, rowCount = 64L)
+      val bcPlan = bc.queryExecution.executedPlan.toString
+      assert(bcPlan.contains("BroadcastHashJoin [id_a#") &&
+          bcPlan.contains("BroadcastHashJoin [id_b#"),
+        s"within budget the verify payloads must broadcast:\n$bcPlan")
+      // starve the budget: the shuffled dedupe-early fallback engages
+      spark.conf.set("graft.broadcastVecMaxBytes", "100")
+      val sh = Similarity.cosinePairsViaCells(vecs, 0.5, rowCount = 64L)
+      val shPlan = sh.queryExecution.executedPlan.toString
+      assert(!shPlan.contains("BroadcastHashJoin [id_a#") &&
+          !shPlan.contains("BroadcastHashJoin [id_b#") &&
+          shPlan.contains("SortMergeJoin [id_a#"),
+        s"over budget no payload side may broadcast:\n$shPlan")
+      // the branch is performance-only: identical pair sets
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs(bc) == pairs(sh) && pairs(bc).nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.unset("graft.broadcastVecMaxBytes")
+    }
+  }
+
   test("native shingle/minhash expressions match the UDF kernels") {
     val got = docs.select(
       Dedup.shingles(F.col("text")).as("sh_n"),
