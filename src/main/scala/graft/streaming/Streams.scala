@@ -127,6 +127,85 @@ object Streams {
       .drop("__ts")
   }
 
+  /** Streaming twin of `Dedup.containmentPairsIncremental` (the q92
+    * family's member of the q80/q85/q88 streaming pattern): arriving
+    * documents are containment-checked against the STORED gram index as
+    * they land. `index` is the scalar (id, g) membership artifact from
+    * `Dedup.containmentGramIndex` (the same frame a nightly ingest
+    * stores bucketed on `g`).
+    *
+    * Semantics vs the batch fold: the `maxDf` stop-gram cap is FROZEN
+    * at the index — exactly as `dedupAgainstIndex` freezes its LSH
+    * buckets — so arriving docs never shift posting counts, and
+    * arrival-vs-arrival pairs within the stream are not emitted (run
+    * the batch fold over the accumulated store when either matters;
+    * same contract note as `quotaPerGroup`). Under that frozen cap the
+    * emitted arrival-vs-index pairs carry the exact full-rebuild
+    * containment values.
+    *
+    * Shape: all stream-side work is stateless except the pair dedup
+    * (state bounded by the watermark horizon). Candidates come from ONE
+    * stream-static equi-join on the gram hash against the capped index
+    * postings; the intersection is then computed EXACTLY per surviving
+    * pair via `array_intersect` against the index doc's kept-gram array
+    * — no streaming aggregation, so emission is immediate, not
+    * watermark-delayed. The static side resolves once (localCheckpoint),
+    * not per micro-batch. The one corpus-shaped broadcast is the
+    * per-doc kept-gram arrays — the same order as the stored index
+    * itself; the stop-gram array that exactifies the arriving doc's
+    * capped size is the vocabulary's heavy tail, O(Σdf / maxDf) worst
+    * case (small in the discriminative regime the batch cap analysis
+    * pins). */
+  def containmentAgainstIndex(stream: DataFrame, index: DataFrame,
+                              idCol: String, tsCol: String, textCol: String,
+                              watermark: String, k: Int = 3,
+                              tau: Double = 0.8, maxDf: Int = 1000): DataFrame = {
+    val T = graft.pipeline.TextOps
+    val gdf = index.groupBy("g").agg(F.count(F.lit(1)).as("__df"))
+    val kept = index.join(gdf.filter(F.col("__df") <= maxDf), "g")
+      .select(F.col("id"), F.col("g"))
+    // static side resolves once, not per micro-batch
+    val cand = kept.select(F.col("g"), F.col("id").as("id_a")).localCheckpoint(true)
+    val perDocA = kept.groupBy("id")
+      .agg(F.sort_array(F.collect_set("g")).as("__gsa"))
+      .select(F.col("id").as("id_a"), F.col("__gsa"),
+        F.size(F.col("__gsa")).cast("long").as("__na"))
+      .localCheckpoint(true)
+    // single-row heavy-tail gram set: subtracting it from an arriving
+    // doc's gram set yields the doc's EXACT capped size without a
+    // streaming aggregation (empty set when nothing crosses the cap)
+    val stopDf = gdf.filter(F.col("__df") > maxDf)
+      .agg(F.collect_set("g").as("__stop")).localCheckpoint(true)
+    val b = stream
+      .select(F.col(idCol).as("id_b"), F.col(tsCol).as("__ts"),
+        T.distinctKgramHashes(T.tokens(F.col(textCol)), k).as("__gsb"))
+      .crossJoin(F.broadcast(stopDf))
+      .select(F.col("id_b"), F.col("__ts"), F.col("__gsb"),
+        F.size(F.array_except(F.col("__gsb"), F.col("__stop"))).cast("long").as("__nb"))
+      // candidates explode the UNCAPPED gram set: joining the capped
+      // postings drops stop grams from evidence anyway
+      .select(F.col("id_b"), F.col("__ts"), F.col("__gsb"), F.col("__nb"),
+        F.explode(F.col("__gsb")).as("g"))
+    val lo = F.least(F.col("id_a"), F.col("id_b"))
+    val nLo = F.when(F.col("id_a") < F.col("id_b"), F.col("__na")).otherwise(F.col("__nb"))
+    val nHi = F.when(F.col("id_a") < F.col("id_b"), F.col("__nb")).otherwise(F.col("__na"))
+    b.join(F.broadcast(cand), "g")
+      .withWatermark("__ts", watermark)
+      .dropDuplicatesWithinWatermark(Seq("id_a", "id_b"))
+      .join(F.broadcast(perDocA), "id_a")
+      // __gsa is the KEPT set, so intersecting the arrival's full set
+      // against it counts exactly the kept shared grams
+      .withColumn("inter", F.size(F.array_intersect(F.col("__gsb"), F.col("__gsa"))).cast("long"))
+      .select(
+        F.when(nLo <= nHi, lo).otherwise(F.greatest(F.col("id_a"), F.col("id_b"))).as("id_small"),
+        F.when(nLo <= nHi, F.greatest(F.col("id_a"), F.col("id_b"))).otherwise(lo).as("id_big"),
+        F.least(F.col("__na"), F.col("__nb")).as("n_small"),
+        F.col("inter"),
+        F.round(F.col("inter").cast("double") / F.least(F.col("__na"), F.col("__nb")), 6)
+          .as("containment"))
+      .filter(F.col("containment") >= tau)
+  }
+
   /** Streaming deterministic sampling: the md5 row-coordinate predicate
     * (`Sampling.hashBp`) is stateless and partition-independent, so the
     * SAME rows survive in a replayed/reordered stream as in the batch

@@ -292,6 +292,68 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming containment against a stored gram index equals the batch fold") {
+    // q92's streaming twin: arrival-vs-index containment pairs at the
+    // frozen-cap values, with q80-style at-least-once armor — an
+    // in-watermark replay dedups, a behind-watermark replay drops.
+    import spark.implicits._
+    val D = graft.pipeline.Dedup
+    val dir = java.nio.file.Files.createTempDirectory("graft-contain-stream")
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val big = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val sub1 = "alpha beta gamma delta epsilon zeta"       // ⊂ doc 0 → containment 1.0
+    val sub2 = "eta theta iota kappa lambda mu"            // ⊂ doc 0 → containment 1.0
+    val corpus = Seq(
+      (0L, big),
+      (1L, "entirely unrelated sentences about spark query engines at scale"))
+      .toDF("doc_id", "text")
+    val index = D.containmentGramIndex(corpus, "doc_id", "text").persist()
+    val schema = Seq((0L, t("2024-01-01 00:00:00"), "x"))
+      .toDF("doc_id", "ts", "text").schema
+    def writeBatch(rows: Seq[(Long, java.sql.Timestamp, String)]): Unit =
+      rows.toDF("doc_id", "ts", "text")
+        .repartition(1).write.mode("append").parquet(dir.toString + "/docs")
+    writeBatch(Seq((100L, t("2024-01-01 00:00:00"), sub1),
+      (101L, t("2024-01-01 00:01:00"), "fresh novel words appearing nowhere")))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString + "/docs")
+    val q = graft.streaming.Streams
+      .containmentAgainstIndex(stream, index, "doc_id", "ts", "text", "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("contain_out").start()
+    try {
+      q.processAllAvailable() // emits (100, 0); watermark -> 23:50 prev day
+      // advance the watermark well past the first arrival
+      writeBatch(Seq((102L, t("2024-01-01 01:00:00"), sub2)))
+      q.processAllAvailable() // emits (102, 0); watermark -> 00:50
+      // replay of 100 BEHIND the watermark: dropped, not re-emitted
+      writeBatch(Seq((100L, t("2024-01-01 00:05:00"), sub1)))
+      q.processAllAvailable()
+      // replay of 102 within the watermark: deduped
+      writeBatch(Seq((102L, t("2024-01-01 01:02:00"), sub2)))
+      q.processAllAvailable()
+      val emitted = spark.table("contain_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4)))
+      assert(emitted.length == 2, s"expected exactly 2 emissions, got ${emitted.toSeq}")
+      // batch fold over the distinct arrivals agrees row-for-row
+      // (values, not just pair ids): no gram crosses the default cap,
+      // so frozen-cap streaming == full-rebuild batch on cross pairs
+      val arrivals = Seq((100L, sub1), (101L, "fresh novel words appearing nowhere"),
+        (102L, sub2)).toDF("doc_id", "text")
+      val gramDf = index.groupBy("g").agg(F.count(F.lit(1)).as("df"))
+      val sizes = index.join(gramDf.filter(F.col("df") <= 1000), "g")
+        .groupBy("id").agg(F.count(F.lit(1)).as("n"))
+      val batch = D.containmentPairsIncremental(index, gramDf, sizes, arrivals,
+          "doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4))).toSet
+      assert(emitted.toSet == batch, s"stream ${emitted.toSet} != batch $batch")
+      assert(emitted.map(e => (e._1, e._2)).toSet == Set((100L, 0L), (102L, 0L)))
+    } finally q.stop()
+  }
+
   test("streaming bloom-gated exact dedup equals the batch operator") {
     import spark.implicits._
     val D = graft.pipeline.Dedup
