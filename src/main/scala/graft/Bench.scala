@@ -174,7 +174,7 @@ object Bench {
     * scans, 2 = dedup/ANN/LSH pipeline tail. Unknown names sort by tier
     * 0 (new relational ops are cheap until proven otherwise). */
   private def tier(name: String): Int = {
-    val heavy = Set("q40_exact_dedup", "q41_minhash_lsh", "q42_simhash",
+    val heavy = Set("q40_exact_dedup", "q41_minhash_lsh", "q42_simhash_edges",
       "q43_ngram_jaccard", "q44_embedding_dedup", "q45_knn_brute",
       "q46_knn_lsh", "q55_cosine_pairs", "q56_knn_ivf", "q58_dup_clusters")
     val text = Set("q47_langid", "q48_quality", "q49_token_count",

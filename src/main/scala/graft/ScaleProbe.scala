@@ -86,7 +86,7 @@ object ScaleProbe {
 
     val sel0 = Seq(
       "q01_agg", "q12_merge_inner", "q33_sort_head", "q40_exact_dedup",
-      "q41_minhash_lsh", "q42_simhash", "q44_embedding_dedup",
+      "q41_minhash_lsh", "q42_simhash_edges", "q44_embedding_dedup",
       "q47_langid", "q55_cosine_pairs", "q56_knn_ivf", "q58_dup_clusters",
       "q62_tfidf", "q67_chunk_dedup", "q73_curation_funnel",
       "q75_unigram_logprob", "q76_contamination", "q79_simhash_clusters",

@@ -776,19 +776,54 @@ object Dedup {
         .filter(F.col("simhash").isNotNull))
     val words = graft.core.CacheRegistry.track("simhashClusters.words",
       sim.groupBy("simhash").agg(F.min("id").as("rep")))
-    val banded = words.withColumn("bands", simhashBands(F.col("simhash")))
-    val cand = candidatePairs(banded, "rep", "bands", maxBucket)
-    val edges = cand
-      .join(words.select(F.col("rep").as("id_a"), F.col("simhash").as("h_a")), "id_a")
-      .join(words.select(F.col("rep").as("id_b"), F.col("simhash").as("h_b")), "id_b")
-      .filter(hamming(F.col("h_a"), F.col("h_b")) <= maxHamming)
-      .select("id_a", "id_b")
+    val edges = wordEdgesFrom(words, maxHamming, maxBucket).select("id_a", "id_b")
     val wordClusters = connectedComponents(edges)
       .select(F.col("id").as("rep"), F.col("cluster"))
     sim.join(words, "simhash")
       .join(wordClusters, Seq("rep"), "left")
       .select(F.col("id"),
         F.coalesce(F.col("cluster"), F.col("rep")).as("cluster"))
+  }
+
+  /** Banded-candidate Hamming edges between DISTINCT simhash words —
+    * shared by [[simhashClusters]] and [[simhashWordEdges]]. `words`
+    * must be the (simhash, rep) word-collapse frame; emitted pairs are
+    * canonical (id_a < id_b, from the sorted bucket explosion). */
+  private def wordEdgesFrom(words: DataFrame, maxHamming: Int,
+                            maxBucket: Int): DataFrame = {
+    val banded = words.withColumn("bands", simhashBands(F.col("simhash")))
+    val cand = candidatePairs(banded, "rep", "bands", maxBucket)
+    cand
+      .join(words.select(F.col("rep").as("id_a"), F.col("simhash").as("h_a")), "id_a")
+      .join(words.select(F.col("rep").as("id_b"), F.col("simhash").as("h_b")), "id_b")
+      .withColumn("hamming", hamming(F.col("h_a"), F.col("h_b")))
+      .filter(F.col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** SimHash near-dup EDGES between word representatives — the bounded
+    * pair surface that replaces doc-pair enumeration (the retired q42
+    * form). Doc-level Hamming pairs are by contract quadratic in
+    * duplicate-cluster size (a thousand identical docs are a Hamming-0
+    * clique of half a million pairs; the 10× probe measured exponent
+    * 1.41 on that form, PERF.md) — so the pair CONTRACT itself was the
+    * scale bug, independent of implementation. Here identical words
+    * collapse first (a clique contributes zero edges and one
+    * representative), so the output is bounded by the DISTINCT-word
+    * near-dup graph and no longer grows with duplication factor.
+    * Downstream keeper selection goes through [[simhashClusters]] (the
+    * canonical consumer); this surface exists for edge-level audits —
+    * which near-dup relations exist and at what Hamming distance.
+    * Output: (id_a, id_b, hamming), id_a < id_b, both word
+    * representatives (min doc id of their identical-word group). */
+  def simhashWordEdges(docs: DataFrame, idCol: String, textCol: String,
+                       maxHamming: Int = 3, maxBucket: Int = 4096): DataFrame = {
+    val sim = simhash(docs, idCol, textCol).filter(F.col("simhash").isNotNull)
+    // tracked like simhashClusters' frames: `words` feeds banding and
+    // both edge joins — released by the consumer via CacheRegistry
+    val words = graft.core.CacheRegistry.track("simhashWordEdges.words",
+      sim.groupBy("simhash").agg(F.min("id").as("rep")))
+    wordEdgesFrom(words, maxHamming, maxBucket)
   }
 
   /** Cross-document chunk-level exact dedup profile: for each document,

@@ -240,37 +240,36 @@ object PipelineQueries extends QueryPack {
         ORDER BY id_a, id_b
       """)),
 
-    // SimHash near-dup: 64-bit sign fingerprint, 4×16-bit bands,
-    // Hamming ≤ 3 verification.
+    // SimHash near-dup EDGES: 64-bit sign fingerprint, identical words
+    // collapsed to their min-id representative, 4×16-bit bands between
+    // DISTINCT words, Hamming ≤ 3 verification. This re-shapes the
+    // retired doc-pair contract (r10 VERDICT #7): enumerating doc-level
+    // pairs is quadratic in duplicate-cluster size BY CONTRACT (the 10×
+    // probe measured exponent 1.41 on it — a duplication-factor
+    // blowup no implementation can fix), while the word-edge surface is
+    // bounded by the distinct-word near-dup graph. q79 remains the
+    // canonical cluster consumer; this is the edge-level audit surface.
     Query(
-      "q42_simhash",
+      "q42_simhash_edges",
       (s, dir) => {
-        val sim = Dedup.simhash(dupedDocs(s, dir), "doc_id", "text")
-          .withColumn("bands", Dedup.simhashBands(F.col("simhash")))
-          .persist()
-        // The bucket cap must sit ABOVE the largest correlated cluster,
-        // or real Hamming≤3 pairs fall out of the candidate set (a
-        // 582-doc 16-bit-chunk bucket exists at sf0.1; a cap of 32
-        // dropped 466 true near-dup pairs — caught by this oracle).
-        // 4096 keeps recall 1 here while still guarding against a
-        // degenerate all-docs bucket; at larger scales the honest move
-        // is sub-splitting oversized buckets by a second band, not
-        // dropping them.
-        val cand = Dedup.candidatePairs(sim, "id", "bands", maxBucket = 4096)
-        cand
-          .join(sim.select(F.col("id").as("id_a"), F.col("simhash").as("h_a")), "id_a")
-          .join(sim.select(F.col("id").as("id_b"), F.col("simhash").as("h_b")), "id_b")
-          .select(F.col("id_a"), F.col("id_b"),
-            Dedup.hamming(F.col("h_a"), F.col("h_b")).as("hamming"))
-          .filter(F.col("hamming") <= 3)
+        // The bucket cap must sit ABOVE the largest correlated WORD
+        // cluster, or real Hamming≤3 edges fall out of the candidate
+        // set (the q42 lesson: a 582-doc 16-bit-chunk bucket at sf0.1
+        // with a cap of 32 dropped 466 true pairs — caught by this
+        // oracle). Word collapse shrinks buckets (identical docs are
+        // one word), so 4096 keeps recall 1 with wide margin while
+        // still guarding against a degenerate all-words bucket.
+        Dedup.simhashWordEdges(dupedDocs(s, dir), "doc_id", "text",
+            maxHamming = 3, maxBucket = 4096)
           .orderBy("id_a", "id_b")
       },
       // Recall-containment oracle: DuckDB replays the 64-bit simhash
       // word itself (the token hash is the first 8 md5 bytes precisely
-      // so both engines carry identical bits — SimHash64.tokenHash64)
-      // and lists ALL Hamming≤3 pairs by brute force. A Hamming≤3 pair
-      // differs in ≤3 of the four 16-bit bands, so it must share ≥1
-      // band — banding is structurally recall-1 — and hash-equality
+      // so both engines carry identical bits — SimHash64.tokenHash64),
+      // collapses identical words to min(doc_id), and lists ALL
+      // Hamming≤3 representative pairs by brute force. A Hamming≤3
+      // pair differs in ≤3 of the four 16-bit bands, so it must share
+      // ≥1 band — banding is structurally recall-1 — and hash-equality
       // further asserts that no qualifying pair fell to the bucket cap.
       Some(s"""
         WITH docs AS (
@@ -289,11 +288,12 @@ object PipelineQueries extends QueryPack {
           SELECT doc_id,
                  bit_or(CASE WHEN s > 0 THEN (1::UBIGINT << CAST(i AS INT))
                         ELSE 0::UBIGINT END) AS w
-          FROM bits GROUP BY doc_id)
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          FROM bits GROUP BY doc_id),
+        words AS (SELECT w, min(doc_id) AS rep FROM sim GROUP BY w)
+        SELECT a.rep AS id_a, b.rep AS id_b,
                CAST(bit_count(xor(a.w, b.w)) AS INT) AS hamming
-        FROM sim a, sim b
-        WHERE a.doc_id < b.doc_id AND bit_count(xor(a.w, b.w)) <= 3
+        FROM words a, words b
+        WHERE a.rep < b.rep AND bit_count(xor(a.w, b.w)) <= 3
         ORDER BY id_a, id_b
       """)),
 

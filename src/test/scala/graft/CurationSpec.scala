@@ -169,7 +169,7 @@ class CurationSpec extends AnyFunSuite {
     // brute-force anchor and centroid assignment use it deliberately).
     val dir = "/root/testdata/sf0.001"
     val joinBearing = Seq(
-      "q41_minhash_lsh", "q42_simhash", "q44_embedding_dedup",
+      "q41_minhash_lsh", "q42_simhash_edges", "q44_embedding_dedup",
       "q45_knn_brute", "q46_knn_lsh", "q53_revenue_top10",
       "q54_nation_revenue", "q55_cosine_pairs", "q56_knn_ivf",
       "q58_dup_clusters", "q59_asof_join", "q60_range_join", "q62_tfidf",

@@ -102,6 +102,35 @@ class PipelineSpec extends AnyFunSuite {
       "dataset cache must be empty after CacheRegistry.releaseAll()")
   }
 
+  test("simhashWordEdges: cliques collapse to representatives, output is duplication-invariant") {
+    // the re-shaped q42 contract: identical docs are one WORD, so a
+    // clique contributes zero edges — the edge set must not grow when
+    // the corpus is duplicated (the doc-pair form's e=1.41 blowup)
+    def edges(d: org.apache.spark.sql.DataFrame) =
+      Dedup.simhashWordEdges(d, "doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val e1 = edges(docs)
+    // brute-force expectation over word representatives: every rep pair
+    // at Hamming ≤ 3 (banding is recall-1 there, so sets must be equal)
+    val words = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._2).map { case (w, xs) => (w, xs.map(_._1).min) }.toSeq
+    val expected = (for {
+      (wa, ra) <- words; (wb, rb) <- words if ra < rb
+      h = java.lang.Long.bitCount(wa ^ wb) if h <= 3
+    } yield (ra, rb, h)).toSet
+    assert(e1 == expected, s"got $e1, expected $expected")
+    // 0 and 1 are identical (one word, rep 0): the clique member never
+    // appears as an edge endpoint
+    assert(!e1.exists(e => e._1 == 1L || e._2 == 1L),
+      s"clique member 1 must collapse into rep 0: $e1")
+    // duplicate every doc under shifted ids: reps stay the min ids, so
+    // the edge set is IDENTICAL — bounded by distinct words, not corpus
+    val duped = docs.unionByName(
+      docs.select((F.col("doc_id") + 100).as("doc_id"), F.col("text")))
+    assert(edges(duped) == e1, "edge set must be duplication-invariant")
+  }
+
   test("simhashClusters drops null-text docs instead of fusing them into one cluster") {
     val withNulls = docs.unionByName(Seq(
       (100L, null.asInstanceOf[String]), (101L, null.asInstanceOf[String]))
