@@ -867,6 +867,61 @@ object Dedup {
         F.col("n_dup_chunks").cast("double") / F.col("n_chunks").cast("double"))
   }
 
+  /** The containment pair-traffic budget: `graft.containment.maxPairs`
+    * (rows through the pair-aggregation exchange), default 5×10^8
+    * (~12 GB of scalar pair rows). Raise it on a real cluster; the
+    * default is sized so a single machine degrades instead of dying. */
+  private def pairBudget(spark: org.apache.spark.sql.SparkSession): Long =
+    try spark.conf.get("graft.containment.maxPairs").toLong
+    catch { case _: Throwable => 500000000L }
+
+  /** The largest df cap whose EXACT cumulative pair mass
+    * Σ_{df≤cap} df·(df−1) fits `budget`, together with the mass at the
+    * caller's `maxDf`. This is the deterministic degradation shared by
+    * [[containmentPairs]] and the q92 registration's nightly-rebuild
+    * shape: when a corpus's whole vocabulary drifts toward the cap (the
+    * failure the per-gram cap cannot see — no single gram over `maxDf`,
+    * but Σ df² explosive), evidence narrows to the lowest-df, i.e.
+    * most-discriminative, grams until the pair join is affordable;
+    * `cap = 1` means honest "no discriminative evidence", never an n²
+    * explosion. Runs one memoized vocabulary-scan job (plus one
+    * histogram job — at most `maxDf` distinct df values — only when
+    * over budget); on estimate failure it fails OPEN to `maxDf`,
+    * preserving the previous never-load-bearing contract. */
+  def adaptiveContainmentCap(gramDf: DataFrame, dfCol: String, maxDf: Int,
+                             budget0: Long = -1L): (Int, Double) = {
+    val budget = if (budget0 > 0) budget0 else pairBudget(gramDf.sparkSession)
+    val capped = gramDf
+      .select(F.col(dfCol).cast("long").as("__dfv"))
+      .filter(F.col("__dfv").between(2L, maxDf.toLong))
+    val est =
+      try Similarity.memoizedScalar(capped) { g =>
+        Option(g.agg(F.sum(F.col("__dfv") * (F.col("__dfv") - F.lit(1L)))).head.get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
+      }.toDouble
+      catch { case _: Throwable => -1.0 }
+    if (est < 0 || est <= budget.toDouble) (maxDf, est)
+    else {
+      val cap =
+        // the budget literal rides the plan so the memo key differs per
+        // budget — two calls at different budgets must not share a cap
+        try Similarity.memoizedScalar(capped.select(F.col("__dfv").as("__dfh"),
+            F.lit(budget).as("__budget"))) { g =>
+          val hist = g.groupBy("__dfh").agg(F.count(F.lit(1)).as("__k"))
+            .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+          var cum = 0L; var cap = 1L; var open = true
+          hist.foreach { case (dfv, cnt) =>
+            val add = dfv * (dfv - 1) * cnt
+            if (open && cum + add <= budget) { cum += add; cap = dfv }
+            else open = false
+          }
+          cap
+        }
+        catch { case _: Throwable => maxDf.toLong }
+      (math.min(cap, maxDf.toLong).toInt, est)
+    }
+  }
+
   /** Asymmetric near-containment pairs: (id_small, id_big) where the
     * smaller document's distinct k-gram set is ≥ `tau` contained in the
     * larger's — |A∩B| / min(|A|,|B|). Catches subset-duplicates (a doc
@@ -886,11 +941,27 @@ object Dedup {
     *
     * NOT fully lazy: sizing that exchange runs ONE Spark job at plan
     * CONSTRUCTION time (the Σ df·(df−1) aggregate over the gram
-    * frequencies — a corpus scan on first build). It is memoized per
-    * (plan, file-state) per session, so rebuilds (bench min-of-N,
-    * Explain, registry sweeps) are job-free — PipelineSpec pins that —
-    * and on failure the width falls back to machine parallelism, so the
-    * action is never load-bearing for correctness. */
+    * frequencies — a corpus scan on first build), plus one
+    * vocabulary-histogram job when the pair budget forces cap
+    * adaptation. Both are memoized per (plan, file-state) per session,
+    * so rebuilds (bench min-of-N, Explain, registry sweeps) are
+    * job-free — PipelineSpec pins that — and on failure the width falls
+    * back to machine parallelism, so the action is never load-bearing
+    * for correctness.
+    *
+    * Pair BUDGET (r11, found by the 100× probe): the per-gram cap alone
+    * does not bound the operator — a corpus whose entire vocabulary
+    * sits just UNDER `maxDf` has Σ df² pair mass with no single gram
+    * over the cap (the probe's small-vocab corpus hit ~2×10^10 pair
+    * rows at df ≈ 900 and filled the disk). Before building the pair
+    * join, the EXACT capped mass Σ_{df≤maxDf} df·(df−1) is checked
+    * against `graft.containment.maxPairs` (default 5×10^8); when over,
+    * [[adaptiveContainmentCap]] lowers the effective cap to the largest
+    * df whose cumulative pair mass fits — keeping exactly the
+    * most-discriminative (lowest-df) grams, the IDF end of the
+    * evidence. The degradation is deterministic (exact counts), logged
+    * loudly, and never triggers in the discriminative regime the
+    * oracles pin (sf0.01/sf0.1 mass ≪ budget). */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        k: Int = 3, tau: Double = 0.8, maxDf: Int = 1000,
                        persistGrams: Boolean = false): DataFrame = {
@@ -907,21 +978,23 @@ object Dedup {
     // memoized like the LSH band-fanout count: one estimate job per
     // (plan, file-state) per session, so repeated builds (bench
     // min-of-2, Explain) never re-pay the corpus scan
-    val estPairs =
-      try Similarity.memoizedScalar(gdf) { g =>
-        Option(g.agg(F.sum(F.col("__df") * (F.col("__df") - F.lit(1L)))).head.get(0))
-          .map(_.asInstanceOf[Long]).getOrElse(0L)
-      }.toDouble
-      catch { case _: Throwable => -1.0 }
-    val w = Explosion.width(estPairs, machine)
-    if (w != machine) Explosion.logWidth("containmentPairs", estPairs, w)
+    val budget = pairBudget(spark)
+    val (effMaxDf, estPairs) = adaptiveContainmentCap(gdf, "__df", maxDf, budget)
+    if (effMaxDf < maxDf)
+      println(s"[graft] containmentPairs: near-cap vocabulary — est pair mass " +
+        f"$estPairs%.3g over budget $budget; df cap $maxDf -> $effMaxDf")
+    // width from the mass the pair join will actually carry: the capped
+    // estimate, bounded by the budget once the cap adapted
+    val estForWidth = if (effMaxDf < maxDf) budget.toDouble else estPairs
+    val w = Explosion.width(estForWidth, machine)
+    if (w != machine) Explosion.logWidth("containmentPairs", estForWidth, w)
     // the filtered gram frame feeds three consumers (sizes + both join
     // sides) = three corpus scans by default. Same knob/tradeoff as
     // `chunkDedupProfile.persistChunks`: persist caches the (id, g)
     // scalar explosion — O(tokens) 16-byte rows — to trade memory for
     // the repeated scan; leave false when columnar re-scan is cheaper
     // than the cache footprint (the usual case).
-    val grams1 = grams0.join(gdf, "g").filter(F.col("__df") <= maxDf).select("id", "g")
+    val grams1 = grams0.join(gdf, "g").filter(F.col("__df") <= effMaxDf).select("id", "g")
     val grams = if (persistGrams)
       graft.core.CacheRegistry.track("containmentPairs.grams", grams1) else grams1
     val sizes = grams.groupBy("id").agg(F.count(F.lit(1)).as("__n"))

@@ -644,12 +644,20 @@ object CurationQueries extends QueryPack {
         val d = Tables.documents(s, dir).select(F.col("doc_id"), F.col("text"))
         val index = Dedup.containmentGramIndex(d, "doc_id", "text").persist()
         val gramDf = index.groupBy("g").agg(F.count(F.lit(1)).as("df"))
-        val sizes = index.join(gramDf.filter(F.col("df") <= 1000), "g")
+        // nightly-rebuild cap selection: the SAME pair-budget
+        // degradation containmentPairs applies (r11 — the 100× probe
+        // filled the disk when the whole vocabulary sat just under a
+        // fixed cap). At the oracle SFs the mass is far under budget,
+        // so eff == 1000 and the hash contract is unchanged; stored
+        // sizes and the fold share the one effective cap, which the
+        // rebuild-equivalence property requires.
+        val eff = Dedup.adaptiveContainmentCap(gramDf, "df", 1000)._1
+        val sizes = index.join(gramDf.filter(F.col("df") <= eff), "g")
           .groupBy("id").agg(F.count(F.lit(1)).as("n"))
         val batch = d.filter(F.pmod(F.col("doc_id"), F.lit(10)) === 0)
           .select((F.col("doc_id") + 1000000).as("doc_id"), F.col("text"))
         Dedup.containmentPairsIncremental(index, gramDf, sizes, batch,
-            "doc_id", "text", k = 3, tau = 0.8, maxDf = 1000)
+            "doc_id", "text", k = 3, tau = 0.8, maxDf = eff)
           .orderBy("id_small", "id_big")
       },
       Some(s"""
