@@ -33,6 +33,10 @@ object ScaleProbe {
       // corpus sizes this box can actually build
       .config("graft.broadcastVecMaxBytes", sys.env.getOrElse(
         "GRAFT_BC_VEC_BYTES", (128L * 1024 * 1024).toString))
+      // probe knob: shrink the containment pair budget below the
+      // library default when probing on a disk-constrained box
+      .config("graft.containment.maxPairs", sys.env.getOrElse(
+        "GRAFT_CONTAINMENT_MAX_PAIRS", "500000000"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -109,6 +113,12 @@ object ScaleProbe {
       // cache teardown happens OUTSIDE the measured interval — it would
       // otherwise skew the overhead-bound sub-second exponents
       spark.catalog.clearCache()
+      // shuffle files persist until the ContextCleaner GCs their
+      // dependencies: without a nudge, min-of-2 legs of a budget-bound
+      // pair query stack ~2x the per-leg spill on disk (this killed the
+      // first two r11 containment probes at 100x). Two gc passes give
+      // the weak-ref queue a chance to drain before the next leg.
+      System.gc(); Thread.sleep(500); System.gc(); Thread.sleep(500)
       elapsed
     }
     println(f"${"query"}%-22s ${"t_1x"}%8s ${"t_10x"}%8s  exp")

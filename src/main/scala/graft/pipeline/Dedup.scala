@@ -875,6 +875,24 @@ object Dedup {
     try spark.conf.get("graft.containment.maxPairs").toLong
     catch { case _: Throwable => 500000000L }
 
+  /** Broadcast the per-doc set-size frame (one 16-byte row per doc)
+    * into the containment joins when the doc count is under
+    * `graft.containment.maxBroadcastDocs` (default 8M ≈ 128 MB).
+    * Without the hint Catalyst plans BOTH size joins as sort-merge —
+    * which re-exchanges AND re-sorts the budget-bound pair stream twice
+    * more (the r11 probe measured ~3× the pair-exchange bytes on disk
+    * from exactly this). Above the bound the shuffled join is the
+    * honest plan: a corpus with >8M docs has a sizes frame too big to
+    * ship to every executor. The count is memoized per (plan,
+    * file-state); on failure the hint is skipped — never load-bearing. */
+  private def maybeBroadcastSizes(sizes: DataFrame, countFrom: DataFrame): DataFrame = {
+    val maxRows =
+      try sizes.sparkSession.conf.get("graft.containment.maxBroadcastDocs").toLong
+      catch { case _: Throwable => 8000000L }
+    val n = try Similarity.memoizedCount(countFrom) catch { case _: Throwable => -1L }
+    if (n >= 0 && n <= maxRows) F.broadcast(sizes) else sizes
+  }
+
   /** The largest df cap whose EXACT cumulative pair mass
     * Σ_{df≤cap} df·(df−1) fits `budget`, together with the mass at the
     * caller's `maxDf`. This is the deterministic degradation shared by
@@ -997,7 +1015,9 @@ object Dedup {
     val grams1 = grams0.join(gdf, "g").filter(F.col("__df") <= effMaxDf).select("id", "g")
     val grams = if (persistGrams)
       graft.core.CacheRegistry.track("containmentPairs.grams", grams1) else grams1
-    val sizes = grams.groupBy("id").agg(F.count(F.lit(1)).as("__n"))
+    val sizes = maybeBroadcastSizes(
+      grams.groupBy("id").agg(F.count(F.lit(1)).as("__n")),
+      docs.select(F.col(idCol)))
     val pairs0 = grams.select(F.col("g"), F.col("id").as("id_a"))
       .join(grams.select(F.col("g"), F.col("id").as("id_b")), "g")
       .filter(F.col("id_a") < F.col("id_b"))
@@ -1084,7 +1104,10 @@ object Dedup {
       .join(corr, Seq("id"), "left")
       .select(F.col("id"),
         (F.col("__n0") - F.coalesce(F.col("__cut"), F.lit(0L))).as("__n"))
-    val sizes = bSizes.unionByName(iSizes)
+    // one row per (index ∪ batch) doc — the id union is the exact
+    // broadcast-bound count, and both legs are metadata-cheap scans
+    val sizes = maybeBroadcastSizes(bSizes.unionByName(iSizes),
+      sizesIdx.select(F.col("id")).unionByName(batch.select(F.col(idCol).as("id"))))
     val bi = bKept.select(F.col("g"), F.col("id").as("__x"))
       .join(idxCand.select(F.col("g"), F.col("id").as("__y")), "g")
     val bb = bKept.select(F.col("g"), F.col("id").as("__x"))

@@ -160,6 +160,14 @@ class CurationSpec extends AnyFunSuite {
     // q69: both reductions carry integer partials with map-side combine
     val p69 = plan("q69_cluster_stats")
     assert(p69.contains("partial_sum"), p69)
+    // q89: the budget-bound pair stream is exchanged ONCE — the per-doc
+    // sizes joins must broadcast (the r11 probe measured ~3x the pair
+    // bytes on disk when they planned as sort-merge), leaving the gram
+    // inverted-index join as the only SortMergeJoin in the plan
+    val p89 = plan("q89_containment_pairs")
+    assert("SortMergeJoin".r.findAllIn(p89).length == 1,
+      s"expected exactly 1 SortMergeJoin (the gram equi-join):\n$p89")
+    assert("BroadcastHashJoin".r.findAllIn(p89).length >= 2, p89)
   }
 
   test("no un-broadcast cartesian product appears in any join-bearing query plan") {
