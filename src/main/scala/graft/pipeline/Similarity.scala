@@ -337,25 +337,39 @@ object Similarity {
     // several cells, ≤ mprobe of them) recompute the same cosine —
     // compiled-kernel flops are ~3× cheaper than shuffling the pair
     // set, and identical inputs give bit-identical cosines, so the
-    // late distinct is exact. Above the broadcast bound fall back to
-    // dedupe-early + shuffled joins (there the 2× pair shrink from
-    // distinct outweighs pipelining; at that scale you pre-partition
-    // corpus and candidates by id — nothing broadcast-sized remains).
-    val va = corpus.select(F.col(idCol).as("id_a"), F.col(vecCol).as("va"))
-    val vb = corpus.select(F.col(idCol).as("id_b"), F.col(vecCol).as("vb"))
-    if (total >= 0 && broadcastableVecs(c, "cv", total))
+    // late distinct is exact. Above the broadcast bound the r11 starved
+    // probe KILLED the old dedupe-early + shuffled-join fallback: the
+    // second payload join re-keys the pair stream by id_b carrying the
+    // attached 256 B vector — ~2×10^11 bytes of exchange at 7e8
+    // candidates — and its sort-merge sorts spilled past all scratch
+    // (disk death in <6 min). The shuffle-honest shape instead carries
+    // the vectors THROUGH the cell join: both join sides are
+    // corpus-sized (n·mprobe rows of (id, vec), keyed by cell), and the
+    // Σ|cell|² explosion flows straight into cosine→filter inside the
+    // join stage — pipelined, never exchanged — so the only pair-sized
+    // shuffle left is the survivors-only distinct. Duplicated
+    // candidates (≤ mprobe per pair) recompute bit-identical cosines,
+    // same argument as the broadcast path's dedupe-late.
+    if (total >= 0 && broadcastableVecs(c, "cv", total)) {
+      val va = corpus.select(F.col(idCol).as("id_a"), F.col(vecCol).as("va"))
+      val vb = corpus.select(F.col(idCol).as("id_b"), F.col(vecCol).as("vb"))
       candDup
         .join(F.broadcast(va), "id_a")
         .join(F.broadcast(vb), "id_b")
         .select(F.col("id_a"), F.col("id_b"), cos(F.col("va"), F.col("vb")).as("cos"))
         .filter(F.col("cos") > threshold)
         .distinct()
-    else
-      candDup.distinct()
-        .join(va, "id_a")
-        .join(vb, "id_b")
+    } else {
+      val withVec = cells.join(c.select(F.col("cid0"), F.col("cv")), "cid0")
+      val a2 = withVec.repartition(parts, F.col("cell"))
+        .select(F.col("cid0").as("id_a"), F.col("cell"), F.col("cv").as("va"))
+      val b2 = withVec
+        .select(F.col("cid0").as("id_b"), F.col("cell"), F.col("cv").as("vb"))
+      a2.join(b2, "cell").filter(F.col("id_a") < F.col("id_b"))
         .select(F.col("id_a"), F.col("id_b"), cos(F.col("va"), F.col("vb")).as("cos"))
         .filter(F.col("cos") > threshold)
+        .distinct()
+    }
   }
 
   /** Byte budget for broadcasting the verify join's (id → vector)

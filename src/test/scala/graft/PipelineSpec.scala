@@ -267,14 +267,23 @@ class PipelineSpec extends AnyFunSuite {
       assert(bcPlan.contains("BroadcastHashJoin [id_a#") &&
           bcPlan.contains("BroadcastHashJoin [id_b#"),
         s"within budget the verify payloads must broadcast:\n$bcPlan")
-      // starve the budget: the shuffled dedupe-early fallback engages
+      // starve the budget: the carry-through-cell fallback engages —
+      // vectors ride the cell join, so NO id-keyed payload join (of
+      // either kind) may appear; the only pair-keyed exchange is the
+      // survivors-only distinct (r11: the dedupe-early shuffled-join
+      // form re-keyed pairs WITH attached vectors and died on disk at
+      // the 100x starved probe)
       spark.conf.set("graft.broadcastVecMaxBytes", "100")
       val sh = Similarity.cosinePairsViaCells(vecs, 0.5, rowCount = 64L)
       val shPlan = sh.queryExecution.executedPlan.toString
       assert(!shPlan.contains("BroadcastHashJoin [id_a#") &&
           !shPlan.contains("BroadcastHashJoin [id_b#") &&
-          shPlan.contains("SortMergeJoin [id_a#"),
-        s"over budget no payload side may broadcast:\n$shPlan")
+          !shPlan.contains("SortMergeJoin [id_a#") &&
+          !shPlan.contains("SortMergeJoin [id_b#"),
+        s"over budget the verify must not join payloads by id at all:\n$shPlan")
+      assert(shPlan.contains("SortMergeJoin [cell#") ||
+          shPlan.contains("ShuffledHashJoin [cell#"),
+        s"fallback must pair through the cell join:\n$shPlan")
       // the branch is performance-only: identical pair sets
       def pairs(df: org.apache.spark.sql.DataFrame) =
         df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
