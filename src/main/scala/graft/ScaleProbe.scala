@@ -99,7 +99,8 @@ object ScaleProbe {
       "q85_bloom_incremental", "q86_train_val_test",
       "q87_source_overlap", "q88_source_overlap_incremental",
       "q89_containment_pairs", "q90_source_caps", "q91_quality_gate",
-      "q92_containment_incremental")
+      "q92_containment_incremental", "q93_ngram_novelty",
+      "q94_strip_dup_spans")
     // optional 4th arg: comma-separated name prefixes to re-probe a subset
     val sel = if (args.length > 3) {
       val ps = args(3).split(",")

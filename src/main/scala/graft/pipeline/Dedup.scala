@@ -867,6 +867,55 @@ object Dedup {
         F.col("n_dup_chunks").cast("double") / F.col("n_chunks").cast("double"))
   }
 
+  /** Cross-document duplicate-SPAN stripping — the REWRITE member of the
+    * chunk family: where `chunkDedupProfile` only measures how much of a
+    * document is boilerplate, this removes it. Documents are cut into
+    * consecutive `size`-token chunks (same hash, same windows as the
+    * profile); a chunk whose content appears in ≥ 2 distinct documents
+    * is dropped from every document carrying it, and the survivors are
+    * re-joined into `clean_text`. Chunk-granular exact-substring dedup —
+    * the operation that strips shared headers/footers/license blocks
+    * from a web corpus while keeping each page's unique remainder
+    * (whole-doc dedup would keep both pages, boilerplate intact).
+    *
+    * Emits (id, n_tokens, n_removed, clean_text); null text stays null
+    * (n_removed 0), and the ≤ size-1 tail tokens beyond the last full
+    * chunk are always kept (their window index exceeds every chunk
+    * position, so coverage tests are vacuously false).
+    *
+    * Shape at scale: the shuffles carry (16-byte hash, id, pos) scalars
+    * only — text moves exactly once, through the final id-keyed join
+    * that attaches each doc's (typically tiny) duplicated-position set.
+    * That join is skew-safe: per-doc state is one array bounded by the
+    * doc's own chunk count, and docs with NO duplicated chunks don't
+    * appear on the build side at all. The rewrite itself is a
+    * scan-stage higher-order filter — no extra exchange. */
+  def stripDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                          size: Int = 3): DataFrame = {
+    val toks = docs.select(F.col(idCol), TextOps.tokens(F.col(textCol)).as("__w"))
+    val chunks = toks.select(F.col(idCol),
+      F.posexplode(TextOps.chunkHashesKernel(F.col("__w"), size)).as(Seq("pos", "chunk_hash")))
+    val dupHashes = chunks.groupBy("chunk_hash")
+      .agg(F.min(idCol).as("__mn"), F.max(idCol).as("__mx"))
+      .filter(F.col("__mn") =!= F.col("__mx"))
+      .select("chunk_hash")
+    val dupPos = chunks.join(dupHashes, "chunk_hash")
+      .groupBy(idCol).agg(F.collect_set(F.col("pos")).as("__dp0"))
+    toks.join(dupPos, Seq(idCol), "left")
+      // docs without duplicated chunks miss the join → null set; the
+      // coalesce keeps the keep-test three-valued-logic-free (a null
+      // array_contains would silently drop every token)
+      .withColumn("__dp", F.coalesce(F.col("__dp0"), F.array().cast("array<int>")))
+      .select(F.col(idCol),
+        F.size(F.col("__w")).as("n_tokens"),
+        (F.size(F.col("__dp")) * size).as("n_removed"),
+        F.array_join(
+          F.filter(F.col("__w"), (_, j) =>
+            !F.array_contains(F.col("__dp"),
+              F.floor(j.cast("double") / size).cast("int"))),
+          " ").as("clean_text"))
+  }
+
   /** The containment pair-traffic budget: `graft.containment.maxPairs`
     * (rows through the pair-aggregation exchange), default 5×10^8
     * (~12 GB of scalar pair rows). Raise it on a real cluster; the

@@ -330,4 +330,54 @@ object TextOps {
       .withColumn("tfidf", F.col("tf") * F.log(F.col("__n") / F.col("df").cast("double")))
       .drop("__n")
   }
+
+  /** The distinct k-gram vocabulary of a reference corpus — the stored
+    * artifact `ngramNoveltyFromVocab` consumes. One column `g` (60-bit
+    * md5 k-gram hash, the engine-portable hash the whole gram family
+    * shares). At 100 TB persist it bucketed on `g`
+    * (`TadaIO.writeBucketed`): the novelty join below is then
+    * shuffle-free on the vocabulary side, and nightly snapshot growth
+    * appends without re-shuffling the accumulated vocabulary. */
+  def refGramVocab(ref: DataFrame, textCol: String, k: Int = 3): DataFrame =
+    ref.select(F.explode(distinctKgramHashes(tokens(F.col(textCol)), k)).as("g"))
+      .distinct()
+
+  /** Per-document n-gram NOVELTY against a reference corpus: the
+    * fraction of the document's distinct k-grams absent from the
+    * reference vocabulary. The data-value / memorization twin of the
+    * q76 contamination check — contamination asks "does this eval doc
+    * leak into training?", novelty asks "how much of this candidate
+    * batch is new information vs what the corpus already holds?" (dedup
+    * triage, snapshot-over-snapshot crawl value, curriculum scoring).
+    *
+    * Docs with no k-grams (shorter than k tokens, or null text) surface
+    * with n_grams = 0 and null novelty — kept, not dropped, so a
+    * curation funnel can route them explicitly.
+    *
+    * Shape at scale: both sides collapse to (g) / (id, g) scalar rows;
+    * the membership probe is one equi-join on g (shuffle-free on the
+    * vocabulary side when the vocab is stored bucketed on g) and the
+    * rollup is one hash aggregation on id with map-side combine. No
+    * payloads move; nothing is quadratic. */
+  def ngramNoveltyFromVocab(vocab: DataFrame, docs: DataFrame,
+                            idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    val tg = docs.select(F.col(idCol),
+      F.explode_outer(distinctKgramHashes(tokens(F.col(textCol)), k)).as("g"))
+    tg.join(vocab.select(F.col("g"), F.lit(1).as("__hit")), Seq("g"), "left")
+      .groupBy(idCol)
+      .agg(F.count(F.col("g")).as("n_grams"),
+        F.sum(F.when(F.col("g").isNotNull && F.col("__hit").isNull, 1L)
+          .otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        F.when(F.col("n_grams") === 0, F.lit(null).cast("double"))
+          .otherwise(F.round(F.col("n_novel").cast("double") / F.col("n_grams"), 6)))
+  }
+
+  /** Novelty against an inline reference frame — builds the vocabulary
+    * and probes it in one plan (the ad-hoc form; stored pipelines use
+    * `refGramVocab` + `ngramNoveltyFromVocab` so the vocabulary is
+    * computed once per snapshot, not once per scoring run). */
+  def ngramNovelty(docs: DataFrame, ref: DataFrame,
+                   idCol: String, textCol: String, k: Int = 3): DataFrame =
+    ngramNoveltyFromVocab(refGramVocab(ref, textCol, k), docs, idCol, textCol, k)
 }

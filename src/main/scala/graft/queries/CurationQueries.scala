@@ -690,5 +690,81 @@ object CurationQueries extends QueryPack {
         SELECT * FROM j
         WHERE containment >= 0.8 AND (id_small >= 1000000 OR id_big >= 1000000)
         ORDER BY id_small, id_big
+      """)),
+
+    // N-gram novelty: what fraction of each candidate doc's distinct
+    // 3-grams is ABSENT from the reference corpus — the data-value twin
+    // of the q76 contamination check (new-crawl triage, snapshot-over-
+    // snapshot scoring). Reference = docs with doc_id % 10 != 0,
+    // candidates = the rest, the q92-style held-out split. Scalar
+    // (id, g) rows through one vocabulary join + one rollup.
+    Query(
+      "q93_ngram_novelty",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        graft.pipeline.TextOps.ngramNovelty(
+            d.filter(F.pmod(F.col("doc_id"), F.lit(10)) === 0),
+            d.filter(F.pmod(F.col("doc_id"), F.lit(10)) =!= 0),
+            "doc_id", "text", k = 3)
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH ws AS (
+          SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+        kg AS (
+          SELECT doc_id, list_distinct(CASE WHEN len(w) < 3 THEN []
+                   ELSE [('0x' || substring(md5(array_to_string(w[i:i+2], ' ')), 1, 15))::BIGINT
+                         FOR i IN range(1, len(w) - 1)] END) AS gs
+          FROM ws),
+        ref AS (SELECT DISTINCT unnest(gs) AS g FROM kg WHERE doc_id % 10 <> 0),
+        tg AS (SELECT doc_id, unnest(gs) AS g FROM kg WHERE doc_id % 10 = 0),
+        per AS (
+          SELECT tg.doc_id, count(*) AS n_grams,
+                 CAST(sum(CASE WHEN ref.g IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+          FROM tg LEFT JOIN ref ON tg.g = ref.g GROUP BY 1)
+        SELECT d.doc_id, CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+               CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel,
+               CASE WHEN coalesce(n_grams, 0) = 0 THEN NULL
+                    ELSE round(CAST(n_novel AS DOUBLE) / n_grams, 6) END AS novelty
+        FROM documents d LEFT JOIN per USING (doc_id)
+        WHERE d.doc_id % 10 = 0 ORDER BY d.doc_id
+      """)),
+
+    // Duplicate-span stripping: remove every 3-token chunk that appears
+    // verbatim in >= 2 distinct docs, keep each doc's unique remainder —
+    // the rewrite member of the q67 chunk family (shared header/footer/
+    // license boilerplate removal). Hash+position scalars through two
+    // exchanges; text moves once, rewrite is a scan-stage HOF filter.
+    Query(
+      "q94_strip_dup_spans",
+      (s, dir) => {
+        Dedup.stripDuplicateSpans(Tables.documents(s, dir), "doc_id", "text", size = 3)
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH ws AS (
+          SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+        ch AS (
+          SELECT doc_id,
+                 unnest([{'pos': i, 'h': md5(array_to_string(w[i*3+1:i*3+3], ' '))}
+                         FOR i IN range(0, len(w)//3)], recursive := true)
+          FROM ws),
+        dup AS (
+          SELECT h FROM ch GROUP BY h HAVING min(doc_id) <> max(doc_id)),
+        dp AS (
+          SELECT doc_id, list(DISTINCT pos) AS dps
+          FROM ch JOIN dup USING (h) GROUP BY doc_id),
+        j AS (
+          SELECT ws.doc_id, w, coalesce(dps, []) AS dp2
+          FROM ws LEFT JOIN dp USING (doc_id))
+        SELECT doc_id, CAST(len(w) AS INT) AS n_tokens,
+               CAST(3 * len(dp2) AS INT) AS n_removed,
+               -- array_to_string([]) is NULL in DuckDB but '' in Spark;
+               -- only a NULL input doc may yield NULL clean_text
+               CASE WHEN w IS NULL THEN NULL
+                    ELSE coalesce(array_to_string(
+                      [w[j] FOR j IN range(1, len(w) + 1)
+                       IF NOT list_contains(dp2, (j - 1) // 3)], ' '), '') END AS clean_text
+        FROM j ORDER BY doc_id
       """)))
 }

@@ -369,4 +369,54 @@ class CurationSpec extends AnyFunSuite {
     assert(exact.subsetOf(autoApprox) && (autoApprox.size - exact.size) <= 2,
       s"exact=$exact approx=$autoApprox")
   }
+
+  test("ngramNovelty: set-model fractions; short and null docs surface with null score") {
+    val ref = Seq((100, "the quick brown fox jumps"), (101, "over the lazy dog"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1, "the quick brown fox jumps"),       // every 3-gram in ref -> 0.0
+      (2, "completely novel phrasing here now"), // nothing shared -> 1.0
+      (3, "the quick brown elephant sings loudly"), // first 3-gram known, rest not
+      (4, "too short"),                       // < 3 tokens -> 0 grams, null
+      (5, null.asInstanceOf[String])          // null text -> 0 grams, null
+    ).toDF("doc_id", "text")
+    val out = TextOps.ngramNovelty(docs, ref, "doc_id", "text", k = 3)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))))
+      .toMap
+    assert(out(1) == ((3L, 0L, Some(0.0))))
+    assert(out(2) == ((3L, 3L, Some(1.0))))
+    // doc 3: 4 grams, only "the quick brown" appears in ref
+    assert(out(3)._1 == 4L && out(3)._2 == 3L && out(3)._3 == Some(0.75))
+    assert(out(4) == ((0L, 0L, None)))
+    assert(out(5) == ((0L, 0L, None)))
+    assert(out.size == 5)
+  }
+
+  test("stripDuplicateSpans: cross-doc chunks removed, unique text and tails kept") {
+    val docs = Seq(
+      // docs 1 and 2 share the chunk "common header text" at different
+      // positions; doc 1 also carries a 2-token tail past its last chunk
+      (1, "common header text unique one alpha tail bit"),
+      (2, "body two beta common header text"),
+      (3, "entirely different content here"),  // 1 chunk, unshared + 1-token tail
+      (4, "tiny"),                              // 0 chunks -> untouched
+      (5, null.asInstanceOf[String])            // null in, null out
+    ).toDF("doc_id", "text")
+    val out = Dedup.stripDuplicateSpans(docs, "doc_id", "text", size = 3)
+      .collect().map(r => r.getInt(0) ->
+        ((if (r.isNullAt(1)) -1 else r.getInt(1), r.getInt(2),
+          if (r.isNullAt(3)) null else r.getString(3))))
+      .toMap
+    assert(out(1) == ((8, 3, "unique one alpha tail bit")))
+    assert(out(2) == ((6, 3, "body two beta")))
+    assert(out(3) == ((4, 0, "entirely different content here")))
+    assert(out(4) == ((1, 0, "tiny")))
+    assert(out(5) == ((-1, 0, null)))
+    // a doc made ENTIRELY of shared chunks empties to "" (not null)
+    val docs2 = Seq((1, "a b c"), (2, "a b c")).toDF("doc_id", "text")
+    val all = Dedup.stripDuplicateSpans(docs2, "doc_id", "text", size = 3)
+      .collect().map(r => r.getString(3))
+    assert(all.forall(_ == ""))
+  }
 }
