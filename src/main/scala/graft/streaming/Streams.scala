@@ -206,6 +206,39 @@ object Streams {
       .filter(F.col("containment") >= tau)
   }
 
+  /** Streaming twin of `TextOps.ngramNoveltyFromVocab` (q93): arriving
+    * documents scored for n-gram novelty against the STORED reference
+    * vocabulary as they land — new-crawl triage at ingest time.
+    *
+    * Fully STATELESS: the vocabulary collapses to a single-row sorted
+    * array (resolved once, not per micro-batch), each arrival's novelty
+    * is one scan-stage `array_except` against the broadcast row, and
+    * emission is immediate — no watermark, no state store, no streaming
+    * aggregation. Values are exactly the batch operator's (both sides
+    * count the same distinct-gram sets).
+    *
+    * Scale bound: the broadcast row is 8 B × |vocab| — fine to
+    * ~10^7-10^8 grams. Past that, score in the batch operator over
+    * accumulated micro-batches (the vocab join stays distributed), or
+    * gate arrivals with a bloom sketch of the vocabulary and accept
+    * false-positive grams slightly UNDER-counting novelty. */
+  def noveltyStream(stream: DataFrame, vocab: DataFrame,
+                    idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    val T = graft.pipeline.TextOps
+    val vrow = vocab.agg(F.sort_array(F.collect_set("g")).as("__vocab"))
+      .localCheckpoint(true)
+    stream
+      .select(F.col(idCol), T.distinctKgramHashes(T.tokens(F.col(textCol)), k).as("__gs"))
+      .crossJoin(F.broadcast(vrow))
+      .select(F.col(idCol),
+        F.coalesce(F.size(F.col("__gs")), F.lit(0)).cast("long").as("n_grams"),
+        F.coalesce(F.size(F.array_except(F.col("__gs"), F.col("__vocab"))), F.lit(0))
+          .cast("long").as("n_novel"))
+      .withColumn("novelty",
+        F.when(F.col("n_grams") === 0, F.lit(null).cast("double"))
+          .otherwise(F.round(F.col("n_novel").cast("double") / F.col("n_grams"), 6)))
+  }
+
   /** Streaming deterministic sampling: the md5 row-coordinate predicate
     * (`Sampling.hashBp`) is stateless and partition-independent, so the
     * SAME rows survive in a replayed/reordered stream as in the batch

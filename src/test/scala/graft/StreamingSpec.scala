@@ -354,6 +354,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming novelty against a stored vocabulary equals the batch operator") {
+    // q93's streaming twin: stateless, immediate emission, no state
+    // store — values identical to TextOps.ngramNoveltyFromVocab
+    import spark.implicits._
+    val T = graft.pipeline.TextOps
+    val dir = java.nio.file.Files.createTempDirectory("graft-novelty-stream")
+    val ref = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val vocab = T.refGramVocab(ref, "text").persist()
+    val arrivals = Seq(
+      (1L, "the quick brown fox jumps"),          // all known -> 0.0
+      (2L, "completely novel phrasing here now"), // all new -> 1.0
+      (3L, "xy"),                                 // no grams -> null score
+      (4L, null.asInstanceOf[String]))            // null text -> null score
+    def writeBatch(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text")
+        .repartition(1).write.mode("append").parquet(dir.toString + "/docs")
+    writeBatch(arrivals.take(2))
+    val schema = Seq((0L, "x")).toDF("doc_id", "text").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString + "/docs")
+    val q = Streams.noveltyStream(stream, vocab, "doc_id", "text")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("novelty_out").start()
+    try {
+      q.processAllAvailable()
+      writeBatch(arrivals.drop(2)) // second micro-batch: edge docs
+      q.processAllAvailable()
+      def row(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+      val streamed = spark.table("novelty_out").collect().map(row).toSet
+      val batch = T.ngramNoveltyFromVocab(vocab,
+          arrivals.toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(row).toSet
+      assert(streamed == batch, s"stream $streamed != batch $batch")
+      assert(streamed.map(r => r._1 -> r._4).toMap ==
+        Map(1L -> Some(0.0), 2L -> Some(1.0), 3L -> None, 4L -> None))
+    } finally q.stop()
+  }
+
   test("streaming bloom-gated exact dedup equals the batch operator") {
     import spark.implicits._
     val D = graft.pipeline.Dedup
