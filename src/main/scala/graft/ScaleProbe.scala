@@ -122,13 +122,18 @@ object ScaleProbe {
       System.gc(); Thread.sleep(500); System.gc(); Thread.sleep(500)
       elapsed
     }
+    // GRAFT_PROBE_LEGS=1 runs a single timed leg per scale instead of
+    // min-of-2 — for disk-bound heavy queries where a second leg's
+    // not-yet-GC'd shuffle files double peak scratch usage (the failure
+    // mode that killed two r11 containment probes at 100×)
+    val legs = sys.env.getOrElse("GRAFT_PROBE_LEGS", "2").toInt
     println(f"${"query"}%-22s ${"t_1x"}%8s ${"t_10x"}%8s  exp")
     sel.foreach { name =>
       qs.get(name).foreach { fn =>
-        // warm once at 1× (JIT), then min of 2 at each scale
+        // warm once at 1× (JIT), then min of `legs` at each scale
         time(fn, base)
-        val t1 = Seq(time(fn, base), time(fn, base)).min
-        val t10 = Seq(time(fn, out), time(fn, out)).min
+        val t1 = (0 until legs).map(_ => time(fn, base)).min
+        val t10 = (0 until legs).map(_ => time(fn, out)).min
         val exp = math.log10(t10 / t1) / math.log10(factor.toDouble)
         println(f"$name%-22s $t1%8.2f $t10%8.2f  $exp%.2f")
       }

@@ -924,23 +924,45 @@ object Dedup {
     try spark.conf.get("graft.containment.maxPairs").toLong
     catch { case _: Throwable => 500000000L }
 
+  /** Conditional broadcast by a memoized row count: hint `frame`
+    * broadcast when `countFrom` has at most `conf`-many rows (counted
+    * once per (plan, file-state) per session). Catalyst cannot size a
+    * post-aggregation frame at plan time, so without the hint these
+    * joins go sort-merge and exchange the BIG side; above the bound the
+    * shuffled join is the honest plan. On count failure the hint is
+    * skipped — never load-bearing. */
+  private def maybeBroadcastByCount(frame: DataFrame, countFrom: DataFrame,
+                                    confKey: String, defaultMax: Long): DataFrame = {
+    val maxRows =
+      try frame.sparkSession.conf.get(confKey).toLong
+      catch { case _: Throwable => defaultMax }
+    val n = try Similarity.memoizedCount(countFrom) catch { case _: Throwable => -1L }
+    if (n >= 0 && n <= maxRows) F.broadcast(frame) else frame
+  }
+
   /** Broadcast the per-doc set-size frame (one 16-byte row per doc)
     * into the containment joins when the doc count is under
     * `graft.containment.maxBroadcastDocs` (default 8M ≈ 128 MB).
     * Without the hint Catalyst plans BOTH size joins as sort-merge —
     * which re-exchanges AND re-sorts the budget-bound pair stream twice
     * more (the r11 probe measured ~3× the pair-exchange bytes on disk
-    * from exactly this). Above the bound the shuffled join is the
-    * honest plan: a corpus with >8M docs has a sizes frame too big to
-    * ship to every executor. The count is memoized per (plan,
-    * file-state); on failure the hint is skipped — never load-bearing. */
-  private def maybeBroadcastSizes(sizes: DataFrame, countFrom: DataFrame): DataFrame = {
-    val maxRows =
-      try sizes.sparkSession.conf.get("graft.containment.maxBroadcastDocs").toLong
-      catch { case _: Throwable => 8000000L }
-    val n = try Similarity.memoizedCount(countFrom) catch { case _: Throwable => -1L }
-    if (n >= 0 && n <= maxRows) F.broadcast(sizes) else sizes
-  }
+    * from exactly this). */
+  private def maybeBroadcastSizes(sizes: DataFrame, countFrom: DataFrame): DataFrame =
+    maybeBroadcastByCount(sizes, countFrom, "graft.containment.maxBroadcastDocs", 8000000L)
+
+  /** Broadcast a vocabulary-keyed frame (per-gram df counts, kept-gram
+    * key sets) into a join against a corpus-sized gram explosion when
+    * the vocabulary is under `graft.containment.maxBroadcastVocab`
+    * rows (default 8M ≈ 128-256 MB of (g, df) longs). The r11 100×
+    * probe found the un-hinted form DOMINATES the containment family's
+    * wall-clock: Catalyst plans gram-explosion ⋈ vocabulary as
+    * sort-merge and exchanges the full 5×10^8-row explode (~12 GB per
+    * scan, three scans) to join a 27k-row frame. Real web corpora can
+    * exceed the bound (3-gram vocabularies grow with corpus bytes) —
+    * there the exchange is the honest plan, or the vocabulary lives in
+    * a bucketed store and the join is shuffle-free on `g`. */
+  private[graft] def maybeBroadcastVocab(vocab: DataFrame, countFrom: DataFrame): DataFrame =
+    maybeBroadcastByCount(vocab, countFrom, "graft.containment.maxBroadcastVocab", 8000000L)
 
   /** The largest df cap whose EXACT cumulative pair mass
     * Σ_{df≤cap} df·(df−1) fits `budget`, together with the mass at the
@@ -1061,7 +1083,13 @@ object Dedup {
     // scalar explosion — O(tokens) 16-byte rows — to trade memory for
     // the repeated scan; leave false when columnar re-scan is cheaper
     // than the cache footprint (the usual case).
-    val grams1 = grams0.join(gdf, "g").filter(F.col("__df") <= effMaxDf).select("id", "g")
+    // vocabulary side broadcast when small (memoized count; the
+    // adaptive-cap estimate above already materialized gdf's cache, so
+    // the count job is a cache read): without the hint this join
+    // exchanges the FULL gram explosion — the r11 100× probe's
+    // dominant cost
+    val grams1 = grams0.join(maybeBroadcastVocab(gdf, gdf), "g")
+      .filter(F.col("__df") <= effMaxDf).select("id", "g")
     val grams = if (persistGrams)
       graft.core.CacheRegistry.track("containmentPairs.grams", grams1) else grams1
     val sizes = maybeBroadcastSizes(
@@ -1141,14 +1169,21 @@ object Dedup {
       .select(F.col("g"), F.coalesce(F.col("__dfi"), F.lit(0L)).as("__dfi"),
         (F.coalesce(F.col("__dfi"), F.lit(0L)) + F.col("__dfb")).as("__dft"))
     val keptG = dfNew.filter(F.col("__dft") <= maxDf).select("g")
-    val bKept = bGrams.join(keptG, "g")
+    // keptG/crossers are subsets of the BATCH vocabulary (bDf) —
+    // broadcast them into the index joins when that vocabulary is
+    // small, so the corpus-sized index explosion is never exchanged
+    // (with a bucketed index store the join is shuffle-free either
+    // way; this covers the in-memory index path)
+    val keptGb = maybeBroadcastVocab(keptG, bDf)
+    val bKept = bGrams.join(keptGb, "g")
     val bSizes = bKept.groupBy("id").agg(F.count(F.lit(1)).as("__n"))
     // index rows sharing a kept batch gram — candidate pair evidence
-    val idxCand = index.join(keptG, "g")
+    val idxCand = index.join(keptGb, "g")
     // grams the batch pushed past the cap: stored capped sizes shrink
     val crossers = dfNew
       .filter(F.col("__dfi") <= maxDf && F.col("__dft") > maxDf).select("g")
-    val corr = index.join(crossers, "g").groupBy("id").agg(F.count(F.lit(1)).as("__cut"))
+    val corr = index.join(maybeBroadcastVocab(crossers, bDf), "g")
+      .groupBy("id").agg(F.count(F.lit(1)).as("__cut"))
     val iSizes = sizesIdx.select(F.col("id"), F.col("n").as("__n0"))
       .join(corr, Seq("id"), "left")
       .select(F.col("id"),

@@ -652,7 +652,10 @@ object CurationQueries extends QueryPack {
         // sizes and the fold share the one effective cap, which the
         // rebuild-equivalence property requires.
         val eff = Dedup.adaptiveContainmentCap(gramDf, "df", 1000)._1
-        val sizes = index.join(gramDf.filter(F.col("df") <= eff), "g")
+        // vocabulary side broadcast when small — without the hint this
+        // join exchanges the whole corpus gram explosion (r11 probe)
+        val sizes = index.join(
+            Dedup.maybeBroadcastVocab(gramDf.filter(F.col("df") <= eff), gramDf), "g")
           .groupBy("id").agg(F.count(F.lit(1)).as("n"))
         val batch = d.filter(F.pmod(F.col("doc_id"), F.lit(10)) === 0)
           .select((F.col("doc_id") + 1000000).as("doc_id"), F.col("text"))

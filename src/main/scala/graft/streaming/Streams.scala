@@ -162,7 +162,12 @@ object Streams {
                               tau: Double = 0.8, maxDf: Int = 1000): DataFrame = {
     val T = graft.pipeline.TextOps
     val gdf = index.groupBy("g").agg(F.count(F.lit(1)).as("__df"))
-    val kept = index.join(gdf.filter(F.col("__df") <= maxDf), "g")
+    // vocabulary side broadcast when small — the un-hinted join
+    // exchanges the whole index gram explosion (see Dedup's r11 note);
+    // one-time cost here (static side), but the index can be large
+    val kept = index.join(
+      graft.pipeline.Dedup.maybeBroadcastVocab(
+        gdf.filter(F.col("__df") <= maxDf), gdf), "g")
       .select(F.col("id"), F.col("g"))
     // static side resolves once, not per micro-batch
     val cand = kept.select(F.col("g"), F.col("id").as("id_a")).localCheckpoint(true)
