@@ -39,9 +39,20 @@ object Similarity {
 
   /** Cache key for a corpus plan: canonicalized logical plan + the
     * (path, size, mtime) of every file it scans. Two plans over the
-    * same path diverge the moment the underlying data changes. */
+    * same path diverge the moment the underlying data changes.
+    *
+    * File identities come from the ANALYZED plan, not the optimized
+    * one: optimization substitutes `InMemoryRelation` for persisted
+    * subtrees, which hides the underlying `LogicalRelation` — with it,
+    * two same-shaped plans over DIFFERENT corpora collided to one memo
+    * key once the r10 cache registry started persisting the gram-df
+    * frames. That stale-estimate collision is what un-bounded the r11
+    * 100× containment probes (the 100× leg was served the 1× pair-mass
+    * estimate, ≤ budget, so the cap never engaged and the pair join
+    * exploded to ~10^10 rows); PipelineSpec pins key distinctness
+    * under persist. */
   private[graft] def corpusKey(df: DataFrame): String = {
-    val files = df.queryExecution.optimizedPlan.collect {
+    val files = df.queryExecution.analyzed.collect {
       case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r.relation
     }.flatMap {
       case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
@@ -68,7 +79,7 @@ object Similarity {
     * generalization for width-sizing aggregates (Σ df·(df−1) etc.):
     * one job per (plan, file-state) per session, so repeated builds of
     * the same query never re-pay the estimate. */
-  private[pipeline] def memoizedScalar(df: DataFrame)(action: DataFrame => Long): Long = {
+  private[graft] def memoizedScalar(df: DataFrame)(action: DataFrame => Long): Long = {
     val k = "scalar:" + corpusKey(df)
     if (countCache.containsKey(k)) countCache.get(k)
     else { val v = action(df); countCache.put(k, v); v }

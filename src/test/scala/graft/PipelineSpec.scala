@@ -615,4 +615,27 @@ class PipelineSpec extends AnyFunSuite {
     val k3 = Similarity.corpusKey(spark.read.parquet(p))
     assert(k2 == k3)
   }
+
+  test("corpusKey stays corpus-distinct when the frame is persisted (r11 probe bug)") {
+    // optimization substitutes InMemoryRelation for persisted subtrees,
+    // hiding the file scan — keys from the OPTIMIZED plan collided
+    // across corpora with identical shapes, so the 100x probe's pair
+    // budget was fed the 1x estimate and never engaged. Keys must come
+    // from the analyzed plan.
+    val dir = java.nio.file.Files.createTempDirectory("graft-cachekey").toString
+    (0 until 10).map(_.toLong).toDF("doc_id").write.parquet(s"$dir/a.parquet")
+    (0 until 500).map(_.toLong).toDF("doc_id").write.parquet(s"$dir/b.parquet")
+    def agg(p: String) =
+      spark.read.parquet(p).groupBy("doc_id").count().persist()
+    val fa = agg(s"$dir/a.parquet"); val fb = agg(s"$dir/b.parquet")
+    try {
+      fa.count(); fb.count() // materialize both caches
+      assert(Similarity.corpusKey(fa) != Similarity.corpusKey(fb))
+      // and the memoized scalar serves per-corpus values, not the
+      // first corpus's answer
+      val ca = Similarity.memoizedScalar(fa)(_.count())
+      val cb = Similarity.memoizedScalar(fb)(_.count())
+      assert(ca == 10L && cb == 500L, s"memo served stale values: $ca, $cb")
+    } finally { fa.unpersist(); fb.unpersist() }
+  }
 }
