@@ -288,6 +288,34 @@ object Dedup {
       .groupBy("source_a", "source_b").agg(F.count(F.lit(1)).as("n_shared"))
   }
 
+  /** Source-pair chunk JACCARD matrix — `sourceChunkOverlap` normalized
+    * to a similarity: J(A,B) = |A∩B| / (|A| + |B| − |A∩B|) over each
+    * slice's distinct chunk vocabulary. The slice-level "which crawls
+    * duplicate each other" diagnostic in ratio form, so thresholds
+    * survive corpus growth. Integer set sizes + one correctly-rounded
+    * double division — engine-exact.
+    *
+    * Shape at scale: the overlap matrix is |sources|² cells at most and
+    * the per-source counts are |sources| rows (broadcast); everything
+    * rides `sourceChunkOverlapFromIndex`'s one co-partitioned self-join.
+    * PRECONDITION as there: the index must be `chunkHashIndex`-shaped
+    * (distinct (chunk_hash, source) rows). */
+  def sourceJaccardFromIndex(index: DataFrame): DataFrame = {
+    val counts = index.groupBy("source").agg(F.count(F.lit(1)).as("__n"))
+    sourceChunkOverlapFromIndex(index)
+      .join(F.broadcast(counts.select(F.col("source").as("source_a"), F.col("__n").as("__na"))), "source_a")
+      .join(F.broadcast(counts.select(F.col("source").as("source_b"), F.col("__n").as("__nb"))), "source_b")
+      .select(F.col("source_a"), F.col("source_b"), F.col("n_shared"),
+        F.round(F.col("n_shared").cast("double") /
+          (F.col("__na") + F.col("__nb") - F.col("n_shared")), 6).as("jaccard"))
+  }
+
+  /** Inline form over raw documents (ad-hoc; stored pipelines pass the
+    * bucketed index to [[sourceJaccardFromIndex]]). */
+  def sourceJaccard(docs: DataFrame, textCol: String,
+                    sourceCol: String, size: Int = 3): DataFrame =
+    sourceJaccardFromIndex(chunkHashIndex(docs, textCol, sourceCol, size))
+
   /** Distinct (chunk_hash, source) membership — the stored form of a
     * corpus's chunk vocabulary per slice, and the index
     * `sourceChunkOverlapIncremental` consumes. At 100 TB persist it

@@ -79,6 +79,34 @@ object Sampling {
         F.floor((F.lit(budget) * targetBp).cast("double") / F.col("n"))))
   }
 
+  /** Temperature-flattened mixture sampling rates WITHOUT upsampling:
+    * per-source keep-rates that move the mixture from observed
+    * proportions p_i toward p_i^alpha (alpha < 1 flattens — the
+    * standard multilingual/multi-domain rebalancing rule), scaled to
+    * the largest budget where no source needs more than its own data.
+    * The binding source is the SMALLEST one (its rate is exactly 1.0)
+    * and every other rate is (n_min / n_i)^(1-alpha) < 1.
+    *
+    * Engine parity: at the default alpha = 0.5 the exponent is 0.5 and
+    * the whole rate is one correctly-rounded IEEE division + sqrt —
+    * bit-reproducible on any engine, so the DuckDB oracle replays it
+    * exactly. Other alphas go through pow(), whose last-ULP behavior
+    * is libm-specific — fine for production sampling, but pin oracle
+    * tests to alpha = 0.5.
+    *
+    * Shape at scale: one count aggregation (map-side combined), a
+    * broadcast single-row min — no corpus-sized shuffle at any size. */
+  def temperatureRates(docs: DataFrame, sourceCol: String,
+                       alpha: Double = 0.5): DataFrame = {
+    val counts = docs.groupBy(sourceCol).agg(F.count(F.lit(1)).as("n"))
+    val minN = counts.agg(F.min("n").as("__min"))
+    val ratio = F.col("__min").cast("double") / F.col("n")
+    val rate =
+      if (alpha == 0.5) F.sqrt(ratio) else F.pow(ratio, F.lit(1.0 - alpha))
+    counts.crossJoin(F.broadcast(minN))
+      .select(F.col(sourceCol), F.col("n"), F.round(rate, 6).as("rate"))
+  }
+
   /** Sequence packing (training-batch construction): assign documents,
     * in deterministic per-`partitionCol` order, to fixed token-budget
     * packs — the concat-and-chunk shape that turns a curated corpus

@@ -769,5 +769,58 @@ object CurationQueries extends QueryPack {
                       [w[j] FOR j IN range(1, len(w) + 1)
                        IF NOT list_contains(dp2, (j - 1) // 3)], ' '), '') END AS clean_text
         FROM j ORDER BY doc_id
+      """)),
+
+    // Source-pair chunk Jaccard: the q87 overlap matrix normalized to
+    // |A∩B| / |A∪B| over each slice's distinct chunk vocabulary —
+    // growth-invariant "which crawls duplicate each other" ratios.
+    // Integer set sizes + one correctly-rounded division; per-source
+    // counts broadcast.
+    Query(
+      "q95_source_jaccard",
+      (s, dir) => {
+        Dedup.sourceJaccard(Tables.documents(s, dir), "text", "source", size = 3)
+          .orderBy("source_a", "source_b")
+      },
+      Some(s"""
+        WITH ws AS (
+          SELECT source, string_split($normSql, ' ') AS w FROM documents),
+        ch AS (
+          SELECT DISTINCT source,
+                 unnest([md5(array_to_string(w[i*3+1:i*3+3], ' '))
+                         FOR i IN range(0, len(w)//3)]) AS chunk_hash
+          FROM ws),
+        counts AS (SELECT source, count(*) AS n FROM ch GROUP BY source),
+        shared AS (
+          SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+          FROM ch a JOIN ch b
+            ON a.chunk_hash = b.chunk_hash AND a.source < b.source
+          GROUP BY 1, 2)
+        SELECT source_a, source_b, n_shared,
+               round(CAST(n_shared AS DOUBLE) / (ca.n + cb.n - n_shared), 6) AS jaccard
+        FROM shared
+        JOIN counts ca ON ca.source = source_a
+        JOIN counts cb ON cb.source = source_b
+        ORDER BY source_a, source_b
+      """)),
+
+    // Temperature-flattened mixture rates (alpha = 0.5): per-source
+    // keep-rates moving the mixture toward p^alpha without upsampling —
+    // the smallest source keeps everything (rate 1.0), every other
+    // source keeps (n_min/n)^(1-alpha). At alpha = 0.5 the rate is one
+    // IEEE division + sqrt, bit-reproducible on any engine.
+    Query(
+      "q96_temperature_mixture",
+      (s, dir) => {
+        graft.pipeline.Sampling.temperatureRates(
+            Tables.documents(s, dir), "source", alpha = 0.5)
+          .orderBy("source")
+      },
+      Some("""
+        WITH counts AS (
+          SELECT source, count(*) AS n FROM documents GROUP BY source),
+        m AS (SELECT min(n) AS mn FROM counts)
+        SELECT source, n, round(sqrt(CAST(mn AS DOUBLE) / n), 6) AS rate
+        FROM counts, m ORDER BY source
       """)))
 }

@@ -419,4 +419,29 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(r => r.getString(3))
     assert(all.forall(_ == ""))
   }
+
+  test("sourceJaccard: known chunk vocabularies give exact ratios") {
+    // src A: chunks {abc, def}; src B: {abc, xyz}; src C: {qqq}
+    val docs = Seq(
+      ("A", "a b c d e f"), ("B", "a b c x y z"), ("C", "q q1 q2")
+    ).toDF("source", "text")
+    val out = Dedup.sourceJaccard(docs, "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // only (A,B) share: 1 shared of 2+2-1=3 distinct
+    assert(out.toSeq == Seq(("A", "B", 1L, 0.333333)))
+  }
+
+  test("temperatureRates: smallest source keeps all; alpha=0.5 is sqrt(n_min/n)") {
+    val docs = (1 to 16).map(i => (i, if (i <= 4) "small" else "big", "x"))
+      .toDF("doc_id", "source", "text")
+    val out = graft.pipeline.Sampling.temperatureRates(docs, "source", alpha = 0.5)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out("small") == ((4L, 1.0)))
+    // (4/12)^0.5 = 0.577350...
+    assert(out("big") == ((12L, 0.57735)))
+    // alpha = 1 keeps observed proportions: every rate 1.0
+    val id = graft.pipeline.Sampling.temperatureRates(docs, "source", alpha = 1.0)
+      .collect().map(_.getDouble(2))
+    assert(id.forall(_ == 1.0))
+  }
 }
