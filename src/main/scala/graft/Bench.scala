@@ -176,12 +176,15 @@ object Bench {
   private def tier(name: String): Int = {
     val heavy = Set("q40_exact_dedup", "q41_minhash_lsh", "q42_simhash_edges",
       "q43_ngram_jaccard", "q44_embedding_dedup", "q45_knn_brute",
-      "q46_knn_lsh", "q55_cosine_pairs", "q56_knn_ivf", "q58_dup_clusters")
+      "q46_knn_lsh", "q55_cosine_pairs", "q56_knn_ivf", "q58_dup_clusters",
+      "q79_simhash_clusters", "q82_dedup_keepers", "q88_source_overlap_incremental",
+      "q89_containment_pairs", "q92_containment_incremental", "q95_source_jaccard")
     val text = Set("q47_langid", "q48_quality", "q49_token_count",
       "q50_fingerprint", "q51_multimodal_meta", "q52_multimodal_decode",
       "q62_tfidf", "q66_repetition", "q67_chunk_dedup", "q70_heavy_hitters",
       "q71_redact", "q72_frame_sample", "q73_curation_funnel",
-      "q74_winnow", "q75_unigram_logprob", "q76_contamination")
+      "q74_winnow", "q75_unigram_logprob", "q76_contamination",
+      "q91_quality_gate", "q93_ngram_novelty", "q94_strip_dup_spans")
     if (heavy(name)) 2 else if (text(name)) 1 else 0
   }
 

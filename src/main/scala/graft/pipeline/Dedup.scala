@@ -927,6 +927,30 @@ object Dedup {
       .agg(F.min(idCol).as("__mn"), F.max(idCol).as("__mx"))
       .filter(F.col("__mn") =!= F.col("__mx"))
       .select("chunk_hash")
+    stripSpansByHashes(toks, chunks, dupHashes, idCol, size)
+  }
+
+  /** Stored-profile form of [[stripDuplicateSpans]]: strip every chunk
+    * whose hash is in an ALREADY-KNOWN bad-span set (the accumulated
+    * cross-corpus duplicate profile, a boilerplate blocklist, a
+    * contaminated-span list). At 100 TB this is the shape that runs —
+    * the profile is computed once per corpus snapshot (or curated
+    * externally) and persisted bucketed on `chunk_hash`, so the rewrite
+    * pass never re-aggregates the corpus; each ingest joins it
+    * shuffle-free and rewrites map-side. `badHashes` must carry one
+    * distinct `chunk_hash` column. */
+  def stripSpansFromProfile(docs: DataFrame, badHashes: DataFrame,
+                            idCol: String, textCol: String,
+                            size: Int = 3): DataFrame = {
+    val toks = docs.select(F.col(idCol), TextOps.tokens(F.col(textCol)).as("__w"))
+    val chunks = toks.select(F.col(idCol),
+      F.posexplode(TextOps.chunkHashesKernel(F.col("__w"), size)).as(Seq("pos", "chunk_hash")))
+    stripSpansByHashes(toks, chunks, badHashes.select("chunk_hash"), idCol, size)
+  }
+
+  private def stripSpansByHashes(toks: DataFrame, chunks: DataFrame,
+                                 dupHashes: DataFrame, idCol: String,
+                                 size: Int): DataFrame = {
     val dupPos = chunks.join(dupHashes, "chunk_hash")
       .groupBy(idCol).agg(F.collect_set(F.col("pos")).as("__dp0"))
     toks.join(dupPos, Seq(idCol), "left")

@@ -420,6 +420,31 @@ class CurationSpec extends AnyFunSuite {
     assert(all.forall(_ == ""))
   }
 
+  test("stripSpansFromProfile equals the inline form on its own dup profile") {
+    val docs = Seq(
+      (1, "common header text unique one alpha tail bit"),
+      (2, "body two beta common header text"),
+      (3, "entirely different content here"),
+      (4, "tiny"),
+      (5, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val inline = Dedup.stripDuplicateSpans(docs, "doc_id", "text", size = 3)
+      .collect().map(r => r.toSeq).toSet
+    // the stored profile = the same cross-doc duplicated hash set
+    val chunks = docs.select($"doc_id",
+      F.explode(TextOps.chunkHashesKernel(TextOps.tokens($"text"), 3)).as("chunk_hash"))
+    val profile = chunks.groupBy("chunk_hash")
+      .agg(F.countDistinct("doc_id").as("nd")).filter($"nd" > 1).select("chunk_hash")
+    val stored = Dedup.stripSpansFromProfile(docs, profile, "doc_id", "text", size = 3)
+      .collect().map(r => r.toSeq).toSet
+    assert(stored == inline)
+    // an externally-curated blocklist strips in docs that never shared
+    val block = Seq("entirely different content").toDF("t")
+      .select(F.md5(F.encode($"t", "UTF-8")).as("chunk_hash"))
+    val out = Dedup.stripSpansFromProfile(docs, block, "doc_id", "text", size = 3)
+      .collect().map(r => r.getInt(0) -> r.getString(3)).toMap
+    assert(out(3) == "here")
+  }
+
   test("sourceJaccard: known chunk vocabularies give exact ratios") {
     // src A: chunks {abc, def}; src B: {abc, xyz}; src C: {qqq}
     val docs = Seq(
