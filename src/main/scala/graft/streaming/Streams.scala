@@ -211,6 +211,44 @@ object Streams {
       .filter(F.col("containment") >= tau)
   }
 
+  /** Streaming twin of `Similarity.incrementalCosinePairs` (q81): an
+    * arriving embedding batch near-dup-checked against the STORED
+    * hyperplane-bucket index as it lands — the embedding member of the
+    * q80/q85/q88/q92 streaming family. `index` is the (id, vec, bucket)
+    * artifact from `Similarity.hyperplaneIndex`; `planes`/`seed` MUST
+    * match the parameters it was built with (a mismatched bucket never
+    * equi-joins and silently reports zero duplicates — same ADVICE r05
+    * armor note as `dedupAgainstIndex`).
+    *
+    * Shape: one stream-static equi-join on the bucket (each vector
+    * carries exactly ONE bucket, so candidate pairs are emitted once),
+    * exact cosine verify on candidates only, and q80-style
+    * at-least-once armor — an in-watermark replay dedups, a
+    * behind-watermark replay drops. The static side resolves once
+    * (localCheckpoint) and is broadcast: index vectors are the payload,
+    * so this is the ≲10^5-vector regime; a larger stored index stays a
+    * bucketed parquet store and the join is shuffle-free on `bucket`
+    * without the hint. */
+  def embeddingDedupStream(stream: DataFrame, index: DataFrame,
+                           idCol: String, tsCol: String, vecCol: String,
+                           watermark: String, threshold: Double = 0.9,
+                           planes: Int = 8, seed: Int = 42): DataFrame = {
+    val S = graft.pipeline.Similarity
+    val cos = S.cosineNative(index.sparkSession) _
+    val ix = index.select(F.col("id").as("id_a"), F.col("vec").as("v_a"),
+      F.col("bucket")).localCheckpoint(true)
+    val b = stream.select(F.col(idCol).as("id_b"), F.col(tsCol).as("__ts"),
+      F.col(vecCol).as("v_b"),
+      S.hyperplaneBucket(F.col(vecCol), planes, seed).as("bucket"))
+    b.join(F.broadcast(ix), "bucket")
+      .select(F.col("id_a"), F.col("id_b"), F.col("__ts"),
+        cos(F.col("v_a"), F.col("v_b")).as("cos"))
+      .filter(F.col("cos") >= threshold)
+      .withWatermark("__ts", watermark)
+      .dropDuplicatesWithinWatermark(Seq("id_a", "id_b"))
+      .drop("__ts")
+  }
+
   /** Streaming twin of `TextOps.ngramNoveltyFromVocab` (q93): arriving
     * documents scored for n-gram novelty against the STORED reference
     * vocabulary as they land — new-crawl triage at ingest time.

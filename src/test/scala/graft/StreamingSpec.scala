@@ -354,6 +354,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming embedding near-dup against the stored index equals the batch operator") {
+    // q81's streaming twin: arrival-vs-index cosine pairs via the
+    // hyperplane-bucket join, with in-watermark replay dedup
+    import spark.implicits._
+    val S = graft.pipeline.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("graft-embed-stream")
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.2f)),
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val index = S.hyperplaneIndex(corpus).persist()
+    val near0 = Array(0.9f, 0.05f, 0.0f, 0.21f)  // cos ~ 0.995 with vec 0
+    val far = Array(0.1f, -0.2f, 0.9f, -0.5f)
+    def writeBatch(rows: Seq[(Long, java.sql.Timestamp, Array[Float])]): Unit =
+      rows.toDF("vec_id", "ts", "embedding")
+        .repartition(1).write.mode("append").parquet(dir.toString + "/vecs")
+    writeBatch(Seq((100L, t("2024-01-01 00:00:00"), near0)))
+    val schema = Seq((0L, t("2024-01-01 00:00:00"), Array(0f)))
+      .toDF("vec_id", "ts", "embedding").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString + "/vecs")
+    val q = Streams.embeddingDedupStream(stream, index,
+        "vec_id", "ts", "embedding", "10 minutes", threshold = 0.9)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("embed_out").start()
+    try {
+      q.processAllAvailable()
+      writeBatch(Seq((101L, t("2024-01-01 00:01:00"), far)))   // no pair
+      writeBatch(Seq((100L, t("2024-01-01 00:02:00"), near0))) // in-watermark replay
+      q.processAllAvailable()
+      val emitted = spark.table("embed_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(emitted.length == 1, s"expected 1 emission, got ${emitted.toSeq}")
+      assert(emitted.head._1 == 0L && emitted.head._2 == 100L)
+      // batch operator on the distinct arrivals agrees exactly
+      val arrivals = Seq((100L, near0), (101L, far)).toDF("id", "vec")
+        .select($"id", $"vec",
+          S.hyperplaneBucket($"vec").as("bucket"))
+      val batch = S.incrementalCosinePairs(index, arrivals, 0.9)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(emitted.toSet == batch, s"stream ${emitted.toSet} != batch $batch")
+    } finally q.stop()
+  }
+
   test("streaming novelty against a stored vocabulary equals the batch operator") {
     // q93's streaming twin: stateless, immediate emission, no state
     // store — values identical to TextOps.ngramNoveltyFromVocab
