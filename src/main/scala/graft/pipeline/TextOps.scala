@@ -99,7 +99,16 @@ object TextOps {
   def qualityGateApprox(docs: DataFrame, idCol: String, textCol: String,
                         groupCol: String, pct: Double,
                         accuracy: Int = 10000): DataFrame = {
-    val scored = docs.withColumn("__q", qualityScore(F.col(textCol)))
+    // Score ONCE: both the threshold aggregation and the final filter
+    // need __q, and re-deriving it re-scans the text and re-pays the
+    // regexp-heavy score — the r11 100× probe measured the two-scan
+    // form at 2× the EXACT gate's wall-clock (scoring dominates this
+    // corpus, not the sort). The tracked cache holds only (id, group,
+    // __q) scalars — ~24 B/row, far below the text it replaces — and
+    // is released by the session's CacheRegistry sweep.
+    val scored = graft.core.CacheRegistry.track("qualityGateApprox.scored",
+      docs.withColumn("__q", qualityScore(F.col(textCol)))
+        .select(F.col(idCol), F.col(groupCol), F.col("__q")))
     val thr = scored.groupBy(groupCol)
       .agg(F.percentile_approx(F.col("__q"), F.lit(pct), F.lit(accuracy)).as("__thr"))
     scored.join(F.broadcast(thr), groupCol)
