@@ -340,6 +340,52 @@ object TextOps {
       .drop("__n")
   }
 
+  /** Sliding-window token chunks (kernel): windows of `window` tokens
+    * starting every `stride` tokens — the overlap-chunking shape
+    * training-sequence and RAG pipelines cut documents with (stride <
+    * window ⇒ overlapping context, stride = window ⇒ the disjoint
+    * `chunkHashesFromTokens` tiling). Every start k·stride < n emits,
+    * so tail windows may be short but no token is unreachable; null
+    * tokens ⇒ null (web-corpus contract of the kernel family). */
+  private val slidingChunkKernel = F.udf { (toks: Seq[String], window: Int, stride: Int) =>
+    if (toks == null) null
+    else {
+      val n = toks.size
+      val starts = 0 until n by stride
+      starts.map(s => toks.slice(s, math.min(s + window, n)).mkString(" "))
+    }
+  }
+
+  def slidingChunks(toks: Column, window: Int, stride: Int): Column = {
+    require(window > 0 && stride > 0, s"window=$window stride=$stride must be positive")
+    slidingChunkKernel(toks, F.lit(window), F.lit(stride))
+  }
+
+  /** Corpus profile ("dataset card" rollup): per (source, lang) — doc
+    * count, token and char volume, distinct exact-content count (the
+    * cheap duplication headline), and mean quality. The one-page
+    * reality check a curation run starts and ends with.
+    *
+    * Engine parity: mean quality sums per-doc scores ROUNDED to 6
+    * decimals through exact decimals (order-independent — the layered
+    * fixed-point discipline of q75), then divides once in doubles.
+    *
+    * Shape at scale: one hash aggregation with map-side combine; the
+    * distinct-content count rides the same shuffle keyed by (group,
+    * md5) — no sort, no window, nothing corpus-quadratic. */
+  def corpusProfile(docs: DataFrame, sourceCol: String, langCol: String,
+                    textCol: String): DataFrame =
+    docs.groupBy(F.col(sourceCol), F.col(langCol))
+      .agg(
+        F.count(F.lit(1)).as("n_docs"),
+        // all-null-text groups sum to null — report 0 volume instead
+        F.coalesce(F.sum(tokenCount(F.col(textCol)).cast("long")), F.lit(0L)).as("n_tokens"),
+        F.sum(F.coalesce(F.length(F.col(textCol)).cast("long"), F.lit(0L))).as("n_chars"),
+        F.countDistinct(fingerprintMd5(F.col(textCol))).as("n_unique"),
+        F.round(
+          (F.sum(F.round(qualityScore(F.col(textCol)), 6).cast("decimal(18,6)"))
+            .cast("double") / F.count(F.lit(1))), 6).as("mean_quality"))
+
   /** The distinct k-gram vocabulary of a reference corpus — the stored
     * artifact `ngramNoveltyFromVocab` consumes. One column `g` (60-bit
     * md5 k-gram hash, the engine-portable hash the whole gram family

@@ -822,5 +822,54 @@ object CurationQueries extends QueryPack {
         m AS (SELECT min(n) AS mn FROM counts)
         SELECT source, n, round(sqrt(CAST(mn AS DOUBLE) / n), 6) AS rate
         FROM counts, m ORDER BY source
+      """)),
+
+    // Corpus profile ("dataset card"): per (source, lang) volume,
+    // distinct-content count and mean quality — the one-page rollup a
+    // curation run starts and ends with. Mean quality goes through
+    // round-6 decimals (exact, order-independent) then one double
+    // division; one hash aggregation, map-side combined.
+    Query(
+      "q97_corpus_profile",
+      (s, dir) => {
+        graft.pipeline.TextOps.corpusProfile(
+            Tables.documents(s, dir), "source", "lang", "text")
+          .orderBy("source", "lang")
+      },
+      Some(s"""
+        SELECT source, lang, count(*) AS n_docs,
+               CAST(coalesce(sum(CASE WHEN length($normSql) = 0 THEN 0
+                        ELSE len(string_split($normSql, ' ')) END), 0) AS BIGINT) AS n_tokens,
+               CAST(sum(coalesce(length(text), 0)) AS BIGINT) AS n_chars,
+               count(DISTINCT md5($normSql)) AS n_unique,
+               round(CAST(sum(CAST(round($qualitySql, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                     / count(*), 6) AS mean_quality
+        FROM documents GROUP BY source, lang ORDER BY source, lang
+      """)),
+
+    // Sliding-window chunking (window 32, stride 16): the overlapping
+    // context cut training-sequence and RAG pipelines make — every
+    // start k·stride emits, tails may be short, no token unreachable.
+    // Scan-stage row expansion, no shuffle beyond the result sort.
+    Query(
+      "q98_sliding_chunks",
+      (s, dir) => {
+        val T = graft.pipeline.TextOps
+        Tables.documents(s, dir).select(F.col("doc_id"),
+            F.posexplode(T.slidingChunks(T.tokens(F.col("text")), 32, 16))
+              .as(Seq("chunk_idx", "chunk")))
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some(s"""
+        WITH ws AS (
+          SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+        cs AS (
+          SELECT doc_id,
+                 unnest([{'ci': k, 'c': array_to_string(w[k*16+1 : least(k*16+32, len(w))], ' ')}
+                         FOR k IN range(0, CAST(ceil(len(w) / 16.0) AS BIGINT))],
+                        recursive := true)
+          FROM ws)
+        SELECT doc_id, CAST(ci AS INT) AS chunk_idx, c AS chunk
+        FROM cs ORDER BY doc_id, chunk_idx
       """)))
 }

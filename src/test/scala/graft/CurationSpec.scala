@@ -445,6 +445,38 @@ class CurationSpec extends AnyFunSuite {
     assert(out(3) == "here")
   }
 
+  test("slidingChunks: overlap, short tails, stride=window tiling, null text") {
+    val toks = TextOps.tokens(F.lit("a b c d e f g"))
+    def chunks(w: Int, s: Int) =
+      spark.range(1).select(TextOps.slidingChunks(toks, w, s).as("c"))
+        .head().getSeq[String](0)
+    assert(chunks(3, 2) == Seq("a b c", "c d e", "e f g", "g"))
+    assert(chunks(3, 3) == Seq("a b c", "d e f", "g"))       // disjoint tiling
+    assert(chunks(10, 4) == Seq("a b c d e f g", "e f g"))   // window > n
+    val nul = spark.range(1)
+      .select(TextOps.slidingChunks(TextOps.tokens(F.lit(null).cast("string")), 3, 2).as("c"))
+      .head()
+    assert(nul.isNullAt(0))
+  }
+
+  test("corpusProfile: exact counts and decimal-summed mean quality") {
+    val docs = Seq(
+      (1, "web", "en", "the quick brown fox"),
+      (2, "web", "en", "the quick brown fox"),   // exact dup of 1
+      (3, "web", "en", "something else entirely"),
+      (4, "web", "fr", "le chat"),
+      (5, "lit", "en", null.asInstanceOf[String])
+    ).toDF("doc_id", "source", "lang", "text")
+    val out = TextOps.corpusProfile(docs, "source", "lang", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(out(("web", "en")) == ((3L, 11L, 61L, 2L)))  // 3 docs, dup collapses to 2 unique
+    assert(out(("web", "fr")) == ((1L, 2L, 7L, 1L)))
+    assert(out(("lit", "en")) == ((1L, 0L, 0L, 0L)))    // null text: no tokens, no fingerprint
+    assert(out.size == 3)
+  }
+
   test("sourceJaccard: known chunk vocabularies give exact ratios") {
     // src A: chunks {abc, def}; src B: {abc, xyz}; src C: {qqq}
     val docs = Seq(
