@@ -121,7 +121,10 @@ object ScaleProbe {
       val t0 = System.nanoTime()
       val df = fn(spark, dir)
       if (force)
-        df.agg(F.sum(F.xxhash64(df.columns.map(F.col).toSeq: _*))).collect()
+        // decimal(38,0): summing raw 64-bit hashes overflows ANSI long
+        // addition after ~2 rows of same-sign extremes
+        df.agg(F.sum(F.xxhash64(df.columns.map(F.col).toSeq: _*)
+          .cast("decimal(38,0)"))).collect()
       else df.count()
       val elapsed = (System.nanoTime() - t0) / 1e9
       // cache teardown happens OUTSIDE the measured interval — it would
