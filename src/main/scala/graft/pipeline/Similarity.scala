@@ -150,6 +150,41 @@ object Similarity {
       .filter(F.col("rank") <= k)
   }
 
+  /** kNN label propagation: classify each query vector by majority
+    * vote over its `k` nearest labeled corpus vectors (ties → more
+    * votes win, equal votes → smallest label; fully deterministic).
+    * The annotation-bootstrapping primitive — label a small seed set,
+    * propagate to the crawl — and the embedding twin of the q76-style
+    * "which slice does this belong to" checks.
+    *
+    * Shape at scale: the SAME broadcast-queries/corpus-streams shape as
+    * `bruteForceTopK`, with the label riding the one corpus scan — no
+    * separate label join ever touches the corpus again. Only (query,
+    * label, cos) survivors reach the two windows, both query-keyed and
+    * tiny. Swap the candidate stage for `ivfTopK`'s cell probe when the
+    * query set outgrows broadcast. */
+  def knnClassify(corpus: DataFrame, queries: DataFrame, k: Int,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  labelCol: String = "label"): DataFrame = {
+    val cos = cosineNative(corpus.sparkSession) _
+    val q = F.broadcast(queries.select(F.col(idCol).as("query_id"), F.col(vecCol).as("qv")))
+    val scored = corpus
+      .select(F.col(idCol).as("neighbor_id"), F.col(labelCol).as("__lbl"), F.col(vecCol).as("cv"))
+      .crossJoin(q)
+      .filter(F.col("query_id") =!= F.col("neighbor_id"))
+      .select(F.col("query_id"), F.col("neighbor_id"), F.col("__lbl"),
+        cos(F.col("qv"), F.col("cv")).as("cos"))
+    val wNn = Window.partitionBy(F.col("query_id"))
+      .orderBy(F.col("cos").desc, F.col("neighbor_id"))
+    val votes = scored.withColumn("__rk", F.row_number().over(wNn))
+      .filter(F.col("__rk") <= k)
+      .groupBy("query_id", "__lbl").agg(F.count(F.lit(1)).as("votes"))
+    val wWin = Window.partitionBy(F.col("query_id"))
+      .orderBy(F.col("votes").desc, F.col("__lbl").asc)
+    votes.withColumn("__w", F.row_number().over(wWin)).filter(F.col("__w") === 1)
+      .select(F.col("query_id"), F.col("__lbl").as("predicted_label"), F.col("votes"))
+  }
+
   /** Exact cosine pairs above a threshold — the verification stage of
     * embedding near-dup. All-pairs by construction, so at 100 TB this is
     * NEVER called on a whole corpus: callers feed it LSH/IVF candidate

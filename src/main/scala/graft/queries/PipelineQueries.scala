@@ -863,5 +863,35 @@ object PipelineQueries extends QueryPack {
                      ('0x' || substring(md5(text), 1, 15))::BIGINT AS h
               FROM documents)
         ORDER BY doc_id
+      """)),
+
+    // kNN label propagation: classify held-out vectors (vec_id % 10 = 0)
+    // by majority vote over their 5 nearest labeled corpus vectors —
+    // the annotation-bootstrapping primitive. Deterministic tie-breaks
+    // (votes desc, label asc); labels ride the one corpus scan.
+    Query(
+      "q99_knn_classify",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        Similarity.knnClassify(
+            e.filter(F.pmod(F.col("vec_id"), F.lit(10)) =!= 0),
+            e.filter(F.pmod(F.col("vec_id"), F.lit(10)) === 0), k = 5)
+          .orderBy("query_id")
+      },
+      Some("""
+        WITH nn AS (
+          SELECT query_id, lbl FROM (
+            SELECT q.vec_id AS query_id, c.label AS lbl,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                              c.vec_id) AS rank
+            FROM embeddings q, embeddings c
+            WHERE q.vec_id % 10 = 0 AND c.vec_id % 10 <> 0)
+          WHERE rank <= 5),
+        v AS (SELECT query_id, lbl, count(*) AS votes FROM nn GROUP BY 1, 2)
+        SELECT query_id, lbl AS predicted_label, votes FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY votes DESC, lbl) AS rk FROM v)
+        WHERE rk = 1 ORDER BY query_id
       """)))
 }

@@ -616,6 +616,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(k2 == k3)
   }
 
+  test("knnClassify: majority vote with deterministic tie-breaks") {
+    import spark.implicits._
+    // corpus: two tight clusters with labels 1 and 2, one stray label 3
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f), 1), (11L, Array(0.99f, 0.01f, 0.0f), 1),
+      (12L, Array(0.98f, 0.02f, 0.0f), 1),
+      (20L, Array(0.0f, 1.0f, 0.0f), 2), (21L, Array(0.01f, 0.99f, 0.0f), 2),
+      (30L, Array(0.0f, 0.0f, 1.0f), 3)
+    ).toDF("vec_id", "embedding", "label")
+    val queries = Seq(
+      (1L, Array(1.0f, 0.05f, 0.0f), 0),   // cluster 1 -> label 1, 3 votes
+      (2L, Array(0.05f, 1.0f, 0.0f), 0)    // cluster 2: k=3 -> votes {2:2, 1:1}
+    ).toDF("vec_id", "embedding", "label")
+    val out = graft.pipeline.Similarity.knnClassify(corpus, queries, k = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((1, 3L)))
+    assert(out(2L) == ((2, 2L)))
+    // tie in votes -> smallest label wins: symmetric 2-vector corpus,
+    // exactly equidistant query, k=2 -> one vote each for labels 5, 4
+    val c2 = Seq((1L, Array(1.0f, 0.0f), 5), (2L, Array(0.0f, 1.0f), 4))
+      .toDF("vec_id", "embedding", "label")
+    val eq = Seq((9L, Array(0.5f, 0.5f), 0)).toDF("vec_id", "embedding", "label")
+    val tied = graft.pipeline.Similarity.knnClassify(c2, eq, k = 2)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).head
+    assert(tied == ((4, 1L)), s"got $tied")
+  }
+
   test("corpusKey stays corpus-distinct when the frame is persisted (r11 probe bug)") {
     // optimization substitutes InMemoryRelation for persisted subtrees,
     // hiding the file scan — keys from the OPTIMIZED plan collided
