@@ -179,10 +179,39 @@ object Similarity {
     val votes = scored.withColumn("__rk", F.row_number().over(wNn))
       .filter(F.col("__rk") <= k)
       .groupBy("query_id", "__lbl").agg(F.count(F.lit(1)).as("votes"))
+    majorityVote(votes)
+  }
+
+  /** Deterministic majority vote over (query_id, __lbl, votes) rows:
+    * more votes win, equal votes → smallest label. */
+  private def majorityVote(votes: DataFrame): DataFrame = {
     val wWin = Window.partitionBy(F.col("query_id"))
       .orderBy(F.col("votes").desc, F.col("__lbl").asc)
     votes.withColumn("__w", F.row_number().over(wWin)).filter(F.col("__w") === 1)
       .select(F.col("query_id"), F.col("__lbl").as("predicted_label"), F.col("votes"))
+  }
+
+  /** Scale path of [[knnClassify]]: candidates from the IVF cell probe
+    * instead of the all-pairs scan — for classifying a LARGE query set
+    * (a whole crawl) against a large labeled corpus, where neither side
+    * broadcasts and brute force is quadratic. Same deterministic vote;
+    * recall follows `ivfTopK`'s cell-probe contract (nprobe/nlist
+    * trade), so predictions match brute wherever the true k-NN set
+    * lies in probed cells — the spec pins agreement on clustered data.
+    * The label attach joins the corpus's (id, label) scalars against
+    * the queries×k survivor frame, hinted broadcast (bounded by the
+    * query count, not the corpus). */
+  def knnClassifyIvf(corpus: DataFrame, queries: DataFrame, k: Int,
+                     nlist: Int = 16, nprobe: Int = 4, iters: Int = 2,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     labelCol: String = "label"): DataFrame = {
+    val nn = ivfTopK(corpus, queries, k, nlist, nprobe, iters, idCol, vecCol)
+      .select(F.col("query_id"), F.col("neighbor_id"))
+    val votes = corpus
+      .select(F.col(idCol).as("neighbor_id"), F.col(labelCol).as("__lbl"))
+      .join(F.broadcast(nn), "neighbor_id")
+      .groupBy("query_id", "__lbl").agg(F.count(F.lit(1)).as("votes"))
+    majorityVote(votes)
   }
 
   /** Exact cosine pairs above a threshold — the verification stage of

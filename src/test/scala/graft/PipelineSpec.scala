@@ -643,6 +643,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(tied == ((4, 1L)), s"got $tied")
   }
 
+  test("knnClassifyIvf agrees with brute-force classification on clustered data") {
+    import spark.implicits._
+    // three well-separated clusters of 8 vectors each, labels 1/2/3
+    def jitter(base: Array[Float], i: Int): Array[Float] =
+      base.zipWithIndex.map { case (x, j) => x + 0.01f * ((i + j) % 3) }
+    val corpus = (0 until 24).map { i =>
+      val (base, lbl) = (i % 3) match {
+        case 0 => (Array(1.0f, 0.0f, 0.0f, 0.0f), 1)
+        case 1 => (Array(0.0f, 1.0f, 0.0f, 0.0f), 2)
+        case _ => (Array(0.0f, 0.0f, 1.0f, 0.0f), 3)
+      }
+      (i.toLong + 100, jitter(base, i), lbl)
+    }.toDF("vec_id", "embedding", "label")
+    val queries = Seq(
+      (1L, Array(0.95f, 0.05f, 0.0f, 0.0f), 0),
+      (2L, Array(0.02f, 0.97f, 0.01f, 0.0f), 0),
+      (3L, Array(0.0f, 0.03f, 0.99f, 0.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val S = graft.pipeline.Similarity
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    val brute = m(S.knnClassify(corpus, queries, k = 5))
+    val ivf = m(S.knnClassifyIvf(corpus, queries, k = 5, nlist = 3, nprobe = 2))
+    assert(brute == Map(1L -> ((1, 5L)), 2L -> ((2, 5L)), 3L -> ((3, 5L))))
+    assert(ivf == brute, s"ivf $ivf != brute $brute")
+  }
+
   test("corpusKey stays corpus-distinct when the frame is persisted (r11 probe bug)") {
     // optimization substitutes InMemoryRelation for persisted subtrees,
     // hiding the file scan — keys from the OPTIMIZED plan collided
