@@ -1106,15 +1106,50 @@ object Dedup {
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        k: Int = 3, tau: Double = 0.8, maxDf: Int = 1000,
                        persistGrams: Boolean = false): DataFrame = {
-    val spark = docs.sparkSession
-    val machine = math.max(spark.sparkContext.defaultParallelism,
-      spark.sessionState.conf.numShufflePartitions)
     val grams0 = docs
       .select(F.col(idCol).as("id"), TextOps.tokens(F.col(textCol)).as("__w"))
       .select(F.col("id"), F.explode(TextOps.distinctKgramHashes(F.col("__w"), k)).as("g"))
+    containmentPairsFromFeatures(grams0, "containmentPairs", tau, maxDf, persistGrams)
+  }
+
+  /** Winnow-fingerprint overlap pairs — the plagiarism-detection /
+    * MOSS-report shape: (id_small, id_big) where ≥ `tau` of the smaller
+    * document's winnowing fingerprints (q74's scheme: k-gram hashes,
+    * window-`w` minima) also appear in the larger's. Winnowing
+    * guarantees shared token runs of ≥ w+k−1 share a fingerprint, so
+    * this surfaces documents sharing long verbatim spans at a fraction
+    * of the gram-set containment's feature volume (fingerprints are a
+    * ~1/w sample of the gram stream).
+    *
+    * Same inverted-index machinery as [[containmentPairs]] — per-
+    * fingerprint df cap, exact Σ df·(df−1) width sizing, adaptive pair
+    * budget — applied to the fingerprint features. */
+  def winnowOverlapPairs(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 3, w: Int = 4, tau: Double = 0.6,
+                         maxDf: Int = 1000): DataFrame = {
+    val fps = docs
+      .select(F.col(idCol).as("id"), TextOps.tokens(F.col(textCol)).as("__w"))
+      .select(F.col("id"), F.explode(TextOps.winnowFromTokens(F.col("__w"), k, w)).as("g"))
+    containmentPairsFromFeatures(fps, "winnowOverlapPairs", tau, maxDf,
+      persistFeatures = false)
+  }
+
+  /** The feature-generic core of the containment family: asymmetric
+    * overlap pairs over ANY distinct (id, g) feature frame — gram sets
+    * (`containmentPairs`), winnow fingerprints (`winnowOverlapPairs`).
+    * All the scale machinery lives here once: df cap + adaptive pair
+    * budget, exact width sizing, conditional vocabulary/sizes
+    * broadcasts. `features` must be DISTINCT per (id, g) — both
+    * producers are distinct by construction. */
+  private[graft] def containmentPairsFromFeatures(
+      grams0: DataFrame, tag: String, tau: Double, maxDf: Int,
+      persistFeatures: Boolean): DataFrame = {
+    val spark = grams0.sparkSession
+    val machine = math.max(spark.sparkContext.defaultParallelism,
+      spark.sessionState.conf.numShufflePartitions)
     // tracked cache (vocabulary-sized): released by the consumer via
     // CacheRegistry.releaseAll() / clearCache() — see CacheRegistry
-    val gdf = graft.core.CacheRegistry.track("containmentPairs.gdf",
+    val gdf = graft.core.CacheRegistry.track(s"$tag.gdf",
       grams0.groupBy("g").agg(F.count(F.lit(1)).as("__df")))
     // memoized like the LSH band-fanout count: one estimate job per
     // (plan, file-state) per session, so repeated builds (bench
@@ -1122,13 +1157,13 @@ object Dedup {
     val budget = pairBudget(spark)
     val (effMaxDf, estPairs) = adaptiveContainmentCap(gdf, "__df", maxDf, budget)
     if (effMaxDf < maxDf)
-      println(s"[graft] containmentPairs: near-cap vocabulary — est pair mass " +
+      println(s"[graft] $tag: near-cap vocabulary — est pair mass " +
         f"$estPairs%.3g over budget $budget; df cap $maxDf -> $effMaxDf")
     // width from the mass the pair join will actually carry: the capped
     // estimate, bounded by the budget once the cap adapted
     val estForWidth = if (effMaxDf < maxDf) budget.toDouble else estPairs
     val w = Explosion.width(estForWidth, machine)
-    if (w != machine) Explosion.logWidth("containmentPairs", estForWidth, w)
+    if (w != machine) Explosion.logWidth(tag, estForWidth, w)
     // the filtered gram frame feeds three consumers (sizes + both join
     // sides) = three corpus scans by default. Same knob/tradeoff as
     // `chunkDedupProfile.persistChunks`: persist caches the (id, g)
@@ -1142,11 +1177,14 @@ object Dedup {
     // dominant cost
     val grams1 = grams0.join(maybeBroadcastVocab(gdf, gdf), "g")
       .filter(F.col("__df") <= effMaxDf).select("id", "g")
-    val grams = if (persistGrams)
-      graft.core.CacheRegistry.track("containmentPairs.grams", grams1) else grams1
+    val grams = if (persistFeatures)
+      graft.core.CacheRegistry.track(s"$tag.features", grams1) else grams1
+    // broadcast decision from the distinct feature-carrier count — the
+    // one-row-per-id frame the sizes aggregation produces (memoized;
+    // an aggregation job on first build, cache-served after)
     val sizes = maybeBroadcastSizes(
       grams.groupBy("id").agg(F.count(F.lit(1)).as("__n")),
-      docs.select(F.col(idCol)))
+      grams0.select(F.col("id")).distinct())
     val pairs0 = grams.select(F.col("g"), F.col("id").as("id_a"))
       .join(grams.select(F.col("g"), F.col("id").as("id_b")), "g")
       .filter(F.col("id_a") < F.col("id_b"))

@@ -824,6 +824,51 @@ object CurationQueries extends QueryPack {
         FROM counts, m ORDER BY source
       """)),
 
+    // Winnow-fingerprint overlap pairs (MOSS-report shape): >= 50% of
+    // the smaller doc's winnowing fingerprints appear in the larger's —
+    // long-verbatim-span sharing at ~1/w of the gram-set feature
+    // volume. Same inverted-index + df-cap + pair-budget machinery as
+    // q89, applied to q74's fingerprint scheme (k=3, w=4).
+    Query(
+      "q100_winnow_overlap",
+      (s, dir) => {
+        Dedup.winnowOverlapPairs(Tables.documents(s, dir), "doc_id", "text",
+            k = 3, w = 4, tau = 0.5, maxDf = 1000)
+          .orderBy("id_small", "id_big")
+      },
+      Some(s"""
+        WITH ws AS (
+          SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+        kg AS (
+          SELECT doc_id,
+                 CASE WHEN len(w) < 3 THEN []
+                      ELSE [('0x' || substring(md5(array_to_string(w[i:i+2], ' ')), 1, 15))::BIGINT
+                            FOR i IN range(1, len(w) - 1)] END AS h
+          FROM ws),
+        fps AS (
+          SELECT doc_id,
+                 CASE WHEN len(h) = 0 THEN []
+                      WHEN len(h) <= 4 THEN [list_min(h)]
+                      ELSE [list_min(h[j:j+3]) FOR j IN range(1, len(h) - 2)] END AS fp0
+          FROM kg),
+        gx AS (SELECT doc_id, unnest(list_distinct(fp0)) AS g FROM fps),
+        gdf AS (SELECT g, count(*) AS df FROM gx GROUP BY g),
+        gf AS (SELECT doc_id, g FROM gx JOIN gdf USING (g) WHERE df <= 1000),
+        sizes AS (SELECT doc_id, count(*) AS n FROM gf GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+          FROM gf a JOIN gf b USING (g) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        j AS (
+          SELECT CASE WHEN sa.n <= sb.n THEN ia ELSE ib END AS id_small,
+                 CASE WHEN sa.n <= sb.n THEN ib ELSE ia END AS id_big,
+                 least(sa.n, sb.n) AS n_small, inter,
+                 round(CAST(inter AS DOUBLE) / least(sa.n, sb.n), 6) AS containment
+          FROM pairs
+          JOIN sizes sa ON sa.doc_id = ia
+          JOIN sizes sb ON sb.doc_id = ib)
+        SELECT * FROM j WHERE containment >= 0.5 ORDER BY id_small, id_big
+      """)),
+
     // Corpus profile ("dataset card"): per (source, lang) volume,
     // distinct-content count and mean quality — the one-page rollup a
     // curation run starts and ends with. Mean quality goes through
