@@ -101,7 +101,7 @@ object ScaleProbe {
       "q89_containment_pairs", "q90_source_caps", "q91_quality_gate",
       "q92_containment_incremental", "q93_ngram_novelty",
       "q94_strip_dup_spans", "q95_source_jaccard", "q96_temperature_mixture",
-      "q97_corpus_profile", "q98_sliding_chunks")
+      "q97_corpus_profile", "q98_sliding_chunks", "q100_winnow_overlap")
     // q99_knn_classify excluded by design: its oracle split grows BOTH the
     // query and corpus sides, so the brute verify is quadratic by
     // contract (the q42-pair-form situation); production classification
