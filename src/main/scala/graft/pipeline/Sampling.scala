@@ -98,6 +98,10 @@ object Sampling {
     * broadcast single-row min — no corpus-sized shuffle at any size. */
   def temperatureRates(docs: DataFrame, sourceCol: String,
                        alpha: Double = 0.5): DataFrame = {
+    // alpha > 1 would SHARPEN the mixture and push large-source rates
+    // past 1.0 — upsampling, which this operator contractually never
+    // does; alpha = 1 keeps observed proportions (every rate 1.0)
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha $alpha outside (0, 1]")
     val counts = docs.groupBy(sourceCol).agg(F.count(F.lit(1)).as("n"))
     val minN = counts.agg(F.min("n").as("__min"))
     val ratio = F.col("__min").cast("double") / F.col("n")

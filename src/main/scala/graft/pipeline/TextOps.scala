@@ -416,6 +416,11 @@ object TextOps {
     * payloads move; nothing is quadratic. */
   def ngramNoveltyFromVocab(vocab: DataFrame, docs: DataFrame,
                             idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    // PRECONDITION (same family contract as sourceChunkOverlapFromIndex):
+    // `vocab.g` must be DISTINCT — a duplicated vocabulary row fans out
+    // the membership join and silently inflates n_grams. `refGramVocab`
+    // and the bucketed store qualify by construction; re-distincting
+    // here would double-pay the shuffle the stored artifact already paid.
     val tg = docs.select(F.col(idCol),
       F.explode_outer(distinctKgramHashes(tokens(F.col(textCol)), k)).as("g"))
     tg.join(vocab.select(F.col("g"), F.lit(1).as("__hit")), Seq("g"), "left")
