@@ -161,6 +161,38 @@ object Streams {
                               watermark: String, k: Int = 3,
                               tau: Double = 0.8, maxDf: Int = 1000): DataFrame = {
     val T = graft.pipeline.TextOps
+    overlapAgainstIndex(stream, index, idCol, tsCol, textCol, watermark,
+      toks => T.distinctKgramHashes(toks, k), tau, maxDf)
+  }
+
+  /** Streaming twin of `Dedup.winnowOverlapPairs` (q100): arriving
+    * documents checked for winnow-fingerprint overlap against the
+    * stored fingerprint index — the MOSS-report shape at ingest time.
+    * `index` is the (id, g) fingerprint membership built with the SAME
+    * (k, w) scheme (`TextOps.winnowFromTokens`); same frozen-cap and
+    * at-least-once semantics as `containmentAgainstIndex`. */
+  def winnowOverlapAgainstIndex(stream: DataFrame, index: DataFrame,
+                                idCol: String, tsCol: String, textCol: String,
+                                watermark: String, k: Int = 3, w: Int = 4,
+                                tau: Double = 0.6, maxDf: Int = 1000): DataFrame = {
+    val T = graft.pipeline.TextOps
+    overlapAgainstIndex(stream, index, idCol, tsCol, textCol, watermark,
+      toks => T.winnowFromTokens(toks, k, w), tau, maxDf)
+  }
+
+  /** The featureization-generic core shared by the two twins above:
+    * arriving docs are featurized to a distinct hash set, candidates
+    * come from one stream-static equi-join against the capped index
+    * postings, and the overlap is computed exactly per surviving pair
+    * via array intersection — stateless except the watermark-bounded
+    * pair dedup. See `containmentAgainstIndex` for the full shape and
+    * cap-freezing contract notes. */
+  private def overlapAgainstIndex(stream: DataFrame, index: DataFrame,
+                                  idCol: String, tsCol: String, textCol: String,
+                                  watermark: String,
+                                  features: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+                                  tau: Double, maxDf: Int): DataFrame = {
+    val T = graft.pipeline.TextOps
     val gdf = index.groupBy("g").agg(F.count(F.lit(1)).as("__df"))
     // vocabulary side broadcast when small — the un-hinted join
     // exchanges the whole index gram explosion (see Dedup's r11 note);
@@ -183,7 +215,7 @@ object Streams {
       .agg(F.collect_set("g").as("__stop")).localCheckpoint(true)
     val b = stream
       .select(F.col(idCol).as("id_b"), F.col(tsCol).as("__ts"),
-        T.distinctKgramHashes(T.tokens(F.col(textCol)), k).as("__gsb"))
+        features(T.tokens(F.col(textCol))).as("__gsb"))
       .crossJoin(F.broadcast(stopDf))
       .select(F.col("id_b"), F.col("__ts"), F.col("__gsb"),
         F.size(F.array_except(F.col("__gsb"), F.col("__stop"))).cast("long").as("__nb"))

@@ -354,6 +354,54 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming winnow overlap against a stored fingerprint index matches the batch pairs") {
+    // q100's streaming twin: arrival-vs-index fingerprint overlap at
+    // frozen-cap values via the shared overlapAgainstIndex core
+    import spark.implicits._
+    val T = graft.pipeline.TextOps
+    val dir = java.nio.file.Files.createTempDirectory("graft-winnow-stream")
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val span = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq(
+      (0L, span + " lambda mu nu xi"),
+      (1L, "entirely unrelated words about query engines and storage"))
+      .toDF("doc_id", "text")
+    // stored index = (id, g) winnow-fingerprint membership (k=3, w=4)
+    val index = corpus.select($"doc_id".as("id"),
+      F.explode(T.winnowFromTokens(T.tokens($"text"), 3, 4)).as("g")).persist()
+    def writeBatch(rows: Seq[(Long, java.sql.Timestamp, String)]): Unit =
+      rows.toDF("doc_id", "ts", "text")
+        .repartition(1).write.mode("append").parquet(dir.toString + "/docs")
+    writeBatch(Seq((100L, t("2024-01-01 00:00:00"), span),
+      (101L, t("2024-01-01 00:01:00"), "fresh novel phrasing nowhere shared at all")))
+    val schema = Seq((0L, t("2024-01-01 00:00:00"), "x"))
+      .toDF("doc_id", "ts", "text").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString + "/docs")
+    val q = Streams.winnowOverlapAgainstIndex(stream, index,
+        "doc_id", "ts", "text", "10 minutes", k = 3, w = 4, tau = 0.6)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("winnow_out").start()
+    try {
+      q.processAllAvailable()
+      val emitted = spark.table("winnow_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      // batch operator over corpus ∪ arrivals, restricted to arrival pairs
+      val all = corpus.unionByName(Seq(
+          (100L, span), (101L, "fresh novel phrasing nowhere shared at all"))
+        .toDF("doc_id", "text"))
+      val batch = graft.pipeline.Dedup
+        .winnowOverlapPairs(all, "doc_id", "text", k = 3, w = 4, tau = 0.6)
+        .filter(F.col("id_small") >= 100 || F.col("id_big") >= 100)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+        .toSet
+      assert(emitted.nonEmpty && emitted.toSet == batch,
+        s"stream ${emitted.toSet} != batch $batch")
+      assert(emitted.map(e => Set(e._1, e._2)).toSet == Set(Set(0L, 100L)))
+    } finally q.stop()
+  }
+
   test("streaming embedding near-dup against the stored index equals the batch operator") {
     // q81's streaming twin: arrival-vs-index cosine pairs via the
     // hyperplane-bucket join, with in-watermark replay dedup
