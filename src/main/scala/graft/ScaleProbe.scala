@@ -147,7 +147,7 @@ object ScaleProbe {
     // not-yet-GC'd shuffle files double peak scratch usage (the failure
     // mode that killed two r11 containment probes at 100×)
     val legs = sys.env.getOrElse("GRAFT_PROBE_LEGS", "2").toInt
-    println(f"${"query"}%-22s ${"t_1x"}%8s ${"t_10x"}%8s  exp")
+    println(f"${"query"}%-22s ${"t_1x"}%8s ${s"t_${factor}x"}%8s  exp")
     sel.foreach { name =>
       qs.get(name).foreach { fn =>
         // warm once at 1× (JIT), then min of `legs` at each scale
