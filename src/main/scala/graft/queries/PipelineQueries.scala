@@ -755,7 +755,11 @@ object PipelineQueries extends QueryPack {
     Query(
       "q55_cosine_pairs",
       (s, dir) => {
-        Similarity.cosinePairsViaCells(Tables.embeddings(s, dir), 0.4)
+        // r11: the triangle-inequality COMPLETE candidate set — the
+        // sf0.1 sweep caught the empirical cell co-assignment missing
+        // ~9% of true pairs at this low threshold (66 deg radius);
+        // cosinePairsComplete guarantees candidates ⊇ every true pair
+        Similarity.cosinePairsComplete(Tables.embeddings(s, dir), 0.4)
           .select("id_a", "id_b")
           .orderBy("id_a", "id_b")
       },
@@ -776,7 +780,7 @@ object PipelineQueries extends QueryPack {
         // candidate-fed edges (same scale path as q55): the registered
         // artifact carries no corpus×corpus join; the all-pairs DuckDB
         // oracle doubles as the recall pin for the edge set
-        val edges = Similarity.cosinePairsViaCells(Tables.embeddings(s, dir), 0.4)
+        val edges = Similarity.cosinePairsComplete(Tables.embeddings(s, dir), 0.4)
         Dedup.connectedComponents(edges)
           .select("id", "cluster")
           .orderBy("id")

@@ -616,6 +616,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(k2 == k3)
   }
 
+  test("cosinePairsComplete equals the all-pairs anchor at a low threshold") {
+    import spark.implicits._
+    // deterministic pseudo-random vectors: low-threshold pairs span wide
+    // angles — exactly the regime where empirical cell co-assignment
+    // loses pairs (the sf0.1 q55 sweep measured ~9% missed at τ=0.4);
+    // the triangle-inequality candidates must lose none
+    val rnd = new scala.util.Random(7)
+    val df = (0 until 300).map { i =>
+      (i.toLong, Array.fill(8)(rnd.nextFloat() * 2f - 1f))
+    }.toDF("vec_id", "embedding")
+    def pairs(d: org.apache.spark.sql.DataFrame) =
+      d.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.cosinePairs(df, 0.4))
+    val complete = pairs(Similarity.cosinePairsComplete(df, 0.4, nlist = 40))
+    assert(exact.nonEmpty, "fixture should produce pairs")
+    assert(complete == exact,
+      s"missing ${exact -- complete}, extra ${complete -- exact}")
+    // and at a high threshold (the dedup regime) on clustered data
+    val clustered = (0 until 60).map { i =>
+      val base = Array.fill(8)(0f); base(i % 4) = 1f
+      (i.toLong, base.zipWithIndex.map { case (x, j) => x + 0.03f * ((i + j) % 5) })
+    }.toDF("vec_id", "embedding")
+    val e2 = pairs(Similarity.cosinePairs(clustered, 0.9))
+    val c2 = pairs(Similarity.cosinePairsComplete(clustered, 0.9, nlist = 8))
+    assert(e2.nonEmpty && c2 == e2)
+  }
+
   test("knnClassify: majority vote with deterministic tie-breaks") {
     import spark.implicits._
     // corpus: two tight clusters with labels 1 and 2, one stray label 3
