@@ -492,7 +492,13 @@ object Similarity {
     val trainSet = c.orderBy("cid0").limit(trainCap.toInt)
     val centroids = trainCentroids(trainSet, n, iters, cos)
     // (id, cell, sim) for EVERY (vector, centroid) — probe filtering
-    // happens against this one frame; centroids broadcast
+    // happens against this one frame; centroids broadcast. The tracked
+    // cache is n·nlist scalar rows (~20 GB at 200k×3.6k on the 100×
+    // probe, MEMORY_AND_DISK) buying one n·nlist cosine pass: both the
+    // assignment window and the probe filter consume it. On a cluster
+    // where that cache pressures executors, drop it and pay the
+    // assignment pass twice instead — the frame is derived, never
+    // corpus-payload-sized state.
     val allSims = graft.core.CacheRegistry.track("cosinePairsComplete.sims",
       c.crossJoin(F.broadcast(centroids))
         .select(F.col("cid0"), F.col("cell"), cos(F.col("cv"), F.col("centroid")).as("__sim")))
