@@ -67,6 +67,11 @@ object Bench {
   // load_end 4.76 from our own work); busy-jiffies-minus-our-own can.
   private val extAtMin = TrieMap.empty[String, Double]
   private val ioAtMin = TrieMap.empty[String, Double]
+  // per-query tag→cached-bytes snapshot taken just before each release
+  // (r11 verdict task 8): cache-pressure regressions (a budget gate
+  // mis-sized, a new operator persisting corpus-shaped state) surface
+  // in BENCH_DETAIL per query instead of only in probe post-mortems
+  private val cacheBytesAtRun = TrieMap.empty[String, String]
   private val loadPasses = scala.collection.mutable.ArrayBuffer.empty[String]
 
   /** Runs whose external competition exceeds this many cores (of 32)
@@ -230,8 +235,10 @@ object Bench {
     val cacheLeak = SparkSession.getActiveSession
       .orElse(SparkSession.getDefaultSession)
       .exists(s => !s.sharedState.cacheManager.isEmpty) || leftoverTags.nonEmpty
+    val cacheBytes = cacheBytesAtRun.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${m(minTimes)},"first":${m(firstTimes)},"failed":$failed,"errors":$errs,"partial":$partial,"loaded":$loaded,"ext_load_at_min":$extm,"io_stall_at_min":$iom,"load_passes":$passes,"load_start":$loadStart,"load_end":$load1,"cache_leak":$cacheLeak,"leftover_cache_tags":${leftoverTags.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sfDirSeen"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${m(minTimes)},"first":${m(firstTimes)},"failed":$failed,"errors":$errs,"partial":$partial,"loaded":$loaded,"ext_load_at_min":$extm,"io_stall_at_min":$iom,"load_passes":$passes,"load_start":$loadStart,"load_end":$load1,"cache_leak":$cacheLeak,"leftover_cache_tags":${leftoverTags.map("\"" + _ + "\"").mkString("[", ",", "]")},"cache_bytes":$cacheBytes,"sf":"$sfDirSeen"}"""
     // The driver captures only the LAST ~2000 chars of output and
     // parses the JSON it finds there — the full artifact above is
     // 6-10 KB, so BENCH_r08/r09 both landed `parsed: null` and were
@@ -353,6 +360,15 @@ object Bench {
       val snap0 = cpuSnap()
       val (dt, ok) = withWatchdog(s"bench-$name", sliceSec)(fn(spark, sfDir).count())
       val snap1 = cpuSnap()
+      // snapshot per-tag cached bytes BEFORE the release (cheap:
+      // block-manager metadata only, no jobs); only non-zero entries
+      // are recorded, so the map stays tiny for the cache-free majority
+      try {
+        val bytes = graft.core.CacheRegistry.trackedBytes(spark).filter(_._2 > 0)
+        if (bytes.nonEmpty)
+          cacheBytesAtRun(name) = bytes
+            .map { case (t, b) => "\"" + t + "\":" + b }.mkString("{", ",", "}")
+      } catch { case _: Throwable => () }
       // queries may persist() intermediates; drop them so one query's
       // cache never bleeds into the next one's memory budget (the
       // registry release clears graft's tracked handles; clearCache

@@ -146,7 +146,10 @@ object ScaleProbe {
     // min-of-2 — for disk-bound heavy queries where a second leg's
     // not-yet-GC'd shuffle files double peak scratch usage (the failure
     // mode that killed two r11 containment probes at 100×)
-    val legs = sys.env.getOrElse("GRAFT_PROBE_LEGS", "2").toInt
+    // clamped: a non-numeric value or 0 must not crash a long probe run
+    // partway through (bare toInt throws; legs=0 makes the min empty)
+    val legs = math.max(1,
+      sys.env.get("GRAFT_PROBE_LEGS").flatMap(_.toIntOption).getOrElse(2))
     println(f"${"query"}%-22s ${"t_1x"}%8s ${s"t_${factor}x"}%8s  exp")
     sel.foreach { name =>
       qs.get(name).foreach { fn =>

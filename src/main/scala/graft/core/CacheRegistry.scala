@@ -35,6 +35,31 @@ object CacheRegistry {
   /** Tags currently held — the audit surface for specs and bench logs. */
   def trackedTags: Seq[String] = synchronized { tracked.map(_._1).toSeq }
 
+  /** (tag, memBytes + diskBytes) for every tracked frame — the
+    * cache-pressure observability surface (r11 verdict task 8): Bench
+    * logs this before each release so a cache that balloons (the
+    * failure mode the sims-cache budget gate exists for) shows up in
+    * BENCH_DETAIL per query, not only in probe post-mortems. Resolution
+    * goes tracked plan → its `InMemoryRelation` → the cached-buffer
+    * RDD's id → the block manager's storage info; a frame whose buffers
+    * were never materialized (no action yet, or already evicted)
+    * reports 0. Read-only: nothing is built or computed. */
+  def trackedBytes(spark: org.apache.spark.sql.SparkSession): Seq[(String, Long)] = synchronized {
+    val infos = spark.sparkContext.getRDDStorageInfo
+    tracked.toSeq.map { case (tag, df) =>
+      val bytes =
+        try {
+          val ids = df.queryExecution.withCachedData.collect {
+            case r: org.apache.spark.sql.execution.columnar.InMemoryRelation
+              if r.cacheBuilder.isCachedColumnBuffersLoaded =>
+              r.cacheBuilder.cachedColumnBuffers.id
+          }.toSet
+          infos.filter(i => ids.contains(i.id)).map(i => i.memSize + i.diskSize).sum
+        } catch { case _: Throwable => 0L }
+      (tag, bytes)
+    }
+  }
+
   /** Unpersist everything tracked (non-blocking) and forget it.
     * Idempotent; frames already dropped by `clearCache()` unpersist as
     * a no-op. */

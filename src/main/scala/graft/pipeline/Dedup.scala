@@ -275,17 +275,46 @@ object Dedup {
     * fold read it back, instead of re-scanning + re-distincting the
     * corpus per consumer.
     *
-    * PRECONDITION (ADVICE r10): the input must be `chunkHashIndex`-
-    * shaped — (chunk_hash, source) rows DISTINCT. The count below
-    * counts rows, not distinct hashes, so a non-deduped frame inflates
-    * `n_shared` silently; re-deduplicating here would double-pay the
-    * shuffle the stored index already paid (the bucketed store
-    * qualifies by construction). */
+    * PRECONDITION (ADVICE r10, pinned r12): the input must be
+    * `chunkHashIndex`-shaped — (chunk_hash, source) rows DISTINCT. The
+    * count below counts rows, not distinct hashes, so a non-deduped
+    * frame inflates `n_shared` (and the Jaccard built on it);
+    * re-deduplicating here would double-pay the shuffle the stored
+    * index already paid (the bucketed store qualifies by
+    * construction). The precondition is CHECKABLE: set
+    * `graft.debug.assertDistinctIndex=true` and construction runs one
+    * verification aggregate, failing fast with the row/distinct counts
+    * instead of returning inflated overlaps — off by default so the
+    * production path stays job-free at build time. IndexSpec feeds a
+    * non-distinct frame and pins both behaviors. */
   def sourceChunkOverlapFromIndex(index: DataFrame): DataFrame = {
+    assertChunkIndexDistinct(index, "sourceChunkOverlapFromIndex")
     val a = index.select(F.col("chunk_hash"), F.col("source").as("source_a"))
     val b = index.select(F.col("chunk_hash"), F.col("source").as("source_b"))
     a.join(b, "chunk_hash").filter(F.col("source_a") < F.col("source_b"))
       .groupBy("source_a", "source_b").agg(F.count(F.lit(1)).as("n_shared"))
+  }
+
+  /** Debug-gated distinctness check for `chunkHashIndex`-shaped inputs
+    * (r11 verdict task 7): one aggregate comparing row count to
+    * distinct (chunk_hash, source) count, run ONLY under
+    * `graft.debug.assertDistinctIndex` — the default path never pays a
+    * job at plan-construction time (the job-free-construction contract
+    * PipelineSpec pins elsewhere). */
+  private def assertChunkIndexDistinct(index: DataFrame, op: String): Unit = {
+    val dbg =
+      try index.sparkSession.conf.get("graft.debug.assertDistinctIndex", "false").toBoolean
+      catch { case _: Throwable => false }
+    if (dbg) {
+      val Array(n, nd) = index
+        .agg(F.count(F.lit(1)),
+          F.count_distinct(F.struct(F.col("chunk_hash"), F.col("source"))))
+        .head().toSeq.map(_.asInstanceOf[Long]).toArray
+      require(n == nd,
+        s"$op: index is not chunkHashIndex-shaped — $n rows vs $nd distinct " +
+          "(chunk_hash, source); n_shared would be silently inflated. " +
+          "Dedup with chunkHashIndex or dropDuplicates(\"chunk_hash\", \"source\").")
+    }
   }
 
   /** Source-pair chunk JACCARD matrix — `sourceChunkOverlap` normalized

@@ -199,17 +199,29 @@ object Similarity {
     * trade), so predictions match brute wherever the true k-NN set
     * lies in probed cells — the spec pins agreement on clustered data.
     * The label attach joins the corpus's (id, label) scalars against
-    * the queries×k survivor frame, hinted broadcast (bounded by the
-    * query count, not the corpus). */
+    * the queries×k survivor frame — broadcast-hinted ONLY when the
+    * memoized query count keeps queries×k under
+    * `graft.knn.maxBroadcastSurvivors` (default 8M rows of two ids,
+    * ~128-256 MB; same conditional-hint contract as
+    * `Dedup.maybeBroadcastVocab`). An unconditional hint would bypass
+    * Catalyst's size threshold and OOM the driver at exactly the
+    * crawl-sized query sets this path exists for (r11 verdict); above
+    * the bound the shuffled hash join on `neighbor_id` is the honest
+    * plan. On count failure the hint is skipped — never load-bearing. */
   def knnClassifyIvf(corpus: DataFrame, queries: DataFrame, k: Int,
                      nlist: Int = 16, nprobe: Int = 4, iters: Int = 2,
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      labelCol: String = "label"): DataFrame = {
     val nn = ivfTopK(corpus, queries, k, nlist, nprobe, iters, idCol, vecCol)
       .select(F.col("query_id"), F.col("neighbor_id"))
+    val maxRows =
+      try corpus.sparkSession.conf.get("graft.knn.maxBroadcastSurvivors", "8000000").toLong
+      catch { case _: Throwable => 8000000L }
+    val nq = try memoizedCount(queries.select(F.col(idCol))) catch { case _: Throwable => -1L }
+    val hinted = if (nq >= 0 && nq * k.toLong <= maxRows) F.broadcast(nn) else nn
     val votes = corpus
       .select(F.col(idCol).as("neighbor_id"), F.col(labelCol).as("__lbl"))
-      .join(F.broadcast(nn), "neighbor_id")
+      .join(hinted, "neighbor_id")
       .groupBy("query_id", "__lbl").agg(F.count(F.lit(1)).as("votes"))
     majorityVote(votes)
   }
@@ -320,7 +332,13 @@ object Similarity {
     * for arbitrary thresholds); the registered q55 pins it against the
     * all-pairs DuckDB oracle — hash-equality asserts candidates ⊇ every
     * true pair at the tested scales. `cosinePairs` (all-pairs) remains
-    * the test-only exactness anchor. */
+    * the test-only exactness anchor.
+    *
+    * Ad-hoc callers should prefer [[cosinePairsAuto]]: it routes the
+    * high-threshold near-dup regime here (where this path's recall is
+    * pinned and the probe fan-out of the complete path buys nothing)
+    * and low thresholds to [[cosinePairsComplete]] (where THIS path
+    * was measured missing ~9% of true pairs at τ = 0.4). */
   def cosinePairsViaCells(corpus: DataFrame, threshold: Double,
                           nlist: Int = -1, mprobe: Int = 8, iters: Int = 2,
                           idCol: String = "vec_id", vecCol: String = "embedding",
@@ -472,7 +490,13 @@ object Similarity {
     * thresholds of near-dup dedup (τ ≥ 0.8, radius ≤ 37°+α) the probe
     * set stays small and the operator scales like the empirical path.
     * Outlier vectors (far from every centroid) inflate α and therefore
-    * COST, never correctness. */
+    * COST, never correctness — including past the π radius (τ + cosα
+    * ≤ 0), where the cutoff clamps to −1 and they probe every cell
+    * (PipelineSpec pins the antipodal-outlier geometry).
+    *
+    * Ad-hoc callers should prefer [[cosinePairsAuto]], which routes
+    * the high-threshold regime to the cheaper empirical path and only
+    * pays this path's probe fan-out where the guarantee is needed. */
   def cosinePairsComplete(corpus: DataFrame, threshold: Double,
                           nlist: Int = -1, iters: Int = 2,
                           idCol: String = "vec_id", vecCol: String = "embedding",
@@ -480,8 +504,8 @@ object Similarity {
     val cos = cosineNative(corpus.sparkSession) _
     val c = corpus.select(F.col(idCol).as("cid0"), F.col(vecCol).as("cv"))
     val total: Long =
-      if (nlist > 0) -1L
-      else if (rowCount >= 0) rowCount
+      if (rowCount >= 0) rowCount
+      else if (nlist > 0) -1L // explicit nlist: plan construction stays job-free
       else memoizedCount(c)
     // same m·√n sizing rule as the empirical path (m = 8 default probe
     // breadth there; here the probe set is radius-driven, but cell
@@ -492,16 +516,26 @@ object Similarity {
     val trainSet = c.orderBy("cid0").limit(trainCap.toInt)
     val centroids = trainCentroids(trainSet, n, iters, cos)
     // (id, cell, sim) for EVERY (vector, centroid) — probe filtering
-    // happens against this one frame; centroids broadcast. The tracked
-    // cache is n·nlist scalar rows (~20 GB at 200k×3.6k on the 100×
-    // probe, MEMORY_AND_DISK) buying one n·nlist cosine pass: both the
-    // assignment window and the probe filter consume it. On a cluster
-    // where that cache pressures executors, drop it and pay the
-    // assignment pass twice instead — the frame is derived, never
-    // corpus-payload-sized state.
-    val allSims = graft.core.CacheRegistry.track("cosinePairsComplete.sims",
-      c.crossJoin(F.broadcast(centroids))
-        .select(F.col("cid0"), F.col("cell"), cos(F.col("cv"), F.col("centroid")).as("__sim")))
+    // happens against this one frame; centroids broadcast. Caching it
+    // buys one n·nlist cosine pass (both the assignment window and the
+    // probe filter consume it), but the frame is n·nlist scalar rows —
+    // 8·n^1.5 under auto-nlist (~20 GB at the 200k×3.6k probe), which
+    // pressures executors long before the corpus payload does. The
+    // cache is therefore BUDGET-GATED (r11 verdict task 2, same
+    // three-zone spirit as [[broadcastVecMaxBytes]]): under
+    // `graft.simsCacheMaxBytes` it persists via CacheRegistry; over
+    // budget it stays lazy and the assignment pass runs twice — the
+    // frame is derived, never corpus-payload-sized state, so
+    // recomputing is a bounded cosine pass, not extra shuffle. Unknown
+    // size (explicit nlist, no rowCount) keeps the cache: that is the
+    // bounded spec/ad-hoc path, and estimating would cost a count job
+    // during plan construction.
+    val simsRaw = c.crossJoin(F.broadcast(centroids))
+      .select(F.col("cid0"), F.col("cell"), cos(F.col("cv"), F.col("centroid")).as("__sim"))
+    val simsEstBytes = if (total >= 0) total * n.toLong * 64L else -1L
+    val allSims =
+      if (simsEstBytes >= 0 && simsEstBytes > simsCacheMaxBytes(corpus.sparkSession)) simsRaw
+      else graft.core.CacheRegistry.track("cosinePairsComplete.sims", simsRaw)
     val wA = Window.partitionBy("cid0").orderBy(F.col("__sim").desc, F.col("cell"))
     val assigned = allSims.withColumn("__rk", F.row_number().over(wA))
       .filter(F.col("__rk") === 1).select(F.col("cid0"), F.col("cell"), F.col("__sim"))
@@ -511,7 +545,14 @@ object Similarity {
       F.least(F.greatest(F.min("__sim"), F.lit(-1.0)), F.lit(1.0)).as("__cosA"))
     val sinA = F.sqrt(F.lit(1.0) - F.col("__cosA") * F.col("__cosA"))
     val sinT = math.sqrt(math.max(0.0, 1.0 - threshold * threshold))
-    val cutoff = F.lit(threshold) * F.col("__cosA") - F.lit(sinT) * sinA
+    // cos(acos(τ)+α) is only a valid probe cutoff while acos(τ)+α ≤ π.
+    // Past π (τ + cosα < 0: an outlier nearly antipodal to every
+    // centroid, at a low threshold) cosine turns back UP and the
+    // formula would yield a cutoff > −1 — silently shrinking the probe
+    // radius below the full sphere and breaking the completeness
+    // guarantee. There the required radius is the whole sphere: −1.
+    val cutoff = F.when(F.lit(threshold) + F.col("__cosA") <= 0.0, F.lit(-1.0))
+      .otherwise(F.lit(threshold) * F.col("__cosA") - F.lit(sinT) * sinA)
     val probes = allSims.crossJoin(F.broadcast(alphaRow))
       .filter(F.col("__sim") >= cutoff)
       .select(F.col("cid0").as("id_b"), F.col("cell"))
@@ -531,6 +572,49 @@ object Similarity {
       .filter(F.col("cos") > threshold)
       .groupBy("id_a", "id_b").agg(F.first("cos").as("cos"))
   }
+
+  /** Threshold boundary for [[cosinePairsAuto]]: at or above this τ the
+    * empirical cell path runs; below it the complete path. Default 0.8
+    * — the near-dup regime's floor, where the co-assignment radius
+    * (≤ 37°) comfortably covers true pairs (q55's recall hole appeared
+    * at τ = 0.4, 66°; every tested τ ≥ 0.8 hash-matches the all-pairs
+    * oracle at sf0.001/0.01/0.1). Override via
+    * `graft.cosinePairs.autoTau`; set > 1.0 to force the complete path
+    * everywhere. */
+  def cosinePairsAutoTau(spark: org.apache.spark.sql.SparkSession): Double =
+    try spark.conf.get("graft.cosinePairs.autoTau", "0.8").toDouble
+    catch { case _: Throwable => 0.8 }
+
+  /** Dispatcher over the two cosine-pairs paths (r11 verdict task 4;
+    * pattern: `TextOps.qualityGateAuto`): high thresholds route to the
+    * empirical [[cosinePairsViaCells]] (cheaper — no probe fan-out,
+    * recall pinned against the all-pairs oracle in the near-dup
+    * regime), low thresholds to the provably-complete
+    * [[cosinePairsComplete]] (triangle-inequality candidate guarantee
+    * at ANY τ — the radius the empirical path's recall hole was found
+    * at). Callers who need the guarantee at every τ regardless of cost
+    * call the complete path directly (as q55/q58's registrations do);
+    * this entry point is the ad-hoc default. */
+  def cosinePairsAuto(corpus: DataFrame, threshold: Double,
+                      nlist: Int = -1, iters: Int = 2,
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      rowCount: Long = -1L): DataFrame =
+    if (threshold >= cosinePairsAutoTau(corpus.sparkSession))
+      cosinePairsViaCells(corpus, threshold, nlist, 8, iters, idCol, vecCol, rowCount)
+    else
+      cosinePairsComplete(corpus, threshold, nlist, iters, idCol, vecCol, rowCount)
+
+  /** Byte budget for [[cosinePairsComplete]]'s tracked (id, cell, sim)
+    * assignment cache: default 8 GiB — comfortably held by one big
+    * executor's storage fraction and far under this box's 128 GiB, yet
+    * crossed by the 100× probe's 200k×3.6k frame (~46 GB at the 64-byte
+    * row estimate), so the skip branch is the one that runs at target
+    * scale. Override per session via `graft.simsCacheMaxBytes`
+    * (specs/probes use a tiny value to force the uncached branch). */
+  def simsCacheMaxBytes(spark: org.apache.spark.sql.SparkSession): Long =
+    try spark.conf.get("graft.simsCacheMaxBytes",
+      (8L * 1024 * 1024 * 1024).toString).toLong
+    catch { case _: Throwable => 8L * 1024 * 1024 * 1024 }
 
   /** Byte budget for broadcasting the verify join's (id → vector)
     * payload (r10 verdict task 1 — the bound is BYTES-adaptive, not a

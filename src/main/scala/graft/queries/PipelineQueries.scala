@@ -450,6 +450,10 @@ object PipelineQueries extends QueryPack {
     // so engine float-accumulation differences cannot flip membership).
     // The cos value itself is excluded: last-ULP accumulation order
     // differs across engines.
+    // (These two fix τ = 0.99, where one-bucket LSH recall is exact by
+    // the identical-vector argument. Pair mining at ARBITRARY τ goes
+    // through Similarity.cosinePairsAuto instead — τ-dispatched between
+    // the empirical cell path and the guaranteed complete path.)
     // Incremental embedding near-dup: new vector batch (shifted copy)
     // against the stored hyperplane index — q80's embedding twin. Same
     // 0.99 threshold and containment argument as q44: identical vectors

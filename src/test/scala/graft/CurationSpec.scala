@@ -488,6 +488,28 @@ class CurationSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("A", "B", 1L, 0.333333)))
   }
 
+  test("sourceChunkOverlapFromIndex: non-distinct index pinned (ADVICE r10 / r11 verdict 7)") {
+    // a chunkHashIndex-shaped frame — one row per (chunk_hash, source)
+    val distinctIx = Seq(("h1", "A"), ("h1", "B"), ("h2", "A")).toDF("chunk_hash", "source")
+    def shared(ix: org.apache.spark.sql.DataFrame) =
+      Dedup.sourceChunkOverlapFromIndex(ix)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(shared(distinctIx) == Map(("A", "B") -> 1L))
+    // the SAME membership with one duplicated row: the documented
+    // precondition violation — n_shared inflates (2, not 1), silently
+    val dupIx = distinctIx.union(Seq(("h1", "A")).toDF("chunk_hash", "source"))
+    assert(shared(dupIx) == Map(("A", "B") -> 2L),
+      "default path is job-free and trusts the precondition")
+    // under the debug conf the violation fails FAST at construction
+    try {
+      spark.conf.set("graft.debug.assertDistinctIndex", "true")
+      val e = intercept[IllegalArgumentException](Dedup.sourceChunkOverlapFromIndex(dupIx))
+      assert(e.getMessage.contains("not chunkHashIndex-shaped"), e.getMessage)
+      // and a conforming index passes the check unchanged
+      assert(shared(distinctIx) == Map(("A", "B") -> 1L))
+    } finally spark.conf.unset("graft.debug.assertDistinctIndex")
+  }
+
   test("temperatureRates: smallest source keeps all; alpha=0.5 is sqrt(n_min/n)") {
     val docs = (1 to 16).map(i => (i, if (i <= 4) "small" else "big", "x"))
       .toDF("doc_id", "source", "text")

@@ -644,6 +644,163 @@ class PipelineSpec extends AnyFunSuite {
     assert(e2.nonEmpty && c2 == e2)
   }
 
+  test("cosinePairsComplete: antipodal outlier past the pi radius stays complete (ADVICE r11)") {
+    import spark.implicits._
+    // 20 vectors tightly around +e1 — the LOWEST ids, so with iters=0
+    // every centroid sits in that cluster deterministically — plus two
+    // outliers near −e1, nearly antipodal to every centroid. Their
+    // assignment sim drives cosα ≈ −1, so acos(τ)+α > π at τ = 0.3:
+    // the raw cos-addition cutoff evaluates to −τ > −1, the outliers
+    // probe NO cells, and their true pair would silently vanish. The
+    // guard must detect τ + cosα ≤ 0 and probe the full sphere.
+    val cluster = (0 until 20).map { i =>
+      (i.toLong, Array(1f, 0.02f * (i % 5), 0.01f * (i % 3)))
+    }
+    val outliers = Seq(
+      (100L, Array(-1f, 0.01f, 0f)),
+      (101L, Array(-1f, 0f, 0.01f)))
+    val df = (cluster ++ outliers).toDF("vec_id", "embedding")
+    def pairs(d: org.apache.spark.sql.DataFrame) =
+      d.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.cosinePairs(df, 0.3))
+    assert(exact.contains((100L, 101L)), "fixture: the outlier pair must be a true pair")
+    val complete = pairs(Similarity.cosinePairsComplete(df, 0.3, nlist = 4, iters = 0))
+    assert(complete == exact,
+      s"missing ${exact -- complete}, extra ${complete -- exact}")
+    graft.core.CacheRegistry.releaseAll()
+  }
+
+  test("cosinePairsComplete sims cache is budget-gated (r11 verdict 2)") {
+    import spark.implicits._
+    graft.core.CacheRegistry.releaseAll()
+    spark.catalog.clearCache()
+    val rnd = new scala.util.Random(11)
+    val df = (0 until 80).map { i =>
+      (i.toLong, Array.fill(6)(rnd.nextFloat() * 2f - 1f))
+    }.toDF("vec_id", "embedding")
+    def run() = Similarity.cosinePairsComplete(df, 0.6, nlist = 8, rowCount = 80L)
+    def pairs(d: org.apache.spark.sql.DataFrame) =
+      d.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val prev = spark.conf.getOption("graft.simsCacheMaxBytes")
+    try {
+      // over budget: the assignment frame must stay lazy (no tracked tag)
+      spark.conf.set("graft.simsCacheMaxBytes", "1")
+      val gated = run()
+      assert(!graft.core.CacheRegistry.trackedTags.contains("cosinePairsComplete.sims"),
+        "over-budget build must not track the sims cache")
+      val gatedPairs = pairs(gated)
+      // under budget: same build tracks the cache; identical pair set
+      spark.conf.set("graft.simsCacheMaxBytes", (1L << 33).toString)
+      val cached = run()
+      assert(graft.core.CacheRegistry.trackedTags.contains("cosinePairsComplete.sims"),
+        "under-budget build must track the sims cache")
+      assert(pairs(cached) == gatedPairs,
+        "the gate decides a cache, never the pair set")
+      assert(gatedPairs == pairs(Similarity.cosinePairs(df, 0.6)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("graft.simsCacheMaxBytes", v)
+        case None => spark.conf.unset("graft.simsCacheMaxBytes")
+      }
+      graft.core.CacheRegistry.releaseAll()
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("knnClassifyIvf survivor broadcast is count-gated (r11 verdict 3)") {
+    import spark.implicits._
+    val corpus = (0 until 24).map { i =>
+      val base = Array.fill(4)(0.01f * i); base(i % 3) = 1f
+      (i.toLong, base, (i % 3) + 1)
+    }.toDF("vec_id", "embedding", "label")
+    val queries = Seq(
+      (100L, Array(1f, 0.02f, 0f, 0f), 0),
+      (101L, Array(0f, 1f, 0.02f, 0f), 0)).toDF("vec_id", "embedding", "label")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevMax = spark.conf.getOption("graft.knn.maxBroadcastSurvivors")
+    try {
+      // kill auto-broadcast so the ONLY neighbor_id broadcast can be
+      // the explicit hint under test
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def plan() = Similarity.knnClassifyIvf(corpus, queries, k = 3, nlist = 4)
+        .queryExecution.executedPlan.toString
+      def out() = Similarity.knnClassifyIvf(corpus, queries, k = 3, nlist = 4)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      // default bound: 2 queries × 3 survivors ≪ 8M — hinted broadcast
+      assert("BroadcastHashJoin \\[neighbor_id".r.findFirstIn(plan()).nonEmpty,
+        s"expected a broadcast label-attach under the bound:\n${plan()}")
+      val hinted = out()
+      // crawl-sized regime (forced): hint must drop, join shuffles,
+      // predictions identical — the gate is performance-only
+      spark.conf.set("graft.knn.maxBroadcastSurvivors", "0")
+      assert("BroadcastHashJoin \\[neighbor_id".r.findFirstIn(plan()).isEmpty,
+        s"over-bound label-attach must not broadcast:\n${plan()}")
+      assert(out() == hinted)
+      assert(hinted == Set((100L, 1), (101L, 2)))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      prevMax match {
+        case Some(v) => spark.conf.set("graft.knn.maxBroadcastSurvivors", v)
+        case None => spark.conf.unset("graft.knn.maxBroadcastSurvivors")
+      }
+    }
+  }
+
+  test("cosinePairsAuto dispatches on the tau boundary (r11 verdict 4)") {
+    import spark.implicits._
+    val df = (0 until 30).map { i =>
+      val base = Array.fill(4)(0f); base(i % 2) = 1f
+      (i.toLong, base.zipWithIndex.map { case (x, j) => x + 0.02f * ((i + j) % 4) })
+    }.toDF("vec_id", "embedding")
+    // the complete path's probe-cutoff scalar (__cosA) only exists in
+    // its plan — a structural discriminator for which path was built
+    def isComplete(tau: Double): Boolean =
+      Similarity.cosinePairsAuto(df, tau, nlist = 6)
+        .queryExecution.analyzed.toString.contains("__cosA")
+    try {
+      assert(!isComplete(0.9), "above the boundary: empirical cells path")
+      assert(!isComplete(0.8), "the boundary itself routes empirical (>= semantics)")
+      assert(isComplete(0.79), "below the boundary: provably-complete path")
+      // conf override: force the complete path everywhere
+      spark.conf.set("graft.cosinePairs.autoTau", "1.01")
+      assert(isComplete(0.9))
+      spark.conf.unset("graft.cosinePairs.autoTau")
+      // and both routes agree with the all-pairs anchor on this fixture
+      def pairs(d: org.apache.spark.sql.DataFrame) =
+        d.select("id_a", "id_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = pairs(Similarity.cosinePairs(df, 0.9))
+      assert(exact.nonEmpty)
+      assert(pairs(Similarity.cosinePairsAuto(df, 0.9, nlist = 6)) == exact)
+      assert(pairs(Similarity.cosinePairsAuto(df, 0.5, nlist = 6)) ==
+        pairs(Similarity.cosinePairs(df, 0.5)))
+    } finally {
+      spark.conf.unset("graft.cosinePairs.autoTau")
+      graft.core.CacheRegistry.releaseAll()
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("CacheRegistry.trackedBytes reports materialized cache sizes per tag (r11 verdict 8)") {
+    import spark.implicits._
+    import graft.core.CacheRegistry
+    CacheRegistry.releaseAll()
+    spark.catalog.clearCache()
+    val df = CacheRegistry.track("bytesSpec.frame",
+      (0 until 2000).map(i => (i.toLong, s"row-$i")).toDF("id", "s"))
+    // before any action the buffers are unmaterialized: tag present, 0 bytes
+    val before = CacheRegistry.trackedBytes(spark).toMap
+    assert(before.get("bytesSpec.frame").contains(0L), before)
+    df.count()
+    val after = CacheRegistry.trackedBytes(spark).toMap
+    assert(after.getOrElse("bytesSpec.frame", 0L) > 0L,
+      s"materialized cache must report positive bytes: $after")
+    CacheRegistry.releaseAll()
+    assert(CacheRegistry.trackedBytes(spark).isEmpty)
+  }
+
   test("knnClassify: majority vote with deterministic tie-breaks") {
     import spark.implicits._
     // corpus: two tight clusters with labels 1 and 2, one stray label 3

@@ -558,6 +558,61 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming span stripping against a stored profile equals the batch rewrite") {
+    // q94's stored-profile streaming twin (r11 verdict task 6): arriving
+    // docs rewritten against the bad-hash profile, stateless — so a
+    // late-timestamped batch STILL rewrites identically (pure map, no
+    // watermark-dropped state), which is exactly the contract to pin.
+    import spark.implicits._
+    val D = graft.pipeline.Dedup
+    val T = graft.pipeline.TextOps
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val dir = java.nio.file.Files.createTempDirectory("graft-strip-stream")
+    // profile = the two boilerplate chunks every page shares
+    val profile = Seq("common header text", "shared footer line").toDF("t")
+      .select(F.md5(F.encode($"t", "UTF-8")).as("chunk_hash"))
+    val batchDocs = Seq(
+      (1L, "common header text unique one alpha shared footer line"),
+      (2L, "body two beta common header text"),
+      (3L, "entirely different content here"),
+      (4L, null.asInstanceOf[String]))
+    val expected = D.stripSpansFromProfile(
+        batchDocs.toDF("doc_id", "text"), profile, "doc_id", "text", size = 3)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1 else r.getInt(1),
+        r.getInt(2), r.getString(3))).toSet
+    val schema = Seq((0L, t("2024-01-01 00:00:00"), "x")).toDF("doc_id", "ts", "text").schema
+    def writeBatch(rows: Seq[(Long, java.sql.Timestamp, String)]): Unit =
+      rows.toDF("doc_id", "ts", "text")
+        .repartition(1).write.mode("append").parquet(dir.toString + "/docs")
+    writeBatch(Seq((1L, t("2024-01-01 01:00:00"), batchDocs(0)._2),
+      (2L, t("2024-01-01 01:01:00"), batchDocs(1)._2)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString + "/docs")
+    val q = Streams.stripSpansStream(stream, profile, "doc_id", "ts", "text", size = 3)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("strip_out").start()
+    try {
+      q.processAllAvailable()
+      // a LATE batch (hours behind the first arrivals): still rewritten —
+      // the operator is stateless, nothing to drop
+      writeBatch(Seq((3L, t("2023-12-31 20:00:00"), batchDocs(2)._2),
+        (4L, t("2023-12-31 20:01:00"), batchDocs(3)._2)))
+      q.processAllAvailable()
+      val got = spark.table("strip_out")
+        .select("doc_id", "n_tokens", "n_removed", "clean_text").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1 else r.getInt(1),
+          r.getInt(2),
+          r.getString(3))).toSet
+      val exp = expected.map { case (id, nt, nr, ct) => (id, nt, nr, ct) }
+      assert(got == exp, s"stream $got != batch $exp")
+      // the boilerplate is actually gone from doc 1's rewrite
+      val clean1 = got.find(_._1 == 1L).get._4
+      assert(clean1 == "unique one alpha")
+    } finally q.stop()
+  }
+
   test("streaming deterministic sample equals the batch sample row set") {
     val src = "/root/testdata/sf0.001/events.parquet"
     val dir = java.nio.file.Files.createTempDirectory("graft-sample-stream")

@@ -90,6 +90,11 @@ def main():
         print(f" {mark} {k}: {v}")
     print(f"== {npass}/{len(results)} exact-match, "
           f"{sum(1 for v in results.values() if v.startswith('ROWS_ONLY'))} rows-only")
+    # nonzero on any hard mismatch so OracleSweep (and CI-style callers)
+    # can treat this as a gate; ROWS_ONLY is by-design, not a failure
+    bad = [k for k, v in results.items()
+           if not (v.startswith("OK") or v.startswith("ROWS_ONLY"))]
+    sys.exit(1 if bad else 0)
 
 
 if __name__ == "__main__":
