@@ -105,13 +105,32 @@ object ScaleProbe {
     // q99_knn_classify excluded by design: its oracle split grows BOTH the
     // query and corpus sides, so the brute verify is quadratic by
     // contract (the q42-pair-form situation); production classification
-    // swaps in the ivfTopK candidate stage (see Similarity.knnClassify)
-    // optional 4th arg: comma-separated name prefixes to re-probe a subset
+    // swaps in the ivfTopK candidate stage — probed below as
+    // x99_knn_classify_ivf (r11 verdict task 3), the PRODUCTION shape:
+    // crawl-sized query set (the whole corpus, shifted) classified
+    // against the labeled corpus through the cell probe, nlist on the
+    // same m·√n rule as the cosine-pairs family, label attach
+    // count-gated (over the bound at probe scale → shuffled join).
+    val extraProbes: Map[String, (SparkSession, String) => DataFrame] = Map(
+      "x99_knn_classify_ivf" -> ((s, dir) => {
+        val e = Tables.embeddings(s, dir).select(F.col("vec_id"), F.col("embedding"))
+        val corpus = e.withColumn("label", (F.col("vec_id") % 8).cast("int"))
+        val queries = e.select((F.col("vec_id") + 1000000L).as("vec_id"),
+          F.col("embedding"))
+        val n = corpus.count() // sizing scan — part of the honest work
+        val nlist = math.max(16, math.ceil(8 * math.sqrt(n.toDouble)).toInt)
+        graft.pipeline.Similarity.knnClassifyIvf(corpus, queries, k = 5,
+          nlist = nlist, nprobe = 4)
+      }))
+    // optional 4th arg: comma-separated name prefixes to re-probe a
+    // subset — resolved against ALL registered queries plus the
+    // probe-only entries above, not just the default sweep (ProbeAudit
+    // emits names outside sel0; q99's exclusion is default-sweep only)
+    val qs = SparkEntry.queries ++ extraProbes
     val sel = if (args.length > 3) {
       val ps = args(3).split(",")
-      sel0.filter(n => ps.exists(n.startsWith))
+      qs.keys.toSeq.sorted.filter(n => ps.exists(n.startsWith))
     } else sel0
-    val qs = SparkEntry.queries
     // GRAFT_PROBE_FORCE=1 swaps the count() action for a full-column
     // checksum. count() lets Catalyst prune work that does not change
     // cardinality — a rewrite behind a left join against a unique-keyed
@@ -153,12 +172,19 @@ object ScaleProbe {
     println(f"${"query"}%-22s ${"t_1x"}%8s ${s"t_${factor}x"}%8s  exp")
     sel.foreach { name =>
       qs.get(name).foreach { fn =>
-        // warm once at 1× (JIT), then min of `legs` at each scale
-        time(fn, base)
-        val t1 = (0 until legs).map(_ => time(fn, base)).min
-        val t10 = (0 until legs).map(_ => time(fn, out)).min
-        val exp = math.log10(t10 / t1) / math.log10(factor.toDouble)
-        println(f"$name%-22s $t1%8.2f $t10%8.2f  $exp%.2f")
+        // one query's failure (a driver-side cap tripping at 100×, an
+        // OOM) must not kill the rest of a long sweep
+        try {
+          // warm once at 1× (JIT), then min of `legs` at each scale
+          time(fn, base)
+          val t1 = (0 until legs).map(_ => time(fn, base)).min
+          val t10 = (0 until legs).map(_ => time(fn, out)).min
+          val exp = math.log10(t10 / t1) / math.log10(factor.toDouble)
+          println(f"$name%-22s $t1%8.2f $t10%8.2f  $exp%.2f")
+        } catch {
+          case e: Throwable =>
+            println(f"$name%-22s FAILED: ${String.valueOf(e.getMessage).take(120)}")
+        }
       }
     }
     spark.stop()
