@@ -297,7 +297,17 @@ object Similarity {
   /** IVF (inverted-file) ANN — the other classic scale path next to LSH.
     * Probing searches the `nprobe` nearest cells per query, so the scan
     * cost drops to ~nprobe/nlist of brute force while recall stays high
-    * for clustered data. */
+    * for clustered data.
+    *
+    * The probes frame (queries × nprobe rows, CARRYING query vectors)
+    * is broadcast-hinted only while it fits [[broadcastVecMaxBytes]] —
+    * the memoized-count + bytes-estimate gate the verify join already
+    * uses. An unconditional hint here had the same failure mode the
+    * r11 verdict flagged on the label attach: a crawl-sized query set
+    * (knnClassifyIvf's own contract) OOMs the driver. Over the bound,
+    * index ⋈ probes shuffles both sides on `cell` — the honest plan
+    * when neither side is small. The gate is performance-only: both
+    * branches emit the identical candidate set. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 4, iters: Int = 2,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -308,7 +318,12 @@ object Similarity {
       .select(F.col("cid0").as("neighbor_id"), F.col("cv"), F.col("cell"))
     val q0 = queries.select(F.col(idCol).as("query_id"), F.col(vecCol).as("qv"))
     val probes = q0.join(nearestCells(q0, centroids, "query_id", "qv", nprobe, cos), "query_id")
-    val joined = indexed.join(F.broadcast(probes), "cell")
+    val nq = try memoizedCount(q0.select(F.col("query_id")))
+      catch { case _: Throwable => -1L }
+    val probesHinted =
+      if (nq >= 0 && broadcastableVecs(q0, "qv", nq * nprobe)) F.broadcast(probes)
+      else probes
+    val joined = indexed.join(probesHinted, "cell")
       .filter(F.col("query_id") =!= F.col("neighbor_id"))
       .select(F.col("query_id"), F.col("neighbor_id"),
         cos(F.col("qv"), F.col("cv")).as("cos"))

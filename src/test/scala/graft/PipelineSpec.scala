@@ -739,8 +739,20 @@ class PipelineSpec extends AnyFunSuite {
         s"over-bound label-attach must not broadcast:\n${plan()}")
       assert(out() == hinted)
       assert(hinted == Set((100L, 1), (101L, 2)))
+      // the OTHER crawl-scale broadcast: ivfTopK's probes frame
+      // (queries × nprobe WITH vectors) rides the same bytes gate as
+      // the verify join — starve it and the cell join must shuffle,
+      // with identical predictions
+      spark.conf.unset("graft.knn.maxBroadcastSurvivors")
+      assert("BroadcastHashJoin \\[cell".r.findFirstIn(plan()).nonEmpty,
+        s"small query set: probes should broadcast into the cell join:\n${plan()}")
+      spark.conf.set("graft.broadcastVecMaxBytes", "1")
+      assert("BroadcastHashJoin \\[cell".r.findFirstIn(plan()).isEmpty,
+        s"over-budget probes must not broadcast:\n${plan()}")
+      assert(out() == hinted)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.unset("graft.broadcastVecMaxBytes")
       prevMax match {
         case Some(v) => spark.conf.set("graft.knn.maxBroadcastSurvivors", v)
         case None => spark.conf.unset("graft.knn.maxBroadcastSurvivors")
