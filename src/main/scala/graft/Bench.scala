@@ -72,6 +72,12 @@ object Bench {
   // mis-sized, a new operator persisting corpus-shaped state) surface
   // in BENCH_DETAIL per query instead of only in probe post-mortems
   private val cacheBytesAtRun = TrieMap.empty[String, String]
+
+  /** One query's non-zero tag→bytes snapshot as a JSON object fragment
+    * (tags are code-authored dotted identifiers — no escaping needed;
+    * BenchPolicySpec pins the shape so BENCH_DETAIL stays parseable). */
+  private[graft] def tagBytesJson(bytes: Seq[(String, Long)]): String =
+    bytes.map { case (t, b) => "\"" + t + "\":" + b }.mkString("{", ",", "}")
   private val loadPasses = scala.collection.mutable.ArrayBuffer.empty[String]
 
   /** Runs whose external competition exceeds this many cores (of 32)
@@ -365,9 +371,7 @@ object Bench {
       // are recorded, so the map stays tiny for the cache-free majority
       try {
         val bytes = graft.core.CacheRegistry.trackedBytes(spark).filter(_._2 > 0)
-        if (bytes.nonEmpty)
-          cacheBytesAtRun(name) = bytes
-            .map { case (t, b) => "\"" + t + "\":" + b }.mkString("{", ",", "}")
+        if (bytes.nonEmpty) cacheBytesAtRun(name) = tagBytesJson(bytes)
       } catch { case _: Throwable => () }
       // queries may persist() intermediates; drop them so one query's
       // cache never bleeds into the next one's memory budget (the

@@ -87,4 +87,13 @@ class BenchPolicySpec extends AnyFunSuite {
     // and a genuinely quiet agreeing pair still settles
     assert(Bench.settledAfterRun(dt = 10.4, prevMin = 10.4, extCores = 0.0, ioStall = 0.01))
   }
+
+  test("per-query cache-bytes snapshots serialize as parseable JSON (r11 verdict 8)") {
+    // the cache_bytes field rides BENCH_DETAIL.json; a malformed
+    // fragment would break the judge's parse of the whole record
+    assert(Bench.tagBytesJson(Nil) == "{}")
+    val j = Bench.tagBytesJson(Seq("cosinePairsComplete.sims" -> 6522576L,
+      "simhashClusters.words" -> 96176L))
+    assert(j == """{"cosinePairsComplete.sims":6522576,"simhashClusters.words":96176}""")
+  }
 }
