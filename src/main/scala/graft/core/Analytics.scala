@@ -62,6 +62,46 @@ object Analytics {
     f.withCol(out, F.when(v.isNull, F.lit(null)).otherwise(r))
   }
 
+  /** [[rankDense]] computed BY VALUE — identical semantics (ties share
+    * a rank, nulls rank first and the null bucket is subtracted, null
+    * in ⇒ null out), different plan. Dense rank is a function of the
+    * DISTINCT value set alone, so the ordered window runs over the
+    * distinct (partition, value) frame — vocabulary-sized, not
+    * corpus-sized — and the rank equi-joins back onto the rows. At
+    * scale this replaces sorting EVERY row inside each partition (the
+    * whole-frame contract's cost: q26 measured e 0.80 / 32 s at the
+    * 100× probe on 60M rows in 3 partitions) with one distinct
+    * aggregation, a window over the value vocabulary (~50 values for a
+    * quantity-like column), and an equi-join AQE converts to broadcast
+    * once it sees the tiny build side. Prefer [[rankDense]] only when
+    * values are near-unique — there the distinct frame is corpus-sized
+    * and the join buys nothing. AnalyticsSpec pins row-for-row equality
+    * of the two forms on ties/nulls/multi-partition fixtures. */
+  def rankDenseByValue(f: TadaFrame, c: String, out: String,
+                       partitionBy: Seq[String] = Nil): TadaFrame = {
+    val v = f.df(c)
+    val dv = f.df.select(partitionBy.map(f.df(_)) :+ v.as("__rdv_v"): _*).distinct()
+    val wOrder =
+      if (partitionBy.isEmpty) Window.orderBy(F.col("__rdv_v").asc_nulls_first)
+      else Window.partitionBy(partitionBy.map(F.col): _*)
+        .orderBy(F.col("__rdv_v").asc_nulls_first)
+    val wAll =
+      if (partitionBy.isEmpty) Window.partitionBy()
+      else Window.partitionBy(partitionBy.map(F.col): _*)
+    val ranked = dv
+      .withColumn("__rdv_rk", F.dense_rank().over(wOrder) -
+        F.max(F.col("__rdv_v").isNull.cast(IntegerType)).over(wAll))
+      .filter(F.col("__rdv_v").isNotNull)
+      .select(partitionBy.zipWithIndex.map { case (p, i) => F.col(p).as(s"__rdv_p$i") } ++
+        Seq(F.col("__rdv_v"), F.col("__rdv_rk")): _*)
+    // null values never match the equi-join → null rank, exactly the
+    // null-in ⇒ null-out contract
+    val cond = (partitionBy.zipWithIndex.map { case (p, i) =>
+      f.df(p) === ranked(s"__rdv_p$i") } :+ (v === ranked("__rdv_v"))).reduce(_ && _)
+    val joined = f.df.join(ranked, cond, "left")
+    f.copy(df = joined.select(f.df.columns.map(f.df(_)) :+ ranked("__rdv_rk").as(out): _*))
+  }
+
   /** Exclusive percentile (internal.go:2353-2388): fraction of non-null
     * values STRICTLY below; ties share the first-occurrence value —
     * `(min_rank - 1) / count_nonnull`. Deliberately NOT `percent_rank`
@@ -78,6 +118,43 @@ object Analytics {
     val minRank = F.rank().over(wOrder) // ties → min rank; nulls occupy the first ranks
     val pct = (minRank - nNull - 1).cast(DoubleType) / nNonNull
     f.withCol(out, F.when(v.isNull, F.lit(null)).otherwise(pct))
+  }
+
+  /** [[percentile]] computed BY VALUE — identical semantics, the
+    * [[rankDenseByValue]] plan shape. For a non-null x,
+    * `(min_rank − n_null − 1)` is exactly the count of NON-NULL rows
+    * strictly below x (nulls occupy the first ranks), so the fraction
+    * is `cnt_lt(x) / n_nonnull` — both computable from per-value counts:
+    * one groupBy(partition, value), an exclusive running sum over the
+    * value vocabulary, and the equi-join back (null rows miss → null
+    * out). Same integer numerators/denominators as [[percentile]], so
+    * the doubles are bit-identical (q27's oracle hash-matches either
+    * way). Scale note mirrors rankDenseByValue: q27 measured e 0.82 /
+    * 38 s at the 100× probe on the whole-row sort this form avoids. */
+  def percentileByValue(f: TadaFrame, c: String, out: String,
+                        partitionBy: Seq[String] = Nil): TadaFrame = {
+    val v = f.df(c)
+    val counts = f.df.select(partitionBy.map(f.df(_)) :+ v.as("__pbv_v"): _*)
+      .groupBy(partitionBy.map(F.col) :+ F.col("__pbv_v"): _*)
+      .agg(F.count(F.lit(1)).as("__pbv_n"))
+      .filter(F.col("__pbv_v").isNotNull) // null rows: join miss → null out
+    val wOrder =
+      (if (partitionBy.isEmpty) Window.orderBy(F.col("__pbv_v").asc)
+       else Window.partitionBy(partitionBy.map(F.col): _*).orderBy(F.col("__pbv_v").asc))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll =
+      if (partitionBy.isEmpty) Window.partitionBy()
+      else Window.partitionBy(partitionBy.map(F.col): _*)
+    val scored = counts
+      .withColumn("__pbv_pct",
+        F.coalesce(F.sum("__pbv_n").over(wOrder), F.lit(0L)).cast(DoubleType) /
+          F.sum("__pbv_n").over(wAll))
+      .select(partitionBy.zipWithIndex.map { case (p, i) => F.col(p).as(s"__pbv_p$i") } ++
+        Seq(F.col("__pbv_v"), F.col("__pbv_pct")): _*)
+    val cond = (partitionBy.zipWithIndex.map { case (p, i) =>
+      f.df(p) === scored(s"__pbv_p$i") } :+ (v === scored("__pbv_v"))).reduce(_ && _)
+    val joined = f.df.join(scored, cond, "left")
+    f.copy(df = joined.select(f.df.columns.map(f.df(_)) :+ scored("__pbv_pct").as(out): _*))
   }
 
   /** Bin(edges) (internal.go:2208-2300): left-EXclusive right-INclusive

@@ -17,6 +17,40 @@ class AnalyticsSpec extends AnyFunSuite {
     val f = frame(Seq[java.lang.Double](3.0, 1.0, null, 1.0, 2.0).toDF("v"))
     val got = Analytics.rankDense(f, "v", "r").records().tail.map(_(1))
     assert(got == Seq("3", "1", "(null)", "1", "2"))
+    // the BY-VALUE plan (distinct-vocabulary window + join-back) is
+    // row-for-row identical, including the null-in => null-out rule
+    val gotBv = Analytics.rankDenseByValue(f, "v", "r").records().tail.map(_(1))
+    assert(gotBv == got)
+  }
+
+  test("by-value rank/percentile equal the window forms on ties/nulls/partitions") {
+    // adversarial fixture: two partitions, ties, a null, an all-null
+    // partition, and a single-row partition
+    val df = Seq[(String, java.lang.Double)](
+      ("a", 3.0), ("a", 1.0), ("a", null), ("a", 1.0), ("a", 2.0), ("a", 2.0),
+      ("b", 5.0), ("b", 5.0), ("b", 7.0),
+      ("c", null), ("c", null),
+      ("d", 9.0)).toDF("g", "v")
+    val f = frame(df)
+    def vals(t: TadaFrame, out: String) =
+      t.df.select(F.col("g"), F.col("v"), F.col(out)).collect()
+        .map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2))))
+        .toSeq.sortBy(x => (x._1, x._2.map(_.toString).getOrElse("")))
+    assert(vals(Analytics.rankDenseByValue(f, "v", "r", Seq("g")), "r") ==
+      vals(Analytics.rankDense(f, "v", "r", Seq("g")), "r"))
+    assert(vals(Analytics.percentileByValue(f, "v", "p", Seq("g")), "p") ==
+      vals(Analytics.percentile(f, "v", "p", Seq("g")), "p"))
+    // and with no partitioning (the whole-frame contract)
+    assert(vals(Analytics.rankDenseByValue(f, "v", "r"), "r") ==
+      vals(Analytics.rankDense(f, "v", "r"), "r"))
+    assert(vals(Analytics.percentileByValue(f, "v", "p"), "p") ==
+      vals(Analytics.percentile(f, "v", "p"), "p"))
+    // spot-pin the doubles are the exact integer ratios (bit-identical
+    // to the window form, not approximately equal)
+    val p = Analytics.percentileByValue(f, "v", "p", Seq("g")).df
+      .filter(F.col("g") === "a" && F.col("v") === 2.0)
+      .select("p").head().getDouble(0)
+    assert(p == 2.0 / 5.0) // two non-null values strictly below, of 5
   }
 
   test("percentile is EXCLUSIVE (strictly-below fraction), ties share min rank") {
