@@ -32,18 +32,43 @@ object Analytics {
     if (partitionBy.isEmpty) f.globalWindow
     else Window.partitionBy(partitionBy.map(f.df(_)): _*).orderBy(f.orderCols: _*)
 
-  /** CumSum (internal.go:2173-2183): nulls contribute 0, result never null. */
+  /** CumSum (internal.go:2173-2183): nulls contribute 0, result never null.
+    * The whole-frame form (empty `partitionBy`) dispatches to
+    * [[Prefix.cumSum]]'s chunked-prefix plan — no single-partition
+    * WindowExec; [[cumSumWindow]] is the sequential reference form.
+    * Float note: chunked double summation can differ from the sequential
+    * form in the last ULP (addition regrouping); integral types exact. */
   def cumSum(f: TadaFrame, c: String, out: String,
-             partitionBy: Seq[String] = Nil): TadaFrame = {
-    val w = win(f, partitionBy).rowsBetween(Window.unboundedPreceding, 0)
+             partitionBy: Seq[String] = Nil): TadaFrame =
+    if (partitionBy.isEmpty) Prefix.cumSum(f, c, out)(cumSumWindow(f, c, out))
+    else {
+      val w = win(f, partitionBy).rowsBetween(Window.unboundedPreceding, 0)
+      val zero = F.lit(0).cast(f.df.schema(c).dataType)
+      f.withCol(out, F.sum(F.coalesce(f.df(c), zero)).over(w))
+    }
+
+  /** Sequential whole-frame CumSum — the reference's exact evaluation
+    * order as one global window. Single-partition by construction; kept
+    * as the semantic oracle for [[Prefix.cumSum]] (AnalyticsSpec equality)
+    * and as the fallback when no deterministic chunking exists. */
+  def cumSumWindow(f: TadaFrame, c: String, out: String): TadaFrame = {
+    val w = f.globalWindow.rowsBetween(Window.unboundedPreceding, 0)
     val zero = F.lit(0).cast(f.df.schema(c).dataType)
     f.withCol(out, F.sum(F.coalesce(f.df(c), zero)).over(w))
   }
 
-  /** Shift(n) (internal.go:1141-1155): value from n rows back, else null. */
+  /** Shift(n) (internal.go:1141-1155): value from n rows back, else null.
+    * Whole-frame form dispatches to [[Prefix.shift]] (chunked carry plan);
+    * [[shiftWindow]] is the sequential reference form. */
   def shift(f: TadaFrame, c: String, n: Int, out: String,
             partitionBy: Seq[String] = Nil): TadaFrame =
-    f.withCol(out, F.lag(f.df(c), n).over(win(f, partitionBy)))
+    if (partitionBy.isEmpty) Prefix.shift(f, c, n, out)(shiftWindow(f, c, n, out))
+    else f.withCol(out, F.lag(f.df(c), n).over(win(f, partitionBy)))
+
+  /** Sequential whole-frame Shift — single global window; semantic oracle
+    * for [[Prefix.shift]] and the no-chunking fallback. */
+  def shiftWindow(f: TadaFrame, c: String, n: Int, out: String): TadaFrame =
+    f.withCol(out, F.lag(f.df(c), n).over(f.globalWindow))
 
   /** Dense rank ascending over values; ties share a rank; null in ⇒ null
     * out (internal.go:2302-2351). dense_rank counts null rows as a rank,

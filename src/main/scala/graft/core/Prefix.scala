@@ -1,0 +1,252 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types._
+
+/** Scale-safe whole-frame prefix computations (cumsum, shift, ffill/bfill
+  * with EMPTY partitionBy — the reference's whole-frame contract,
+  * internal.go:936-983, internal.go:2173-2183).
+  *
+  * The naive plan is `Window.orderBy(orderCols)` with no partition — a
+  * single-partition WindowExec that sorts the entire frame on one thread
+  * (the one §2 plan shape that would not survive 100×; r12 verdict item 1).
+  * But these are PREFIX computations, so the classic scale-safe plan
+  * applies:
+  *
+  *   1. assign every row an ORDER-MONOTONE chunk id (all rows of chunk i
+  *      precede all rows of chunk i+1 in frame order);
+  *   2. run the window WITHIN each chunk (parallel across chunks — one
+  *      hash exchange on the chunk id instead of an exchange into a
+  *      single partition);
+  *   3. aggregate a per-chunk partial (chunk total / chunk tail / chunk
+  *      last-non-null) into a TINY frame of #chunks rows;
+  *   4. exclusive-prefix the tiny frame (a window over thousands of
+  *      rows, not billions) and broadcast-join the carry back on the
+  *      chunk id;
+  *   5. combine carry + within-chunk value per row.
+  *
+  * Chunk assignment is fully deterministic (both consumers of the chunked
+  * frame — the row side and the partial side — provably compute identical
+  * chunk ids even if the plan re-executes the subtree):
+  *
+  *   - '''Ingest order''' (`order.isEmpty`, the common case): chunk =
+  *     `__ord >> 33`. `__ord` is `monotonically_increasing_id` =
+  *     (partition << 33 | row), so the high bits ARE the ingest partition
+  *     id (plus append band bits, TadaFrame.append) and sort identically
+  *     to scan order. Zero extra jobs, zero sampling, chunk count = the
+  *     scan's natural parallelism.
+  *   - '''Sorted frame''' with a numeric / date / timestamp / boolean
+  *     first key: width-bucket the first sort key between its min and max
+  *     (both computed lazily and crossJoined as a broadcast scalar — the
+  *     same pattern as Similarity's cutoff scalar). Equal keys land in one
+  *     chunk; the within-chunk window orders by the FULL key so chunk
+  *     granularity only needs monotonicity. Value skew can unbalance
+  *     chunks (documented) but never breaks correctness, and the worst
+  *     case degenerates to the status-quo single partition.
+  *   - '''Sorted frame, non-bucketable first key''' (string): fall back to
+  *     the single-partition window form — correct, rare (an explicit
+  *     whole-frame prefix over a string-sorted frame), and exactly the
+  *     pre-r13 plan.
+  *
+  * `repartitionByRange` + `spark_partition_id` was rejected for chunking:
+  * the range boundaries are sampled per-execution (seeded by rdd id), so
+  * the two consumers of the chunked frame could disagree on chunk ids
+  * unless the frame is checkpointed — the determinism hazard ADVICE r12
+  * flagged for Similarity's centroids, avoided here by construction.
+  *
+  * Float caveat: chunked double cumsum regroups additions
+  * ((a+b)+(c+d) vs ((a+b)+c)+d), so the last ULP can differ from the
+  * sequential window form. Integral types are exact. AnalyticsSpec pins
+  * row-for-row equality on long and dyadic-rational double fixtures.
+  */
+object Prefix {
+  import TadaFrame.ORD
+
+  private val CHUNK = "__pfx_c"
+  private val RNA = "__pfx_ra" // row_number ascending within chunk
+  private val RND = "__pfx_rd" // row_number descending within chunk
+
+  /** Frame order rebuilt by NAME (resolvable on any derived DataFrame):
+    * sort spec (nulls last) then `__ord` tiebreak — mirrors
+    * TadaFrame.orderCols. `fwd=false` gives the exact mirror order
+    * (mirrors TadaFrame.reverseOrder). */
+  private def orderBy(f: TadaFrame, fwd: Boolean): Seq[Column] = {
+    val keys = f.order.map { s =>
+      val c0 = F.col(s.name)
+      val c = s.cast.map(c0.cast).getOrElse(c0)
+      (s.descending, fwd) match {
+        case (false, true)  => c.asc_nulls_last
+        case (true, true)   => c.desc_nulls_last
+        case (false, false) => c.desc_nulls_first
+        case (true, false)  => c.asc_nulls_first
+      }
+    }
+    keys :+ (if (fwd) F.col(ORD).asc else F.col(ORD).desc)
+  }
+
+  /** First-sort-key expression on a double scale for width-bucketing, or
+    * None when the type has no order-preserving numeric image. */
+  private def bucketScale(f: TadaFrame): Option[Column] = {
+    val s = f.order.head
+    val c0 = f.df(s.name)
+    val c = s.cast.map(c0.cast).getOrElse(c0)
+    val dt = s.cast.getOrElse(f.df.schema(s.name).dataType)
+    dt match {
+      case _: NumericType | BooleanType => Some(c.cast(DoubleType))
+      case TimestampType                => Some(F.unix_micros(c).cast(DoubleType))
+      case DateType                     => Some(F.unix_date(c).cast(DoubleType))
+      case _                            => None
+    }
+  }
+
+  /** The frame with an order-monotone deterministic chunk column, or None
+    * when no parallel chunking exists (sorted, non-bucketable key).
+    * `fwd=false` flips the chunk ids so ascending-CHUNK windows on the
+    * tiny frame walk the MIRROR order (used by bfill / negative shift). */
+  private def chunked(f: TadaFrame, fwd: Boolean): Option[DataFrame] =
+    if (f.order.isEmpty) {
+      val c = F.shiftright(F.col(ORD), 33)
+      Some(f.df.withColumn(CHUNK, if (fwd) c else -c))
+    } else bucketScale(f).map { keyD =>
+      val k = f.df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt.max(1)
+      // NaN sorts above every double (Spark ordering) — exclude it from
+      // min/max so one NaN can't poison the bucket width, pin it to the
+      // top value bucket explicitly
+      val keyClean = F.when(F.isnan(keyD), F.lit(null)).otherwise(keyD)
+      val mm = f.df.agg(F.min(keyClean).as("__pfx_mn"), F.max(keyClean).as("__pfx_mx"))
+      val mn = F.col("__pfx_mn"); val mx = F.col("__pfx_mx")
+      // greatest/least clamp ±Inf keys (floor(±Inf) saturates the long)
+      val bucket = F.when(mx === mn, F.lit(0L)).otherwise(
+        F.least(F.lit(k - 1L), F.greatest(F.lit(0L),
+          F.floor((keyD - mn) / ((mx - mn) / k)))))
+      // NaN above all values; nulls sort LAST in frame order → chunk k,
+      // after every value bucket; a descending first key mirrors the axis
+      val ascNonNull = F.when(F.isnan(keyD), F.lit(k - 1L)).otherwise(bucket)
+      val asc = F.when(keyD.isNull || mn.isNull, F.lit(k.toLong)).otherwise(
+        if (f.order.head.descending) F.lit(k - 1L) - ascNonNull else ascNonNull)
+      f.df.crossJoin(F.broadcast(mm))
+        .withColumn(CHUNK, if (fwd) asc else -asc)
+        .drop("__pfx_mn", "__pfx_mx")
+    }
+
+  /** Reassemble a result projection in the frame's column layout: `out`
+    * replaces an existing column in place, or appends. */
+  private def finish(f: TadaFrame, res: DataFrame, out: String): TadaFrame = {
+    val keep =
+      if (f.df.columns.contains(out)) f.df.columns.map(res(_)).toSeq
+      else f.df.columns.map(res(_)).toSeq :+ res(out)
+    f.copy(df = res.select(keep: _*))
+  }
+
+  /** Whole-frame CumSum, chunked-prefix plan. Same null contract as the
+    * window form (nulls add 0, output never null) and the same widened
+    * output type. */
+  def cumSum(f: TadaFrame, c: String, out: String)(
+      window: => TadaFrame): TadaFrame =
+    if (f.order.exists(_.name == out)) window // overwriting an order key: withCol's anchor path owns that
+    else chunked(f, fwd = true) match {
+      case None => window
+      case Some(ch) =>
+        val zero = F.lit(0).cast(f.df.schema(c).dataType)
+        val v = F.coalesce(F.col(c), zero)
+        // widened type of the sequential window's Sum — cast the combined
+        // result to it so the two plans are schema-identical
+        val sumDt = f.df.select(F.sum(v).as("__t")).schema.head.dataType
+        val wIn = Window.partitionBy(F.col(CHUNK)).orderBy(orderBy(f, fwd = true): _*)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val within = ch.withColumn(out, F.sum(v).over(wIn))
+        val offs = within.groupBy(F.col(CHUNK)).agg(F.sum(v).as("__pfx_t"))
+          .withColumn("__pfx_off", F.sum(F.col("__pfx_t")).over(
+            Window.orderBy(F.col(CHUNK)).rowsBetween(Window.unboundedPreceding, -1)))
+          .select(F.col(CHUNK), F.col("__pfx_off"))
+        val joined = within.join(F.broadcast(offs), Seq(CHUNK), "left")
+          .withColumn(out,
+            (F.col(out) + F.coalesce(F.col("__pfx_off"), F.lit(0))).cast(sumDt))
+        finish(f, joined, out)
+    }
+
+  /** Whole-frame Shift(n): value n rows back (n < 0 → n rows forward),
+    * null when the frame runs out. Rows that look past their chunk head
+    * read the "carry" — the |n| frame-order predecessors of the chunk
+    * start, assembled from the ≤|n| previous chunks' |n|-row tails on the
+    * tiny per-chunk frame (each chunk holds ≥1 row, so |n| chunks back
+    * always covers |n| rows back). */
+  def shift(f: TadaFrame, c: String, n: Int, out: String)(
+      window: => TadaFrame): TadaFrame =
+    if (n == 0) f.withCol(out, f.df(c))
+    else if (f.order.exists(_.name == out)) window
+    else chunked(f, fwd = n > 0) match {
+      case None => window
+      case Some(ch) =>
+        val m = math.abs(n)
+        // effective order: mirror order for lead, so the core is always
+        // "m rows back in effective order"
+        val eff = orderBy(f, fwd = n > 0)
+        val rev = orderBy(f, fwd = n <= 0)
+        val wEff = Window.partitionBy(F.col(CHUNK)).orderBy(eff: _*)
+        val wRev = Window.partitionBy(F.col(CHUNK)).orderBy(rev: _*)
+        val within = ch
+          .withColumn(RNA, F.row_number().over(wEff))
+          .withColumn(RND, F.row_number().over(wRev))
+          .withColumn("__pfx_lag", F.lag(F.col(c), m).over(wEff))
+        // per-chunk tail: the last m rows in effective order, oldest first
+        // (structs keep null values that collect_list would drop)
+        val tails = within.filter(F.col(RND) <= m)
+          .groupBy(F.col(CHUNK))
+          .agg(F.reverse(F.sort_array(F.collect_list(
+            F.struct(F.col(RND).as("r"), F.col(c).as("v"))))).as("__pfx_tail"))
+        // carry(i) = last m effective-order rows before chunk i's head —
+        // within the previous m chunk tails (bounded frame: never the
+        // O(#chunks²) flatten of an unbounded running concat)
+        val carries = tails
+          .withColumn("__pfx_call", F.flatten(F.collect_list(F.col("__pfx_tail")).over(
+            Window.orderBy(F.col(CHUNK)).rowsBetween(-m, -1))))
+          .withColumn("__pfx_carry",
+            F.when(F.size(F.col("__pfx_call")) <= m, F.col("__pfx_call"))
+              .otherwise(F.slice(F.col("__pfx_call"), -m, m)))
+          .select(F.col(CHUNK), F.col("__pfx_carry"))
+        // row r (1-based, effective order) reaching past the chunk head
+        // reads carry[L − m + r] (1-based; < 1 ⇒ frame edge ⇒ null)
+        val idx = F.size(F.col("__pfx_carry")) - m + F.col(RNA)
+        val joined = within.join(F.broadcast(carries), Seq(CHUNK), "left")
+          .withColumn(out,
+            F.when(F.col(RNA) > m, F.col("__pfx_lag"))
+              .otherwise(F.when(idx >= 1,
+                F.element_at(F.col("__pfx_carry"), idx).getField("v"))))
+        finish(f, joined, out)
+    }
+
+  /** Whole-frame forward/backward fill (FillNullHow.Forward/Backward with
+    * no grouping): last/first non-null in frame order. Carry is the last
+    * non-null among all previous chunks' own last-non-nulls — a scalar
+    * running `last(ignoreNulls)` on the tiny frame. Value-identical to the
+    * window form for every type (no arithmetic regrouping). */
+  def fill(f: TadaFrame, c: String, forward: Boolean)(
+      window: => TadaFrame): TadaFrame =
+    if (f.order.exists(_.name == c)) window // overwriting an order key: withCol's anchor path owns that
+    else chunked(f, fwd = forward) match {
+      case None => window
+      case Some(ch) =>
+        val eff = orderBy(f, fwd = forward)
+        val rev = orderBy(f, fwd = !forward)
+        val wIn = Window.partitionBy(F.col(CHUNK)).orderBy(eff: _*)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val within = ch
+          .withColumn(RND, F.row_number().over(
+            Window.partitionBy(F.col(CHUNK)).orderBy(rev: _*)))
+          .withColumn("__pfx_fill", F.last(F.col(c), ignoreNulls = true).over(wIn))
+        // chunk's LAST row (RND = 1, unique) carries the chunk-wide last
+        // non-null (or null) — min_by on the unique desc row number
+        val lasts = within.groupBy(F.col(CHUNK))
+          .agg(F.min_by(F.col("__pfx_fill"), F.col(RND)).as("__pfx_cl"))
+        val carries = lasts
+          .withColumn("__pfx_carry", F.last(F.col("__pfx_cl"), ignoreNulls = true).over(
+            Window.orderBy(F.col(CHUNK)).rowsBetween(Window.unboundedPreceding, -1)))
+          .select(F.col(CHUNK), F.col("__pfx_carry"))
+        val joined = within.join(F.broadcast(carries), Seq(CHUNK), "left")
+          .withColumn(c, F.coalesce(F.col("__pfx_fill"), F.col("__pfx_carry")))
+        finish(f, joined, c)
+    }
+}

@@ -274,7 +274,10 @@ final case class TadaFrame(
   }
 
   /** FillNull per column (internal.go:936-983). Forward/backward fill is
-    * a running `last(ignoreNulls)` window over frame order. */
+    * a running `last(ignoreNulls)` in frame order — dispatched to
+    * [[Prefix.fill]]'s chunked plan (no single-partition WindowExec);
+    * [[fillNullWindow]] is the sequential reference form it falls back to
+    * (and is spec-compared against). */
   def fillNull(how: Map[String, FillNullHow]): TadaFrame =
     how.foldLeft(this) { case (f, (n, h)) =>
       h match {
@@ -288,12 +291,21 @@ final case class TadaFrame(
         case FillNullHow.Const(v) =>
           f.withCol(n, coalesce(f.df(n).cast(DoubleType), lit(v)))
         case FillNullHow.Forward =>
-          val w = f.globalWindow.rowsBetween(Window.unboundedPreceding, 0)
-          f.withCol(n, last(f.df(n), ignoreNulls = true).over(w))
+          Prefix.fill(f, n, forward = true)(f.fillNullWindow(n, forward = true))
         case FillNullHow.Backward =>
-          val w = f.globalWindow.rowsBetween(0, Window.unboundedFollowing)
-          f.withCol(n, first(f.df(n), ignoreNulls = true).over(w))
+          Prefix.fill(f, n, forward = false)(f.fillNullWindow(n, forward = false))
       }
+    }
+
+  /** Sequential whole-frame forward/backward fill — one global window;
+    * semantic oracle for [[Prefix.fill]] and the no-chunking fallback. */
+  private[graft] def fillNullWindow(n: String, forward: Boolean): TadaFrame =
+    if (forward) {
+      val w = globalWindow.rowsBetween(Window.unboundedPreceding, 0)
+      withCol(n, last(df(n), ignoreNulls = true).over(w))
+    } else {
+      val w = globalWindow.rowsBetween(0, Window.unboundedFollowing)
+      withCol(n, first(df(n), ignoreNulls = true).over(w))
     }
 
   /** First appearance of each value (or labels+value) combo

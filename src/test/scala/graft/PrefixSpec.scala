@@ -1,0 +1,173 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{DataFrame, Row, functions => F}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+import org.apache.spark.sql.types._
+
+import graft.core._
+
+/** Scale-safe whole-frame prefix family (r12 verdict item 1): the chunked
+  * plans in [[graft.core.Prefix]] must be row-for-row equal to the
+  * sequential single-partition window forms they replace, on fixtures that
+  * genuinely span multiple ingest partitions (so chunk carries are
+  * exercised), and their plans must not run any window over the full data
+  * without a partition spec. */
+class PrefixSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Multi-partition ingest: deterministic partitioning via parallelize. */
+  private def multi[T <: Product : scala.reflect.runtime.universe.TypeTag
+                                 : scala.reflect.ClassTag](
+      rows: Seq[T], parts: Int): TadaFrame = {
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, parts))
+    TadaFrame.ingest(df)
+  }
+
+  /** Every windowed computation over the FULL frame must carry a partition
+    * spec; empty-partition windows are only allowed on the tiny per-chunk
+    * side (identified by an Aggregate beneath them). */
+  private def assertNoGlobalDataWindow(df: DataFrame): Unit = {
+    val bad = df.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty &&
+        w.collectFirst { case a: Aggregate => a }.isEmpty => w
+    }
+    assert(bad.isEmpty, s"single-partition window over full data:\n${bad.mkString("\n")}")
+  }
+
+  // --- cumSum ---
+
+  test("chunked cumSum == sequential window form (longs, nulls, 5 partitions)") {
+    val rows = Seq[(Int, java.lang.Long)](
+      (0, 5L), (1, null), (2, 3L), (3, 10L), (4, null), (5, 2L), (6, 7L),
+      (7, 1L), (8, null), (9, 4L), (10, 6L), (11, 8L), (12, 9L))
+    val f = multi(rows.map { case (i, v) => RowIV(i, v) }, 5)
+    val chunkedF = Analytics.cumSum(f, "v", "cs")
+    val windowF = Analytics.cumSumWindow(f, "v", "cs")
+    assert(chunkedF.records() == windowF.records())
+    assert(chunkedF.df.schema("cs").dataType == windowF.df.schema("cs").dataType)
+    assertNoGlobalDataWindow(chunkedF.df)
+  }
+
+  test("chunked cumSum == window form on dyadic doubles; never null") {
+    val rows = Seq[java.lang.Double](1.5, null, 2.25, -0.5, null, 4.0, 0.125, 8.0)
+      .zipWithIndex.map { case (v, i) => RowDV(i, v) }
+    val f = multi(rows, 3)
+    val a = Analytics.cumSum(f, "v", "cs").records()
+    val b = Analytics.cumSumWindow(f, "v", "cs").records()
+    assert(a == b)
+    assert(!a.tail.exists(_.last == "(null)"))
+  }
+
+  // --- shift ---
+
+  test("chunked shift matches window form for n = 1, 3, 7 (crossing chunks)") {
+    // 4 partitions of ~3 rows: n=3 crosses exactly one chunk, n=7 crosses
+    // several; null VALUES must shift through as values, not be skipped
+    val rows = Seq[(Int, java.lang.Long)](
+      (0, 10L), (1, null), (2, 30L), (3, 40L), (4, 50L), (5, null),
+      (6, 70L), (7, 80L), (8, 90L), (9, 100L), (10, 110L), (11, null))
+    val f = multi(rows.map { case (i, v) => RowIV(i, v) }, 4)
+    for (n <- Seq(1, 3, 7)) {
+      val a = Analytics.shift(f, "v", n, "s").records()
+      val b = Analytics.shiftWindow(f, "v", n, "s").records()
+      assert(a == b, s"shift($n)")
+    }
+    assertNoGlobalDataWindow(Analytics.shift(f, "v", 3, "s").df)
+  }
+
+  test("chunked shift: negative n (lead), n == 0, |n| >= frame size") {
+    val rows = Seq[(Int, java.lang.Long)](
+      (0, 1L), (1, 2L), (2, 3L), (3, 4L), (4, 5L), (5, 6L), (6, 7L))
+    val f = multi(rows.map { case (i, v) => RowIV(i, v) }, 3)
+    for (n <- Seq(-1, -4, 0, 7, -7, 20, -20)) {
+      val a = Analytics.shift(f, "v", n, "s").records()
+      val b = Analytics.shiftWindow(f, "v", n, "s").records()
+      assert(a == b, s"shift($n)")
+    }
+  }
+
+  test("chunked shift handles chunks smaller than n (single-row partitions)") {
+    val rows = (0 until 6).map(i => RowIV(i, java.lang.Long.valueOf(i * 10L)))
+    val f = multi(rows, 6) // every chunk has exactly 1 row; n=3 spans 3 chunks
+    val a = Analytics.shift(f, "v", 3, "s").records()
+    val b = Analytics.shiftWindow(f, "v", 3, "s").records()
+    assert(a == b)
+  }
+
+  // --- ffill / bfill ---
+
+  test("chunked ffill/bfill == window forms (leading nulls, all-null chunk)") {
+    // partition layout (3 rows each): [null,1,null] [null,null,null] [5,null,2]
+    val rows = Seq[java.lang.Double](null, 1.0, null, null, null, null, 5.0, null, 2.0)
+      .zipWithIndex.map { case (v, i) => RowDV(i, v) }
+    val f = multi(rows, 3)
+    val af = f.fillNull(Map("v" -> FillNullHow.Forward)).records()
+    val bf = f.fillNullWindow("v", forward = true).records()
+    assert(af == bf)
+    val ab = f.fillNull(Map("v" -> FillNullHow.Backward)).records()
+    val bb = f.fillNullWindow("v", forward = false).records()
+    assert(ab == bb)
+    assertNoGlobalDataWindow(f.fillNull(Map("v" -> FillNullHow.Forward)).df)
+  }
+
+  // --- sorted-frame width-bucket path ---
+
+  test("sorted frame (numeric key): chunked forms equal window forms") {
+    val rows = Seq[(Int, java.lang.Long)](
+      (7, 1L), (3, null), (9, 3L), (1, 4L), (5, 5L), (2, null), (8, 7L),
+      (4, 8L), (6, 9L), (0, 10L))
+    val f0 = multi(rows.map { case (k, v) => RowIV(k, v) }, 4)
+    for (desc <- Seq(false, true)) {
+      val f = f0.sort(Sorter("i", descending = desc))
+      assert(Analytics.cumSum(f, "v", "cs").records() ==
+        Analytics.cumSumWindow(f, "v", "cs").records(), s"cumsum desc=$desc")
+      assert(Analytics.shift(f, "v", 2, "s").records() ==
+        Analytics.shiftWindow(f, "v", 2, "s").records(), s"shift desc=$desc")
+      assert(f.fillNull(Map("v" -> FillNullHow.Forward)).records() ==
+        f.fillNullWindow("v", forward = true).records(), s"ffill desc=$desc")
+      assertNoGlobalDataWindow(Analytics.cumSum(f, "v", "cs").df)
+    }
+  }
+
+  test("sorted frame with null and duplicate keys buckets correctly") {
+    val rows = Seq[(java.lang.Double, java.lang.Long)](
+      (2.0, 1L), (null, 2L), (2.0, 3L), (9.0, 4L), (null, 5L), (1.0, 6L),
+      (9.0, 7L), (5.0, 8L)).zipWithIndex.map { case ((k, v), i) => RowKV(i, k, v) }
+    val f = multi(rows, 3).sort(Sorter("k"))
+    assert(Analytics.cumSum(f, "v", "cs").records() ==
+      Analytics.cumSumWindow(f, "v", "cs").records())
+    assert(Analytics.shift(f, "v", 1, "s").records() ==
+      Analytics.shiftWindow(f, "v", 1, "s").records())
+  }
+
+  test("sorted frame, string key: falls back to the window form (still correct)") {
+    val f = multi(Seq(RowSV(0, "b", 2L), RowSV(1, "a", 1L), RowSV(2, "c", 3L)), 2)
+      .sort(Sorter("s"))
+    val got = Analytics.shift(f, "v", 1, "p").records().tail.map(_.last)
+    assert(got == Seq("(null)", "1", "2"))
+  }
+
+  test("overwriting an order-key column routes through the anchoring window form") {
+    val f = multi(Seq(RowIV(2, 1L), RowIV(0, 2L), RowIV(1, 3L)), 2).sort(Sorter("i"))
+    // out column == sort key "i": must anchor, not silently reorder
+    val got = Analytics.cumSum(f, "v", "i").records().tail.map(_.head)
+    assert(got == Seq("2", "5", "6")) // order i=0,1,2 -> v=2,3,1 cumsum
+  }
+
+  test("append across bands keeps chunk monotonicity for the prefix family") {
+    val a = multi(Seq(RowIV(0, 1L), RowIV(1, 2L)), 2)
+    val b = multi(Seq(RowIV(2, 3L), RowIV(3, 4L)), 2)
+    val f = a.append(b)
+    assert(Analytics.cumSum(f, "v", "cs").records() ==
+      Analytics.cumSumWindow(f, "v", "cs").records())
+    assert(Analytics.shift(f, "v", 1, "s").records() ==
+      Analytics.shiftWindow(f, "v", 1, "s").records())
+  }
+}
+
+case class RowIV(i: Int, v: java.lang.Long)
+case class RowDV(i: Int, v: java.lang.Double)
+case class RowKV(i: Int, k: java.lang.Double, v: java.lang.Long)
+case class RowSV(i: Int, s: String, v: java.lang.Long)
