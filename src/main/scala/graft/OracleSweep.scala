@@ -39,11 +39,36 @@ object OracleSweep {
     val outDir = if (args.length > 1) args(1) else "target/oracle-sweep"
     val prefixes = if (args.length > 2) args(2) else approxFamilies.mkString(",")
     Verify.main(Array(sfDir, outDir, prefixes))
+
+    // The gate must FAIL CLOSED (ADVICE r12, medium): a query that
+    // crashes or times out inside Verify leaves no output directory, and
+    // check.py only iterates directories that exist — without this
+    // assertion the sweep would silently drop exactly the query it was
+    // built to catch and still exit 0.
+    val wanted = prefixes.split(",").map(_.trim).filter(_.nonEmpty)
+    val expected = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => wanted.exists(n.startsWith))
+    val missing = expected.filterNot { n =>
+      val d = new java.io.File(outDir, n)
+      d.isDirectory && d.listFiles() != null &&
+        d.listFiles().exists(f => f.getName.endsWith(".parquet") || f.getName == "_SUCCESS")
+    }
+    if (expected.isEmpty) {
+      println(s"[sweep] GATE-NOT-RUN: no registered query matches '$prefixes'")
+      sys.exit(3)
+    }
+    if (missing.nonEmpty) {
+      println(s"[sweep] FAIL: ${missing.size} quer${if (missing.size == 1) "y" else "ies"} " +
+        s"produced NO output (crash/timeout in Verify): ${missing.mkString(", ")}")
+      sys.exit(2)
+    }
+
     val checker = new java.io.File("tools/check.py")
     if (!checker.exists()) {
-      println(s"[sweep] dump complete at $outDir — tools/check.py not found; " +
-        s"compare manually against $sfDir")
-      return
+      // no comparison ran — an unambiguous non-pass (ADVICE r12, low)
+      println(s"[sweep] GATE-NOT-RUN: dump complete at $outDir but tools/check.py " +
+        s"not found; compare manually against $sfDir")
+      sys.exit(3)
     }
     val cmd = Seq("python3", checker.getPath, outDir, sfDir)
     val exit =
@@ -53,9 +78,9 @@ object OracleSweep {
         pb.start().waitFor()
       } catch {
         case e: Throwable =>
-          println(s"[sweep] dump complete at $outDir — could not run " +
-            s"'${cmd.mkString(" ")}' (${e.getMessage}); run it by hand")
-          0
+          println(s"[sweep] GATE-NOT-RUN: could not start " +
+            s"'${cmd.mkString(" ")}' (${e.getMessage}); the comparison never ran")
+          3
       }
     if (exit != 0) sys.exit(exit)
   }

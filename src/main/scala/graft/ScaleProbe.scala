@@ -117,7 +117,14 @@ object ScaleProbe {
         val corpus = e.withColumn("label", (F.col("vec_id") % 8).cast("int"))
         val queries = e.select((F.col("vec_id") + 1000000L).as("vec_id"),
           F.col("embedding"))
-        val n = corpus.count() // sizing scan — part of the honest work
+        // QUARANTINED PATTERN (r12 verdict): a count() at query-
+        // construction time is acceptable ONLY here, in a probe-only
+        // entry, where the sizing scan is part of the honest measured
+        // work. Registered queries must never do this — they carry a
+        // job-free plan-construction contract (PipelineSpec pins it);
+        // production callers size via Similarity.memoizedCount behind
+        // explicit nlist/rowCount parameters instead.
+        val n = corpus.count()
         val nlist = math.max(16, math.ceil(8 * math.sqrt(n.toDouble)).toInt)
         graft.pipeline.Similarity.knnClassifyIvf(corpus, queries, k = 5,
           nlist = nlist, nprobe = 4)

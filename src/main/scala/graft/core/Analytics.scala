@@ -101,7 +101,15 @@ object Analytics {
     * once it sees the tiny build side. Prefer [[rankDense]] only when
     * values are near-unique — there the distinct frame is corpus-sized
     * and the join buys nothing. AnalyticsSpec pins row-for-row equality
-    * of the two forms on ties/nulls/multi-partition fixtures. */
+    * of the two forms on ties/nulls/multi-partition fixtures.
+    *
+    * Row-order contract (ADVICE r12): the returned frame's PHYSICAL row
+    * order is unspecified — a join output's ordering depends on the
+    * chosen strategy (broadcast preserves the probe side; SMJ does not).
+    * That is true of every TadaFrame: frame order is the LOGICAL
+    * `orderCols` contract (order spec + `__ord` tiebreak), re-applied by
+    * every order-sensitive consumer (`out`, `records`, `sorted`, window
+    * forms), so no caller observes join reordering. */
   def rankDenseByValue(f: TadaFrame, c: String, out: String,
                        partitionBy: Seq[String] = Nil): TadaFrame = {
     val v = f.df(c)
@@ -155,7 +163,9 @@ object Analytics {
     * out). Same integer numerators/denominators as [[percentile]], so
     * the doubles are bit-identical (q27's oracle hash-matches either
     * way). Scale note mirrors rankDenseByValue: q27 measured e 0.82 /
-    * 38 s at the 100× probe on the whole-row sort this form avoids. */
+    * 38 s at the 100× probe on the whole-row sort this form avoids.
+    * Physical row order of the result is unspecified (join output) —
+    * see the row-order contract note on [[rankDenseByValue]]. */
   def percentileByValue(f: TadaFrame, c: String, out: String,
                         partitionBy: Seq[String] = Nil): TadaFrame = {
     val v = f.df(c)

@@ -25,8 +25,14 @@ object CacheRegistry {
 
   private val tracked = ArrayBuffer.empty[(String, DataFrame)]
 
-  /** Persist `df` (default storage level) and remember it under `tag`. */
+  /** Persist `df` (default storage level) and remember it under `tag`.
+    * Tags must be plain dotted identifiers: `Bench.tagBytesJson` embeds
+    * them UNESCAPED in BENCH_DETAIL's JSON, so a quote or backslash in a
+    * tag would corrupt the log — enforced here (r12 verdict task 6)
+    * rather than assumed. */
   def track(tag: String, df: DataFrame): DataFrame = synchronized {
+    require(tag.matches("[A-Za-z0-9._-]+"),
+      s"CacheRegistry tag must match [A-Za-z0-9._-]+ (JSON-safe, unescaped): '$tag'")
     val p = df.persist()
     tracked += tag -> p
     p

@@ -212,12 +212,15 @@ object Similarity {
                      nlist: Int = 16, nprobe: Int = 4, iters: Int = 2,
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      labelCol: String = "label"): DataFrame = {
-    val nn = ivfTopK(corpus, queries, k, nlist, nprobe, iters, idCol, vecCol)
+    // size the query set ONCE and thread it into ivfTopK — the two
+    // layers previously counted under different memo keys (queries vs
+    // q0 projections), scanning a crawl-sized query set twice cold
+    val nq = try memoizedCount(queries.select(F.col(idCol))) catch { case _: Throwable => -1L }
+    val nn = ivfTopK(corpus, queries, k, nlist, nprobe, iters, idCol, vecCol, queryCount = nq)
       .select(F.col("query_id"), F.col("neighbor_id"))
     val maxRows =
       try corpus.sparkSession.conf.get("graft.knn.maxBroadcastSurvivors", "8000000").toLong
       catch { case _: Throwable => 8000000L }
-    val nq = try memoizedCount(queries.select(F.col(idCol))) catch { case _: Throwable => -1L }
     val hinted = if (nq >= 0 && nq * k.toLong <= maxRows) F.broadcast(nn) else nn
     val votes = corpus
       .select(F.col(idCol).as("neighbor_id"), F.col(labelCol).as("__lbl"))
@@ -283,9 +286,21 @@ object Similarity {
       // still compute-once at first action (each round's frame is
       // nlist rows, so the cache is trivial); `iters` is small and
       // fixed, so the un-truncated lineage stays bounded.
+      // The re-average is DETERMINISTIC under recomputation (ADVICE r12):
+      // a plain avg() sums doubles in partition-arrival order, so an
+      // evicted cache block recomputed mid-job could differ in the last
+      // ULP between the two consumers of the sims frame (assignment
+      // window vs probe filter) and drop a boundary pair. Summing the
+      // collected group in SORTED order pins the float result
+      // bit-for-bit for any execution. Groups are tiny by construction:
+      // one per (cell, dim), ~trainCap/nlist ≈ 8 values each.
       centroids = c.join(nearestCells(c, centroids, "cid0", "cv", 1, cos), "cid0")
         .select(F.col("cell"), F.posexplode(F.col("cv")).as(Seq("dim", "x")))
-        .groupBy("cell", "dim").agg(F.avg(F.col("x").cast("double")).as("m"))
+        .groupBy("cell", "dim")
+        .agg(F.aggregate(F.array_sort(F.collect_list(F.col("x").cast("double"))),
+               F.lit(0.0), (acc, y) => acc + y).as("__s"),
+             F.count(F.lit(1)).as("__n"))
+        .select(F.col("cell"), F.col("dim"), (F.col("__s") / F.col("__n")).as("m"))
         .groupBy("cell").agg(
           F.transform(F.array_sort(F.collect_list(F.struct(F.col("dim"), F.col("m")))),
             s => s.getField("m").cast("float")).as("centroid"))
@@ -310,7 +325,8 @@ object Similarity {
     * branches emit the identical candidate set. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 4, iters: Int = 2,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              queryCount: Long = -1L): DataFrame = {
     val cos = cosineNative(corpus.sparkSession) _
     val c = corpus.select(F.col(idCol).as("cid0"), F.col(vecCol).as("cv"))
     val centroids = trainCentroids(c, nlist, iters, cos)
@@ -318,7 +334,11 @@ object Similarity {
       .select(F.col("cid0").as("neighbor_id"), F.col("cv"), F.col("cell"))
     val q0 = queries.select(F.col(idCol).as("query_id"), F.col(vecCol).as("qv"))
     val probes = q0.join(nearestCells(q0, centroids, "query_id", "qv", nprobe, cos), "query_id")
-    val nq = try memoizedCount(q0.select(F.col("query_id")))
+    // callers that already sized the query set pass queryCount so a cold
+    // session pays ONE sizing scan, not one per layer (ADVICE r12)
+    val nq =
+      if (queryCount >= 0) queryCount
+      else try memoizedCount(q0.select(F.col("query_id")))
       catch { case _: Throwable => -1L }
     val probesHinted =
       if (nq >= 0 && broadcastableVecs(q0, "qv", nq * nprobe)) F.broadcast(probes)

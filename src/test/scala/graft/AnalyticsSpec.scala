@@ -18,9 +18,32 @@ class AnalyticsSpec extends AnyFunSuite {
     val got = Analytics.rankDense(f, "v", "r").records().tail.map(_(1))
     assert(got == Seq("3", "1", "(null)", "1", "2"))
     // the BY-VALUE plan (distinct-vocabulary window + join-back) is
-    // row-for-row identical, including the null-in => null-out rule
+    // row-for-row identical, including the null-in => null-out rule.
+    // Positional comparison is sound even though a join output's physical
+    // order is unspecified: records() re-applies frame order through the
+    // unique __ord tiebreak, so it is deterministic under any join strategy
+    // (the row-order contract note on rankDenseByValue).
     val gotBv = Analytics.rankDenseByValue(f, "v", "r").records().tail.map(_(1))
     assert(gotBv == got)
+  }
+
+  test("by-value forms: NaN and ±0.0 values match the window forms") {
+    // The join-back relies on Spark's join-equality semantics for doubles:
+    // NaN = NaN is TRUE and 0.0 = -0.0 is TRUE (grouping/join key
+    // normalization), matching how the ordered window treats them (NaN
+    // sorts above every double; ±0.0 tie). Pin that reliance explicitly
+    // (r12 verdict task 5).
+    val df = Seq[java.lang.Double](
+      1.0, Double.NaN, 0.0, -0.0, null, Double.NaN, 2.0, -1.5).toDF("v")
+    val f = frame(df)
+    assert(Analytics.rankDenseByValue(f, "v", "r").records() ==
+      Analytics.rankDense(f, "v", "r").records())
+    assert(Analytics.percentileByValue(f, "v", "p").records() ==
+      Analytics.percentile(f, "v", "p").records())
+    // NaN ranks above every real value; both NaNs share one dense rank
+    // (vocabulary: -1.5, 0.0, 1.0, 2.0, NaN -> NaN = rank 5)
+    val ranks = Analytics.rankDenseByValue(f, "v", "r").records().tail.map(_(1))
+    assert(ranks(1) == ranks(5) && ranks(1) == "5")
   }
 
   test("by-value rank/percentile equal the window forms on ties/nulls/partitions") {

@@ -96,4 +96,26 @@ class BenchPolicySpec extends AnyFunSuite {
       "simhashClusters.words" -> 96176L))
     assert(j == """{"cosinePairsComplete.sims":6522576,"simhashClusters.words":96176}""")
   }
+
+  test("CacheRegistry rejects tags that would corrupt the unescaped JSON") {
+    // tagBytesJson embeds tags verbatim; the registry is where the
+    // JSON-safety invariant lives (r12 verdict task 6). The hostile tag
+    // must fail FAST at track() — before anything is persisted.
+    val spark = TestSpark.spark
+    val df = spark.range(1).toDF("x")
+    val e = intercept[IllegalArgumentException] {
+      graft.core.CacheRegistry.track("""bad"tag""", df)
+    }
+    assert(e.getMessage.contains("JSON-safe"))
+    intercept[IllegalArgumentException] {
+      graft.core.CacheRegistry.track("bad\\tag", df)
+    }
+    // rejected tags were never recorded nor persisted
+    assert(!graft.core.CacheRegistry.trackedTags.exists(_.startsWith("bad")))
+    assert(df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+    // the dotted identifiers every production tag uses still pass
+    val ok = graft.core.CacheRegistry.track("spec.ok_tag-1", df)
+    assert(graft.core.CacheRegistry.trackedTags.contains("spec.ok_tag-1"))
+    ok.unpersist()
+  }
 }
