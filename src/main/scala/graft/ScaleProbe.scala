@@ -112,6 +112,36 @@ object ScaleProbe {
     // same m·√n rule as the cosine-pairs family, label attach
     // count-gated (over the bound at probe scale → shuffled join).
     val extraProbes: Map[String, (SparkSession, String) => DataFrame] = Map(
+      // The WHOLE-FRAME prefix family (r12 verdict task 1): no registered
+      // query carries the empty-partitionBy shape (q24/q25/q32 are
+      // per-key), so the chunked plans in graft.core.Prefix are probed
+      // here directly. Results return UNordered (the checksum action is
+      // order-insensitive); .out would append a global sort and measure
+      // that instead of the operator.
+      "x24_cumsum_global" -> ((s, dir) => {
+        val f = graft.core.TadaFrame.ingest(
+          Tables.lineitem(s, dir).select(F.col("l_orderkey"), F.col("l_quantity")))
+        graft.core.Analytics.cumSum(f, "l_quantity", "cs").df
+          .select("l_orderkey", "l_quantity", "cs")
+      }),
+      "x25_shift_global" -> ((s, dir) => {
+        val f = graft.core.TadaFrame.ingest(
+          Tables.lineitem(s, dir).select(F.col("l_orderkey"), F.col("l_quantity")))
+        graft.core.Analytics.shift(f, "l_quantity", 3, "prev").df
+          .select("l_orderkey", "l_quantity", "prev")
+      }),
+      "x32_ffill_global" -> ((s, dir) => {
+        val f = graft.core.TadaFrame.ingest(
+          Tables.lineitem(s, dir).select(F.col("l_orderkey"),
+            F.when(F.col("l_quantity") < 5, F.lit(null)).otherwise(F.col("l_quantity")).as("v")))
+        f.fillNull(Map("v" -> graft.core.FillNullHow.Forward)).df
+          .select("l_orderkey", "v")
+      }),
+      // corpus-read floor for the text family: checksumming the raw text
+      // column IS the minimum cost of any full-text operator — q48's
+      // honest lower bound (r12 verdict task 2)
+      "x48_read_floor" -> ((s, dir) =>
+        Tables.documents(s, dir).select(F.col("doc_id"), F.col("text"))),
       "x99_knn_classify_ivf" -> ((s, dir) => {
         val e = Tables.embeddings(s, dir).select(F.col("vec_id"), F.col("embedding"))
         val corpus = e.withColumn("label", (F.col("vec_id") % 8).cast("int"))

@@ -21,6 +21,9 @@ object GraftFunctions {
       es => JaccardSim(es(0), es(1))),
     ("shingle_w", "_FUNC_(tokens, w) - distinct word w-shingles",
       es => Shingles(es.head, es(1).eval().asInstanceOf[Int])),
+    ("text_quality_stats",
+      "_FUNC_(text) - struct<len,tokens,stops,punct> of a document in one pass",
+      es => TextQualityStats(es.head)),
     ("minhash_bands", "_FUNC_(shingles, k, bands) - LSH band keys",
       es => MinHashBands(es.head,
         es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])),

@@ -55,19 +55,50 @@ object TextOps {
   def punctCount(text: Column): Column =
     F.regexp_count(text, F.lit("[^A-Za-z0-9\\s]"))
 
-  /** Quality score ∈ [0,1]: blend of length band, stopword ratio and
-    * punctuation ratio — the standard cheap pre-filter shape used before
-    * expensive dedup/model scoring. Deterministic, oracle-expressible. */
-  def qualityScore(text: Column): Column = {
-    val len = F.length(text).cast("double")
-    val toks = tokenCount(text).cast("double")
-    val stopRatio = F.when(toks === 0, 0.0).otherwise(stopwordCount(text) / toks)
-    val punctRatio = F.when(len === 0, 0.0).otherwise(punctCount(text) / len)
+  /** The score blend shared by both qualityScore forms — takes the four
+    * integer columns so the arithmetic (and its double rounding) is
+    * literally the same expression tree either way. */
+  private def qualityBlend(len0: Column, toks0: Column,
+                           stops: Column, punct: Column): Column = {
+    val len = len0.cast("double")
+    val toks = toks0.cast("double")
+    val stopRatio = F.when(toks === 0, 0.0).otherwise(stops / toks)
+    val punctRatio = F.when(len === 0, 0.0).otherwise(punct / len)
     val lenScore = F.least(len / 200.0, F.lit(1.0))
     // weights sum to 1; stopword presence is the strongest natural-language signal
     lenScore * 0.4 + F.least(stopRatio * 4.0, F.lit(1.0)) * 0.4 +
       (F.lit(1.0) - F.least(punctRatio * 5.0, F.lit(1.0))) * 0.2
   }
+
+  /** Quality score ∈ [0,1]: blend of length band, stopword ratio and
+    * punctuation ratio — the standard cheap pre-filter shape used before
+    * expensive dedup/model scoring. Deterministic, oracle-expressible.
+    *
+    * Production path: the native `text_quality_stats` kernel — ONE
+    * byte-level traversal (plus the lowercase pass) for all four
+    * integers, replacing the stacked normalize/stopword-alternation/
+    * punctuation regex scans that made q48 the heaviest honest map-only
+    * row at the 100× probe (r12 verdict task 2). Byte-identical scores:
+    * the kernel replicates the regex semantics exactly (spec-pinned on
+    * unicode adversaries and the corpus; q48/q91 oracles unchanged).
+    * Sessionless callers fall back to [[qualityScoreRegex]] — the same
+    * documented fallback contract as the pipeline's UDF kernels. */
+  def qualityScore(text: Column): Column =
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) =>
+        graft.exprs.GraftFunctions.register(s)
+        val st = F.call_function("text_quality_stats", text)
+        qualityBlend(st.getField("len"), st.getField("tokens"),
+          st.getField("stops"), st.getField("punct"))
+      case None => qualityScoreRegex(text)
+    }
+
+  /** The regex-pipeline form of [[qualityScore]] — semantic reference for
+    * the kernel (each input column is the documented regex operator) and
+    * the sessionless fallback. */
+  def qualityScoreRegex(text: Column): Column =
+    qualityBlend(F.length(text), tokenCount(text),
+      stopwordCount(text), punctCount(text))
 
   /** Per-group quality gate: keep documents whose quality score sits at
     * or above the `pct` percent-rank WITHIN their group (source/domain).
