@@ -1,0 +1,281 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
+
+import scala.util.Random
+
+import graft.core._
+
+/** Differential fuzz vs DuckDB for the relational core (r12 verdict
+  * task 8).
+  *
+  * The 100 registered oracle queries are fixed-shape; this harness
+  * drives RANDOM small frames (random values, ~10% nulls, duplicate
+  * keys, two tables per seed) through random op chains —
+  * Filter → Sort → Head/Tail → Unique → FillNull(ffill/bfill) →
+  * CumSum → Shift → GroupBy-reduce → Append → Merge(left/inner) —
+  * executing each chain twice: through the engine, and through
+  * GENERATED ANSI SQL in DuckDB over the same parquet tables
+  * (tools/fuzzcheck.py, the check.py twin). Any semantics drift the
+  * fixed corpus cannot see (null ordering, first-match rules,
+  * first-appearance group order, stability tiebreaks, band-shifted
+  * append ordinals) surfaces as a hash mismatch with the generated SQL
+  * printed as the repro.
+  *
+  * Order mirroring: every generated table carries `rid` (0..n−1 =
+  * ingest order). The engine's hidden `__ord` tracks exactly the same
+  * total order (ingest sorts by rid; append's band shift ↔ rid + 10^9;
+  * group first-appearance ↔ min row_number over the mirrored order), so
+  * each SQL stage can reproduce order-sensitive semantics with
+  * `ORDER BY <sort keys NULLS LAST>, rid`. The final projection drops
+  * `rid`; the comparison itself is order-insensitive (rows sorted by
+  * all columns before hashing).
+  *
+  * Float discipline: doubles are dyadic quarters |v| ≤ 1000 over ≤ ~120
+  * rows, so every sum/mean both engines can compute is EXACT in double
+  * — aggregation order can never produce a last-ULP hash break, making
+  * exact hash equality a sound oracle even for mean/cumsum chains.
+  */
+object FuzzDiff {
+
+  /** chain state: engine frame + mirrored SQL + mirrored sort spec. */
+  private case class St(fr: TadaFrame, sub: String,
+                        order: Seq[(String, Boolean)],
+                        cols: Seq[String], types: Map[String, Char],
+                        base: Boolean, labels: Seq[String])
+
+  private def orderSql(order: Seq[(String, Boolean)], rev: Boolean = false): String = {
+    val keys = order.map { case (c, d) =>
+      s"$c ${if (d ^ rev) "DESC" else "ASC"} ${if (rev) "NULLS FIRST" else "NULLS LAST"}"
+    }
+    (keys :+ (if (rev) "rid DESC" else "rid ASC")).mkString(", ")
+  }
+
+  private def fmt(t: Char, rng: Random): String = t match {
+    case 'l' => (rng.nextInt(2001) - 1000).toString
+    case 'd' => ((rng.nextInt(8001) - 4000) / 4.0).toString
+    case _   => s"'${('a' + rng.nextInt(5)).toChar}'"
+  }
+
+  def run(spark: SparkSession, seeds: Range, dir: String): (Int, Int) = {
+    import spark.implicits._
+    val tablesDir = s"$dir/tables"
+    val outDir = s"$dir/out"
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rm); p.delete()
+    }
+    rm(new java.io.File(dir))
+    new java.io.File(tablesDir).mkdirs()
+    new java.io.File(outDir).mkdirs()
+
+    val oracle = scala.collection.mutable.LinkedHashMap.empty[String, String]
+
+    for (seed <- seeds) {
+      val rng = new Random(seed)
+      def genRows(n: Int) = (0 until n).map { i =>
+        (i.toLong,
+          if (rng.nextInt(10) == 0) null else ('a' + rng.nextInt(5)).toChar.toString,
+          if (rng.nextInt(10) == 0) None else Some(rng.nextInt(5).toLong),
+          if (rng.nextInt(8) == 0) None else Some((rng.nextInt(2001) - 1000).toLong),
+          if (rng.nextInt(8) == 0) None else Some((rng.nextInt(8001) - 4000) / 4.0))
+      }
+      val tm = s"t${seed}m"; val ta = s"t${seed}a"
+      genRows(5 + rng.nextInt(56)).toDF("rid", "k1", "k2", "v1", "v2")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tablesDir/$tm.parquet")
+      genRows(5 + rng.nextInt(36)).toDF("rid", "k1", "k2", "v1", "v2")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tablesDir/$ta.parquet")
+
+      def ingest(t: String): TadaFrame =
+        TadaFrame.ingest(spark.read.parquet(s"$tablesDir/$t.parquet").orderBy("rid"))
+          .dropCols("rid")
+
+      val baseTypes = Map("k1" -> 's', "k2" -> 'l', "v1" -> 'l', "v2" -> 'd')
+      var st = St(ingest(tm), s"SELECT rid, k1, k2, v1, v2 FROM $tm",
+        Nil, Seq("k1", "k2", "v1", "v2"), baseTypes, base = true, labels = Nil)
+
+      // one random applicable op; returns None when the pick doesn't apply
+      def step(): Option[St] = {
+        val valueCols = st.cols.filterNot(st.labels.contains)
+        val numCols = valueCols.filter(c => st.types(c) != 's')
+        val keyCols = Seq("k1", "k2").filter(st.cols.contains)
+        rng.nextInt(11) match {
+          case 0 if numCols.nonEmpty => // numeric filter
+            val c = numCols(rng.nextInt(numCols.size))
+            val lit = fmt(st.types(c), rng)
+            val gt = rng.nextBoolean()
+            Some(st.copy(
+              fr = st.fr.filter(Map(c -> ((x: org.apache.spark.sql.Column) =>
+                if (gt) x > F.expr(lit) else x <= F.expr(lit)))),
+              sub = s"SELECT * FROM (${st.sub}) WHERE $c IS NOT NULL AND $c ${if (gt) ">" else "<="} $lit"))
+          case 1 if st.cols.contains("k1") && st.types("k1") == 's' => // string filter
+            val lit = fmt('s', rng)
+            Some(st.copy(
+              fr = st.fr.filter(Map("k1" -> ((x: org.apache.spark.sql.Column) => x === F.expr(lit)))),
+              sub = s"SELECT * FROM (${st.sub}) WHERE k1 IS NOT NULL AND k1 = $lit"))
+          case 2 => // sort, 1-2 keys
+            val ks = rng.shuffle(st.cols.toList).take(1 + rng.nextInt(2))
+              .map(c => (c, rng.nextBoolean()))
+            Some(st.copy(
+              fr = st.fr.sort(ks.map { case (c, d) => Sorter(c, descending = d) }: _*),
+              order = ks))
+          case 3 => // head / tail
+            val n = 1 + rng.nextInt(15)
+            val tail = rng.nextBoolean()
+            Some(st.copy(
+              fr = if (tail) st.fr.tail(n) else st.fr.head(n),
+              sub = s"SELECT * FROM (${st.sub}) ORDER BY ${orderSql(st.order, rev = tail)} LIMIT $n"))
+          case 4 if keyCols.nonEmpty && st.labels.isEmpty => // unique by key, first appearance
+            val k = keyCols(rng.nextInt(keyCols.size))
+            Some(st.copy(
+              fr = st.fr.unique(subset = Seq(k)),
+              sub = s"SELECT * FROM (${st.sub}) QUALIFY row_number() OVER " +
+                s"(PARTITION BY $k ORDER BY ${orderSql(st.order)}) = 1"))
+          case 5 if numCols.nonEmpty => // whole-frame ffill / bfill
+            val c = numCols(rng.nextInt(numCols.size))
+            val fwd = rng.nextBoolean()
+            val others = (st.cols.filterNot(_ == c) :+ "rid").mkString(", ")
+            val frame = if (fwd) "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+                        else "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING"
+            val fn = if (fwd) "last_value" else "first_value"
+            Some(st.copy(
+              fr = st.fr.fillNull(Map(c ->
+                (if (fwd) FillNullHow.Forward else FillNullHow.Backward))),
+              sub = s"SELECT $others, $fn($c IGNORE NULLS) OVER " +
+                s"(ORDER BY ${orderSql(st.order)} $frame) AS $c FROM (${st.sub})"))
+          case 6 => // whole-frame cumsum over a long col
+            val longs = numCols.filter(c => st.types(c) == 'l')
+            if (longs.isEmpty) None else {
+              val c = longs(rng.nextInt(longs.size))
+              val out = if (st.cols.contains("cs")) "cs2" else "cs"
+              if (st.cols.contains(out)) None else Some(st.copy(
+                fr = Analytics.cumSum(st.fr, c, out),
+                sub = s"SELECT *, CAST(sum(COALESCE($c, 0)) OVER (ORDER BY ${orderSql(st.order)} " +
+                  s"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS $out FROM (${st.sub})",
+                cols = st.cols :+ out, types = st.types + (out -> 'l'), base = false))
+            }
+          case 7 => // whole-frame shift (lag / lead)
+            val c = st.cols(rng.nextInt(st.cols.size))
+            val n = Seq(-2, -1, 1, 2, 5)(rng.nextInt(5))
+            val out = if (st.cols.contains("sh")) "sh2" else "sh"
+            if (st.cols.contains(out)) None else Some(st.copy(
+              fr = Analytics.shift(st.fr, c, n, out),
+              sub = s"SELECT *, ${if (n > 0) s"lag($c, $n)" else s"lead($c, ${-n})"} OVER " +
+                s"(ORDER BY ${orderSql(st.order)}) AS $out FROM (${st.sub})",
+              cols = st.cols :+ out, types = st.types + (out -> st.types(c)), base = false))
+          case 8 if keyCols.nonEmpty && st.labels.isEmpty => // groupBy + reduce
+            val k = keyCols(rng.nextInt(keyCols.size))
+            val others = st.cols.filterNot(_ == k)
+            val agg = Seq("sum", "mean", "count", "min", "max")(rng.nextInt(5))
+            val targets = agg match {
+              case "sum" | "mean" => others.filter(c => st.types(c) != 's')
+              case _ => others
+            }
+            if (targets.isEmpty) None else {
+              val g = st.fr.groupBy(k)
+              val fr2 = agg match {
+                case "sum" => g.sum(targets: _*)
+                case "mean" => g.mean(targets: _*)
+                case "count" => g.count(targets: _*)
+                case "min" => g.min(targets: _*)
+                case "max" => g.max(targets: _*)
+              }
+              val aggSql = targets.map { c =>
+                val o = s"${agg}_$c"
+                agg match {
+                  case "sum" if st.types(c) == 'l' => s"CAST(sum($c) AS BIGINT) AS $o"
+                  case "sum" => s"sum($c) AS $o"
+                  case "mean" => s"avg($c) AS $o"
+                  case "count" => s"count($c) AS $o"
+                  case _ => s"$agg($c) AS $o"
+                }
+              }.mkString(", ")
+              val newTypes = targets.map { c =>
+                val t = agg match {
+                  case "mean" => 'd'
+                  case "count" => 'l'
+                  case _ => st.types(c)
+                }
+                s"${agg}_$c" -> t
+              }.toMap + (k -> st.types(k))
+              Some(St(fr2,
+                s"SELECT $k, CAST(min(pos) AS BIGINT) AS rid, $aggSql FROM " +
+                  s"(SELECT *, row_number() OVER (ORDER BY ${orderSql(st.order)}) AS pos " +
+                  s"FROM (${st.sub})) GROUP BY $k",
+                Nil, k +: targets.map(c => s"${agg}_$c"), newTypes,
+                base = false, labels = Seq(k)))
+            }
+          case 9 if st.base => // append the aux table (band-shifted ordinals)
+            Some(st.copy(
+              fr = st.fr.append(ingest(ta)),
+              sub = s"SELECT rid, k1, k2, v1, v2 FROM (${st.sub}) UNION ALL " +
+                s"SELECT rid + 1000000000 AS rid, k1, k2, v1, v2 FROM $ta",
+              base = false))
+          case 10 if st.base => // merge aux on k2, first-match, left or inner
+            val how = if (rng.nextBoolean()) "left" else "inner"
+            val fr2 = Lookup.merge(st.fr, ingest(ta), how, Seq("k2"), Seq("k2"))
+            val dedup = s"SELECT k2, k1 AS k1_1, v1 AS v1_1, v2 AS v2_1 FROM " +
+              s"(SELECT * FROM $ta QUALIFY row_number() OVER (PARTITION BY k2 ORDER BY rid) = 1)"
+            val joined = s"SELECT l.*, r.k1_1, r.v1_1, r.v2_1 FROM (${st.sub}) l " +
+              s"LEFT JOIN ($dedup) r ON l.k2 = r.k2"
+            // inner = left merge + DropNull over every VALUE column
+            val allCols = st.cols ++ Seq("k1_1", "v1_1", "v2_1")
+            val sub2 =
+              if (how == "left") joined
+              else s"SELECT * FROM ($joined) WHERE " +
+                allCols.map(c => s"$c IS NOT NULL").mkString(" AND ")
+            Some(st.copy(fr = fr2, sub = sub2, cols = allCols,
+              types = st.types ++ Map("k1_1" -> 's', "v1_1" -> 'l', "v2_1" -> 'd'),
+              base = false))
+          case _ => None
+        }
+      }
+
+      val nOps = 2 + rng.nextInt(4)
+      var applied = 0
+      var tries = 0
+      while (applied < nOps && tries < 40) {
+        step().foreach { s2 => st = s2; applied += 1 }
+        tries += 1
+      }
+
+      val name = f"f$seed%04d"
+      st.fr.out.repartition(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      oracle(name) = s"SELECT ${st.cols.mkString(", ")} FROM (${st.sub})"
+    }
+
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/oracle_sql.json"),
+      oracle.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+
+    val pb = new ProcessBuilder("python3", "tools/fuzzcheck.py", outDir, tablesDir)
+    pb.redirectErrorStream(true)
+    val p = pb.start()
+    val log = new String(p.getInputStream.readAllBytes())
+    val exit = p.waitFor()
+    print(log)
+    (exit, seeds.size)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toInt else 100
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val (exit, ran) = run(spark, 1 to n, "/tmp/fuzzdiff")
+    println(s"[fuzz] $ran seeds, checker exit $exit")
+    spark.stop()
+    if (exit != 0) sys.exit(exit)
+  }
+}
