@@ -99,7 +99,7 @@ object FuzzDiff {
         val valueCols = st.cols.filterNot(st.labels.contains)
         val numCols = valueCols.filter(c => st.types(c) != 's')
         val keyCols = Seq("k1", "k2").filter(st.cols.contains)
-        rng.nextInt(11) match {
+        rng.nextInt(14) match {
           case 0 if numCols.nonEmpty => // numeric filter
             val c = numCols(rng.nextInt(numCols.size))
             val lit = fmt(st.types(c), rng)
@@ -227,6 +227,63 @@ object FuzzDiff {
             Some(st.copy(fr = fr2, sub = sub2, cols = allCols,
               types = st.types ++ Map("k1_1" -> 's', "v1_1" -> 'l', "v2_1" -> 'd'),
               base = false))
+          case 11 if numCols.nonEmpty => // dense rank: window form OR by-value form vs ONE SQL
+            val c = numCols(rng.nextInt(numCols.size))
+            val out = if (st.cols.contains("rk")) "rk2" else "rk"
+            if (st.cols.contains(out)) None else {
+              val part = if (st.cols.contains("k1") && c != "k1" && rng.nextBoolean())
+                Seq("k1") else Nil
+              val byValue = rng.nextBoolean()
+              val fr2 = if (byValue) Analytics.rankDenseByValue(st.fr, c, out, part)
+                        else Analytics.rankDense(st.fr, c, out, part)
+              val pw = if (part.isEmpty) "" else s"PARTITION BY ${part.head} "
+              val pw0 = if (part.isEmpty) "OVER ()" else s"OVER (PARTITION BY ${part.head})"
+              Some(st.copy(fr = fr2,
+                sub = s"SELECT *, CASE WHEN $c IS NULL THEN NULL ELSE " +
+                  s"dense_rank() OVER (${pw}ORDER BY $c ASC NULLS FIRST) - " +
+                  s"(CASE WHEN count(*) FILTER (WHERE $c IS NULL) $pw0 > 0 THEN 1 ELSE 0 END) " +
+                  s"END AS $out FROM (${st.sub})",
+                cols = st.cols :+ out, types = st.types + (out -> 'l'), base = false))
+            }
+          case 12 if numCols.nonEmpty => // exclusive percentile, both forms vs ONE SQL
+            val c = numCols(rng.nextInt(numCols.size))
+            val out = if (st.cols.contains("pc")) "pc2" else "pc"
+            if (st.cols.contains(out)) None else {
+              val part = if (st.cols.contains("k1") && c != "k1" && rng.nextBoolean())
+                Seq("k1") else Nil
+              val byValue = rng.nextBoolean()
+              val fr2 = if (byValue) Analytics.percentileByValue(st.fr, c, out, part)
+                        else Analytics.percentile(st.fr, c, out, part)
+              val pw = if (part.isEmpty) "" else s"PARTITION BY ${part.head} "
+              val pw0 = if (part.isEmpty) "OVER ()" else s"OVER (PARTITION BY ${part.head})"
+              Some(st.copy(fr = fr2,
+                sub = s"SELECT *, CASE WHEN $c IS NULL THEN NULL ELSE " +
+                  s"CAST(rank() OVER (${pw}ORDER BY $c ASC NULLS FIRST) - " +
+                  s"(count(*) $pw0 - count($c) $pw0) - 1 AS DOUBLE) / count($c) $pw0 " +
+                  s"END AS $out FROM (${st.sub})",
+                cols = st.cols :+ out, types = st.types + (out -> 'd'), base = false))
+            }
+          case 13 if numCols.exists(c => st.types(c) == 'd') => // bin (left-excl right-incl)
+            val ds = numCols.filter(c => st.types(c) == 'd')
+            val c = ds(rng.nextInt(ds.size))
+            val out = if (st.cols.contains("bn")) "bn2" else "bn"
+            if (st.cols.contains(out)) None else {
+              val edges = Seq.fill(3)(rng.nextInt(1601) - 800).distinct.sorted.map(_.toDouble)
+              if (edges.size < 2) None else {
+                val andLess = rng.nextBoolean(); val andMore = rng.nextBoolean()
+                def f(d: Double) = d.toLong.toString // integral edges by construction
+                val binCases = edges.sliding(2).map { case Seq(lo, hi) =>
+                  s"WHEN $c > ${f(lo)} AND $c <= ${f(hi)} THEN '${f(lo)}-${f(hi)}'"
+                }.mkString(" ")
+                val moreCase = if (andMore) s"WHEN $c > ${f(edges.last)} THEN '>${f(edges.last)}' " else ""
+                val lessCase = if (andLess) s"WHEN $c <= ${f(edges.head)} THEN '<=${f(edges.head)}' " else ""
+                Some(st.copy(
+                  fr = Analytics.bin(st.fr, c, edges, out, andLess = andLess, andMore = andMore),
+                  sub = s"SELECT *, CASE WHEN $c IS NULL THEN NULL " +
+                    moreCase + lessCase + binCases + s" ELSE NULL END AS $out FROM (${st.sub})",
+                  cols = st.cols :+ out, types = st.types + (out -> 's'), base = false))
+              }
+            }
           case _ => None
         }
       }

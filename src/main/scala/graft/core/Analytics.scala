@@ -127,10 +127,13 @@ object Analytics {
       .filter(F.col("__rdv_v").isNotNull)
       .select(partitionBy.zipWithIndex.map { case (p, i) => F.col(p).as(s"__rdv_p$i") } ++
         Seq(F.col("__rdv_v"), F.col("__rdv_rk")): _*)
-    // null values never match the equi-join → null rank, exactly the
-    // null-in ⇒ null-out contract
+    // null VALUES never match the equi-join → null rank, exactly the
+    // null-in ⇒ null-out contract. Partition KEYS join null-safely
+    // (<=>): a null partition key is a legitimate group the window form
+    // ranks within — plain === silently nulled those rows (caught by
+    // the r13 DuckDB fuzz, seed 34).
     val cond = (partitionBy.zipWithIndex.map { case (p, i) =>
-      f.df(p) === ranked(s"__rdv_p$i") } :+ (v === ranked("__rdv_v"))).reduce(_ && _)
+      f.df(p) <=> ranked(s"__rdv_p$i") } :+ (v === ranked("__rdv_v"))).reduce(_ && _)
     val joined = f.df.join(ranked, cond, "left")
     f.copy(df = joined.select(f.df.columns.map(f.df(_)) :+ ranked("__rdv_rk").as(out): _*))
   }
@@ -186,8 +189,9 @@ object Analytics {
           F.sum("__pbv_n").over(wAll))
       .select(partitionBy.zipWithIndex.map { case (p, i) => F.col(p).as(s"__pbv_p$i") } ++
         Seq(F.col("__pbv_v"), F.col("__pbv_pct")): _*)
+    // partition keys null-safe, value strict — see rankDenseByValue
     val cond = (partitionBy.zipWithIndex.map { case (p, i) =>
-      f.df(p) === scored(s"__pbv_p$i") } :+ (v === scored("__pbv_v"))).reduce(_ && _)
+      f.df(p) <=> scored(s"__pbv_p$i") } :+ (v === scored("__pbv_v"))).reduce(_ && _)
     val joined = f.df.join(scored, cond, "left")
     f.copy(df = joined.select(f.df.columns.map(f.df(_)) :+ scored("__pbv_pct").as(out): _*))
   }

@@ -251,17 +251,57 @@ object Similarity {
     * immediately projected to (id, cell, sim) — the top-n window's
     * shuffle never carries vector payloads (n·nlist scalar triples, not
     * n·nlist vectors). */
+  /** Centroids collapsed to ONE broadcast row holding the whole
+    * (cell, centroid) array — the carrier for per-row top-n cell
+    * selection without any shuffle. Sorted for a deterministic array
+    * regardless of collect order. */
+  private def centroidArray(centroids: DataFrame): DataFrame =
+    centroids.agg(F.array_sort(F.collect_list(
+      F.struct(F.col("cell"), F.col("centroid")))).as("__cents"))
+
+  /** Per-row (negated-sim, cell) array over the centroid array: struct
+    * ordering then gives sim DESC, tie → smaller cell — exactly the old
+    * window's (sim desc, cell asc) pick order, bit-for-bit (cosine never
+    * yields NaN: zero denominators clamp to 0). */
+  private def simStructs(vec: Column, cos: (Column, Column) => Column): Column =
+    F.transform(F.col("__cents"), s => F.struct(
+      (-cos(vec, s.getField("centroid"))).as("negsim"),
+      s.getField("cell").as("cell")))
+
+  /** Nearest `n` cells per vector — MAP-ONLY (r13). The previous shape
+    * (vectors × centroids crossJoin → `Window.partitionBy(id)`) hash-
+    * shuffled the full n·nlist sims frame just to rank it: Θ(n^1.5)
+    * shuffle bytes under the m·√n nlist rule, which is exactly what
+    * killed the ×1000 vector probe on this box (~0.9 TB of shuffle for
+    * 2M vectors; the disk filled). Selecting the top-n INSIDE the row —
+    * an array expression over the broadcast centroid array — does the
+    * identical nlist cosines with ZERO exchange: argmax via array_min
+    * for n = 1, an in-row sort for small n > 1. Same picks, same ties,
+    * no shuffle at any n. */
   private def nearestCells(df: DataFrame, centroids: DataFrame,
                            id: String, vec: String, n: Int,
                            cos: (Column, Column) => Column): DataFrame = {
-    val sims = df.select(F.col(id), F.col(vec))
-      .crossJoin(F.broadcast(centroids))
-      .select(F.col(id), F.col("cell"),
-        cos(F.col(vec), F.col("centroid")).as("__sim"))
-    val w = Window.partitionBy(id).orderBy(F.col("__sim").desc, F.col("cell"))
-    sims.withColumn("__rk", F.row_number().over(w)).filter(F.col("__rk") <= n)
-      .select(F.col(id), F.col("cell"))
+    val sims = simStructs(F.col(vec), cos)
+    val top = if (n == 1) F.array(F.array_min(sims)) else F.slice(F.array_sort(sims), 1, n)
+    df.select(F.col(id), F.col(vec))
+      .crossJoin(F.broadcast(centroidArray(centroids)))
+      // explode evaluates `top` ONCE per row; a two-step projection would
+      // let CollapseProject duplicate the whole nlist-cosine pass per
+      // referenced field
+      .select(F.col(id), F.explode(top).as("__b"))
+      .select(F.col(id), F.col("__b").getField("cell").as("cell"))
   }
+
+  /** [[nearestCells]] n = 1 variant that also keeps the assignment sim
+    * (cosinePairsComplete needs it for the covering radius α). */
+  private def assignCellsWithSim(df: DataFrame, centroids: DataFrame,
+                                 id: String, vec: String,
+                                 cos: (Column, Column) => Column): DataFrame =
+    df.select(F.col(id), F.col(vec))
+      .crossJoin(F.broadcast(centroidArray(centroids)))
+      .select(F.col(id), F.explode(F.array(F.array_min(simStructs(F.col(vec), cos)))).as("__b"))
+      .select(F.col(id), F.col("__b").getField("cell").as("cell"),
+        (-F.col("__b").getField("negsim")).as("__sim"))
 
   /** Deterministic IVF centroid training (no RNG, no stored model):
     * initial centroids are the `nlist` lowest-id vectors; `iters` Lloyd
@@ -550,30 +590,28 @@ object Similarity {
     val trainCap = math.max(4000L, 8L * n)
     val trainSet = c.orderBy("cid0").limit(trainCap.toInt)
     val centroids = trainCentroids(trainSet, n, iters, cos)
-    // (id, cell, sim) for EVERY (vector, centroid) — probe filtering
-    // happens against this one frame; centroids broadcast. Caching it
-    // buys one n·nlist cosine pass (both the assignment window and the
-    // probe filter consume it), but the frame is n·nlist scalar rows —
-    // 8·n^1.5 under auto-nlist (~20 GB at the 200k×3.6k probe), which
-    // pressures executors long before the corpus payload does. The
-    // cache is therefore BUDGET-GATED (r11 verdict task 2, same
-    // three-zone spirit as [[broadcastVecMaxBytes]]): under
-    // `graft.simsCacheMaxBytes` it persists via CacheRegistry; over
-    // budget it stays lazy and the assignment pass runs twice — the
-    // frame is derived, never corpus-payload-sized state, so
-    // recomputing is a bounded cosine pass, not extra shuffle. Unknown
-    // size (explicit nlist, no rowCount) keeps the cache: that is the
-    // bounded spec/ad-hoc path, and estimating would cost a count job
-    // during plan construction.
-    val simsRaw = c.crossJoin(F.broadcast(centroids))
+    // (id, cell, sim) for EVERY (vector, centroid) — the probe filter's
+    // input, and map-only: crossJoin against broadcast centroids, then a
+    // scan-stage filter. Never cached (r13): its one consumer reads it
+    // once, and at 8·n^1.5 rows under auto-nlist the frame was exactly
+    // the thing worth NOT materializing.
+    val allSims = c.crossJoin(F.broadcast(centroids))
       .select(F.col("cid0"), F.col("cell"), cos(F.col("cv"), F.col("centroid")).as("__sim"))
-    val simsEstBytes = if (total >= 0) total * n.toLong * 64L else -1L
-    val allSims =
-      if (simsEstBytes >= 0 && simsEstBytes > simsCacheMaxBytes(corpus.sparkSession)) simsRaw
-      else graft.core.CacheRegistry.track("cosinePairsComplete.sims", simsRaw)
-    val wA = Window.partitionBy("cid0").orderBy(F.col("__sim").desc, F.col("cell"))
-    val assigned = allSims.withColumn("__rk", F.row_number().over(wA))
-      .filter(F.col("__rk") === 1).select(F.col("cid0"), F.col("cell"), F.col("__sim"))
+    // Assignment = per-row argmax over the broadcast centroid array —
+    // MAP-ONLY (r13). The previous shape ranked the n·nlist sims frame
+    // through Window.partitionBy(cid0), hash-shuffling Θ(n^1.5) bytes;
+    // at the ×1000 probe (2M vectors, 11.3k auto cells) that was ~0.9 TB
+    // of shuffle and filled this box's disk. Same picks bit-for-bit
+    // (sim desc, tie → smaller cell; cosine never NaN). Two consumers
+    // (the α scalar and the candidate set), so the n-ROW frame is cached
+    // under the existing byte budget (64 B/row estimate) — linear in n,
+    // never n^1.5 state. Unknown size (explicit nlist, no rowCount)
+    // keeps the cache: the bounded spec/ad-hoc path.
+    val assignedRaw = assignCellsWithSim(c, centroids, "cid0", "cv", cos)
+    val asgEstBytes = if (total >= 0) total * 64L else -1L
+    val assigned =
+      if (asgEstBytes >= 0 && asgEstBytes > simsCacheMaxBytes(corpus.sparkSession)) assignedRaw
+      else graft.core.CacheRegistry.track("cosinePairsComplete.assigned", assignedRaw)
     // α as a broadcast scalar: cosα = min assignment sim (clamped to
     // [-1,1]); probe cutoff = cos(acos(τ)+α) = τ·cosα − sinτ̄·sinα
     val alphaRow = assigned.agg(

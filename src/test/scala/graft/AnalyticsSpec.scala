@@ -48,16 +48,20 @@ class AnalyticsSpec extends AnyFunSuite {
 
   test("by-value rank/percentile equal the window forms on ties/nulls/partitions") {
     // adversarial fixture: two partitions, ties, a null, an all-null
-    // partition, and a single-row partition
+    // partition, a single-row partition, and a NULL PARTITION KEY (a
+    // legitimate group the window form ranks within — the r13 DuckDB
+    // fuzz caught the by-value join-back dropping it under plain ===)
     val df = Seq[(String, java.lang.Double)](
       ("a", 3.0), ("a", 1.0), ("a", null), ("a", 1.0), ("a", 2.0), ("a", 2.0),
       ("b", 5.0), ("b", 5.0), ("b", 7.0),
       ("c", null), ("c", null),
-      ("d", 9.0)).toDF("g", "v")
+      ("d", 9.0),
+      (null, 4.0), (null, 4.0), (null, 6.0), (null, null)).toDF("g", "v")
     val f = frame(df)
     def vals(t: TadaFrame, out: String) =
       t.df.select(F.col("g"), F.col("v"), F.col(out)).collect()
-        .map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2))))
+        .map(r => (Option(r.get(0)).map(_.toString).getOrElse(""),
+          Option(r.get(1)), Option(r.get(2))))
         .toSeq.sortBy(x => (x._1, x._2.map(_.toString).getOrElse("")))
     assert(vals(Analytics.rankDenseByValue(f, "v", "r", Seq("g")), "r") ==
       vals(Analytics.rankDense(f, "v", "r", Seq("g")), "r"))

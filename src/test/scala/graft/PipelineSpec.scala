@@ -671,7 +671,7 @@ class PipelineSpec extends AnyFunSuite {
     graft.core.CacheRegistry.releaseAll()
   }
 
-  test("cosinePairsComplete sims cache is budget-gated (r11 verdict 2)") {
+  test("cosinePairsComplete assigned cache is budget-gated (r11 verdict 2, retargeted r13)") {
     import spark.implicits._
     graft.core.CacheRegistry.releaseAll()
     spark.catalog.clearCache()
@@ -688,14 +688,14 @@ class PipelineSpec extends AnyFunSuite {
       // over budget: the assignment frame must stay lazy (no tracked tag)
       spark.conf.set("graft.simsCacheMaxBytes", "1")
       val gated = run()
-      assert(!graft.core.CacheRegistry.trackedTags.contains("cosinePairsComplete.sims"),
-        "over-budget build must not track the sims cache")
+      assert(!graft.core.CacheRegistry.trackedTags.contains("cosinePairsComplete.assigned"),
+        "over-budget build must not track the assigned cache")
       val gatedPairs = pairs(gated)
       // under budget: same build tracks the cache; identical pair set
       spark.conf.set("graft.simsCacheMaxBytes", (1L << 33).toString)
       val cached = run()
-      assert(graft.core.CacheRegistry.trackedTags.contains("cosinePairsComplete.sims"),
-        "under-budget build must track the sims cache")
+      assert(graft.core.CacheRegistry.trackedTags.contains("cosinePairsComplete.assigned"),
+        "under-budget build must track the assigned cache")
       assert(pairs(cached) == gatedPairs,
         "the gate decides a cache, never the pair set")
       assert(gatedPairs == pairs(Similarity.cosinePairs(df, 0.6)))
