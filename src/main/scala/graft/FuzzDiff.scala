@@ -99,7 +99,7 @@ object FuzzDiff {
         val valueCols = st.cols.filterNot(st.labels.contains)
         val numCols = valueCols.filter(c => st.types(c) != 's')
         val keyCols = Seq("k1", "k2").filter(st.cols.contains)
-        rng.nextInt(14) match {
+        rng.nextInt(16) match {
           case 0 if numCols.nonEmpty => // numeric filter
             val c = numCols(rng.nextInt(numCols.size))
             val lit = fmt(st.types(c), rng)
@@ -134,15 +134,29 @@ object FuzzDiff {
           case 5 if numCols.nonEmpty => // whole-frame ffill / bfill
             val c = numCols(rng.nextInt(numCols.size))
             val fwd = rng.nextBoolean()
-            val others = (st.cols.filterNot(_ == c) :+ "rid").mkString(", ")
             val frame = if (fwd) "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
                         else "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING"
             val fn = if (fwd) "last_value" else "first_value"
-            Some(st.copy(
-              fr = st.fr.fillNull(Map(c ->
-                (if (fwd) FillNullHow.Forward else FillNullHow.Backward))),
-              sub = s"SELECT $others, $fn($c IGNORE NULLS) OVER " +
-                s"(ORDER BY ${orderSql(st.order)} $frame) AS $c FROM (${st.sub})"))
+            val fillExpr = s"$fn($c IGNORE NULLS) OVER " +
+              s"(ORDER BY ${orderSql(st.order)} $frame) AS $c"
+            val fr2 = st.fr.fillNull(Map(c ->
+              (if (fwd) FillNullHow.Forward else FillNullHow.Backward)))
+            if (st.order.exists(_._1 == c)) {
+              // filling a SORT KEY: the engine anchors the current order
+              // into its ordinal before overwriting (withCol's anchor
+              // path) — mirror by freezing the OLD order into rid and
+              // clearing the sort spec (caught by fuzz seed 30: the
+              // naive mirror re-sorted by the FILLED values)
+              val others = st.cols.filterNot(_ == c).mkString(", ")
+              Some(st.copy(fr = fr2,
+                sub = s"SELECT $others, $fillExpr, row_number() OVER " +
+                  s"(ORDER BY ${orderSql(st.order)}) AS rid FROM (${st.sub})",
+                order = Nil))
+            } else {
+              val others = (st.cols.filterNot(_ == c) :+ "rid").mkString(", ")
+              Some(st.copy(fr = fr2,
+                sub = s"SELECT $others, $fillExpr FROM (${st.sub})"))
+            }
           case 6 => // whole-frame cumsum over a long col
             val longs = numCols.filter(c => st.types(c) == 'l')
             if (longs.isEmpty) None else {
@@ -284,6 +298,44 @@ object FuzzDiff {
                   cols = st.cols :+ out, types = st.types + (out -> 's'), base = false))
               }
             }
+          case 14 if st.cols.contains("k1") => // PER-KEY cumsum / shift (q24/q25 shape)
+            val longs = numCols.filter(c => st.types(c) == 'l' && c != "k1")
+            if (longs.isEmpty) None else {
+              val c = longs(rng.nextInt(longs.size))
+              val out = if (st.cols.contains("gw")) "gw2" else "gw"
+              if (st.cols.contains(out)) None else if (rng.nextBoolean()) {
+                Some(st.copy(
+                  fr = Analytics.cumSum(st.fr, c, out, partitionBy = Seq("k1")),
+                  sub = s"SELECT *, CAST(sum(COALESCE($c, 0)) OVER (PARTITION BY k1 " +
+                    s"ORDER BY ${orderSql(st.order)} ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+                    s"CURRENT ROW) AS BIGINT) AS $out FROM (${st.sub})",
+                  cols = st.cols :+ out, types = st.types + (out -> 'l'), base = false))
+              } else {
+                val sh = 1 + rng.nextInt(3)
+                Some(st.copy(
+                  fr = Analytics.shift(st.fr, c, sh, out, partitionBy = Seq("k1")),
+                  sub = s"SELECT *, lag($c, $sh) OVER (PARTITION BY k1 " +
+                    s"ORDER BY ${orderSql(st.order)}) AS $out FROM (${st.sub})",
+                  cols = st.cols :+ out, types = st.types + (out -> 'l'), base = false))
+              }
+            }
+          case 15 if numCols.nonEmpty => // rollingN sum (incomplete tail => null)
+            val c = numCols(rng.nextInt(numCols.size))
+            val out = if (st.cols.contains("rw")) "rw2" else "rw"
+            if (st.cols.contains(out)) None else {
+              val n = 2 + rng.nextInt(3)
+              val part = if (st.cols.contains("k1") && c != "k1" && rng.nextBoolean())
+                Seq("k1") else Nil
+              val pw = if (part.isEmpty) "" else "PARTITION BY k1 "
+              val win = s"OVER ($pw ORDER BY ${orderSql(st.order)} " +
+                s"ROWS BETWEEN CURRENT ROW AND ${n - 1} FOLLOWING)"
+              val sum = if (st.types(c) == 'l') s"CAST(sum($c) $win AS BIGINT)" else s"sum($c) $win"
+              Some(st.copy(
+                fr = Rolling.rollingN(st.fr, n, c, x => F.sum(x), out, part),
+                sub = s"SELECT *, CASE WHEN count(*) $win = $n THEN $sum ELSE NULL END " +
+                  s"AS $out FROM (${st.sub})",
+                cols = st.cols :+ out, types = st.types + (out -> st.types(c)), base = false))
+            }
           case _ => None
         }
       }
@@ -330,7 +382,8 @@ object FuzzDiff {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val (exit, ran) = run(spark, 1 to n, "/tmp/fuzzdiff")
+    val start = if (args.length > 1) args(1).toInt else 1
+    val (exit, ran) = run(spark, start until (start + n), "/tmp/fuzzdiff")
     println(s"[fuzz] $ran seeds, checker exit $exit")
     spark.stop()
     if (exit != 0) sys.exit(exit)
