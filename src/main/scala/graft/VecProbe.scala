@@ -63,46 +63,72 @@ object VecProbe {
       f"${f.getUsableSpace / (1L << 30)}%d GiB free"
     }
 
-    // gate states, from the operators' own arithmetic
+    // gate states, from the operators' own arithmetic (r13: the cache
+    // budget now gates the n-ROW assigned frame — the n·nlist sims frame
+    // is single-consumer and never cached; assignment itself is map-only)
     def gates(n: Long, dim: Int): String = {
       val nlist = math.max(16, math.ceil(8 * math.sqrt(n.toDouble)).toInt)
-      val simsBytes = n * nlist.toLong * 64L
-      val simsCap = spark.conf.get("graft.simsCacheMaxBytes", (8L << 30).toString).toLong
+      val asgBytes = n * 64L
+      val asgCap = spark.conf.get("graft.simsCacheMaxBytes", (8L << 30).toString).toLong
       val vecBytes = n * (dim * 4L + 64L)
       val vecCap = spark.conf.get("graft.broadcastVecMaxBytes", (512L * 1024 * 1024).toString).toLong
       val survCap = spark.conf.get("graft.knn.maxBroadcastSurvivors", "8000000").toLong
-      s"nlist=$nlist sims=${simsBytes >> 20}MiB(${if (simsBytes > simsCap) "SKIP cache" else "cache"}) " +
+      s"nlist=$nlist assigned=${asgBytes >> 20}MiB(${if (asgBytes > asgCap) "SKIP cache" else "cache"}) " +
         s"vecs=${vecBytes >> 20}MiB(${if (vecBytes > vecCap) "SHUFFLED verify/probes" else "broadcast"}) " +
         s"survivors(k=5)=${5 * n}(${if (5 * n > survCap) "no hint" else "hinted"})"
     }
 
-    def time(tag: String, mk: DataFrame => DataFrame, path: String, n: Long, dim: Int): Unit = {
-      val t0 = System.nanoTime()
-      val df = mk(spark.read.parquet(path))
-      df.agg(F.sum(F.xxhash64(df.columns.map(F.col).toSeq: _*)
-        .cast("decimal(38,0)"))).collect()
-      val dt = (System.nanoTime() - t0) / 1e9
-      println(f"[vecprobe] $tag%-24s $dt%9.2f s   ${gates(n, dim)}   ${dfFree()}")
-      spark.catalog.clearCache()
-      System.gc(); Thread.sleep(500); System.gc(); Thread.sleep(500)
-    }
+    def time(tag: String, mk: DataFrame => DataFrame, path: String, n: Long, dim: Int): Unit =
+      try {
+        val t0 = System.nanoTime()
+        val df = mk(spark.read.parquet(path))
+        df.agg(F.sum(F.xxhash64(df.columns.map(F.col).toSeq: _*)
+          .cast("decimal(38,0)"))).collect()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[vecprobe] $tag%-24s $dt%9.2f s   ${gates(n, dim)}   ${dfFree()}")
+      } catch {
+        // a disk-fill or OOM on one leg must not lose the sweep — the
+        // failure itself is a probe datum (the binding constraint)
+        case e: Throwable =>
+          println(s"[vecprobe] $tag FAILED: ${String.valueOf(e.getMessage).take(160)}  ${dfFree()}")
+      } finally {
+        spark.catalog.clearCache()
+        System.gc(); Thread.sleep(500); System.gc(); Thread.sleep(500)
+      }
 
     val dim = spark.read.parquet(s"$base/embeddings.parquet")
       .select(F.size(F.col("embedding"))).head().getInt(0)
     val factors = if (args.contains("1000only")) Seq(1000) else Seq(100, 1000)
+    // q55/q58's registered τ is 0.4 (the completeness-guarantee regime —
+    // probe fan-out is the deliberate cost); add "tau=<t>" to probe the
+    // near-dup regime too, and name probes (q55,q58,x99) to subset
+    val tau = args.collectFirst { case a if a.startsWith("tau=") => a.drop(4).toDouble }
+      .getOrElse(0.4)
+    val only = args.filter(a => a.startsWith("q") || a.startsWith("x")).toSet
+    def on(p: String) = only.isEmpty || only.contains(p)
     for (factor <- factors) {
       val path = build(factor)
       val n = 2000L * factor
-      println(s"[vecprobe] === ${factor}x: n=$n dim=$dim ${dfFree()} ===")
-      time(s"q55_complete_${factor}x", d =>
-        pipeline.Similarity.cosinePairsComplete(d, 0.4).select("id_a", "id_b"),
+      println(s"[vecprobe] === ${factor}x: n=$n dim=$dim tau=$tau ${dfFree()} ===")
+      // fan-out pricing: two aggregations, no candidate row materialized —
+      // the diagnostic that says whether the τ's candidate join fits disk
+      if (on("x55stats")) {
+        val stats = pipeline.Similarity
+          .cosinePairsCompleteStats(spark.read.parquet(path), tau).head()
+        println(s"[vecprobe] x55_fanout_${factor}x_t$tau  n=${stats.getLong(0)} " +
+          s"probe_rows=${stats.getLong(1)} candidate_pairs=${stats.getLong(2)} " +
+          s"cos_alpha=${stats.getDouble(3)}  ${dfFree()}")
+        spark.catalog.clearCache()
+      }
+      if (on("q55")) time(s"q55_complete_${factor}x_t$tau", d =>
+        pipeline.Similarity.cosinePairsComplete(d, tau).select("id_a", "id_b"),
         path, n, dim)
-      time(s"q58_clusters_${factor}x", d =>
+      if (on("q58")) time(s"q58_clusters_${factor}x_t$tau", d =>
         pipeline.Dedup.connectedComponents(
-          pipeline.Similarity.cosinePairsComplete(d, 0.4))
+          pipeline.Similarity.cosinePairsComplete(d, tau))
           .select("id", "cluster"),
         path, n, dim)
-      time(s"x99_knn_ivf_${factor}x", d => {
+      if (on("x99")) time(s"x99_knn_ivf_${factor}x", d => {
         val corpus = d.withColumn("label", (F.col("vec_id") % 8).cast("int"))
         val queries = d.select((F.col("vec_id") + 10000000L).as("vec_id"), F.col("embedding"))
         val nlist = math.max(16, math.ceil(8 * math.sqrt(n.toDouble)).toInt)

@@ -572,10 +572,74 @@ object Similarity {
     * Ad-hoc callers should prefer [[cosinePairsAuto]], which routes
     * the high-threshold regime to the cheaper empirical path and only
     * pays this path's probe fan-out where the guarantee is needed. */
+  /** The complete path's shared front half: sims, assignment, covering
+    * radius and probe cutoff — used by the operator and by the
+    * [[cosinePairsCompleteStats]] capacity diagnostic. */
+  private case class CompleteParts(c: DataFrame, allSims: DataFrame,
+                                   assigned: DataFrame, alphaRow: DataFrame,
+                                   cutoff: Column, total: Long)
+
   def cosinePairsComplete(corpus: DataFrame, threshold: Double,
                           nlist: Int = -1, iters: Int = 2,
                           idCol: String = "vec_id", vecCol: String = "embedding",
                           rowCount: Long = -1L): DataFrame = {
+    val p = completeParts(corpus, threshold, nlist, iters, idCol, vecCol, rowCount)
+    val cos = cosineNative(corpus.sparkSession) _
+    val probes = p.allSims.crossJoin(F.broadcast(p.alphaRow))
+      .filter(F.col("__sim") >= p.cutoff)
+      .select(F.col("cid0").as("id_b"), F.col("cell"))
+    val cand = p.assigned.select(F.col("cid0").as("id_a"), F.col("cell"))
+      .join(probes, "cell")
+      .filter(F.col("id_a") =!= F.col("id_b"))
+    val va = corpus.select(F.col(idCol).as("id_a"), F.col(vecCol).as("va"))
+    val vb = corpus.select(F.col(idCol).as("id_b"), F.col(vecCol).as("vb"))
+    val verified =
+      if (p.total >= 0 && broadcastableVecs(p.c, "cv", p.total))
+        cand.join(F.broadcast(va), "id_a").join(F.broadcast(vb), "id_b")
+      else cand.join(va, "id_a").join(vb, "id_b")
+    verified
+      .select(F.least(F.col("id_a"), F.col("id_b")).as("id_a"),
+        F.greatest(F.col("id_a"), F.col("id_b")).as("id_b"),
+        cos(F.col("va"), F.col("vb")).as("cos"))
+      .filter(F.col("cos") > threshold)
+      .groupBy("id_a", "id_b").agg(F.first("cos").as("cos"))
+  }
+
+  /** Capacity diagnostic for [[cosinePairsComplete]] — ONE output row:
+    * `n`, `nlist`, `cos_alpha` (covering radius), `cutoff`, `probe_rows`
+    * (survivors of the radius filter) and `candidate_pairs`
+    * (Σ_cell |assigned| · |probes| — the exact pre-filter size of the
+    * candidate join). The probe fan-out is radius-driven: at the
+    * near-dup thresholds it is a small multiple of n, but at low τ the
+    * geometry makes candidate volume the binding constraint (the ×1000
+    * probe filled a 75 GB scratch disk at τ = 0.4 / 2M vectors) — this
+    * method prices the join with two cheap aggregations (no candidate
+    * row is ever materialized) so a caller can provision or re-route to
+    * [[cosinePairsAuto]] BEFORE running it. */
+  def cosinePairsCompleteStats(corpus: DataFrame, threshold: Double,
+                               nlist: Int = -1, iters: Int = 2,
+                               idCol: String = "vec_id", vecCol: String = "embedding",
+                               rowCount: Long = -1L): DataFrame = {
+    val p = completeParts(corpus, threshold, nlist, iters, idCol, vecCol, rowCount)
+    val pr = p.allSims.crossJoin(F.broadcast(p.alphaRow))
+      .filter(F.col("__sim") >= p.cutoff)
+      .groupBy("cell").agg(F.count(F.lit(1)).as("__pr"))
+    val ar = p.assigned.groupBy("cell").agg(F.count(F.lit(1)).as("__ar"))
+    pr.join(ar, Seq("cell"), "full_outer")
+      .agg(
+        F.sum(F.coalesce(F.col("__ar"), F.lit(0L))).as("n"),
+        F.sum(F.coalesce(F.col("__pr"), F.lit(0L))).as("probe_rows"),
+        F.sum(F.coalesce(F.col("__pr"), F.lit(0L)) *
+          F.coalesce(F.col("__ar"), F.lit(0L))).as("candidate_pairs"))
+      .crossJoin(F.broadcast(p.alphaRow))
+      .select(F.col("n"), F.col("probe_rows"), F.col("candidate_pairs"),
+        F.col("__cosA").as("cos_alpha"))
+  }
+
+  private def completeParts(corpus: DataFrame, threshold: Double,
+                            nlist: Int, iters: Int,
+                            idCol: String, vecCol: String,
+                            rowCount: Long): CompleteParts = {
     val cos = cosineNative(corpus.sparkSession) _
     val c = corpus.select(F.col(idCol).as("cid0"), F.col(vecCol).as("cv"))
     val total: Long =
@@ -626,24 +690,7 @@ object Similarity {
     // guarantee. There the required radius is the whole sphere: −1.
     val cutoff = F.when(F.lit(threshold) + F.col("__cosA") <= 0.0, F.lit(-1.0))
       .otherwise(F.lit(threshold) * F.col("__cosA") - F.lit(sinT) * sinA)
-    val probes = allSims.crossJoin(F.broadcast(alphaRow))
-      .filter(F.col("__sim") >= cutoff)
-      .select(F.col("cid0").as("id_b"), F.col("cell"))
-    val cand = assigned.select(F.col("cid0").as("id_a"), F.col("cell"))
-      .join(probes, "cell")
-      .filter(F.col("id_a") =!= F.col("id_b"))
-    val va = corpus.select(F.col(idCol).as("id_a"), F.col(vecCol).as("va"))
-    val vb = corpus.select(F.col(idCol).as("id_b"), F.col(vecCol).as("vb"))
-    val verified =
-      if (total >= 0 && broadcastableVecs(c, "cv", total))
-        cand.join(F.broadcast(va), "id_a").join(F.broadcast(vb), "id_b")
-      else cand.join(va, "id_a").join(vb, "id_b")
-    verified
-      .select(F.least(F.col("id_a"), F.col("id_b")).as("id_a"),
-        F.greatest(F.col("id_a"), F.col("id_b")).as("id_b"),
-        cos(F.col("va"), F.col("vb")).as("cos"))
-      .filter(F.col("cos") > threshold)
-      .groupBy("id_a", "id_b").agg(F.first("cos").as("cos"))
+    CompleteParts(c, allSims, assigned, alphaRow, cutoff, total)
   }
 
   /** Threshold boundary for [[cosinePairsAuto]]: at or above this τ the

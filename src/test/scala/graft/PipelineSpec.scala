@@ -671,6 +671,26 @@ class PipelineSpec extends AnyFunSuite {
     graft.core.CacheRegistry.releaseAll()
   }
 
+  test("cosinePairsCompleteStats prices the candidate join without running it") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val df = (0 until 60).map { i =>
+      (i.toLong, Array.fill(6)(rnd.nextFloat() * 2f - 1f))
+    }.toDF("vec_id", "embedding")
+    val st = Similarity.cosinePairsCompleteStats(df, 0.5, nlist = 8, rowCount = 60L).head()
+    val (n, probeRows, candPairs, cosA) =
+      (st.getLong(0), st.getLong(1), st.getLong(2), st.getDouble(3))
+    assert(n == 60L)
+    // every vector probes at least its own assigned cell
+    assert(probeRows >= n)
+    assert(cosA >= -1.0 && cosA <= 1.0)
+    // candidate_pairs is the EXACT pre-filter size of the candidate join
+    val pairsPreFilter = Similarity.cosinePairsComplete(df, 0.5, nlist = 8, rowCount = 60L)
+    // the emitted pair set is a (dedup'd, verified) subset of candidates
+    assert(candPairs >= pairsPreFilter.count())
+    graft.core.CacheRegistry.releaseAll()
+  }
+
   test("cosinePairsComplete assigned cache is budget-gated (r11 verdict 2, retargeted r13)") {
     import spark.implicits._
     graft.core.CacheRegistry.releaseAll()
