@@ -78,28 +78,31 @@ object FuzzDiff {
           if (rng.nextInt(10) == 0) null else ('a' + rng.nextInt(5)).toChar.toString,
           if (rng.nextInt(10) == 0) None else Some(rng.nextInt(5).toLong),
           if (rng.nextInt(8) == 0) None else Some((rng.nextInt(2001) - 1000).toLong),
-          if (rng.nextInt(8) == 0) None else Some((rng.nextInt(8001) - 4000) / 4.0))
+          if (rng.nextInt(8) == 0) None else Some((rng.nextInt(8001) - 4000) / 4.0),
+          if (rng.nextInt(10) == 0) None
+          else Some(new java.sql.Timestamp(1704067200000L + // 2024-01-01 UTC
+            rng.nextInt(90 * 86400) * 1000L)))
       }
       val tm = s"t${seed}m"; val ta = s"t${seed}a"
-      genRows(5 + rng.nextInt(56)).toDF("rid", "k1", "k2", "v1", "v2")
+      genRows(5 + rng.nextInt(56)).toDF("rid", "k1", "k2", "v1", "v2", "ts")
         .coalesce(1).write.mode("overwrite").parquet(s"$tablesDir/$tm.parquet")
-      genRows(5 + rng.nextInt(36)).toDF("rid", "k1", "k2", "v1", "v2")
+      genRows(5 + rng.nextInt(36)).toDF("rid", "k1", "k2", "v1", "v2", "ts")
         .coalesce(1).write.mode("overwrite").parquet(s"$tablesDir/$ta.parquet")
 
       def ingest(t: String): TadaFrame =
         TadaFrame.ingest(spark.read.parquet(s"$tablesDir/$t.parquet").orderBy("rid"))
           .dropCols("rid")
 
-      val baseTypes = Map("k1" -> 's', "k2" -> 'l', "v1" -> 'l', "v2" -> 'd')
-      var st = St(ingest(tm), s"SELECT rid, k1, k2, v1, v2 FROM $tm",
-        Nil, Seq("k1", "k2", "v1", "v2"), baseTypes, base = true, labels = Nil)
+      val baseTypes = Map("k1" -> 's', "k2" -> 'l', "v1" -> 'l', "v2" -> 'd', "ts" -> 't')
+      var st = St(ingest(tm), s"SELECT rid, k1, k2, v1, v2, ts FROM $tm",
+        Nil, Seq("k1", "k2", "v1", "v2", "ts"), baseTypes, base = true, labels = Nil)
 
       // one random applicable op; returns None when the pick doesn't apply
       def step(): Option[St] = {
         val valueCols = st.cols.filterNot(st.labels.contains)
-        val numCols = valueCols.filter(c => st.types(c) != 's')
+        val numCols = valueCols.filter(c => st.types(c) == 'l' || st.types(c) == 'd')
         val keyCols = Seq("k1", "k2").filter(st.cols.contains)
-        rng.nextInt(16) match {
+        rng.nextInt(18) match {
           case 0 if numCols.nonEmpty => // numeric filter
             val c = numCols(rng.nextInt(numCols.size))
             val lit = fmt(st.types(c), rng)
@@ -182,7 +185,8 @@ object FuzzDiff {
             val others = st.cols.filterNot(_ == k)
             val agg = Seq("sum", "mean", "count", "min", "max")(rng.nextInt(5))
             val targets = agg match {
-              case "sum" | "mean" => others.filter(c => st.types(c) != 's')
+              case "sum" | "mean" =>
+                others.filter(c => st.types(c) == 'l' || st.types(c) == 'd')
               case _ => others
             }
             if (targets.isEmpty) None else {
@@ -206,7 +210,7 @@ object FuzzDiff {
               }.mkString(", ")
               val newTypes = targets.map { c =>
                 val t = agg match {
-                  case "mean" => 'd'
+                  case "mean" => 'e' // one exact-sum division, but NOT dyadic
                   case "count" => 'l'
                   case _ => st.types(c)
                 }
@@ -222,24 +226,24 @@ object FuzzDiff {
           case 9 if st.base => // append the aux table (band-shifted ordinals)
             Some(st.copy(
               fr = st.fr.append(ingest(ta)),
-              sub = s"SELECT rid, k1, k2, v1, v2 FROM (${st.sub}) UNION ALL " +
-                s"SELECT rid + 1000000000 AS rid, k1, k2, v1, v2 FROM $ta",
+              sub = s"SELECT rid, k1, k2, v1, v2, ts FROM (${st.sub}) UNION ALL " +
+                s"SELECT rid + 1000000000 AS rid, k1, k2, v1, v2, ts FROM $ta",
               base = false))
           case 10 if st.base => // merge aux on k2, first-match, left or inner
             val how = if (rng.nextBoolean()) "left" else "inner"
             val fr2 = Lookup.merge(st.fr, ingest(ta), how, Seq("k2"), Seq("k2"))
-            val dedup = s"SELECT k2, k1 AS k1_1, v1 AS v1_1, v2 AS v2_1 FROM " +
+            val dedup = s"SELECT k2, k1 AS k1_1, v1 AS v1_1, v2 AS v2_1, ts AS ts_1 FROM " +
               s"(SELECT * FROM $ta QUALIFY row_number() OVER (PARTITION BY k2 ORDER BY rid) = 1)"
-            val joined = s"SELECT l.*, r.k1_1, r.v1_1, r.v2_1 FROM (${st.sub}) l " +
+            val joined = s"SELECT l.*, r.k1_1, r.v1_1, r.v2_1, r.ts_1 FROM (${st.sub}) l " +
               s"LEFT JOIN ($dedup) r ON l.k2 = r.k2"
             // inner = left merge + DropNull over every VALUE column
-            val allCols = st.cols ++ Seq("k1_1", "v1_1", "v2_1")
+            val allCols = st.cols ++ Seq("k1_1", "v1_1", "v2_1", "ts_1")
             val sub2 =
               if (how == "left") joined
               else s"SELECT * FROM ($joined) WHERE " +
                 allCols.map(c => s"$c IS NOT NULL").mkString(" AND ")
             Some(st.copy(fr = fr2, sub = sub2, cols = allCols,
-              types = st.types ++ Map("k1_1" -> 's', "v1_1" -> 'l', "v2_1" -> 'd'),
+              types = st.types ++ Map("k1_1" -> 's', "v1_1" -> 'l', "v2_1" -> 'd', "ts_1" -> 't'),
               base = false))
           case 11 if numCols.nonEmpty => // dense rank: window form OR by-value form vs ONE SQL
             val c = numCols(rng.nextInt(numCols.size))
@@ -275,7 +279,10 @@ object FuzzDiff {
                   s"CAST(rank() OVER (${pw}ORDER BY $c ASC NULLS FIRST) - " +
                   s"(count(*) $pw0 - count($c) $pw0) - 1 AS DOUBLE) / count($c) $pw0 " +
                   s"END AS $out FROM (${st.sub})",
-                cols = st.cols :+ out, types = st.types + (out -> 'd'), base = false))
+                // 'e' = INEXACT double: a percentile is k/n, not dyadic, so
+                // summing several later is order-dependent in the last ULP
+                // (caught by fuzz seed 224) — excluded from sum/mean/rolling
+                cols = st.cols :+ out, types = st.types + (out -> 'e'), base = false))
             }
           case 13 if numCols.exists(c => st.types(c) == 'd') => // bin (left-excl right-incl)
             val ds = numCols.filter(c => st.types(c) == 'd')
@@ -335,6 +342,45 @@ object FuzzDiff {
                 sub = s"SELECT *, CASE WHEN count(*) $win = $n THEN $sum ELSE NULL END " +
                   s"AS $out FROM (${st.sub})",
                 cols = st.cols :+ out, types = st.types + (out -> st.types(c)), base = false))
+            }
+          case 16 => // timestamp filter
+            val tss = valueCols.filter(c => st.types(c) == 't')
+            if (tss.isEmpty) None else {
+              val c = tss(rng.nextInt(tss.size))
+              val day = 1 + rng.nextInt(88)
+              val lit = f"TIMESTAMP '2024-${1 + day / 31}%02d-${1 + day % 31 % 28}%02d 12:00:00'"
+              val gt = rng.nextBoolean()
+              Some(st.copy(
+                fr = st.fr.filter(Map(c -> ((x: org.apache.spark.sql.Column) =>
+                  if (gt) x > F.expr(lit) else x <= F.expr(lit)))),
+                sub = s"SELECT * FROM (${st.sub}) WHERE $c IS NOT NULL AND $c ${if (gt) ">" else "<="} $lit"))
+            }
+          case 17 => // resample (date_trunc, incl. arbitrary week start)
+            val tss = valueCols.filter(c => st.types(c) == 't')
+            if (tss.isEmpty) None else {
+              val c = tss(rng.nextInt(tss.size))
+              val out = if (st.cols.contains("rs")) "rs2" else "rs"
+              if (st.cols.contains(out)) None else {
+                val days = Seq("MONDAY", "TUESDAY", "WEDNESDAY", "THURSDAY",
+                  "FRIDAY", "SATURDAY", "SUNDAY")
+                rng.nextInt(3) match {
+                  case 0 =>
+                    Some(st.copy(fr = Analytics.resample(st.fr, c, "day", out),
+                      sub = s"SELECT *, date_trunc('day', $c) AS $out FROM (${st.sub})",
+                      cols = st.cols :+ out, types = st.types + (out -> 't'), base = false))
+                  case 1 =>
+                    Some(st.copy(fr = Analytics.resample(st.fr, c, "month", out),
+                      sub = s"SELECT *, date_trunc('month', $c) AS $out FROM (${st.sub})",
+                      cols = st.cols :+ out, types = st.types + (out -> 't'), base = false))
+                  case _ =>
+                    val ws = days(rng.nextInt(7))
+                    val sh = Analytics.weekStartShift(ws)
+                    Some(st.copy(fr = Analytics.resample(st.fr, c, "week", out, weekStart = ws),
+                      sub = s"SELECT *, date_trunc('week', $c + INTERVAL $sh DAY) - " +
+                        s"INTERVAL $sh DAY AS $out FROM (${st.sub})",
+                      cols = st.cols :+ out, types = st.types + (out -> 't'), base = false))
+                }
+              }
             }
           case _ => None
         }

@@ -98,7 +98,9 @@ object VecProbe {
 
     val dim = spark.read.parquet(s"$base/embeddings.parquet")
       .select(F.size(F.col("embedding"))).head().getInt(0)
-    val factors = if (args.contains("1000only")) Seq(1000) else Seq(100, 1000)
+    val factors = args.collectFirst {
+      case a if a.startsWith("factor=") => Seq(a.drop(7).toInt)
+    }.getOrElse(if (args.contains("1000only")) Seq(1000) else Seq(100, 1000))
     // q55/q58's registered τ is 0.4 (the completeness-guarantee regime —
     // probe fan-out is the deliberate cost); add "tau=<t>" to probe the
     // near-dup regime too, and name probes (q55,q58,x99) to subset
