@@ -183,10 +183,16 @@ object FuzzDiff {
           case 8 if keyCols.nonEmpty && st.labels.isEmpty => // groupBy + reduce
             val k = keyCols(rng.nextInt(keyCols.size))
             val others = st.cols.filterNot(_ == k)
-            val agg = Seq("sum", "mean", "count", "min", "max")(rng.nextInt(5))
+            val agg = Seq("sum", "mean", "count", "min", "max", "median", "nunique")(rng.nextInt(7))
             val targets = agg match {
-              case "sum" | "mean" =>
+              case "sum" | "mean" | "median" =>
+                // median: exact percentile, mid-average on even counts —
+                // dyadic inputs keep the midpoint exact in both engines
                 others.filter(c => st.types(c) == 'l' || st.types(c) == 'd')
+              // nunique counts DISTINCT STRINGIFIED values — injective for
+              // longs/strings; double/timestamp stringification is engine-
+              // specific, excluded
+              case "nunique" => others.filter(c => st.types(c) == 'l' || st.types(c) == 's')
               case _ => others
             }
             if (targets.isEmpty) None else {
@@ -197,6 +203,8 @@ object FuzzDiff {
                 case "count" => g.count(targets: _*)
                 case "min" => g.min(targets: _*)
                 case "max" => g.max(targets: _*)
+                case "median" => g.median(targets: _*)
+                case "nunique" => g.nUnique(targets: _*)
               }
               val aggSql = targets.map { c =>
                 val o = s"${agg}_$c"
@@ -205,13 +213,15 @@ object FuzzDiff {
                   case "sum" => s"sum($c) AS $o"
                   case "mean" => s"avg($c) AS $o"
                   case "count" => s"count($c) AS $o"
+                  case "median" => s"median($c) AS $o"
+                  case "nunique" => s"CAST(count(DISTINCT $c) AS BIGINT) AS $o"
                   case _ => s"$agg($c) AS $o"
                 }
               }.mkString(", ")
               val newTypes = targets.map { c =>
                 val t = agg match {
-                  case "mean" => 'e' // one exact-sum division, but NOT dyadic
-                  case "count" => 'l'
+                  case "mean" | "median" => 'e' // exact value, but NOT dyadic
+                  case "count" | "nunique" => 'l'
                   case _ => st.types(c)
                 }
                 s"${agg}_$c" -> t
