@@ -102,7 +102,7 @@ object FuzzDiff {
         val valueCols = st.cols.filterNot(st.labels.contains)
         val numCols = valueCols.filter(c => st.types(c) == 'l' || st.types(c) == 'd')
         val keyCols = Seq("k1", "k2").filter(st.cols.contains)
-        rng.nextInt(18) match {
+        rng.nextInt(19) match {
           case 0 if numCols.nonEmpty => // numeric filter
             val c = numCols(rng.nextInt(numCols.size))
             val lit = fmt(st.types(c), rng)
@@ -392,6 +392,38 @@ object FuzzDiff {
                 }
               }
             }
+          case 18 if st.base => // combineMath: aligned arithmetic, div0 => null
+            val op = Seq("add", "subtract", "multiply", "divide")(rng.nextInt(4))
+            val ign = rng.nextBoolean()
+            val fr2 = Lookup.combineMath(st.fr, ingest(ta), op,
+              Seq("k2"), Seq("k2"), "v1", "v1", "cm", ignoreNulls = ign)
+            def cast(c: String) =
+              if (ign) s"COALESCE(CAST($c AS DOUBLE), 0.0)" else s"CAST($c AS DOUBLE)"
+            val (l, r) = (cast("v1"), cast("v1_1"))
+            val res = op match {
+              case "add" => s"($l + $r)"
+              case "subtract" => s"($l - $r)"
+              case "multiply" => s"($l * $r)"
+              case "divide" => s"CASE WHEN $r = 0.0 THEN NULL ELSE $l / $r END"
+            }
+            val dedup = s"SELECT k2, v1 AS v1_1 FROM (SELECT * FROM $ta " +
+              s"QUALIFY row_number() OVER (PARTITION BY k2 ORDER BY rid) = 1)"
+            val joined = s"SELECT l.*, r.v1_1 FROM (${st.sub}) l LEFT JOIN ($dedup) r ON l.k2 = r.k2"
+            val keep = st.cols.filterNot(_ == "v1")
+            val newOrder = st.order.filterNot(_._1 == "v1")
+            val (ridExpr, ord2) =
+              if (newOrder.size != st.order.size)
+                // dropping a SORT KEY anchors the frame order (dropCols →
+                // anchorOrder): freeze the OLD order into rid, clear spec
+                (s"row_number() OVER (ORDER BY ${orderSql(st.order)}) AS rid", Nil)
+              else ("rid", st.order)
+            Some(st.copy(
+              fr = fr2,
+              sub = s"SELECT ${keep.mkString(", ")}, $ridExpr, $res AS cm FROM ($joined)",
+              order = ord2,
+              cols = keep :+ "cm",
+              types = st.types - "v1" + ("cm" -> (if (op == "divide") 'e' else 'd')),
+              base = false))
           case _ => None
         }
       }
