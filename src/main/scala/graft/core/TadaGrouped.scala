@@ -56,9 +56,21 @@ final case class TadaGrouped(frame: TadaFrame, keys: Seq[String], aligned: Boole
     * row at the requested position (`max(when(pos match, v))` — null when
     * out of bounds). One window + one groupBy, same shuffle key. */
   def positional(picks: Seq[(String, String, Int)]): TadaFrame = {
-    val w = Window.partitionBy(keyExprs: _*).orderBy(frame.orderCols: _*)
-    val wAll = Window.partitionBy(keyExprs: _*)
-    val aug = df
+    // SORTED frames: group order (and in-group positions) follow the
+    // sort — first appearance in FRAME order (internal.go:1399-1424).
+    // Same ordinal recompute as reduceWith; r13 fix: previously only the
+    // reduce path recomputed, so a sorted frame's positional result kept
+    // INGEST-order group ordinals and a later order-sensitive op (head,
+    // shift) walked groups in the wrong order. The recomputed ordinal
+    // also makes the in-group window a plain ordinal sort.
+    val srcDf =
+      if (frame.order.isEmpty) df
+      else df.withColumn(ORD,
+        F.row_number().over(Window.orderBy(frame.orderCols: _*)).cast(LongType))
+    val srcKeys = keys.map(srcDf(_))
+    val w = Window.partitionBy(srcKeys: _*).orderBy(srcDf(ORD).asc)
+    val wAll = Window.partitionBy(srcKeys: _*)
+    val aug = srcDf
       .withColumn("__gpos", F.row_number().over(w))
       .withColumn("__gcnt", F.count(lit(1)).over(wAll))
     val aggs = F.min(aug(ORD)).as(ORD) +: picks.map { case (out, n, pos) =>
