@@ -64,7 +64,7 @@ import org.apache.spark.sql.types._
 object Prefix {
   import TadaFrame.ORD
 
-  private val CHUNK = "__pfx_c"
+  private[graft] val CHUNK = "__pfx_c"
   private val RNA = "__pfx_ra" // row_number ascending within chunk
   private val RND = "__pfx_rd" // row_number descending within chunk
 
@@ -105,25 +105,34 @@ object Prefix {
     * when no parallel chunking exists (sorted, non-bucketable key).
     * `fwd=false` flips the chunk ids so ascending-CHUNK windows on the
     * tiny frame walk the MIRROR order (used by bfill / negative shift). */
-  private def chunked(f: TadaFrame, fwd: Boolean): Option[DataFrame] =
+  private[graft] def chunked(f: TadaFrame, fwd: Boolean): Option[DataFrame] =
     if (f.order.isEmpty) {
       val c = F.shiftright(F.col(ORD), 33)
       Some(f.df.withColumn(CHUNK, if (fwd) c else -c))
     } else bucketScale(f).map { keyD =>
       val k = f.df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt.max(1)
-      // NaN sorts above every double (Spark ordering) — exclude it from
-      // min/max so one NaN can't poison the bucket width, pin it to the
-      // top value bucket explicitly
-      val keyClean = F.when(F.isnan(keyD), F.lit(null)).otherwise(keyD)
+      // NaN sorts above every double (Spark ordering) and ±Inf poisons the
+      // bucket width ((keyD-mn)/Inf ⇒ 0 or NaN, collapsing the frame into
+      // one chunk) — exclude all three from min/max and pin their rows to
+      // the edge chunks explicitly, keeping finite keys properly bucketed
+      val nonFinite = F.isnan(keyD) ||
+        keyD === F.lit(Double.PositiveInfinity) ||
+        keyD === F.lit(Double.NegativeInfinity)
+      val keyClean = F.when(nonFinite, F.lit(null)).otherwise(keyD)
       val mm = f.df.agg(F.min(keyClean).as("__pfx_mn"), F.max(keyClean).as("__pfx_mx"))
       val mn = F.col("__pfx_mn"); val mx = F.col("__pfx_mx")
-      // greatest/least clamp ±Inf keys (floor(±Inf) saturates the long)
       val bucket = F.when(mx === mn, F.lit(0L)).otherwise(
         F.least(F.lit(k - 1L), F.greatest(F.lit(0L),
           F.floor((keyD - mn) / ((mx - mn) / k)))))
-      // NaN above all values; nulls sort LAST in frame order → chunk k,
-      // after every value bucket; a descending first key mirrors the axis
-      val ascNonNull = F.when(F.isnan(keyD), F.lit(k - 1L)).otherwise(bucket)
+      // NaN and +Inf above all finite values → top chunk; -Inf below → chunk
+      // 0 (the within-chunk window orders by the FULL key, so sharing a
+      // chunk with extreme finite keys stays correct); nulls sort LAST in
+      // frame order → chunk k, after every value bucket; a descending first
+      // key mirrors the axis
+      val ascNonNull = F.when(F.isnan(keyD) ||
+          keyD === F.lit(Double.PositiveInfinity), F.lit(k - 1L))
+        .when(keyD === F.lit(Double.NegativeInfinity), F.lit(0L))
+        .otherwise(bucket)
       val asc = F.when(keyD.isNull || mn.isNull, F.lit(k.toLong)).otherwise(
         if (f.order.head.descending) F.lit(k - 1L) - ascNonNull else ascNonNull)
       f.df.crossJoin(F.broadcast(mm))
@@ -157,7 +166,10 @@ object Prefix {
         val wIn = Window.partitionBy(F.col(CHUNK)).orderBy(orderBy(f, fwd = true): _*)
           .rowsBetween(Window.unboundedPreceding, 0)
         val within = ch.withColumn(out, F.sum(v).over(wIn))
-        val offs = within.groupBy(F.col(CHUNK)).agg(F.sum(v).as("__pfx_t"))
+        // per-chunk totals MUST come from ch (pre-overwrite): when out == c,
+        // `within` has replaced c with the running sum and `v` would
+        // re-resolve against it, aggregating prefix sums instead of values
+        val offs = ch.groupBy(F.col(CHUNK)).agg(F.sum(v).as("__pfx_t"))
           .withColumn("__pfx_off", F.sum(F.col("__pfx_t")).over(
             Window.orderBy(F.col(CHUNK)).rowsBetween(Window.unboundedPreceding, -1)))
           .select(F.col(CHUNK), F.col("__pfx_off"))

@@ -60,6 +60,19 @@ class PrefixSpec extends AnyFunSuite {
     assert(!a.tail.exists(_.last == "(null)"))
   }
 
+  test("in-place cumSum (out == c): chunk offsets come from raw values") {
+    // out == c overwrites the source column with the running sum inside the
+    // chunk; the per-chunk totals must still aggregate the RAW values (the
+    // r13 bug summed the prefix sums, inflating every later chunk's carry)
+    val rows = Seq[(Int, java.lang.Long)](
+      (0, 5L), (1, null), (2, 3L), (3, 10L), (4, 2L), (5, 7L), (6, 1L), (7, 4L))
+    val f = multi(rows.map { case (i, v) => RowIV(i, v) }, 4)
+    val a = Analytics.cumSum(f, "v", "v").records()
+    val b = Analytics.cumSumWindow(f, "v", "v").records()
+    assert(a == b)
+    assertNoGlobalDataWindow(Analytics.cumSum(f, "v", "v").df)
+  }
+
   // --- shift ---
 
   test("chunked shift matches window form for n = 1, 3, 7 (crossing chunks)") {
@@ -140,6 +153,39 @@ class PrefixSpec extends AnyFunSuite {
       Analytics.cumSumWindow(f, "v", "cs").records())
     assert(Analytics.shift(f, "v", 1, "s").records() ==
       Analytics.shiftWindow(f, "v", 1, "s").records())
+  }
+
+  test("sorted frame with ±Inf keys: finite keys stay bucketed, results match") {
+    // ±Inf must be excluded from the bucket min/max (Inf/Inf = NaN would
+    // collapse every row into one chunk) and pinned to the edge chunks
+    val rows = Seq[(java.lang.Double, java.lang.Long)](
+      (Double.NegativeInfinity, 1L), (2.0, 2L), (7.0, 3L), (4.0, 4L),
+      (Double.PositiveInfinity, 5L), (Double.NaN, 6L), (null, 7L), (9.0, 8L))
+      .zipWithIndex.map { case ((k, v), i) => RowKV(i, k, v) }
+    for (desc <- Seq(false, true)) {
+      val f = multi(rows, 3).sort(Sorter("k", descending = desc))
+      assert(Analytics.cumSum(f, "v", "cs").records() ==
+        Analytics.cumSumWindow(f, "v", "cs").records(), s"cumsum desc=$desc")
+      assert(Analytics.shift(f, "v", 2, "s").records() ==
+        Analytics.shiftWindow(f, "v", 2, "s").records(), s"shift desc=$desc")
+      // finite keys must NOT all land in one chunk (the pre-fix behavior
+      // silently collapsed every row into chunk k-1 via Inf/Inf = NaN)
+      val ch = Prefix.chunked(f, fwd = true).get
+      val finiteChunks = ch.filter(!F.isnan(F.col("k")) &&
+          F.abs(F.col("k")) =!= F.lit(Double.PositiveInfinity))
+        .select(Prefix.CHUNK).distinct().count()
+      assert(finiteChunks > 1, s"finite keys collapsed into $finiteChunks chunk(s), desc=$desc")
+    }
+  }
+
+  test("sorted frame where ALL keys are ±Inf/NaN/null still matches (single chunk)") {
+    val rows = Seq[(java.lang.Double, java.lang.Long)](
+      (Double.PositiveInfinity, 1L), (Double.NegativeInfinity, 2L),
+      (Double.NaN, 3L), (null, 4L), (Double.NegativeInfinity, 5L))
+      .zipWithIndex.map { case ((k, v), i) => RowKV(i, k, v) }
+    val f = multi(rows, 2).sort(Sorter("k"))
+    assert(Analytics.cumSum(f, "v", "cs").records() ==
+      Analytics.cumSumWindow(f, "v", "cs").records())
   }
 
   test("sorted frame, string key: falls back to the window form (still correct)") {
