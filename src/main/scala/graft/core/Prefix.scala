@@ -140,6 +140,34 @@ object Prefix {
         .drop("__pfx_mn", "__pfx_mx")
     }
 
+  /** Name of the ordinal column produced by [[materializeOrd]]. */
+  private[core] val MATORD = "__pfx_o2"
+
+  /** The frame order materialized as a BANDED long ordinal column
+    * [[MATORD]] = `(chunk << 33) | (row-in-chunk)` appended to the frame,
+    * without a single-partition sort: order-monotone chunks (the same
+    * deterministic chunking as the prefix family) and a partition-local
+    * `row_number` within each chunk — one hash exchange on the chunk id,
+    * zero joins, zero global passes. The banded form is the SAME shape as
+    * an ingest ordinal (`monotonically_increasing_id` = partition << 33 |
+    * row), so an anchored frame re-enters every chunked plan (the
+    * ingest-order chunking `__ord >> 33` recovers exactly these chunks);
+    * order consumers only ever compare ordinals, never assume density.
+    * All original columns (including the old `__ord`) survive, so caller
+    * expressions built against the pre-materialization plan still
+    * resolve. None when no parallel chunking exists (sorted frame with a
+    * non-bucketable string key) — callers fall back to the global window
+    * form. */
+  private[core] def materializeOrd(f: TadaFrame): Option[DataFrame] =
+    chunked(f, fwd = true).map { ch =>
+      val wIn = Window.partitionBy(F.col(CHUNK)).orderBy(orderBy(f, fwd = true): _*)
+      ch.withColumn(RNA, F.row_number().over(wIn))
+        .withColumn(MATORD,
+          F.shiftleft(F.col(CHUNK).cast(LongType), 33) +
+            F.col(RNA).cast(LongType) - 1L)
+        .drop(CHUNK, RNA)
+    }
+
   /** Reassemble a result projection in the frame's column layout: `out`
     * replaces an existing column in place, or appends. */
   private def finish(f: TadaFrame, res: DataFrame, out: String): TadaFrame = {
@@ -152,9 +180,18 @@ object Prefix {
   /** Whole-frame CumSum, chunked-prefix plan. Same null contract as the
     * window form (nulls add 0, output never null) and the same widened
     * output type. */
+  /** True when a parallel chunking exists for this frame's order. */
+  private def canChunk(f: TadaFrame): Boolean =
+    f.order.isEmpty || bucketScale(f).isDefined
+
   def cumSum(f: TadaFrame, c: String, out: String)(
       window: => TadaFrame): TadaFrame =
-    if (f.order.exists(_.name == out)) window // overwriting an order key: withCol's anchor path owns that
+    // overwriting an order key: anchor the order first (chunked, r14) and
+    // re-enter on the anchored frame — its banded ordinal feeds the
+    // ingest-order chunking, so values AND ordinal stay distributed;
+    // non-bucketable keys keep the pre-r14 anchoring window form
+    if (f.order.exists(_.name == out))
+      if (canChunk(f)) cumSum(f.anchored, c, out)(window) else window
     else chunked(f, fwd = true) match {
       case None => window
       case Some(ch) =>
@@ -188,7 +225,8 @@ object Prefix {
   def shift(f: TadaFrame, c: String, n: Int, out: String)(
       window: => TadaFrame): TadaFrame =
     if (n == 0) f.withCol(out, f.df(c))
-    else if (f.order.exists(_.name == out)) window
+    else if (f.order.exists(_.name == out))
+      if (canChunk(f)) shift(f.anchored, c, n, out)(window) else window
     else chunked(f, fwd = n > 0) match {
       case None => window
       case Some(ch) =>
@@ -237,7 +275,8 @@ object Prefix {
     * window form for every type (no arithmetic regrouping). */
   def fill(f: TadaFrame, c: String, forward: Boolean)(
       window: => TadaFrame): TadaFrame =
-    if (f.order.exists(_.name == c)) window // overwriting an order key: withCol's anchor path owns that
+    if (f.order.exists(_.name == c))
+      if (canChunk(f)) fill(f.anchored, c, forward)(window) else window
     else chunked(f, fwd = forward) match {
       case None => window
       case Some(ch) =>

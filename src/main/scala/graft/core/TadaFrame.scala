@@ -102,12 +102,27 @@ final case class TadaFrame(
     * threw on the next order-sensitive operator. */
   private def anchorOrder(affected: Iterable[String]): TadaFrame = {
     val hit = order.exists(s => affected.exists(_ == s.name))
-    if (!hit) this
-    else copy(
-      df = df.withColumn(ORD,
-        row_number().over(Window.orderBy(orderCols: _*)).cast(LongType)),
-      order = Nil, bands = 1)
+    if (!hit) this else anchored
   }
+
+  /** The frame with its order spec MATERIALIZED into the hidden ordinal:
+    * order becomes empty, row order preserved. r14: chunked
+    * materialization (Prefix.materializeOrd — order-monotone chunks +
+    * partition-local row_number, banded ordinal) with the pre-r14
+    * single-partition global window as the fallback for non-bucketable
+    * (string) sort keys. `bands` is KEPT (not reset): the banded ordinal
+    * inherits the old chunk ids' band bits, so the old band claim stays
+    * the correct upper bound for a later append. */
+  private[core] def anchored: TadaFrame =
+    if (order.isEmpty) this
+    else copy(
+      df = {
+        val d = Prefix.materializeOrd(this).getOrElse(
+          df.withColumn(Prefix.MATORD,
+            row_number().over(Window.orderBy(orderCols: _*)).cast(LongType)))
+        d.withColumn(ORD, d(Prefix.MATORD)).drop(Prefix.MATORD)
+      },
+      order = Nil)
 
   def col(n: String): TadaFrame = {
     val keep = (ORD +: labels :+ resolve(n)).distinct
@@ -139,8 +154,11 @@ final case class TadaFrame(
     // against the pre-overwrite plan — a sequential anchor would strand
     // `c` if it references the old `__ord`, as the fill windows do)
     if (order.exists(_.name == n) && df.columns.contains(n)) {
-      val rn = row_number().over(Window.orderBy(orderCols: _*)).cast(LongType)
-      copy(df = df.withColumns(Map(ORD -> rn, n -> c)), order = Nil, bands = 1)
+      // stage `c` into a temp column FIRST (it must see the pre-overwrite
+      // values and the old `__ord`), then materialize the order on top —
+      // the staged column also rides through anchoring unambiguously
+      val staged = copy(df = df.withColumn("__wc_tmp", c)).anchored
+      staged.copy(df = staged.df.withColumn(n, staged.df("__wc_tmp")).drop("__wc_tmp"))
     } else copy(df = df.withColumn(n, c))
 
   /** Cast (series.go:135, dataframe.go Cast, types.go:205-219): column →

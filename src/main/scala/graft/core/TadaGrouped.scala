@@ -49,6 +49,33 @@ final case class TadaGrouped(frame: TadaFrame, keys: Seq[String], aligned: Boole
     }
   }
 
+  private val GPOS = "__gpos"
+  private val REP = "__grep"
+
+  /** Aggregate capturing each group's frame-order-FIRST row as a struct
+    * of raw sort-key values + ingest ordinal (`min_by` over the in-group
+    * position — the GPOS-minimal row IS the group's first appearance in
+    * frame order). Sorted frames only. */
+  private def repAgg(aug: DataFrame): Column =
+    F.min_by(F.struct(frame.order.zipWithIndex.map { case (s, i) =>
+      aug(s.name).as(s"k$i") } :+ aug(ORD).as("o"): _*), aug(GPOS)).as(REP)
+
+  /** Dense long group ordinal ranked on the REDUCED output (#groups
+    * rows): order the captured representatives by the frame's sort spec
+    * (with its cast images and nulls-last contract) tie-broken by ingest
+    * ordinal. The single-partition window here runs over aggregate
+    * output — tiny by construction, the same shape as the per-chunk
+    * frames in [[Prefix]] — never over the data. */
+  private def rankRep(res: DataFrame): DataFrame = {
+    val ord = frame.order.zipWithIndex.map { case (s, i) =>
+      val c0 = res(REP).getField(s"k$i")
+      val c = s.cast.map(c0.cast).getOrElse(c0)
+      if (s.descending) c.desc_nulls_last else c.asc_nulls_last
+    } :+ res(REP).getField("o").asc
+    res.withColumn(ORD, F.row_number().over(Window.orderBy(ord: _*)).cast(LongType))
+      .drop(REP)
+  }
+
   /** Positional pick per group in frame order: First/Last/Nth with
     * negative-from-end and OOB⇒null (groupers.go:188-200, 824-868).
     * Spark's `first()` is order-nondeterministic — instead rank rows
@@ -58,28 +85,27 @@ final case class TadaGrouped(frame: TadaFrame, keys: Seq[String], aligned: Boole
   def positional(picks: Seq[(String, String, Int)]): TadaFrame = {
     // SORTED frames: group order (and in-group positions) follow the
     // sort — first appearance in FRAME order (internal.go:1399-1424).
-    // Same ordinal recompute as reduceWith; r13 fix: previously only the
-    // reduce path recomputed, so a sorted frame's positional result kept
-    // INGEST-order group ordinals and a later order-sensitive op (head,
-    // shift) walked groups in the wrong order. The recomputed ordinal
-    // also makes the in-group window a plain ordinal sort.
-    val srcDf =
-      if (frame.order.isEmpty) df
-      else df.withColumn(ORD,
-        F.row_number().over(Window.orderBy(frame.orderCols: _*)).cast(LongType))
-    val srcKeys = keys.map(srcDf(_))
-    val w = Window.partitionBy(srcKeys: _*).orderBy(srcDf(ORD).asc)
+    // r14: no global ordinal recompute (the r13 form ranked the whole
+    // frame through an empty-partition row_number). In-group positions
+    // come straight from the PARTITION-LOCAL window (hash-partitioned by
+    // the group keys, sorted inside each partition by the frame's order
+    // spec), and the group ordinal is ranked on the reduced output via
+    // repAgg/rankRep.
+    val srcKeys = keys.map(df(_))
+    val w = Window.partitionBy(srcKeys: _*).orderBy(frame.orderCols: _*)
     val wAll = Window.partitionBy(srcKeys: _*)
-    val aug = srcDf
-      .withColumn("__gpos", F.row_number().over(w))
+    val aug = df
+      .withColumn(GPOS, F.row_number().over(w))
       .withColumn("__gcnt", F.count(lit(1)).over(wAll))
-    val aggs = F.min(aug(ORD)).as(ORD) +: picks.map { case (out, n, pos) =>
-      val target = if (pos >= 0) lit(pos + 1) else aug("__gcnt") + lit(pos + 1)
-      F.max(F.when(aug("__gpos") === target, aug(n))).as(out)
-    }
-    val res = aug.groupBy(keys.map(aug(_)): _*).agg(aggs.head, aggs.tail: _*)
     // min(__ord) keeps each group's ordinal inside the source's band
     // range, so consumed bands carry over (a later append must not reuse)
+    val ordAgg = if (frame.order.isEmpty) F.min(aug(ORD)).as(ORD) else repAgg(aug)
+    val aggs = ordAgg +: picks.map { case (out, n, pos) =>
+      val target = if (pos >= 0) lit(pos + 1) else aug("__gcnt") + lit(pos + 1)
+      F.max(F.when(aug(GPOS) === target, aug(n))).as(out)
+    }
+    val res0 = aug.groupBy(keys.map(aug(_)): _*).agg(aggs.head, aggs.tail: _*)
+    val res = if (frame.order.isEmpty) res0 else rankRep(res0)
     TadaFrame(res, labels = keys, name = frame.name, order = Nil, bands = frame.bands)
   }
 
@@ -93,27 +119,38 @@ final case class TadaGrouped(frame: TadaFrame, keys: Seq[String], aligned: Boole
   def reduceWith(outs: Seq[(String, Column)]): TadaFrame = {
     if (aligned) return alignWith(outs)
     // group order = first appearance in FRAME order (internal.go:1399-1424).
-    // Unsorted frames ride the free ingest ordinal; sorted frames need a
-    // rank over the sort spec (order-global — the reference's semantics
-    // are inherently so; reduced output is small, so the single-partition
-    // window prices only the input pass).
-    val srcDf =
-      if (frame.order.isEmpty) df
-      else df.withColumn(ORD, F.row_number().over(Window.orderBy(frame.orderCols: _*)))
+    // Unsorted frames ride the free ingest ordinal. Sorted frames (r14):
+    // in-group order comes from a PARTITION-LOCAL window over the group
+    // key, and the group ordinal is ranked on the reduced output
+    // (repAgg/rankRep — see positional); the r13 form recomputed the
+    // ordinal with an empty-partition row_number over the whole frame.
+    val sorted = frame.order.nonEmpty
     if (stringified) {
       // tada's load-bearing contract (§1.5): the group key is the "|"-
       // joined stringified row — values from different containers that
       // happen to concatenate equally DO collide, exactly as in the
       // reference. Output labels take each group's first original values.
-      val key = TadaFormat.rowKey(keys.map(n => (srcDf(n), df.schema(n).dataType)))
-      val labelAggs = keys.map(n => F.min_by(srcDf(n), srcDf(ORD)).as(n))
-      val aggs = (F.min(srcDf(ORD)).as(ORD) +: labelAggs) ++
-        outs.map { case (n, e) => e.as(n) }
-      val res = srcDf.groupBy(key.as("__key")).agg(aggs.head, aggs.tail: _*).drop("__key")
+      val key = TadaFormat.rowKey(keys.map(n => (df(n), df.schema(n).dataType)))
+      val srcDf =
+        if (!sorted) df
+        else df.withColumn(GPOS, F.row_number().over(
+          Window.partitionBy(key).orderBy(frame.orderCols: _*)))
+      val ordVal = if (sorted) srcDf(GPOS) else srcDf(ORD)
+      val labelAggs = keys.map(n => F.min_by(srcDf(n), ordVal).as(n))
+      val ordAgg = if (sorted) repAgg(srcDf) else F.min(srcDf(ORD)).as(ORD)
+      val aggs = (ordAgg +: labelAggs) ++ outs.map { case (n, e) => e.as(n) }
+      val res0 = srcDf.groupBy(key.as("__key")).agg(aggs.head, aggs.tail: _*).drop("__key")
+      val res = if (sorted) rankRep(res0) else res0
       TadaFrame(res, labels = keys, name = frame.name, order = Nil, bands = frame.bands)
     } else {
-      val aggs = F.min(srcDf(ORD)).as(ORD) +: outs.map { case (n, e) => e.as(n) }
-      val res = srcDf.groupBy(keys.map(srcDf(_)): _*).agg(aggs.head, aggs.tail: _*)
+      val srcDf =
+        if (!sorted) df
+        else df.withColumn(GPOS, F.row_number().over(
+          Window.partitionBy(keys.map(df(_)): _*).orderBy(frame.orderCols: _*)))
+      val ordAgg = if (sorted) repAgg(srcDf) else F.min(srcDf(ORD)).as(ORD)
+      val aggs = ordAgg +: outs.map { case (n, e) => e.as(n) }
+      val res0 = srcDf.groupBy(keys.map(srcDf(_)): _*).agg(aggs.head, aggs.tail: _*)
+      val res = if (sorted) rankRep(res0) else res0
       TadaFrame(res, labels = keys, name = frame.name, order = Nil, bands = frame.bands)
     }
   }

@@ -1,0 +1,135 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+
+import graft.core._
+
+/** r14 (verdict item 1): grouping/positional-picking a SORTED frame must
+  * not recompute the frame ordinal through a GLOBAL one-partition
+  * `row_number` over the data. In-group positions come from a
+  * partition-local window over the group keys; the group ordinal is ranked
+  * on the REDUCED output (#groups rows) from each group's
+  * frame-order-first representative. Semantics pinned against the
+  * reference contract (first appearance in FRAME order,
+  * internal.go:1399-1424) on multi-partition fixtures with desc sorts,
+  * null keys, and stringified grouping. */
+class GroupOrderSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def multi[T <: Product : scala.reflect.runtime.universe.TypeTag
+                                 : scala.reflect.ClassTag](
+      rows: Seq[T], parts: Int): TadaFrame = {
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, parts))
+    TadaFrame.ingest(df)
+  }
+
+  /** No window over the full data without a partition spec (empty-
+    * partition windows over aggregate output — the tiny reduced frame —
+    * are the accepted tiny-frame shape, as in PrefixSpec). */
+  private def assertNoGlobalDataWindow(df: DataFrame): Unit = {
+    val bad = df.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty &&
+        w.collectFirst { case a: Aggregate => a }.isEmpty => w
+    }
+    assert(bad.isEmpty, s"single-partition window over full data:\n${bad.mkString("\n")}")
+  }
+
+  // ingest order: groups appear b, a, c; sorted by v: c(1), a(2), b(3|4), d(9)
+  private def fixture: TadaFrame = multi(Seq(
+    GRow("b", 3L), GRow("a", 2L), GRow("c", 1L), GRow("b", 4L),
+    GRow("d", 9L), GRow("a", 5L)), 3)
+
+  test("reduce on a sorted frame: group order follows the sort (asc/desc)") {
+    val f = fixture.sort(Sorter("v"))
+    val got = f.groupBy("k").sum("v").records().tail.map(_.head)
+    assert(got == Seq("c", "a", "b", "d")) // first appearance in v-asc order
+    val gotD = fixture.sort(Sorter("v", descending = true))
+      .groupBy("k").sum("v").records().tail.map(_.head)
+    assert(gotD == Seq("d", "a", "b", "c"))
+    assertNoGlobalDataWindow(f.groupBy("k").sum("v").df)
+  }
+
+  test("positional first/last on a sorted frame: picks AND group order follow the sort") {
+    val f = fixture.sort(Sorter("v", descending = true))
+    // per group, v-desc order: a→(5,2), b→(4,3), c→(1), d→(9)
+    val firsts = f.groupBy("k").first("v").records().tail
+    assert(firsts == Seq(Seq("d", "9"), Seq("a", "5"), Seq("b", "4"), Seq("c", "1")))
+    val lasts = f.groupBy("k").last("v").records().tail
+    assert(lasts == Seq(Seq("d", "9"), Seq("a", "2"), Seq("b", "3"), Seq("c", "1")))
+    val nth1 = f.groupBy("k").nth(1, "v").records().tail
+    assert(nth1 == Seq(Seq("d", "(null)"), Seq("a", "2"), Seq("b", "3"), Seq("c", "(null)")))
+    assertNoGlobalDataWindow(f.groupBy("k").first("v").df)
+  }
+
+  test("a later order-sensitive op walks sorted-group output in group order") {
+    // the r13 bug class: head(2) after a sorted-frame reduce must take the
+    // first two groups in SORT order, not ingest order
+    val f = fixture.sort(Sorter("v")).groupBy("k").sum("v")
+    assert(f.head(2).records().tail.map(_.head) == Seq("c", "a"))
+    val p = fixture.sort(Sorter("v")).groupBy("k").first("v")
+    assert(p.head(2).records().tail.map(_.head) == Seq("c", "a"))
+  }
+
+  test("sorted reduce with null sort keys: nulls-last group ordering") {
+    val rows = Seq(KRow("x", null), KRow("y", 2.0), KRow("x", 1.0), KRow("z", null))
+    val f = multi(rows, 2).sort(Sorter("v"))
+    // v asc nulls last: x(1.0), y(2.0), x(null), z(null) → groups x, y, z
+    val got = f.groupBy("k").count("v").records().tail.map(_.head)
+    assert(got == Seq("x", "y", "z"))
+  }
+
+  test("stringified grouping on a sorted frame keeps sort-order group ordinals") {
+    val rows = Seq(KRow("b", 3.0), KRow("a", 1.0), KRow("b", 2.0), KRow("a", 4.0))
+    val f = multi(rows, 2).sort(Sorter("v"))
+    val got = f.groupByStringified("k").sum("v").records().tail
+    assert(got.map(_.head) == Seq("a", "b")) // a first (v=1.0 < 2.0)
+    assertNoGlobalDataWindow(f.groupByStringified("k").sum("v").df)
+  }
+
+  test("multi-key sort (asc k, desc v) group ordinals and tiebreaks") {
+    val rows = Seq(GRow("b", 1L), GRow("a", 7L), GRow("a", 3L), GRow("b", 8L))
+    val f = multi(rows, 2).sort(Sorter("k"), Sorter("v", descending = true))
+    // frame order: (a,7),(a,3),(b,8),(b,1) → groups a, b; first picks 7, 8
+    val got = f.groupBy("k").first("v").records().tail
+    assert(got == Seq(Seq("a", "7"), Seq("b", "8")))
+  }
+
+  test("unsorted frames keep the free ingest ordinal (no windows added)") {
+    val f = fixture.groupBy("k").sum("v")
+    assert(f.records().tail.map(_.head) == Seq("b", "a", "c", "d"))
+    val wins = f.df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.isEmpty, "unsorted reduce must not plan any window")
+  }
+
+  test("anchorOrder (drop a sort key) materializes order chunked, not global") {
+    val f = fixture.sort(Sorter("v")).dropCols("v")
+    assert(f.records().tail.map(_.head) == Seq("c", "a", "b", "b", "a", "d"))
+    assertNoGlobalDataWindow(f.df)
+  }
+
+  test("order-key overwrite (cumSum onto the key) stays chunked and anchored") {
+    val rows = Seq(GRow("a", 3L), GRow("b", 1L), GRow("c", 2L))
+    val f = multi(rows, 2).sort(Sorter("v"))
+    val got = Analytics.cumSum(f, "v", "v")
+    // anchored order b(1),c(2),a(3) → cumsum 1,3,6 written in that order
+    assert(got.records().tail == Seq(Seq("b", "1"), Seq("c", "3"), Seq("a", "6")))
+    assertNoGlobalDataWindow(got.df)
+  }
+
+  test("string sort key: grouped ordinal still correct via rep ranking") {
+    // the CHUNKED ordinal fallback is for anchorOrder; grouped paths never
+    // need a global pass even for string keys (partition-local window +
+    // reduced-output ranking)
+    val rows = Seq(GRow("b", 1L), GRow("c", 2L), GRow("a", 3L))
+    val f = multi(rows, 2).sort(Sorter("k", descending = true))
+    val got = f.groupBy("k").sum("v").records().tail.map(_.head)
+    assert(got == Seq("c", "b", "a"))
+    assertNoGlobalDataWindow(f.groupBy("k").sum("v").df)
+  }
+}
+
+case class GRow(k: String, v: java.lang.Long)
+case class KRow(k: String, v: java.lang.Double)
