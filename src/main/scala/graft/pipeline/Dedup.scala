@@ -16,8 +16,11 @@ import org.apache.spark.sql.{functions => F}
   *   - n-gram Jaccard: exact verification on LSH candidates only;
   *   - embedding cosine: near-dup over a vector column, LSH-bucketed.
   *
-  * Everything is native column expressions (codegen) except nothing —
-  * no UDFs anywhere.
+  * Scan kernels are native Catalyst expressions with codegen (Shingles,
+  * MinHashBands, SimHash64 in `graft.exprs`); a handful of documented
+  * JVM-kernel UDFs remain where an interpreted higher-order expression
+  * would re-evaluate its captured subtree per element (each justified at
+  * its definition site below) or as sessionless fallbacks.
   */
 object Dedup {
 

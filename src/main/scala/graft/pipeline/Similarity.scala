@@ -292,6 +292,25 @@ object Similarity {
       .select(F.col(id), F.col("__b").getField("cell").as("cell"))
   }
 
+  /** [[nearestCells]] that CARRIES the source vector through the
+    * assignment projection (r14, verdict item 3). Every r13 caller
+    * immediately re-joined the (id, cell) assignment to the corpus on id
+    * to recover the vector — a sort-merge self-join shuffling ~2n
+    * vector-carrying rows (~600 MiB per side, twice, at the ×1000
+    * probe). The pass-through produces the identical frame with ZERO
+    * exchange; for n > 1 the vector is duplicated n× map-side, still
+    * exchange-free and cheaper than re-keying the corpus. */
+  private def nearestCellsCarry(df: DataFrame, centroids: DataFrame,
+                                id: String, vec: String, n: Int,
+                                cos: (Column, Column) => Column): DataFrame = {
+    val sims = simStructs(F.col(vec), cos)
+    val top = if (n == 1) F.array(F.array_min(sims)) else F.slice(F.array_sort(sims), 1, n)
+    df.select(F.col(id), F.col(vec))
+      .crossJoin(F.broadcast(centroidArray(centroids)))
+      .select(F.col(id), F.col(vec), F.explode(top).as("__b"))
+      .select(F.col(id), F.col(vec), F.col("__b").getField("cell").as("cell"))
+  }
+
   /** [[nearestCells]] n = 1 variant that also keeps the assignment sim
     * (cosinePairsComplete needs it for the covering radius α). */
   private def assignCellsWithSim(df: DataFrame, centroids: DataFrame,
@@ -334,7 +353,7 @@ object Similarity {
       // collected group in SORTED order pins the float result
       // bit-for-bit for any execution. Groups are tiny by construction:
       // one per (cell, dim), ~trainCap/nlist ≈ 8 values each.
-      centroids = c.join(nearestCells(c, centroids, "cid0", "cv", 1, cos), "cid0")
+      centroids = nearestCellsCarry(c, centroids, "cid0", "cv", 1, cos)
         .select(F.col("cell"), F.posexplode(F.col("cv")).as(Seq("dim", "x")))
         .groupBy("cell", "dim")
         .agg(F.aggregate(F.array_sort(F.collect_list(F.col("x").cast("double"))),
@@ -370,10 +389,10 @@ object Similarity {
     val cos = cosineNative(corpus.sparkSession) _
     val c = corpus.select(F.col(idCol).as("cid0"), F.col(vecCol).as("cv"))
     val centroids = trainCentroids(c, nlist, iters, cos)
-    val indexed = c.join(nearestCells(c, centroids, "cid0", "cv", 1, cos), "cid0")
+    val indexed = nearestCellsCarry(c, centroids, "cid0", "cv", 1, cos)
       .select(F.col("cid0").as("neighbor_id"), F.col("cv"), F.col("cell"))
     val q0 = queries.select(F.col(idCol).as("query_id"), F.col(vecCol).as("qv"))
-    val probes = q0.join(nearestCells(q0, centroids, "query_id", "qv", nprobe, cos), "query_id")
+    val probes = nearestCellsCarry(q0, centroids, "query_id", "qv", nprobe, cos)
     // callers that already sized the query set pass queryCount so a cold
     // session pays ONE sizing scan, not one per layer (ADVICE r12)
     val nq =
@@ -582,8 +601,29 @@ object Similarity {
   def cosinePairsComplete(corpus: DataFrame, threshold: Double,
                           nlist: Int = -1, iters: Int = 2,
                           idCol: String = "vec_id", vecCol: String = "embedding",
-                          rowCount: Long = -1L): DataFrame = {
+                          rowCount: Long = -1L): DataFrame =
+    completePairsFrom(
+      completeParts(corpus, threshold, nlist, iters, idCol, vecCol, rowCount),
+      corpus, threshold, idCol, vecCol)
+
+  /** The operator and its capacity diagnostic from ONE shared front half
+    * (r14): running [[cosinePairsCompleteStats]] as the pre-flight and
+    * then [[cosinePairsComplete]] as separate calls persists two
+    * independent copies of the n-row assigned frame under one registry
+    * tag — doubled executor memory and double-counted bench bytes, with
+    * no plan reuse. This entry point prices and runs against the SAME
+    * cached assignment: returns (stats, pairs). */
+  def cosinePairsCompleteWithStats(corpus: DataFrame, threshold: Double,
+                                   nlist: Int = -1, iters: Int = 2,
+                                   idCol: String = "vec_id", vecCol: String = "embedding",
+                                   rowCount: Long = -1L): (DataFrame, DataFrame) = {
     val p = completeParts(corpus, threshold, nlist, iters, idCol, vecCol, rowCount)
+    (completeStatsFrom(p), completePairsFrom(p, corpus, threshold, idCol, vecCol))
+  }
+
+  private def completePairsFrom(p: CompleteParts, corpus: DataFrame,
+                                threshold: Double,
+                                idCol: String, vecCol: String): DataFrame = {
     val cos = cosineNative(corpus.sparkSession) _
     val probes = p.allSims.crossJoin(F.broadcast(p.alphaRow))
       .filter(F.col("__sim") >= p.cutoff)
@@ -619,8 +659,11 @@ object Similarity {
   def cosinePairsCompleteStats(corpus: DataFrame, threshold: Double,
                                nlist: Int = -1, iters: Int = 2,
                                idCol: String = "vec_id", vecCol: String = "embedding",
-                               rowCount: Long = -1L): DataFrame = {
-    val p = completeParts(corpus, threshold, nlist, iters, idCol, vecCol, rowCount)
+                               rowCount: Long = -1L): DataFrame =
+    completeStatsFrom(
+      completeParts(corpus, threshold, nlist, iters, idCol, vecCol, rowCount))
+
+  private def completeStatsFrom(p: CompleteParts): DataFrame = {
     val pr = p.allSims.crossJoin(F.broadcast(p.alphaRow))
       .filter(F.col("__sim") >= p.cutoff)
       .groupBy("cell").agg(F.count(F.lit(1)).as("__pr"))
