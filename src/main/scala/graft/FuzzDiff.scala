@@ -102,7 +102,7 @@ object FuzzDiff {
         val valueCols = st.cols.filterNot(st.labels.contains)
         val numCols = valueCols.filter(c => st.types(c) == 'l' || st.types(c) == 'd')
         val keyCols = Seq("k1", "k2").filter(st.cols.contains)
-        rng.nextInt(19) match {
+        rng.nextInt(23) match {
           case 0 if numCols.nonEmpty => // numeric filter
             val c = numCols(rng.nextInt(numCols.size))
             val lit = fmt(st.types(c), rng)
@@ -424,6 +424,86 @@ object FuzzDiff {
               cols = keep :+ "cm",
               types = st.types - "v1" + ("cm" -> (if (op == "divide") 'e' else 'd')),
               base = false))
+          case 19 if keyCols.nonEmpty && st.labels.isEmpty => // grouped First/Last/Nth
+            // this round's r13 bug family: frame-order picks per group with
+            // negative-from-end and OOB⇒null, group ordinal = first
+            // appearance in frame order (sorted AND unsorted chains)
+            val k = keyCols(rng.nextInt(keyCols.size))
+            val others = st.cols.filterNot(_ == k)
+            if (others.isEmpty) None else {
+              val pos = Seq(0, 1, -1, -2, 7)(rng.nextInt(5))
+              val g = st.fr.groupBy(k)
+              val (fr2, pfx) =
+                if (pos == 0) (g.first(others: _*), "first")
+                else if (pos == -1) (g.last(others: _*), "last")
+                else (g.nth(pos, others: _*), "nth")
+              val aggSql = others.map { c =>
+                val target = if (pos >= 0) (pos + 1).toString else s"gcnt + ${pos + 1}"
+                s"max(CASE WHEN gpos = $target THEN $c END) AS ${pfx}_$c"
+              }.mkString(", ")
+              Some(St(fr2,
+                s"SELECT $k, CAST(min(pos) AS BIGINT) AS rid, $aggSql FROM " +
+                  s"(SELECT *, row_number() OVER (ORDER BY ${orderSql(st.order)}) AS pos, " +
+                  s"row_number() OVER (PARTITION BY $k ORDER BY ${orderSql(st.order)}) AS gpos, " +
+                  s"count(*) OVER (PARTITION BY $k) AS gcnt FROM (${st.sub})) GROUP BY $k",
+                Nil, k +: others.map(c => s"${pfx}_$c"),
+                others.map(c => s"${pfx}_$c" -> st.types(c)).toMap + (k -> st.types(k)),
+                base = false, labels = Seq(k)))
+            }
+          case 20 => // FilterByValue: stringified equality (internal.go:241-253)
+            // long/string stringification is injective, so plain SQL
+            // equality mirrors it; doubles/timestamps are engine-specific
+            val cands = st.cols.filter(c => st.types(c) == 'l' || st.types(c) == 's')
+            if (cands.isEmpty) None else {
+              val c = cands(rng.nextInt(cands.size))
+              // k2's domain is 0..4 — sample it there or every filter is empty
+              val sqlLit =
+                if (st.types(c) == 's') fmt('s', rng)
+                else if (c == "k2") rng.nextInt(5).toString
+                else fmt('l', rng)
+              val v: Any = if (st.types(c) == 's') sqlLit.drop(1).dropRight(1) else sqlLit.toLong
+              Some(st.copy(
+                fr = st.fr.filterByValue(Map(c -> v)),
+                sub = s"SELECT * FROM (${st.sub}) WHERE $c = $sqlLit"))
+            }
+          case 21 if st.base => // RIGHT merge: aux keeps all rows, first-match from main
+            val fr2 = Lookup.merge(st.fr, ingest(ta), "right", Seq("k2"), Seq("k2"))
+            val dedup = s"SELECT k2, k1 AS k1_1, v1 AS v1_1, v2 AS v2_1, ts AS ts_1 FROM " +
+              s"(SELECT * FROM (${st.sub}) QUALIFY row_number() OVER " +
+              s"(PARTITION BY k2 ORDER BY ${orderSql(st.order)}) = 1)"
+            val sub2 = s"SELECT l.rid, l.k1, l.k2, l.v1, l.v2, l.ts, " +
+              s"r.k1_1, r.v1_1, r.v2_1, r.ts_1 FROM $ta l LEFT JOIN ($dedup) r ON l.k2 = r.k2"
+            Some(st.copy(fr = fr2, sub = sub2, order = Nil,
+              cols = Seq("k1", "k2", "v1", "v2", "ts", "k1_1", "v1_1", "v2_1", "ts_1"),
+              types = baseTypes ++ Map("k1_1" -> 's', "v1_1" -> 'l', "v2_1" -> 'd', "ts_1" -> 't'),
+              base = false))
+          case 22 if numCols.nonEmpty => // percentileBin (left-INCL right-EXCL — bin's opposite)
+            val c = numCols(rng.nextInt(numCols.size))
+            val out = if (st.cols.contains("pb")) "pb2" else "pb"
+            if (st.cols.contains(out)) None else {
+              val picks = Seq(0.0, 0.25, 0.5, 0.75, 1.0).filter(_ => rng.nextBoolean())
+              val edges = if (picks.size >= 2) picks else Seq(0.0, 0.5, 1.0)
+              val part = if (st.cols.contains("k1") && c != "k1" && rng.nextBoolean())
+                Seq("k1") else Nil
+              val fr2 = Analytics.percentileBin(st.fr, c, edges, out, part)
+              def fm(d: Double) = if (d == d.floor) d.toLong.toString else d.toString
+              val pw = if (part.isEmpty) "" else "PARTITION BY k1 "
+              val pw0 = if (part.isEmpty) "OVER ()" else "OVER (PARTITION BY k1)"
+              // identical double division in both engines ⇒ identical bits ⇒
+              // identical edge comparisons (the dyadic edges are exact)
+              val pct = s"CAST(rank() OVER (${pw}ORDER BY $c ASC NULLS FIRST) - " +
+                s"(count(*) $pw0 - count($c) $pw0) - 1 AS DOUBLE) / count($c) $pw0"
+              val cases = edges.sliding(2).map { case Seq(lo, hi) =>
+                s"WHEN __p >= $lo AND __p < $hi THEN '${fm(lo)}-${fm(hi)}'"
+              }.mkString(" ")
+              Some(st.copy(
+                fr = fr2,
+                sub = s"SELECT ${(st.cols :+ "rid").mkString(", ")}, " +
+                  s"CASE WHEN __p IS NULL THEN NULL $cases ELSE NULL END AS $out " +
+                  s"FROM (SELECT *, CASE WHEN $c IS NULL THEN NULL ELSE $pct END AS __p " +
+                  s"FROM (${st.sub}))",
+                cols = st.cols :+ out, types = st.types + (out -> 's'), base = false))
+            }
           case _ => None
         }
       }
