@@ -372,5 +372,73 @@ object WindowQueries extends QueryPack {
       },
       Some("""
         SELECT p_brand, count(*) AS n FROM part GROUP BY p_brand ORDER BY p_brand
+      """)),
+
+    // §2.6 WHOLE-FRAME CumSum (empty partitionBy) — executes the r13
+    // chunked prefix plan (graft.core.Prefix.cumSum: order-monotone width
+    // buckets + tiny-frame carry), which until r14 had no registered
+    // oracle entry (r13 verdict item 5): the driver gate only ran the
+    // per-key window forms.
+    Query(
+      "q101_cumsum_frame",
+      (s, dir) => {
+        val orders = TadaFrame.ingest(Tables.orders(s, dir))
+          .sort(Sorter("o_orderdate"), Sorter("o_orderkey"))
+          .withCol("tp", dec(col("o_totalprice")))
+        Analytics.cumSum(orders, "tp", "running_total")
+          .withCol("running_total", col("running_total").cast("double"))
+          .out.select("o_orderkey", "running_total")
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey,
+               CAST(sum(COALESCE(CAST(o_totalprice AS DECIMAL(18,2)), 0)) OVER
+                 (ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS running_total
+        FROM orders
+        ORDER BY o_orderkey
+      """)),
+
+    // §2.3 WHOLE-FRAME Shift(3) — Prefix.shift's chunked carry plan
+    // (cross-chunk lag assembled from the previous chunks' tails).
+    Query(
+      "q102_shift_frame",
+      (s, dir) => {
+        val ev = TadaFrame.ingest(Tables.events(s, dir))
+          .sort(Sorter("ts"), Sorter("event_id"))
+        Analytics.shift(ev, "value", 3, "prev3_value")
+          .out.select("event_id", "value", "prev3_value")
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT event_id, value,
+               lag(value, 3) OVER (ORDER BY ts ASC NULLS LAST, event_id) AS prev3_value
+        FROM events
+        ORDER BY event_id
+      """)),
+
+    // §2.3 WHOLE-FRAME forward fill — Prefix.fill's chunked
+    // last-non-null carry plan. events.value carries no nulls in the
+    // driver data, so ~14% are punched out deterministically first.
+    Query(
+      "q103_ffill_frame",
+      (s, dir) => {
+        val ev = TadaFrame.ingest(Tables.events(s, dir))
+          .withCol("value",
+            when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value")))
+          .sort(Sorter("ts"), Sorter("event_id"))
+        ev.fillNull(Map("value" -> FillNullHow.Forward))
+          .out.select("event_id", "value")
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT event_id,
+               last_value(CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END
+                          IGNORE NULLS) OVER
+                 (ORDER BY ts ASC NULLS LAST, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+        FROM events
+        ORDER BY event_id
       """)))
 }
