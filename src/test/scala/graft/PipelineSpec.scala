@@ -729,6 +729,56 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("cosinePairsCompleteWithStats shares ONE tracked assignment cache (r14)") {
+    import spark.implicits._
+    import graft.core.CacheRegistry
+    CacheRegistry.releaseAll(); spark.catalog.clearCache()
+    val rnd = new scala.util.Random(13)
+    val df = (0 until 60).map { i =>
+      (i.toLong, Array.fill(6)(rnd.nextFloat() * 2f - 1f))
+    }.toDF("vec_id", "embedding")
+    try {
+      val (stats, prs) = Similarity.cosinePairsCompleteWithStats(df, 0.5, nlist = 8, rowCount = 60L)
+      assert(CacheRegistry.trackedTags.count(_ == "cosinePairsComplete.assigned") == 1,
+        s"combined API must track the assignment ONCE: ${CacheRegistry.trackedTags}")
+      // and agrees with the separate-call forms on both surfaces
+      val sep = Similarity.cosinePairsCompleteStats(df, 0.5, nlist = 8, rowCount = 60L).head()
+      assert(stats.head() == sep)
+      val sepPairs = Similarity.cosinePairsComplete(df, 0.5, nlist = 8, rowCount = 60L)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(prs.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet == sepPairs)
+      // the separate calls are the shape the combined API replaces: they
+      // persist one copy EACH under the shared tag
+      assert(CacheRegistry.trackedTags.count(_ == "cosinePairsComplete.assigned") == 3,
+        CacheRegistry.trackedTags.toString)
+    } finally { CacheRegistry.releaseAll(); spark.catalog.clearCache() }
+  }
+
+  test("ivfTopK: cell assignment carries vectors — no id-keyed self-join (r14)") {
+    import spark.implicits._
+    val vecs = (0 until 30).map { i =>
+      (i.toLong, Array.fill(4)(((i * 7 + 3) % 11).toFloat / 11f))
+    }.toDF("vec_id", "embedding")
+    val qs = vecs.filter($"vec_id" < 3)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = Similarity.ivfTopK(vecs, qs, 2, nlist = 2, nprobe = 2, iters = 1,
+          queryCount = 3L)
+        .queryExecution.executedPlan.toString
+      def n(pat: String) = pat.r.findAllIn(plan).size
+      // the corpus/centroid assignment must never re-key on the vector id
+      // (the r13 shape joined the (id, cell) frame back to the corpus)
+      assert(n("hashpartitioning\\(cid0") == 0,
+        s"corpus assignment must carry the vector, not re-join on id:\n$plan")
+      // only the final top-k window partitions by query_id; the probes
+      // frame is produced map-side, never self-joined
+      assert(n("hashpartitioning\\(query_id") <= 1,
+        s"query assignment must carry the vector, not re-join on id:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("knnClassifyIvf survivor broadcast is count-gated (r11 verdict 3)") {
     import spark.implicits._
     val corpus = (0 until 24).map { i =>
