@@ -137,6 +137,65 @@ object ScaleProbe {
         f.fillNull(Map("v" -> graft.core.FillNullHow.Forward)).df
           .select("l_orderkey", "v")
       }),
+      // r14 verdict task 1: the sorted-frame ordinal family. Grouped
+      // reduce/positional on a SORTED frame (partition-local in-group
+      // windows + reduced-output rep ranking) and anchorOrder /
+      // order-key overwrite (Prefix.materializeOrd banded chunked
+      // ordinal). No registered query carries the shapes; *_global
+      // twins re-create the r13 plan (global one-partition row_number)
+      // inline for the A/B.
+      "xo1_sum_sorted" -> ((s, dir) => {
+        val f = graft.core.TadaFrame.ingest(
+          Tables.events(s, dir).select(F.col("event_id"), F.col("user_id"), F.col("value")))
+          .sort(graft.core.Sorter("value"), graft.core.Sorter("event_id"))
+        f.groupBy("user_id").sum("value").df
+      }),
+      "xo2_first_sorted" -> ((s, dir) => {
+        val f = graft.core.TadaFrame.ingest(
+          Tables.events(s, dir).select(F.col("event_id"), F.col("user_id"), F.col("value")))
+          .sort(graft.core.Sorter("value"), graft.core.Sorter("event_id"))
+        f.groupBy("user_id").first("value").df
+      }),
+      "xo2g_first_global" -> ((s, dir) => {
+        // the r13 shape: ordinal recomputed through an EMPTY-partition
+        // row_number over the whole frame before the grouped pick
+        import org.apache.spark.sql.expressions.Window
+        val d0 = Tables.events(s, dir).select(F.col("event_id"), F.col("user_id"), F.col("value"))
+        val d = d0.withColumn("__o", F.row_number().over(
+          Window.orderBy(F.col("value").asc_nulls_last, F.col("event_id").asc)).cast("long"))
+        val w = Window.partitionBy(F.col("user_id")).orderBy(F.col("__o").asc)
+        d.withColumn("__gp", F.row_number().over(w))
+          .groupBy("user_id")
+          .agg(F.min(F.col("__o")).as("__ord"),
+            F.max(F.when(F.col("__gp") === 1, F.col("value"))).as("first_value"))
+      }),
+      "xo3_anchor_drop" -> ((s, dir) => {
+        // dropCols of the sort key → anchorOrder materializes the order
+        // into the hidden ordinal (chunked banded form); the checksum
+        // reads the ordinal so the materialization is the measured work
+        val f = graft.core.TadaFrame.ingest(
+          Tables.lineitem(s, dir).select(F.col("l_orderkey"),
+            F.col("l_quantity"), F.col("l_extendedprice")))
+          .sort(graft.core.Sorter("l_quantity"), graft.core.Sorter("l_orderkey"))
+        f.dropCols("l_quantity").df
+      }),
+      "xo3g_anchor_global" -> ((s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = Tables.lineitem(s, dir).select(F.col("l_orderkey"),
+          F.col("l_quantity"), F.col("l_extendedprice"))
+        d.withColumn("__ord", F.row_number().over(
+            Window.orderBy(F.col("l_quantity").asc_nulls_last, F.col("l_orderkey").asc))
+            .cast("long"))
+          .drop("l_quantity")
+      }),
+      "xo4_cumsum_onto_key" -> ((s, dir) => {
+        // overwriting the sort key: anchored (chunked ordinal) + chunked
+        // cumsum values — until r14 this was the global window fallback
+        val f = graft.core.TadaFrame.ingest(
+          Tables.lineitem(s, dir).select(F.col("l_orderkey"), F.col("l_quantity")))
+          .sort(graft.core.Sorter("l_quantity"), graft.core.Sorter("l_orderkey"))
+        graft.core.Analytics.cumSum(f, "l_quantity", "l_quantity").df
+      }),
       // corpus-read floor for the text family: checksumming the raw text
       // column IS the minimum cost of any full-text operator — q48's
       // honest lower bound (r12 verdict task 2)
