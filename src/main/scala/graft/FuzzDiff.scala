@@ -102,7 +102,7 @@ object FuzzDiff {
         val valueCols = st.cols.filterNot(st.labels.contains)
         val numCols = valueCols.filter(c => st.types(c) == 'l' || st.types(c) == 'd')
         val keyCols = Seq("k1", "k2").filter(st.cols.contains)
-        rng.nextInt(23) match {
+        rng.nextInt(24) match {
           case 0 if numCols.nonEmpty => // numeric filter
             val c = numCols(rng.nextInt(numCols.size))
             val lit = fmt(st.types(c), rng)
@@ -504,6 +504,24 @@ object FuzzDiff {
                   s"FROM (${st.sub}))",
                 cols = st.cols :+ out, types = st.types + (out -> 's'), base = false))
             }
+          case 23 if st.base => // pivotTable: k1 values spread to columns
+            // the pivoted frame is re-ingested (fresh arbitrary ordinal), so
+            // the stage sorts by the now-unique label to keep later
+            // order-sensitive ops deterministic; mirror rid is a row_number
+            // over the same unique key
+            val fr2 = Reshape.pivotTable(st.fr, Seq("k2"), "k1",
+                F.sum(F.col("v1")), knownValues = Seq("a", "b", "c", "d", "e"),
+                prefix = "pv_")
+              .sort(Sorter("k2"))
+            val cases = Seq("a", "b", "c", "d", "e").map(v =>
+              s"CAST(sum(CASE WHEN k1 = '$v' THEN v1 END) AS BIGINT) AS pv_$v").mkString(", ")
+            Some(St(fr2,
+              s"SELECT k2, row_number() OVER (ORDER BY k2 ASC NULLS LAST) AS rid, $cases " +
+                s"FROM (${st.sub}) GROUP BY k2",
+              Seq(("k2", false)),
+              "k2" +: Seq("a", "b", "c", "d", "e").map(v => s"pv_$v"),
+              Seq("a", "b", "c", "d", "e").map(v => s"pv_$v" -> 'l').toMap + ("k2" -> 'l'),
+              base = false, labels = Seq("k2")))
           case _ => None
         }
       }
