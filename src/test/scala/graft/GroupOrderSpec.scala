@@ -119,6 +119,26 @@ class GroupOrderSpec extends AnyFunSuite {
     assertNoGlobalDataWindow(got.df)
   }
 
+  test("append after anchorOrder: banded ordinals stay in disjoint bands") {
+    // the r14 banded materialized ordinal (chunk << 33 | row) inherits the
+    // old band bits, so `anchored` KEEPS the frame's band claim — an append
+    // right after an anchor must still place appended rows strictly after
+    // every anchored row
+    val a = multi(Seq(GRow("b", 2L), GRow("a", 1L), GRow("c", 3L)), 2)
+      .sort(Sorter("v")).dropCols("v") // anchor: order materialized into __ord
+    val b = multi(Seq(GRow("x", 9L), GRow("y", 8L)), 2).dropCols("v")
+    val got = a.append(b).records().tail.map(_.head)
+    assert(got == Seq("a", "b", "c", "x", "y"))
+    // and a chunked prefix op over the appended frame still matches the
+    // sequential window form (chunk monotonicity across anchor + band)
+    val a2 = multi(Seq(GRow("b", 2L), GRow("a", 1L), GRow("c", 3L)), 2)
+      .sort(Sorter("v"))
+    val f = Analytics.cumSum(a2, "v", "v") // anchors, then chunked cumsum
+      .append(multi(Seq(GRow("x", 9L)), 1))
+    assert(Analytics.shift(f, "v", 1, "s").records() ==
+      Analytics.shiftWindow(f, "v", 1, "s").records())
+  }
+
   test("string sort key: grouped ordinal still correct via rep ranking") {
     // the CHUNKED ordinal fallback is for anchorOrder; grouped paths never
     // need a global pass even for string keys (partition-local window +
