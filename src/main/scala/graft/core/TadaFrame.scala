@@ -93,9 +93,9 @@ final case class TadaFrame(
     * structural op removes/renames/overwrites a sort-key column.
     * tada's sorts are PHYSICAL (internal.go:1257-1330) — row order must
     * survive the key's disappearance — but our sort is a lazy spec over
-    * live columns, so the order is materialized into `__ord` once (one
-    * global row_number, the same single-partition shape `globalWindow`
-    * documents) and the affected spec entries drop. No-op when no
+    * live columns, so the order is materialized into `__ord` once
+    * (chunked — see [[anchored]]; r14) and the affected spec entries
+    * drop. No-op when no
     * affected column is an order key — the common path stays lazy and
     * shuffle-free. Surfaced by PropertySpec's label-move model fuzz
     * (r8 verdict task 7): sort(k) → subsetLabels/dropCols(k) previously

@@ -199,18 +199,22 @@ final case class TadaGrouped(frame: TadaFrame, keys: Seq[String], aligned: Boole
     * GroupedDataFrame prints its rows regrouped — groupers.go print via
     * the Example corpus): each group's rows sit together, groups in
     * first-appearance FRAME order, original order within each group.
-    * Print-path operator — the row_number windows are order-global by
-    * construction, exactly like `render` itself. */
+    *
+    * r14: fully chunked. Pass 1 anchors the frame order into the banded
+    * ordinal (TadaFrame.anchored — chunked for bucketable sort keys);
+    * pass 2 takes each group's first-appearance ordinal via a
+    * PARTITION-LOCAL min window and re-anchors with `__gord` as a
+    * numeric sort key — always width-bucketable, so the target total
+    * order (group first appearance, then frame order) materializes
+    * through the same chunked plan, never an empty-partition
+    * row_number over the data. */
   def arranged: TadaFrame = {
-    val rn = F.row_number().over(Window.orderBy(frame.orderCols: _*))
-    val df1 = df.withColumn("__rn", rn)
-    val df2 = df1.withColumn("__gord",
-      F.min(col("__rn")).over(Window.partitionBy(keys.map(df1(_)): _*)))
-    val df3 = df2.withColumn(ORD,
-      F.row_number().over(Window.orderBy(col("__gord").asc, col("__rn").asc))
-        .cast(LongType))
-      .drop("__rn", "__gord")
-    frame.copy(df = df3, order = Nil)
+    val f0 = frame.anchored
+    val df0 = f0.df
+    val withGord = df0.withColumn("__gord",
+      F.min(df0(ORD)).over(Window.partitionBy(keys.map(df0(_)): _*)))
+    val ranked = f0.copy(df = withGord, order = Seq(Sorter("__gord"))).anchored
+    ranked.copy(df = ranked.df.drop("__gord"), order = Nil)
   }
 
   /** Grouped Apply (GroupedSeries.Apply groupers.go:230-260): an

@@ -139,6 +139,21 @@ class GroupOrderSpec extends AnyFunSuite {
       Analytics.shiftWindow(f, "v", 1, "s").records())
   }
 
+  test("arranged: grouped view plans chunked, rows regroup in frame order") {
+    val f = fixture.sort(Sorter("v"))
+    val arr = f.groupBy("k").arranged
+    // frame order by v: c1, a2, b3, b4, a5, d9 → groups c, a, b, d; rows
+    // regrouped with in-group frame order kept
+    assert(arr.records().tail == Seq(
+      Seq("c", "1"), Seq("a", "2"), Seq("a", "5"),
+      Seq("b", "3"), Seq("b", "4"), Seq("d", "9")))
+    assertNoGlobalDataWindow(arr.df)
+    // unsorted frames: ingest-order groups, also chunked
+    val arrU = fixture.groupBy("k").arranged
+    assert(arrU.records().tail.map(_.head) == Seq("b", "b", "a", "a", "c", "d"))
+    assertNoGlobalDataWindow(arrU.df)
+  }
+
   test("string sort key: grouped ordinal still correct via rep ranking") {
     // the CHUNKED ordinal fallback is for anchorOrder; grouped paths never
     // need a global pass even for string keys (partition-local window +
