@@ -505,20 +505,20 @@ object FuzzDiff {
                 cols = st.cols :+ out, types = st.types + (out -> 's'), base = false))
             }
           case 23 if st.base => // pivotTable: k1 values spread to columns
-            // the pivoted frame is re-ingested (fresh arbitrary ordinal), so
-            // the stage sorts by the now-unique label to keep later
-            // order-sensitive ops deterministic; mirror rid is a row_number
-            // over the same unique key
+            // result rows carry the reference's FIRST-APPEARANCE frame
+            // order (r14 fix — fuzz seed 511 caught the re-ingested
+            // arbitrary order through a later stable sort's ties); the
+            // mirror is the same min(pos) group ordinal case 8 uses
             val fr2 = Reshape.pivotTable(st.fr, Seq("k2"), "k1",
-                F.sum(F.col("v1")), knownValues = Seq("a", "b", "c", "d", "e"),
-                prefix = "pv_")
-              .sort(Sorter("k2"))
+              F.sum(F.col("v1")), knownValues = Seq("a", "b", "c", "d", "e"),
+              prefix = "pv_")
             val cases = Seq("a", "b", "c", "d", "e").map(v =>
               s"CAST(sum(CASE WHEN k1 = '$v' THEN v1 END) AS BIGINT) AS pv_$v").mkString(", ")
             Some(St(fr2,
-              s"SELECT k2, row_number() OVER (ORDER BY k2 ASC NULLS LAST) AS rid, $cases " +
-                s"FROM (${st.sub}) GROUP BY k2",
-              Seq(("k2", false)),
+              s"SELECT k2, CAST(min(pos) AS BIGINT) AS rid, $cases FROM " +
+                s"(SELECT *, row_number() OVER (ORDER BY ${orderSql(st.order)}) AS pos " +
+                s"FROM (${st.sub})) GROUP BY k2",
+              Nil,
               "k2" +: Seq("a", "b", "c", "d", "e").map(v => s"pv_$v"),
               Seq("a", "b", "c", "d", "e").map(v => s"pv_$v" -> 'l').toMap + ("k2" -> 'l'),
               base = false, labels = Seq("k2")))

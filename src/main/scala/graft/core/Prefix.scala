@@ -168,6 +168,32 @@ object Prefix {
         .drop(CHUNK, RNA)
     }
 
+  /** Name of the position column produced by [[materializePos]]. */
+  private[core] val MATPOS = "__pfx_pos"
+
+  /** DENSE 0-based frame-order positions in [[MATPOS]] — the positional
+    * APIs (Subset/FilterIndex/SetRows/DropRow) address rows by absolute
+    * position, so unlike [[materializeOrd]] they need density, which
+    * costs the broadcast exclusive prefix of the tiny per-chunk counts
+    * on top of the partition-local row_number. Callers must apply their
+    * own expressions BEFORE this (stage into a temp column): the offsets
+    * join makes post-hoc dataset-tagged refs ambiguous. None when no
+    * parallel chunking exists — callers fall back to the global window
+    * form. */
+  private[core] def materializePos(f: TadaFrame): Option[DataFrame] =
+    chunked(f, fwd = true).map { ch =>
+      val wIn = Window.partitionBy(F.col(CHUNK)).orderBy(orderBy(f, fwd = true): _*)
+      val within = ch.withColumn(RNA, F.row_number().over(wIn))
+      val offs = ch.groupBy(F.col(CHUNK)).agg(F.count(F.lit(1)).as("__pfx_n"))
+        .withColumn("__pfx_off", F.coalesce(F.sum(F.col("__pfx_n")).over(
+          Window.orderBy(F.col(CHUNK)).rowsBetween(Window.unboundedPreceding, -1)),
+          F.lit(0L)))
+        .select(F.col(CHUNK), F.col("__pfx_off"))
+      within.join(F.broadcast(offs), Seq(CHUNK), "left")
+        .withColumn(MATPOS, F.col("__pfx_off") + F.col(RNA) - 1L)
+        .drop(CHUNK, RNA, "__pfx_off")
+    }
+
   /** Reassemble a result projection in the frame's column layout: `out`
     * replaces an existing column in place, or appends. */
   private def finish(f: TadaFrame, res: DataFrame, out: String): TadaFrame = {

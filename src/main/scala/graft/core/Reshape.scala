@@ -17,6 +17,25 @@ object Reshape {
     * Spark's native groupBy().pivot().agg() — one shuffle, pivot values
     * resolved either from `knownValues` (no extra pass — always supply
     * at scale) or a distinct scan. */
+  /** Deterministic result order for the groupBy-pivot shapes: each
+    * group's first appearance in FRAME order, from the grouped ordinal
+    * machinery (TadaGrouped.reduceWith with no aggregates — sorted
+    * frames rank through the partition-local rep path), joined back
+    * null-safely on the label key. The r14 differential fuzz caught the
+    * previous `TadaFrame.ingest(renamed)`: the pivoted frame took
+    * Spark's partition order, so a later STABLE sort's ties diverged
+    * from the reference's physical-order contract (fuzz seed 511). */
+  private def withGroupOrdinals(f: TadaFrame, labels: Seq[String],
+                                pivoted: DataFrame): TadaFrame = {
+    import TadaFrame.ORD
+    val ords0 = TadaGrouped(f, labels, aligned = false).reduceWith(Nil).df
+    val ords = ords0.select(
+      labels.map(l => ords0(l).as(s"__po_$l")) :+ ords0(ORD).as(ORD): _*)
+    val cond = labels.map(l => pivoted(l) <=> ords(s"__po_$l")).reduce(_ && _)
+    val res = pivoted.join(ords, cond).drop(labels.map(l => s"__po_$l"): _*)
+    TadaFrame(res, labels = labels, name = f.name, order = Nil, bands = f.bands)
+  }
+
   def pivotTable(f: TadaFrame, labels: Seq[String], column: String,
                  agg: Column, knownValues: Seq[String] = Nil,
                  prefix: String = ""): TadaFrame = {
@@ -28,7 +47,7 @@ object Reshape {
     val renamed = pivoted.columns.foldLeft(pivoted) { (d, c) =>
       if (labels.contains(c)) d else d.withColumnRenamed(c, s"$prefix$c")
     }
-    TadaFrame.ingest(renamed, labels)
+    withGroupOrdinals(f, labels, renamed)
   }
 
   /** PromoteToColLevel (dataframe.go:1265-1373): spread `column`'s unique
@@ -51,7 +70,7 @@ object Reshape {
     val renamed = grouped.columns.foldLeft(grouped) { (d, c) =>
       if (labels.contains(c)) d else d.withColumnRenamed(c, s"$prefix$c")
     }
-    TadaFrame.ingest(renamed, labels)
+    withGroupOrdinals(f, labels, renamed)
   }
 
   /** Transpose (dataframe.go:1183-1263): rows ↔ columns, all values

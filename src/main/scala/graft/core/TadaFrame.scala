@@ -343,41 +343,70 @@ final case class TadaFrame(
     r.headOption.map(_.get(0))
   }
 
+  /** The frame's df with a DENSE 0-based frame-order position in
+    * `Prefix.MATPOS` (r14: chunked — partition-local row_number +
+    * broadcast per-chunk count offsets), or the pre-r14 global window
+    * form when no chunking exists (string sort key). Callers stage any
+    * of their own expressions BEFORE calling (Prefix.materializePos's
+    * ambiguity contract). */
+  private def positioned: DataFrame =
+    Prefix.materializePos(this).getOrElse(
+      df.withColumn(Prefix.MATPOS,
+        (row_number().over(Window.orderBy(orderCols: _*)) - 1).cast(LongType)))
+
   /** DropRow(i) (series.go:439-459): delete one row by position. */
   def dropRow(i: Int): TadaFrame = {
-    val w = Window.orderBy(orderCols: _*)
-    copy(df = df.withColumn(RN, row_number().over(w) - 1)
-      .filter(org.apache.spark.sql.functions.col(RN) =!= i).drop(RN))
+    val d = positioned
+    copy(df = d.filter(d(Prefix.MATPOS) =!= i.toLong).drop(Prefix.MATPOS))
   }
 
   /** Subset(index) (series.go:169-189): select rows by position, in the
-    * given order. Position resolution needs a frame-order rank — an
-    * order-global op by definition; at scale prefer key-based filters. */
+    * given order. Position resolution needs a frame-order rank — at
+    * scale prefer key-based filters; the rank itself plans chunked. */
   def subset(positions: Seq[Int]): TadaFrame = {
-    val w = Window.orderBy(orderCols: _*)
-    val aug = df.withColumn(RN, row_number().over(w) - 1)
-    val posDf = df.sparkSession.createDataset(positions.zipWithIndex)(
-      org.apache.spark.sql.Encoders.product[(Int, Int)]).toDF(RN, ORD2)
-    val joined = aug.join(posDf, Seq(RN), "inner")
-      .drop(RN).drop(ORD).withColumnRenamed(ORD2, ORD)
+    val aug = positioned
+    val posDf = df.sparkSession.createDataset(
+      positions.map(_.toLong).zipWithIndex)(
+      org.apache.spark.sql.Encoders.product[(Long, Int)]).toDF(Prefix.MATPOS, ORD2)
+    val joined = aug.join(posDf, Seq(Prefix.MATPOS), "inner")
+      .drop(Prefix.MATPOS).drop(ORD).withColumnRenamed(ORD2, ORD)
     copy(df = joined, order = Nil)
   }
 
-  /** FilterIndex (series.go:613-627): positions of matching rows. */
+  /** FilterIndex (series.go:613-627): positions of matching rows,
+    * ascending. The predicate is staged into a column BEFORE the
+    * position materialization (ambiguity contract), and the result is
+    * ordered explicitly — the chunked frame is multi-partition, so
+    * collect order is not frame order. */
   def filterIndex(cond: Column): Seq[Long] = {
-    val w = Window.orderBy(orderCols: _*)
-    df.withColumn(RN, row_number().over(w) - 1)
-      .filter(cond).select(RN).collect().map(_.getInt(0).toLong).toSeq
+    val staged = copy(df = df.withColumn("__fi_m", cond))
+    val d = staged.positioned
+    d.filter(org.apache.spark.sql.functions.col("__fi_m"))
+      .select(Prefix.MATPOS).orderBy(Prefix.MATPOS)
+      .collect().map(_.getLong(0)).toSeq
   }
 
   /** SetRows (series.go:769-792): apply an expression only at the given
     * row positions, keep the column's value elsewhere. */
-  def setRows(colName: String, positions: Seq[Int], e: Column): TadaFrame = {
-    val w = Window.orderBy(orderCols: _*)
-    val pos = row_number().over(w) - 1
-    withCol(colName, when(pos.isin(positions.map(Integer.valueOf): _*), e)
-      .otherwise(df(colName)))
-  }
+  def setRows(colName: String, positions: Seq[Int], e: Column): TadaFrame =
+    if (order.exists(_.name == colName)) {
+      // overwriting a sort key: keep the anchoring withCol form (the
+      // position rank must freeze the OLD order, and withCol owns the
+      // anchor; exotic shape, no registered query carries it)
+      val w = Window.orderBy(orderCols: _*)
+      val pos = row_number().over(w) - 1
+      withCol(colName, when(pos.isin(positions.map(Integer.valueOf): _*), e)
+        .otherwise(df(colName)))
+    } else {
+      // stage `e` BEFORE the chunked position materialization
+      // (Prefix.materializePos's ambiguity contract), then pick per row
+      val staged = copy(df = df.withColumn("__sr_tmp", e))
+      val d = staged.positioned
+      val posL = positions.map(p => java.lang.Long.valueOf(p.toLong))
+      copy(df = d.withColumn(colName,
+          when(d(Prefix.MATPOS).isin(posL: _*), d("__sr_tmp")).otherwise(d(colName)))
+        .drop(Prefix.MATPOS, "__sr_tmp"))
+    }
 
   /** Whole-DF per-column stats (dataframe.go:1910-1993): one aggregate
     * per value column, reshaped long — a Series keyed by column name. */

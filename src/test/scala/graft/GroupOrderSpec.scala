@@ -154,6 +154,27 @@ class GroupOrderSpec extends AnyFunSuite {
     assertNoGlobalDataWindow(arrU.df)
   }
 
+  test("positional ops plan chunked and stay frame-order-correct (multi-partition)") {
+    // r14: Subset/FilterIndex/SetRows/DropRow resolve absolute positions
+    // through Prefix.materializePos (chunked dense positions) instead of
+    // an empty-partition row_number over the data
+    val rows = Seq(GRow("a", 7L), GRow("b", 2L), GRow("c", 9L), GRow("d", 4L),
+      GRow("e", 1L), GRow("f", 6L), GRow("g", 3L), GRow("h", 8L))
+    val f = multi(rows, 4).sort(Sorter("v"))
+    // frame order by v asc: e1, b2, g3, d4, f6, a7, h8, c9
+    assert(f.dropRow(2).records().tail.map(_.head) ==
+      Seq("e", "b", "d", "f", "a", "h", "c"))
+    assert(f.subset(Seq(5, 0, 7)).records().tail.map(_.head) == Seq("a", "e", "c"))
+    assert(f.filterIndex(F.col("v") >= 7L) == Seq(5L, 6L, 7L))
+    // setRows on a NON-key column rides the chunked positions; overwriting
+    // the sort key itself stays on the anchoring fallback by design
+    assert(f.setRows("k", Seq(0, 7), F.lit("Z")).records().tail.map(_.head) ==
+      Seq("Z", "b", "g", "d", "f", "a", "h", "Z"))
+    assertNoGlobalDataWindow(f.dropRow(2).df)
+    assertNoGlobalDataWindow(f.subset(Seq(1)).df)
+    assertNoGlobalDataWindow(f.setRows("k", Seq(0), F.lit("Z")).df)
+  }
+
   test("string sort key: grouped ordinal still correct via rep ranking") {
     // the CHUNKED ordinal fallback is for anchorOrder; grouped paths never
     // need a global pass even for string keys (partition-local window +
