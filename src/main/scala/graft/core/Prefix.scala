@@ -294,6 +294,86 @@ object Prefix {
         finish(f, joined, out)
     }
 
+  /** Whole-frame RollingN(n): aggregate over the current + following
+    * n−1 rows in frame order, incomplete tail ⇒ null
+    * (groupers.go:295-314). Chunked plan: rows deeper than n−1 from
+    * their chunk's END aggregate entirely inside the partition-local
+    * window; each chunk's ≤ n−1 tail rows reconstruct their window from
+    * the in-chunk remainder plus a HEAD CARRY — the first n−1
+    * frame-order rows of the following chunks, assembled boundedly on
+    * the tiny per-chunk frame exactly like shift's tail carry — and
+    * re-aggregate through explode → groupBy with the SAME aggregate
+    * (generic over any single-column agg; struct-wrapped values keep
+    * nulls), broadcast-joined back by ordinal. Affected rows per chunk
+    * ≤ n−1, so the rebuilt side stays tiny at any scale. Float caveat:
+    * the rebuilt tail rows re-order float addition (same class as
+    * chunked cumsum; integral types exact). */
+  def rollingN(f: TadaFrame, n: Int, c: String, agg: Column => Column,
+               out: String, fin: Column => Column)(
+      window: => TadaFrame): TadaFrame =
+    if (f.order.exists(_.name == out))
+      if (canChunk(f)) rollingN(f.anchored, n, c, agg, out, fin)(window) else window
+    else chunked(f, fwd = true) match {
+      case None => window
+      case Some(ch) =>
+        val m = n - 1
+        val eff = orderBy(f, fwd = true)
+        val rev = orderBy(f, fwd = false)
+        val wEff = Window.partitionBy(F.col(CHUNK)).orderBy(eff: _*)
+        val wFrame = wEff.rowsBetween(0, m)
+        val base = ch
+          .withColumn(RNA, F.row_number().over(wEff))
+          .withColumn(RND, F.row_number().over(
+            Window.partitionBy(F.col(CHUNK)).orderBy(rev: _*)))
+        if (m == 0) {
+          // [0, 0] frame: every window is the row itself — map-shaped
+          finish(f, base.withColumn(out, fin(agg(F.col(c)).over(wFrame))), out)
+        } else {
+          // first m frame-order rows of each chunk, values in order
+          val heads = base.filter(F.col(RNA) <= m)
+            .groupBy(F.col(CHUNK))
+            .agg(F.sort_array(F.collect_list(
+              F.struct(F.col(RNA).as("r"), F.col(c).as("v")))).as("__pfx_head"))
+          // carry(i) = first m frame-order rows AFTER chunk i — from the
+          // next ≤ m chunk rows of the tiny frame (each chunk holds ≥ 1
+          // row, so m chunks forward always covers m rows forward)
+          val carries = heads
+            .withColumn("__pfx_call", F.flatten(F.collect_list(F.col("__pfx_head")).over(
+              Window.orderBy(F.col(CHUNK)).rowsBetween(1, m))))
+            .withColumn("__pfx_carry", F.slice(F.col("__pfx_call"), 1, m))
+            .select(F.col(CHUNK), F.col("__pfx_carry"))
+          // tail rows: in-chunk remainder (themselves + their in-chunk
+          // followers — all within the last m, so the filtered window is
+          // exact) + enough carry to reach n rows; re-aggregate via
+          // explode → groupBy with the same agg
+          val wTail = Window.partitionBy(F.col(CHUNK)).orderBy(eff: _*)
+            .rowsBetween(0, Window.unboundedFollowing)
+          val rebuilt = base.filter(F.col(RND) <= m)
+            .withColumn("__pfx_in",
+              F.collect_list(F.struct(F.col(c).as("v"))).over(wTail))
+            .join(F.broadcast(carries), Seq(CHUNK), "left")
+            .withColumn("__pfx_full", F.concat(F.col("__pfx_in"),
+              F.transform(
+                F.slice(F.coalesce(F.col("__pfx_carry"),
+                  F.expr("array()").cast("array<struct<r:int,v:" +
+                    f.df.schema(c).dataType.sql + ">>")),
+                  F.lit(1), F.lit(n) - F.col(RND)),
+                s => F.struct(s.getField("v").as("v")))))
+            .filter(F.size(F.col("__pfx_full")) === n)
+          val agged = rebuilt
+            .select(F.col(ORD).as("__pfx_o"), F.explode(F.col("__pfx_full")).as("__pfx_e"))
+            .groupBy(F.col("__pfx_o"))
+            .agg(agg(F.col("__pfx_e.v")).as("__pfx_v"))
+            .withColumn("__pfx_has", F.lit(true))
+          val joined = base.join(F.broadcast(agged),
+              base(ORD) === F.col("__pfx_o"), "left")
+            .withColumn(out,
+              F.when(F.col(RND) > m, fin(agg(F.col(c)).over(wFrame)))
+                .otherwise(F.when(F.col("__pfx_has"), fin(F.col("__pfx_v")))))
+          finish(f, joined, out)
+        }
+    }
+
   /** Whole-frame forward/backward fill (FillNullHow.Forward/Backward with
     * no grouping): last/first non-null in frame order. Carry is the last
     * non-null among all previous chunks' own last-non-nulls — a scalar

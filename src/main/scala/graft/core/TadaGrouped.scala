@@ -250,14 +250,30 @@ object Rolling {
 
   /** RollingN(n): current + following n-1 rows; incomplete tail windows
     * reduce to null (groupers.go:295-314 — short window ⇒ empty group).
-    * `partitionBy` is the scale path: keyed windows parallelize; the
-    * empty default reproduces the reference's whole-frame semantics. */
+    * `partitionBy` is the scale path: keyed windows parallelize. The
+    * whole-frame form dispatches to [[Prefix.rollingN]] (chunked head-
+    * carry plan, r14); [[rollingNWindow]] is the sequential reference
+    * form and the non-chunkable fallback. */
   def rollingN(f: TadaFrame, n: Int, colName: String, agg: Column => Column,
                out: String, partitionBy: Seq[String] = Nil,
-               finish: Column => Column = identity): TadaFrame = {
-    val w0 = if (partitionBy.isEmpty) f.globalWindow
-             else Window.partitionBy(partitionBy.map(f.df(_)): _*).orderBy(f.orderCols: _*)
-    val w = w0.rowsBetween(0, n - 1)
+               finish: Column => Column = identity): TadaFrame =
+    if (partitionBy.isEmpty)
+      Prefix.rollingN(f, n, colName, agg, out, finish)(
+        rollingNWindow(f, n, colName, agg, out, finish))
+    else {
+      val w = Window.partitionBy(partitionBy.map(f.df(_)): _*)
+        .orderBy(f.orderCols: _*).rowsBetween(0, n - 1)
+      val c = f.df(colName)
+      val complete = F.count(lit(1)).over(w) === n
+      f.withCol(out, F.when(complete, finish(agg(c).over(w))).otherwise(lit(null)))
+    }
+
+  /** Sequential whole-frame RollingN — one global window; semantic
+    * oracle for [[Prefix.rollingN]] and the no-chunking fallback. */
+  private[graft] def rollingNWindow(f: TadaFrame, n: Int, colName: String,
+                                    agg: Column => Column, out: String,
+                                    finish: Column => Column = identity): TadaFrame = {
+    val w = f.globalWindow.rowsBetween(0, n - 1)
     val c = f.df(colName)
     val complete = F.count(lit(1)).over(w) === n
     f.withCol(out, F.when(complete, finish(agg(c).over(w))).otherwise(lit(null)))

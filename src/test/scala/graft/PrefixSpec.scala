@@ -109,6 +109,48 @@ class PrefixSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  // --- rollingN ---
+
+  test("chunked rollingN == window form for n = 1, 2, 4, 8 (crossing chunks)") {
+    val rows = Seq[(Int, java.lang.Long)](
+      (0, 10L), (1, null), (2, 30L), (3, 40L), (4, 50L), (5, null),
+      (6, 70L), (7, 80L), (8, 90L), (9, 100L), (10, 110L), (11, null))
+    val f = multi(rows.map { case (i, v) => RowIV(i, v) }, 4)
+    for (n <- Seq(1, 2, 4, 8)) {
+      val a = Rolling.rollingN(f, n, "v", x => F.sum(x), "r").records()
+      val b = Rolling.rollingNWindow(f, n, "v", x => F.sum(x), "r").records()
+      assert(a == b, s"rollingN($n)")
+    }
+    assertNoGlobalDataWindow(Rolling.rollingN(f, 4, "v", x => F.sum(x), "r").df)
+  }
+
+  test("chunked rollingN: min/count aggs, finish transform, single-row chunks") {
+    val rows = (0 until 6).map(i => RowIV(i, if (i == 3) null else java.lang.Long.valueOf(60L - i)))
+    val f = multi(rows, 6) // every chunk 1 row: n=3 borrows across 2 chunks
+    for ((agg, tag) <- Seq[(org.apache.spark.sql.Column => org.apache.spark.sql.Column, String)](
+        (x => F.min(x), "min"), (x => F.count(x), "count"))) {
+      val a = Rolling.rollingN(f, 3, "v", agg, "r").records()
+      val b = Rolling.rollingNWindow(f, 3, "v", agg, "r").records()
+      assert(a == b, tag)
+    }
+    val a2 = Rolling.rollingN(f, 2, "v", x => F.sum(x), "r", partitionBy = Nil,
+      finish = _.cast("double")).records()
+    val b2 = Rolling.rollingNWindow(f, 2, "v", x => F.sum(x), "r",
+      finish = _.cast("double")).records()
+    assert(a2 == b2)
+  }
+
+  test("chunked rollingN on a sorted frame; n >= frame size goes all-null") {
+    val rows = Seq[(Int, java.lang.Long)](
+      (7, 1L), (3, 2L), (9, 3L), (1, 4L), (5, 5L), (2, 6L))
+    val f = multi(rows.map { case (k, v) => RowIV(k, v) }, 3).sort(Sorter("i"))
+    val a = Rolling.rollingN(f, 3, "v", x => F.sum(x), "r").records()
+    val b = Rolling.rollingNWindow(f, 3, "v", x => F.sum(x), "r").records()
+    assert(a == b)
+    val a2 = Rolling.rollingN(f, 9, "v", x => F.sum(x), "r").records()
+    assert(a2.tail.forall(_.last == "(null)"))
+  }
+
   // --- ffill / bfill ---
 
   test("chunked ffill/bfill == window forms (leading nulls, all-null chunk)") {
