@@ -196,6 +196,17 @@ object ScaleProbe {
           .sort(graft.core.Sorter("l_quantity"), graft.core.Sorter("l_orderkey"))
         graft.core.Analytics.cumSum(f, "l_quantity", "l_quantity").df
       }),
+      "xo5_rollingn_frame" -> ((s, dir) => {
+        // whole-frame RollingN (r14 chunked head-carry plan)
+        val f = graft.core.TadaFrame.ingest(
+          Tables.lineitem(s, dir).select(F.col("l_orderkey"), F.col("l_quantity")))
+        graft.core.Rolling.rollingN(f, 4, "l_quantity", x => F.sum(x), "r").df
+      }),
+      "xo5g_rollingn_global" -> ((s, dir) => {
+        val f = graft.core.TadaFrame.ingest(
+          Tables.lineitem(s, dir).select(F.col("l_orderkey"), F.col("l_quantity")))
+        graft.core.Rolling.rollingNWindow(f, 4, "l_quantity", x => F.sum(x), "r").df
+      }),
       // corpus-read floor for the text family: checksumming the raw text
       // column IS the minimum cost of any full-text operator — q48's
       // honest lower bound (r12 verdict task 2)
