@@ -440,5 +440,116 @@ object WindowQueries extends QueryPack {
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
         FROM events
         ORDER BY event_id
+      """)),
+
+    // §2.5 SORTED-frame groupBy reduce with the result ORDER observable
+    // (r14 chunked-ordinal machinery under the driver gate — r14 verdict
+    // item 1): the frame is date-sorted, so group order = each customer's
+    // FIRST APPEARANCE in date order (internal.go:1399-1424), ranked via
+    // TadaGrouped.repAgg/rankRep on the reduced output. head(500) makes
+    // the rank order load-bearing — the SELECTED SET of customers is
+    // wrong if the ordinal machinery is. Oracle mirrors the appearance
+    // rank as min(days-since-epoch · 1e10 + unique orderkey).
+    Query(
+      "q104_sorted_group_order",
+      (s, dir) => {
+        val o = TadaFrame.ingest(Tables.orders(s, dir))
+          .sort(Sorter("o_orderdate"), Sorter("o_orderkey"))
+        o.groupBy("o_custkey")
+          .reduceWith(Seq("spend" -> dsum(col("o_totalprice"))))
+          .head(500)
+          .out.select("o_custkey", "spend")
+          .orderBy("o_custkey")
+      },
+      Some(s"""
+        SELECT o_custkey, spend FROM (
+          SELECT o_custkey, ${sqlDsum("o_totalprice")} AS spend,
+                 min(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                     * 10000000000 + o_orderkey) AS first_app
+          FROM orders GROUP BY o_custkey
+          ORDER BY first_app LIMIT 500)
+        ORDER BY o_custkey
+      """)),
+
+    // §2.5 SORTED-frame positional picks (First/Last/Nth) — in-group
+    // positions follow the FRAME order (the ship-date sort), computed by
+    // the r14 partition-local window (groupers.go:188-200); OOB ⇒ null
+    // (suppliers with < 3 rows get null third_price).
+    Query(
+      "q105_sorted_positional",
+      (s, dir) => {
+        val li = TadaFrame.ingest(Tables.lineitem(s, dir))
+          .sort(Sorter("l_shipdate"), Sorter("l_orderkey"), Sorter("l_linenumber"))
+        TadaGrouped(li, Seq("l_suppkey"), aligned = false)
+          .positional(Seq(
+            ("first_price", "l_extendedprice", 0),
+            ("last_price", "l_extendedprice", -1),
+            ("third_price", "l_extendedprice", 2)))
+          .out.select("l_suppkey", "first_price", "last_price", "third_price")
+          .orderBy("l_suppkey")
+      },
+      Some("""
+        SELECT l_suppkey,
+               max(CASE WHEN rn = 1 THEN p END) AS first_price,
+               max(CASE WHEN rn = cnt THEN p END) AS last_price,
+               max(CASE WHEN rn = 3 THEN p END) AS third_price
+        FROM (SELECT l_suppkey, l_extendedprice AS p,
+                     row_number() OVER (PARTITION BY l_suppkey
+                       ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn,
+                     count(*) OVER (PARTITION BY l_suppkey) AS cnt
+              FROM lineitem)
+        GROUP BY l_suppkey
+        ORDER BY l_suppkey
+      """)),
+
+    // §2.6 WHOLE-FRAME RollingN — executes Prefix.rollingN's chunked
+    // head-carry plan (r14; groupers.go:295-314): rows near each chunk's
+    // end rebuild their window from the following chunks' heads;
+    // incomplete frame tail ⇒ null.
+    Query(
+      "q106_rolling_frame",
+      (s, dir) => {
+        val ev = TadaFrame.ingest(Tables.events(s, dir))
+          .sort(Sorter("ts"), Sorter("event_id"))
+        Rolling.rollingN(ev, 4, "value", c => sum(dec(c)), "roll4",
+            finish = _.cast("double"))
+          .out.select("event_id", "roll4")
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT event_id,
+               CASE WHEN count(*) OVER w = 4
+                    THEN CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+               END AS roll4
+        FROM events
+        WINDOW w AS (ORDER BY ts ASC NULLS LAST, event_id
+                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+        ORDER BY event_id
+      """)),
+
+    // §2.6 CumSum OVERWRITING its own sort key — the anchored re-entry
+    // path: the order is first materialized into the banded chunked
+    // ordinal (TadaFrame.anchored → Prefix.materializeOrd), then the
+    // chunked prefix plan re-enters on the ingest-order chunking of that
+    // ordinal. Unique (tp, o_orderkey) sort keeps ties deterministic on
+    // both engines.
+    Query(
+      "q107_cumsum_overwrite_key",
+      (s, dir) => {
+        val o = TadaFrame.ingest(Tables.orders(s, dir))
+          .withCol("tp", dec(col("o_totalprice")))
+          .sort(Sorter("tp"), Sorter("o_orderkey"))
+        Analytics.cumSum(o, "tp", "tp")
+          .withCol("tp", col("tp").cast("double"))
+          .out.select("o_orderkey", "tp")
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey,
+               CAST(sum(tp0) OVER (ORDER BY tp0 ASC NULLS LAST, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS tp
+        FROM (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS tp0
+              FROM orders)
+        ORDER BY o_orderkey
       """)))
 }
