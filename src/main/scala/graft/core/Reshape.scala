@@ -17,61 +17,85 @@ object Reshape {
     * Spark's native groupBy().pivot().agg() — one shuffle, pivot values
     * resolved either from `knownValues` (no extra pass — always supply
     * at scale) or a distinct scan. */
-  /** Deterministic result order for the groupBy-pivot shapes: each
-    * group's first appearance in FRAME order, from the grouped ordinal
-    * machinery (TadaGrouped.reduceWith with no aggregates — sorted
-    * frames rank through the partition-local rep path), joined back
-    * null-safely on the label key. The r14 differential fuzz caught the
-    * previous `TadaFrame.ingest(renamed)`: the pivoted frame took
-    * Spark's partition order, so a later STABLE sort's ties diverged
-    * from the reference's physical-order contract (fuzz seed 511). */
-  private def withGroupOrdinals(f: TadaFrame, labels: Seq[String],
-                                pivoted: DataFrame): TadaFrame = {
-    import TadaFrame.ORD
-    val ords0 = TadaGrouped(f, labels, aligned = false).reduceWith(Nil).df
-    val ords = ords0.select(
-      labels.map(l => ords0(l).as(s"__po_$l")) :+ ords0(ORD).as(ORD): _*)
-    val cond = labels.map(l => pivoted(l) <=> ords(s"__po_$l")).reduce(_ && _)
-    val res = pivoted.join(ords, cond).drop(labels.map(l => s"__po_$l"): _*)
-    TadaFrame(res, labels = labels, name = f.name, order = Nil, bands = f.bands)
+  private val PC = "__pvc" // per-cell pivot value alias
+  private val PR = "__pvr" // per-cell group-rep partial alias
+
+  /** Shared pivot core with the reference's deterministic result order:
+    * each group sits at its first appearance in FRAME order (the r14
+    * differential-fuzz seed-511 contract — a re-ingested pivot took
+    * Spark's partition order and a later stable sort's ties diverged).
+    *
+    * r15 (r14 verdict item 6): ONE aggregation. The same
+    * `groupBy().pivot().agg()` pass produces both the pivot cells and a
+    * per-cell group-rep partial (`min(__ord)`, or the sorted-frame rep
+    * struct led by the in-group position); the group's overall ordinal
+    * is `least()` across its cell partials — exact because every group
+    * row lands in some cell, and `least` skips the null partials of
+    * empty cells. This removes the r14 shape's second aggregation over
+    * the input and the join back (q36/q37 were 1.6× for it), and with
+    * it ADVICE r14's broadcast-hint and null-key concerns — there is no
+    * join left. `knownValues`, when supplied, must be the complete
+    * value set (it already determines the output columns; an incomplete
+    * list would both drop columns and skew ordinals).
+    *
+    * `cellAgg(aug, cellOrd)` builds the per-cell aggregate; `cellOrd`
+    * ranks the cell's rows in frame order (in-group position for sorted
+    * frames, ingest ordinal otherwise) for first-in-frame-order cells. */
+  private def pivotCore(f: TadaFrame, labels: Seq[String], column: String,
+                        knownValues: Seq[String], prefix: String)(
+      cellAgg: (DataFrame, Column) => Column): TadaFrame = {
+    import TadaGrouped.{GPOS, REP}
+    require(labels.nonEmpty,
+      "pivot requires at least one label column to group rows by " +
+        "(ADVICE r14: an empty label set previously threw from reduce())")
+    val sorted = f.order.nonEmpty
+    val g = TadaGrouped(f, labels, aligned = false)
+    val aug =
+      if (sorted) f.df.withColumn(GPOS, F.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(labels.map(f.df(_)): _*).orderBy(f.orderCols: _*)))
+      else f.df
+    val cellOrd = if (sorted) aug(GPOS) else aug(ORD)
+    val repA = if (sorted) g.cellRepAgg(aug) else F.min(aug(ORD))
+    val grouped = aug.groupBy(labels.map(aug(_)): _*)
+    val pv0 =
+      if (knownValues.nonEmpty) grouped.pivot(column, knownValues)
+      else grouped.pivot(column)
+    val pv = pv0.agg(cellAgg(aug, cellOrd).as(PC), repA.as(PR))
+    val repCols = pv.columns.filter(c => !labels.contains(c) && c.endsWith("_" + PR))
+    val cellCols = pv.columns.filter(c => !labels.contains(c) && c.endsWith("_" + PC))
+    val repExpr =
+      if (repCols.isEmpty) F.lit(null) // empty pivot domain ⇒ zero groups
+      else if (repCols.size == 1) pv(repCols.head)
+      else F.least(repCols.map(pv(_)): _*)
+    val withOrd =
+      if (sorted) g.rankRep(pv.withColumn(REP, repExpr).drop(repCols: _*))
+      else pv.withColumn(ORD, repExpr.cast(org.apache.spark.sql.types.LongType))
+        .drop(repCols: _*)
+    val renamed = cellCols.foldLeft(withOrd) { (d, c) =>
+      d.withColumnRenamed(c, prefix + c.stripSuffix("_" + PC))
+    }
+    TadaFrame(renamed, labels = labels, name = f.name, order = Nil, bands = f.bands)
   }
 
   def pivotTable(f: TadaFrame, labels: Seq[String], column: String,
                  agg: Column, knownValues: Seq[String] = Nil,
-                 prefix: String = ""): TadaFrame = {
-    val grouped0 = f.df.groupBy(labels.map(f.df(_)): _*)
-    val pivoted0 =
-      if (knownValues.nonEmpty) grouped0.pivot(column, knownValues)
-      else grouped0.pivot(column)
-    val pivoted = pivoted0.agg(agg)
-    val renamed = pivoted.columns.foldLeft(pivoted) { (d, c) =>
-      if (labels.contains(c)) d else d.withColumnRenamed(c, s"$prefix$c")
-    }
-    withGroupOrdinals(f, labels, renamed)
-  }
+                 prefix: String = ""): TadaFrame =
+    pivotCore(f, labels, column, knownValues, prefix)((_, _) => agg)
 
   /** PromoteToColLevel (dataframe.go:1265-1373): spread `column`'s unique
     * values into a column level; each (residual labels, promoted value)
     * cell takes the FIRST value in frame order (reference keeps first,
-    * internal.go:1435-1483) — min_by on the ordinal, not Spark's
-    * nondeterministic first(). */
+    * internal.go:1435-1483) — min_by on the frame-order rank, not
+    * Spark's nondeterministic first(). The rank is the pivot core's
+    * `cellOrd` (in-group position / ingest ordinal — both monotone in
+    * frame order, so the cell-restricted min is the cell's first row);
+    * the pre-r15 dedicated per-cell row_number window is gone. */
   def promoteToColLevel(f: TadaFrame, labels: Seq[String], column: String,
                         value: String, knownValues: Seq[String],
-                        prefix: String = ""): TadaFrame = {
-    // rank rows inside each (residual, promoted) cell by the FRAME order
-    // (sort spec, not ingest ordinal) — min_by on that rank is "first"
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy((labels :+ column).map(f.df(_)): _*)
-      .orderBy(f.orderCols: _*)
-    val aug = f.df.withColumn("__fo", F.row_number().over(w))
-    val grouped = aug.groupBy(labels.map(aug(_)): _*)
-      .pivot(column, knownValues)
-      .agg(F.min_by(aug(value), aug("__fo")))
-    val renamed = grouped.columns.foldLeft(grouped) { (d, c) =>
-      if (labels.contains(c)) d else d.withColumnRenamed(c, s"$prefix$c")
-    }
-    withGroupOrdinals(f, labels, renamed)
-  }
+                        prefix: String = ""): TadaFrame =
+    pivotCore(f, labels, column, knownValues, prefix)(
+      (aug, cellOrd) => F.min_by(aug(value), cellOrd))
 
   /** Transpose (dataframe.go:1183-1263): rows ↔ columns, all values
     * stringified. Inherently driver-side (the result schema IS the row

@@ -49,8 +49,7 @@ final case class TadaGrouped(frame: TadaFrame, keys: Seq[String], aligned: Boole
     }
   }
 
-  private val GPOS = "__gpos"
-  private val REP = "__grep"
+  import TadaGrouped.{GPOS, REP}
 
   /** Aggregate capturing each group's frame-order-FIRST row as a struct
     * of raw sort-key values + ingest ordinal (`min_by` over the in-group
@@ -60,13 +59,23 @@ final case class TadaGrouped(frame: TadaFrame, keys: Seq[String], aligned: Boole
     F.min_by(F.struct(frame.order.zipWithIndex.map { case (s, i) =>
       aug(s.name).as(s"k$i") } :+ aug(ORD).as("o"): _*), aug(GPOS)).as(REP)
 
+  /** Per-CELL group-rep partial for the pivot fold (Reshape): like
+    * [[repAgg]] but prefixed with the in-group position `g`, so the
+    * overall group rep is `least()` of the cell partials — `g` is a
+    * row_number within the group, unique across the group's cells, and
+    * the struct comparison never reads past it. The k/o fields keep
+    * [[rankRep]]'s contract (it reads fields by name; `g` is inert). */
+  private[core] def cellRepAgg(aug: DataFrame): Column =
+    F.min(F.struct(aug(GPOS).as("g") +: frame.order.zipWithIndex.map {
+      case (s, i) => aug(s.name).as(s"k$i") } :+ aug(ORD).as("o"): _*))
+
   /** Dense long group ordinal ranked on the REDUCED output (#groups
     * rows): order the captured representatives by the frame's sort spec
     * (with its cast images and nulls-last contract) tie-broken by ingest
     * ordinal. The single-partition window here runs over aggregate
     * output — tiny by construction, the same shape as the per-chunk
     * frames in [[Prefix]] — never over the data. */
-  private def rankRep(res: DataFrame): DataFrame = {
+  private[core] def rankRep(res: DataFrame): DataFrame = {
     val ord = frame.order.zipWithIndex.map { case (s, i) =>
       val c0 = res(REP).getField(s"k$i")
       val c = s.cast.map(c0.cast).getOrElse(c0)
@@ -241,6 +250,11 @@ final case class TadaGrouped(frame: TadaFrame, keys: Seq[String], aligned: Boole
   /** Custom slice→scalar reduce (tada ReduceFn types.go:201-204): typed
     * Aggregator path for real pipelines; column-expression path here. */
   def reduceExpr(outName: String, e: Column): TadaFrame = reduceWith(Seq(outName -> e))
+}
+
+object TadaGrouped {
+  private[core] val GPOS = "__gpos"
+  private[core] val REP = "__grep"
 }
 
 /** Rolling windows (groupers.go:295-345) — per-row groups over following
