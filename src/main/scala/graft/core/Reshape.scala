@@ -17,26 +17,28 @@ object Reshape {
     * Spark's native groupBy().pivot().agg() — one shuffle, pivot values
     * resolved either from `knownValues` (no extra pass — always supply
     * at scale) or a distinct scan. */
-  private val PC = "__pvc" // per-cell pivot value alias
-  private val PR = "__pvr" // per-cell group-rep partial alias
-
   /** Shared pivot core with the reference's deterministic result order:
     * each group sits at its first appearance in FRAME order (the r14
     * differential-fuzz seed-511 contract — a re-ingested pivot took
     * Spark's partition order and a later stable sort's ties diverged).
     *
-    * r15 (r14 verdict item 6): ONE aggregation. The same
-    * `groupBy().pivot().agg()` pass produces both the pivot cells and a
-    * per-cell group-rep partial (`min(__ord)`, or the sorted-frame rep
-    * struct led by the in-group position); the group's overall ordinal
-    * is `least()` across its cell partials — exact because every group
-    * row lands in some cell, and `least` skips the null partials of
-    * empty cells. This removes the r14 shape's second aggregation over
-    * the input and the join back (q36/q37 were 1.6× for it), and with
-    * it ADVICE r14's broadcast-hint and null-key concerns — there is no
-    * join left. `knownValues`, when supplied, must be the complete
-    * value set (it already determines the output columns; an incomplete
-    * list would both drop columns and skew ordinals).
+    * r16 (ADVICE r15): the group ordinal is an UNFILTERED window rep.
+    * Every pivot aggregate is cell-filtered, so the r15 least()-of-
+    * per-cell-partials shape lost any row whose pivot value was null or
+    * outside `knownValues` (`Seq[String]` can never express null) —
+    * group order silently diverged from the reference's first-
+    * appearance-over-ALL-rows contract (internal.go:1399-1424), and an
+    * all-excluded group got a null ordinal. Instead the rep is computed
+    * per ROW as `min(...) over partitionBy(labels)` — constant within a
+    * group, covering every row — and carried as an extra GROUPING
+    * column: groups are unchanged (the rep is functionally dependent on
+    * the labels) and the window's hash exchange on the labels already
+    * satisfies the groupBy's clustering, so there is still exactly one
+    * shuffle and no join. This also deletes the `_{alias}` sentinel
+    * matching and the least()/NullType paths (ADVICE r15 medium + low):
+    * with a single un-aliased aggregate Spark names pivot columns by
+    * the pivot value alone, and grouping columns lead the output, so
+    * the cell columns are derived positionally, never by name.
     *
     * `cellAgg(aug, cellOrd)` builds the per-cell aggregate; `cellOrd`
     * ranks the cell's rows in frame order (in-group position for sorted
@@ -50,32 +52,34 @@ object Reshape {
         "(ADVICE r14: an empty label set previously threw from reduce())")
     val sorted = f.order.nonEmpty
     val g = TadaGrouped(f, labels, aligned = false)
-    val aug =
+    val w = org.apache.spark.sql.expressions.Window
+    val aug0 =
       if (sorted) f.df.withColumn(GPOS, F.row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(labels.map(f.df(_)): _*).orderBy(f.orderCols: _*)))
+        w.partitionBy(labels.map(f.df(_)): _*).orderBy(f.orderCols: _*)))
       else f.df
+    val repCol =
+      if (sorted) g.repWindowCol(aug0)
+      else F.min(aug0(ORD)).over(w.partitionBy(labels.map(aug0(_)): _*))
+    val aug = aug0.withColumn(REP, repCol)
     val cellOrd = if (sorted) aug(GPOS) else aug(ORD)
-    val repA = if (sorted) g.cellRepAgg(aug) else F.min(aug(ORD))
-    val grouped = aug.groupBy(labels.map(aug(_)): _*)
+    val grouped = aug.groupBy((labels :+ REP).map(aug(_)): _*)
     val pv0 =
       if (knownValues.nonEmpty) grouped.pivot(column, knownValues)
       else grouped.pivot(column)
-    val pv = pv0.agg(cellAgg(aug, cellOrd).as(PC), repA.as(PR))
-    val repCols = pv.columns.filter(c => !labels.contains(c) && c.endsWith("_" + PR))
-    val cellCols = pv.columns.filter(c => !labels.contains(c) && c.endsWith("_" + PC))
-    val repExpr =
-      if (repCols.isEmpty) F.lit(null) // empty pivot domain ⇒ zero groups
-      else if (repCols.size == 1) pv(repCols.head)
-      else F.least(repCols.map(pv(_)): _*)
+    val pv = pv0.agg(cellAgg(aug, cellOrd))
+    // grouping columns (labels, REP) lead the pivot output; the cells
+    // follow in pivot-value order — positional, no name convention.
+    val cellNames = pv.columns.drop(labels.size + 1).toSeq
+    assert(knownValues.isEmpty || cellNames == knownValues,
+      s"pivot cell naming drifted: got $cellNames for values $knownValues")
     val withOrd =
-      if (sorted) g.rankRep(pv.withColumn(REP, repExpr).drop(repCols: _*))
-      else pv.withColumn(ORD, repExpr.cast(org.apache.spark.sql.types.LongType))
-        .drop(repCols: _*)
-    val renamed = cellCols.foldLeft(withOrd) { (d, c) =>
-      d.withColumnRenamed(c, prefix + c.stripSuffix("_" + PC))
-    }
-    TadaFrame(renamed, labels = labels, name = f.name, order = Nil, bands = f.bands)
+      if (sorted) g.rankRep(pv) // reads/ranks REP, drops it, appends ORD
+      else pv.withColumn(ORD, pv(REP)).drop(REP)
+    // columns now: labels, cells…, ORD — rename cells positionally (a
+    // pivot value may collide with a label name; toDF is duplicate-safe)
+    val outNames = labels ++ cellNames.map(prefix + _) :+ ORD
+    TadaFrame(withOrd.toDF(outNames: _*), labels = labels, name = f.name,
+      order = Nil, bands = f.bands)
   }
 
   def pivotTable(f: TadaFrame, labels: Seq[String], column: String,

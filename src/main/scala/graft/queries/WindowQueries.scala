@@ -449,7 +449,9 @@ object WindowQueries extends QueryPack {
     // TadaGrouped.repAgg/rankRep on the reduced output. head(500) makes
     // the rank order load-bearing — the SELECTED SET of customers is
     // wrong if the ordinal machinery is. Oracle mirrors the appearance
-    // rank as min(days-since-epoch · 1e10 + unique orderkey).
+    // rank as min((date, orderkey)) — a tuple min, exact at ANY key
+    // scale (ADVICE r15: the earlier date·1e10+key encoding silently
+    // corrupted once o_orderkey exceeded 10^10).
     Query(
       "q104_sorted_group_order",
       (s, dir) => {
@@ -464,8 +466,7 @@ object WindowQueries extends QueryPack {
       Some(s"""
         SELECT o_custkey, spend FROM (
           SELECT o_custkey, ${sqlDsum("o_totalprice")} AS spend,
-                 min(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
-                     * 10000000000 + o_orderkey) AS first_app
+                 min(ROW(CAST(o_orderdate AS DATE), o_orderkey)) AS first_app
           FROM orders GROUP BY o_custkey
           ORDER BY first_app LIMIT 500)
         ORDER BY o_custkey

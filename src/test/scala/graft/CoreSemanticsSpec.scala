@@ -154,4 +154,34 @@ class CoreSemanticsSpec extends AnyFunSuite {
     assert(f.sort(Sorter("k")).groupBy("k").count("v").records().tail.map(_.head) ==
       Seq("a", "z"))
   }
+
+  test("pivot knownValues: group order counts rows pivot cells exclude (ADVICE r15 high)") {
+    // row 0 (group x) and row 3 (group z) have NULL pivot values —
+    // Seq[String] knownValues can never include them, so per-cell
+    // partials never see these rows; the group rep must still. Group z
+    // has NO row in any known cell at all (its only row is null-k).
+    // First appearance over ALL rows: x (row 0), y (row 1), z (row 3).
+    val df = Seq[(Int, String, String, java.lang.Double)](
+      (1, "x", null, 1.0), (2, "y", "a", 2.0),
+      (3, "x", "a", 3.0), (4, "z", null, 4.0)).toDF("s", "g", "k", "v")
+    val f = frame(df)
+    val un = Reshape.pivotTable(f, Seq("g"), "k", F.sum(F.col("v")),
+      knownValues = Seq("a", "b"), prefix = "pv_")
+    assert(un.records().tail.map(_.head) == Seq("x", "y", "z"))
+    assert(un.records().head == Seq("g", "pv_a", "pv_b"))
+    // the all-excluded group z has null cells but a REAL ordinal slot
+    assert(un.records().tail.last == Seq("z", "(null)", "(null)"))
+    // SORTED frame: same contract through repWindowCol/rankRep
+    val so = Reshape.pivotTable(f.sort(Sorter("s", descending = true)),
+      Seq("g"), "k", F.sum(F.col("v")), knownValues = Seq("a", "b"), prefix = "pv_")
+    assert(so.records().tail.map(_.head) == Seq("z", "x", "y"))
+  }
+
+  test("empty pivot domain on a sorted frame returns an empty frame (ADVICE r15 medium)") {
+    val empty = frame(Seq.empty[(Int, String, String, Double)]
+      .toDF("s", "g", "k", "v")).sort(Sorter("s"))
+    val out = Reshape.pivotTable(empty, Seq("g"), "k", F.sum(F.col("v")))
+    assert(out.records().tail.isEmpty)
+    assert(out.records().head == Seq("g"))
+  }
 }
