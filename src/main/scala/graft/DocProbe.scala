@@ -65,10 +65,14 @@ object DocProbe {
       try {
         val t0 = System.nanoTime()
         val df = mk
-        df.agg(F.sum(F.xxhash64(df.columns.map(F.col).toSeq: _*)
-          .cast("decimal(38,0)"))).collect()
+        // checksum PRINTED (r16): the exactness-in-waves criterion is
+        // that a forced-budget run reproduces the default-budget answer
+        // bit-for-bit — rows + order-free hash make runs comparable
+        val r = df.agg(F.count(F.lit(1)),
+          F.sum(F.xxhash64(df.columns.map(F.col).toSeq: _*)
+            .cast("decimal(38,0)"))).collect()(0)
         val dt = (System.nanoTime() - t0) / 1e9
-        println(f"[docprobe] $tag%-28s $dt%9.2f s   ${dfFree()}")
+        println(f"[docprobe] $tag%-28s $dt%9.2f s   rows=${r.get(0)} sum=${r.get(1)}   ${dfFree()}")
       } catch {
         // a disk-fill or OOM on one leg is itself the probe datum
         case e: Throwable =>

@@ -294,6 +294,47 @@ object Prefix {
         finish(f, joined, out)
     }
 
+  /** Upper gate on the chunked rollingN's window length (ADVICE r15):
+    * the head/carry structures hold O(#chunks × n) structs, the carry
+    * assembly materializes up to n² elements per chunk row before the
+    * slice, and both carries and the rebuilt tails are force-broadcast —
+    * all fine at query-sized n, hostile at n ≈ 10⁵. Past the gate the
+    * sequential window form is the honest plan (a 100k-row rolling
+    * window is inherently order-serial work per row anyway). */
+  private def maxRollingN(f: TadaFrame): Int =
+    try f.df.sparkSession.conf.get("graft.prefix.maxRollingN").toInt
+    catch { case _: Throwable => 1024 }
+
+  /** The chunked rollingN rebuilds each chunk's ≤ n−1 tail windows by
+    * re-aggregating exploded, UNORDERED rows — exact only for
+    * commutative aggregates (ADVICE r15: the scaladoc claimed "generic
+    * over any single-column agg", but `first`/`collect_list` would be
+    * nondeterministic on exactly those rebuilt rows). Gate on the
+    * aggregate FUNCTION class: the commutative families route chunked,
+    * anything else (or anything unrecognizable) falls back to the
+    * sequential window form, which evaluates every window in frame
+    * order. */
+  private def commutativeAgg(f: TadaFrame, c: String,
+                             agg: Column => Column): Boolean =
+    try {
+      import org.apache.spark.sql.catalyst.expressions.aggregate._
+      // Column no longer exposes its Catalyst expression (Spark 4 node
+      // API) — read the aggregate FUNCTION off the analyzed plan of a
+      // zero-row probe aggregate instead. Driver-side analysis only,
+      // no job; one per rollingN construction.
+      val fns = f.df.limit(0).groupBy().agg(agg(F.col(c)))
+        .queryExecution.analyzed.collect {
+          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+            a.aggregateExpressions.flatMap(_.collect {
+              case ae: AggregateExpression => ae.aggregateFunction })
+        }.flatten
+      fns.nonEmpty && fns.forall {
+        case _: Sum | _: Min | _: Max | _: Count | _: Average |
+             _: CentralMomentAgg | _: BitAggregate | _: Product => true
+        case _ => false
+      }
+    } catch { case _: Throwable => false }
+
   /** Whole-frame RollingN(n): aggregate over the current + following
     * n−1 rows in frame order, incomplete tail ⇒ null
     * (groupers.go:295-314). Chunked plan: rows deeper than n−1 from
@@ -303,16 +344,19 @@ object Prefix {
     * frame-order rows of the following chunks, assembled boundedly on
     * the tiny per-chunk frame exactly like shift's tail carry — and
     * re-aggregate through explode → groupBy with the SAME aggregate
-    * (generic over any single-column agg; struct-wrapped values keep
-    * nulls), broadcast-joined back by ordinal. Affected rows per chunk
-    * ≤ n−1, so the rebuilt side stays tiny at any scale. Float caveat:
-    * the rebuilt tail rows re-order float addition (same class as
-    * chunked cumsum; integral types exact). */
+    * (COMMUTATIVE aggregates only — [[commutativeAgg]] gates; struct-
+    * wrapped values keep nulls), broadcast-joined back by ordinal.
+    * Affected rows per chunk ≤ n−1, so the rebuilt side stays tiny at
+    * any scale — for n within [[maxRollingN]]; larger n falls back to
+    * the window form. Float caveat: the rebuilt tail rows re-order
+    * float addition (same class as chunked cumsum; integral types
+    * exact). */
   def rollingN(f: TadaFrame, n: Int, c: String, agg: Column => Column,
                out: String, fin: Column => Column)(
       window: => TadaFrame): TadaFrame =
     if (f.order.exists(_.name == out))
       if (canChunk(f)) rollingN(f.anchored, n, c, agg, out, fin)(window) else window
+    else if (n > maxRollingN(f) || !commutativeAgg(f, c, agg)) window
     else chunked(f, fwd = true) match {
       case None => window
       case Some(ch) =>

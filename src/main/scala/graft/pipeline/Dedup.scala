@@ -1050,29 +1050,44 @@ object Dedup {
 
   /** The largest df cap whose EXACT cumulative pair mass
     * Σ_{df≤cap} df·(df−1) fits `budget`, together with the mass at the
-    * caller's `maxDf`. This is the deterministic degradation shared by
-    * [[containmentPairs]] and the q92 registration's nightly-rebuild
-    * shape: when a corpus's whole vocabulary drifts toward the cap (the
-    * failure the per-gram cap cannot see — no single gram over `maxDf`,
-    * but Σ df² explosive), evidence narrows to the lowest-df, i.e.
-    * most-discriminative, grams until the pair join is affordable;
-    * `cap = 1` means honest "no discriminative evidence", never an n²
-    * explosion. Runs one memoized vocabulary-scan job (plus one
+    * caller's `maxDf`. This serves the INCREMENTAL nightly-rebuild shape
+    * (q92's registration): the stored index's capped sizes and the fold
+    * must share ONE coherent cap, so a stored artifact cannot be
+    * re-sliced per query the way [[containmentPairsFromFeatures]]'s
+    * waves re-slice a one-shot build. When a corpus's whole vocabulary
+    * drifts toward the cap (the failure the per-gram cap cannot see —
+    * no single gram over `maxDf`, but Σ df² explosive), evidence narrows
+    * to the lowest-df, i.e. most-discriminative, grams until the pair
+    * join is affordable; `cap = 1` means honest "no discriminative
+    * evidence", never an n² explosion. Runs one memoized
+    * vocabulary-scan job (plus one
     * histogram job — at most `maxDf` distinct df values — only when
     * over budget); on estimate failure it fails OPEN to `maxDf`,
     * preserving the previous never-load-bearing contract. */
+  /** Exact capped pair mass Σ_{2≤df≤maxDf} df·(df−1) over a gram
+    * frequency frame — the row count of the inverted-index pair join at
+    * cap `maxDf`. One memoized scan per (plan, file-state) per session;
+    * −1 on estimate failure (every caller fails OPEN to its single-pass
+    * plan — the estimate is never load-bearing for correctness). */
+  private[graft] def cappedPairMass(gramDf: DataFrame, dfCol: String,
+                                    maxDf: Int): Double = {
+    val capped = gramDf
+      .select(F.col(dfCol).cast("long").as("__dfv"))
+      .filter(F.col("__dfv").between(2L, maxDf.toLong))
+    try Similarity.memoizedScalar(capped) { g =>
+      Option(g.agg(F.sum(F.col("__dfv") * (F.col("__dfv") - F.lit(1L)))).head.get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+    }.toDouble
+    catch { case _: Throwable => -1.0 }
+  }
+
   def adaptiveContainmentCap(gramDf: DataFrame, dfCol: String, maxDf: Int,
                              budget0: Long = -1L): (Int, Double) = {
     val budget = if (budget0 > 0) budget0 else pairBudget(gramDf.sparkSession)
     val capped = gramDf
       .select(F.col(dfCol).cast("long").as("__dfv"))
       .filter(F.col("__dfv").between(2L, maxDf.toLong))
-    val est =
-      try Similarity.memoizedScalar(capped) { g =>
-        Option(g.agg(F.sum(F.col("__dfv") * (F.col("__dfv") - F.lit(1L)))).head.get(0))
-          .map(_.asInstanceOf[Long]).getOrElse(0L)
-      }.toDouble
-      catch { case _: Throwable => -1.0 }
+    val est = cappedPairMass(gramDf, dfCol, maxDf)
     if (est < 0 || est <= budget.toDouble) (maxDf, est)
     else {
       val cap =
@@ -1114,13 +1129,13 @@ object Dedup {
     *
     * NOT fully lazy: sizing that exchange runs ONE Spark job at plan
     * CONSTRUCTION time (the Σ df·(df−1) aggregate over the gram
-    * frequencies — a corpus scan on first build), plus one
-    * vocabulary-histogram job when the pair budget forces cap
-    * adaptation. Both are memoized per (plan, file-state) per session,
-    * so rebuilds (bench min-of-N, Explain, registry sweeps) are
-    * job-free — PipelineSpec pins that — and on failure the width falls
-    * back to machine parallelism, so the action is never load-bearing
-    * for correctness.
+    * frequencies — a corpus scan on first build), memoized per (plan,
+    * file-state) per session, so rebuilds (bench min-of-N, Explain,
+    * registry sweeps) are job-free — PipelineSpec pins that — and on
+    * failure the width falls back to machine parallelism, so the action
+    * is never load-bearing for correctness. In the over-budget WAVES
+    * regime below the whole operator additionally executes eagerly,
+    * one job per wave.
     *
     * Pair BUDGET (r11, found by the 100× probe): the per-gram cap alone
     * does not bound the operator — a corpus whose entire vocabulary
@@ -1129,12 +1144,14 @@ object Dedup {
     * rows at df ≈ 900 and filled the disk). Before building the pair
     * join, the EXACT capped mass Σ_{df≤maxDf} df·(df−1) is checked
     * against `graft.containment.maxPairs` (default 5×10^8); when over,
-    * [[adaptiveContainmentCap]] lowers the effective cap to the largest
-    * df whose cumulative pair mass fits — keeping exactly the
-    * most-discriminative (lowest-df) grams, the IDF end of the
-    * evidence. The degradation is deterministic (exact counts), logged
-    * loudly, and never triggers in the discriminative regime the
-    * oracles pin (sf0.01/sf0.1 mass ≪ budget). */
+    * the answer is computed EXACTLY in ⌈mass/budget⌉ sequential waves
+    * over id-hash slices of the pair space (r16 — replacing the r11
+    * adaptive df-cap, whose degradation could narrow the evidence to an
+    * exact-looking EMPTY pair set precisely in the regime a 100 TB
+    * corpus lives in). Each wave's pair exchange fits the budget; the
+    * result is the same pair set at any budget. The fixed per-gram
+    * `maxDf` stop-gram cap is still semantic (boilerplate grams carry
+    * no containment evidence) and still bounds the worst single gram. */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        k: Int = 3, tau: Double = 0.8, maxDf: Int = 1000,
                        persistGrams: Boolean = false): DataFrame = {
@@ -1187,29 +1204,50 @@ object Dedup {
     // (plan, file-state) per session, so repeated builds (bench
     // min-of-2, Explain) never re-pay the corpus scan
     val budget = pairBudget(spark)
-    val (effMaxDf, estPairs) = adaptiveContainmentCap(gdf, "__df", maxDf, budget)
-    if (effMaxDf < maxDf)
-      println(s"[graft] $tag: near-cap vocabulary — est pair mass " +
-        f"$estPairs%.3g over budget $budget; df cap $maxDf -> $effMaxDf")
-    // width from the mass the pair join will actually carry: the capped
-    // estimate, bounded by the budget once the cap adapted
-    val estForWidth = if (effMaxDf < maxDf) budget.toDouble else estPairs
+    val estPairs = cappedPairMass(gdf, "__df", maxDf)
+    // EXACTNESS IN WAVES (r15 verdict item 1): when the pair mass at the
+    // caller's cap exceeds the budget — the EXPECTED regime at corpus
+    // scale, not a stress case — the answer is still computed exactly,
+    // in ⌈mass/budget⌉ sequential waves, instead of narrowing the df cap
+    // until the evidence (and the answer) silently vanished. The pair
+    // space is sliced by a hash of the LEFT id: pair (a, b), a < b,
+    // belongs to exactly the wave of hash(a), and side B stays whole, so
+    // each wave's intersection counts are COMPLETE for its pairs — the
+    // τ filter applies inside the wave and no cross-wave re-aggregation
+    // ever re-exchanges the full mass (gram-domain slicing would). Each
+    // wave's pair exchange carries ≈ mass/waves ≤ budget rows (per-gram
+    // postings split ~uniformly across id hashes); waves run
+    // sequentially (eager localCheckpoint per wave keeps only the
+    // answer-sized survivors), so the live shuffle footprint is ~one
+    // wave. Cost: waves× feature-frame scans (cached below) — total
+    // work linear in the mass, which is the size of the exact answer's
+    // evidence. Estimate failure (est < 0) fails OPEN to single-pass.
+    val waves =
+      if (estPairs < 0 || estPairs <= budget.toDouble) 1
+      else math.min(math.ceil(estPairs / budget.toDouble).toLong, 1024L).toInt
+    if (waves > 1)
+      println(s"[graft] $tag: pair mass " + f"$estPairs%.3g" +
+        s" over budget $budget — exact answer in $waves waves")
+    // width from the mass ONE pair join actually carries
+    val estForWidth = if (waves > 1) budget.toDouble else estPairs
     val w = Explosion.width(estForWidth, machine)
     if (w != machine) Explosion.logWidth(tag, estForWidth, w)
     // the filtered gram frame feeds three consumers (sizes + both join
-    // sides) = three corpus scans by default. Same knob/tradeoff as
-    // `chunkDedupProfile.persistChunks`: persist caches the (id, g)
-    // scalar explosion — O(tokens) 16-byte rows — to trade memory for
-    // the repeated scan; leave false when columnar re-scan is cheaper
-    // than the cache footprint (the usual case).
+    // sides) = three corpus scans by default — and one more PER WAVE.
+    // Same knob/tradeoff as `chunkDedupProfile.persistChunks`: persist
+    // caches the (id, g) scalar explosion — O(tokens) 16-byte rows — to
+    // trade memory for the repeated scan; leave false when columnar
+    // re-scan is cheaper than the cache footprint (the usual case).
+    // Waves force it: the re-scan is per wave there, and the cache is
+    // O(corpus) while the mass that triggered waves is ≫ O(corpus).
     // vocabulary side broadcast when small (memoized count; the
-    // adaptive-cap estimate above already materialized gdf's cache, so
+    // pair-mass estimate above already materialized gdf's cache, so
     // the count job is a cache read): without the hint this join
     // exchanges the FULL gram explosion — the r11 100× probe's
     // dominant cost
     val grams1 = grams0.join(maybeBroadcastVocab(gdf, gdf), "g")
-      .filter(F.col("__df") <= effMaxDf).select("id", "g")
-    val grams = if (persistFeatures)
+      .filter(F.col("__df") <= maxDf).select("id", "g")
+    val grams = if (persistFeatures || waves > 1)
       graft.core.CacheRegistry.track(s"$tag.features", grams1) else grams1
     // broadcast decision from the distinct feature-carrier count — the
     // one-row-per-id frame the sizes aggregation produces (memoized;
@@ -1217,25 +1255,43 @@ object Dedup {
     val sizes = maybeBroadcastSizes(
       grams.groupBy("id").agg(F.count(F.lit(1)).as("__n")),
       grams0.select(F.col("id")).distinct())
-    val pairs0 = grams.select(F.col("g"), F.col("id").as("id_a"))
-      .join(grams.select(F.col("g"), F.col("id").as("id_b")), "g")
-      .filter(F.col("id_a") < F.col("id_b"))
-    // hash-repartition on the group key satisfies the aggregation's
-    // required distribution — sizing adds no extra exchange
-    val paired =
-      if (w == machine) pairs0 else pairs0.repartition(w, F.col("id_a"), F.col("id_b"))
-    val inter = paired.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).as("inter"))
-    inter
-      .join(sizes.select(F.col("id").as("id_a"), F.col("__n").as("__na")), "id_a")
-      .join(sizes.select(F.col("id").as("id_b"), F.col("__n").as("__nb")), "id_b")
-      .select(
-        F.when(F.col("__na") <= F.col("__nb"), F.col("id_a")).otherwise(F.col("id_b")).as("id_small"),
-        F.when(F.col("__na") <= F.col("__nb"), F.col("id_b")).otherwise(F.col("id_a")).as("id_big"),
-        F.least(F.col("__na"), F.col("__nb")).as("n_small"),
-        F.col("inter"),
-        F.round(F.col("inter").cast("double") / F.least(F.col("__na"), F.col("__nb")), 6)
-          .as("containment"))
-      .filter(F.col("containment") >= tau)
+    // one wave: the τ-filtered containment pairs whose LEFT (smaller-id)
+    // side lies in `left` — side B is always the whole feature frame
+    def wavePairs(left: DataFrame): DataFrame = {
+      val pairs0 = left.select(F.col("g"), F.col("id").as("id_a"))
+        .join(grams.select(F.col("g"), F.col("id").as("id_b")), "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+      // hash-repartition on the group key satisfies the aggregation's
+      // required distribution — sizing adds no extra exchange
+      val paired =
+        if (w == machine) pairs0 else pairs0.repartition(w, F.col("id_a"), F.col("id_b"))
+      val inter = paired.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).as("inter"))
+      inter
+        .join(sizes.select(F.col("id").as("id_a"), F.col("__n").as("__na")), "id_a")
+        .join(sizes.select(F.col("id").as("id_b"), F.col("__n").as("__nb")), "id_b")
+        .select(
+          F.when(F.col("__na") <= F.col("__nb"), F.col("id_a")).otherwise(F.col("id_b")).as("id_small"),
+          F.when(F.col("__na") <= F.col("__nb"), F.col("id_b")).otherwise(F.col("id_a")).as("id_big"),
+          F.least(F.col("__na"), F.col("__nb")).as("n_small"),
+          F.col("inter"),
+          F.round(F.col("inter").cast("double") / F.least(F.col("__na"), F.col("__nb")), 6)
+            .as("containment"))
+        .filter(F.col("containment") >= tau)
+    }
+    if (waves == 1) wavePairs(grams)
+    else (0 until waves).map { s =>
+      val slice = wavePairs(grams.filter(
+          F.pmod(F.xxhash64(F.col("id")), F.lit(waves.toLong)) === s.toLong))
+        // eager: run wave s NOW and keep only its survivors; the wave's
+        // pre-checkpoint lineage (and with it the budget-sized shuffle)
+        // becomes collectable before wave s+1 starts
+        .localCheckpoint(true)
+      // nudge the ContextCleaner so the finished wave's shuffle files
+      // are unregistered while the next wave runs — this is what bounds
+      // PEAK disk to ~one wave instead of the full mass
+      System.gc()
+      slice
+    }.reduce(_ unionByName _)
   }
 
   /** The stored membership artifact for incremental containment: one

@@ -102,30 +102,34 @@ class PipelineSpec extends AnyFunSuite {
       "dataset cache must be empty after CacheRegistry.releaseAll()")
   }
 
-  test("containment pair budget lowers the effective df cap deterministically") {
-    // the r11 100x-probe finding: a whole vocabulary just UNDER maxDf
-    // has explosive sum(df^2) with no single gram over the cap. The
-    // budget walk must keep the largest contiguous low-df prefix whose
-    // exact pair mass fits.
+  test("containment over budget: exactness in waves — same pairs at ANY budget") {
+    // adaptiveContainmentCap still serves the INCREMENTAL nightly path
+    // (stored capped sizes must share one coherent cap with the fold)
     val gdf = (Seq.fill(10)(2L) ++ Seq.fill(4)(5L) ++ Seq(50L)).zipWithIndex
       .map { case (df, i) => (i.toLong, df) }.toDF("g", "df")
     // mass: df=2 x10 -> 20; df=5 x4 -> 80 (cum 100); df=50 -> 2450
     assert(Dedup.adaptiveContainmentCap(gdf, "df", 1000, 100L)._1 == 5)
-    // not even the df=2 stratum fits: cap 1 = honest "no evidence"
     assert(Dedup.adaptiveContainmentCap(gdf, "df", 1000, 10L)._1 == 1)
-    // under budget: caller's cap untouched
     assert(Dedup.adaptiveContainmentCap(gdf, "df", 1000, 10000L)._1 == 1000)
-    // end-to-end: a clique corpus over budget degrades to empty output
-    // instead of building the quadratic pair join
+    // end-to-end: a clique corpus whose pair mass is 50x the budget
+    // returns the EXACT pair set in sequential waves (r16 — the r11
+    // df-cap degradation here returned an exact-looking EMPTY set, the
+    // failure mode the ~always-over-budget 100 TB regime would live in)
     val clique = (0L until 6L).map(i => (i, "alpha beta gamma delta epsilon zeta eta"))
       .toDF("doc_id", "text")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("id_small"), r.getAs[Long]("id_big"),
+        r.getAs[Long]("n_small"), r.getAs[Long]("inter"),
+        r.getAs[Double]("containment"))
     spark.conf.set("graft.containment.maxPairs", "3")
-    try {
-      assert(Dedup.containmentPairs(clique, "doc_id", "text").count() == 0L)
+    val waved = try {
+      Dedup.containmentPairs(clique, "doc_id", "text").collect().map(key).sorted
     } finally spark.conf.unset("graft.containment.maxPairs")
-    // and with the default budget the same corpus pairs fully
-    val full = Dedup.containmentPairs(clique, "doc_id", "text").collect()
-    assert(full.length == 15 && full.forall(_.getAs[Double]("containment") == 1.0))
+    val full = Dedup.containmentPairs(clique, "doc_id", "text").collect().map(key).sorted
+    assert(full.length == 15 && full.forall(_._5 == 1.0))
+    assert(waved.toSeq == full.toSeq,
+      "over-budget waves must reproduce the single-pass pair set exactly")
+    graft.core.CacheRegistry.releaseAll()
   }
 
   test("simhashWordEdges: cliques collapse to representatives, output is duplication-invariant") {

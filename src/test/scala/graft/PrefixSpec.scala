@@ -140,6 +140,32 @@ class PrefixSpec extends AnyFunSuite {
     assert(a2 == b2)
   }
 
+  test("rollingN gates: order-sensitive aggs and oversized n take the window form") {
+    val rows = (0 until 12).map(i => RowIV(i, java.lang.Long.valueOf(i * 10L)))
+    val f = multi(rows, 4)
+    def hasChunk(df: DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.toString.contains(Prefix.CHUNK)
+    // order-sensitive aggregate (first): the chunked tail rebuild
+    // re-aggregates unordered exploded rows, so it must NOT engage
+    // (ADVICE r15 — the doc claimed generality the plan didn't have)
+    val fst = Rolling.rollingN(f, 3, "v", x => F.first(x), "r")
+    assert(!hasChunk(fst.df), "first() must route to the window form")
+    assert(fst.records() ==
+      Rolling.rollingNWindow(f, 3, "v", x => F.first(x), "r").records())
+    // commutative aggregate engages the chunked plan on the same frame
+    assert(hasChunk(Rolling.rollingN(f, 3, "v", x => F.sum(x), "r").df))
+    // n past graft.prefix.maxRollingN: broadcast carries would hold
+    // O(chunks x n) structs — window form is the honest plan
+    spark.conf.set("graft.prefix.maxRollingN", "4")
+    try {
+      val big = Rolling.rollingN(f, 5, "v", x => F.sum(x), "r")
+      assert(!hasChunk(big.df), "n over the gate must route to the window form")
+      assert(big.records() ==
+        Rolling.rollingNWindow(f, 5, "v", x => F.sum(x), "r").records())
+      assert(hasChunk(Rolling.rollingN(f, 4, "v", x => F.sum(x), "r").df))
+    } finally spark.conf.unset("graft.prefix.maxRollingN")
+  }
+
   test("chunked rollingN on a sorted frame; n >= frame size goes all-null") {
     val rows = Seq[(Int, java.lang.Long)](
       (7, 1L), (3, 2L), (9, 3L), (1, 4L), (5, 5L), (2, 6L))
