@@ -23,19 +23,63 @@ import scala.collection.mutable.ArrayBuffer
   */
 object CacheRegistry {
 
-  private val tracked = ArrayBuffer.empty[(String, DataFrame)]
+  /** (tag, plan key, file-state key, frame). The plan key is the
+    * canonicalized ANALYZED plan compared STRUCTURALLY (`==`) — a
+    * rendered string would collide: `LocalRelation.toString` prints only
+    * the schema, not the leaf data. The file-state key pins
+    * size+mtime of any parquet inputs, so a same-plan track over
+    * re-written files is a new cache, not a stale hit. */
+  private val tracked = ArrayBuffer.empty[(String, AnyRef, String, DataFrame)]
 
   /** Persist `df` (default storage level) and remember it under `tag`.
     * Tags must be plain dotted identifiers: `Bench.tagBytesJson` embeds
     * them UNESCAPED in BENCH_DETAIL's JSON, so a quote or backslash in a
     * tag would corrupt the log — enforced here (r12 verdict task 6)
-    * rather than assumed. */
+    * rather than assumed.
+    *
+    * RE-TRACK GUARD (r15 verdict item 6): tracking the same tag with a
+    * plan-equal frame returns the EXISTING tracked frame instead of
+    * persisting a second copy — two standalone operator calls over one
+    * input (the stats-then-run cosine shape) otherwise doubled executor
+    * cache memory and double-counted bench bytes under one tag. Equality
+    * is the canonicalized ANALYZED plan (the r13 memo-key discipline);
+    * same tag with a genuinely different plan (a second corpus in one
+    * session) still gets its own entry. */
   def track(tag: String, df: DataFrame): DataFrame = synchronized {
     require(tag.matches("[A-Za-z0-9._-]+"),
       s"CacheRegistry tag must match [A-Za-z0-9._-]+ (JSON-safe, unescaped): '$tag'")
-    val p = df.persist()
-    tracked += tag -> p
-    p
+    val planKey: AnyRef =
+      try df.queryExecution.analyzed.canonicalized
+      catch { case _: Throwable => null }
+    val fileKey =
+      try {
+        df.queryExecution.analyzed.collect {
+          case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            r.relation
+        }.flatMap {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.inputFiles.toSeq.sorted.map { p =>
+              val st = try {
+                val path = new org.apache.hadoop.fs.Path(p)
+                val fs = path.getFileSystem(
+                  df.sparkSession.sessionState.newHadoopConf())
+                val s = fs.getFileStatus(path)
+                s"${s.getLen}:${s.getModificationTime}"
+              } catch { case _: Throwable => "?" }
+              s"$p@$st"
+            }
+          case _ => Nil
+        }.mkString("|")
+      } catch { case _: Throwable => "?" }
+    val hit = if (planKey == null) None
+      else tracked.collectFirst {
+        case (t, pk, fk, p) if t == tag && pk == planKey && fk == fileKey => p
+      }
+    hit.getOrElse {
+      val p = df.persist()
+      tracked += ((tag, planKey, fileKey, p))
+      p
+    }
   }
 
   /** Tags currently held — the audit surface for specs and bench logs. */
@@ -52,7 +96,7 @@ object CacheRegistry {
     * reports 0. Read-only: nothing is built or computed. */
   def trackedBytes(spark: org.apache.spark.sql.SparkSession): Seq[(String, Long)] = synchronized {
     val infos = spark.sparkContext.getRDDStorageInfo
-    tracked.toSeq.map { case (tag, df) =>
+    tracked.toSeq.map { case (tag, _, _, df) =>
       val bytes =
         try {
           val ids = df.queryExecution.withCachedData.collect {
@@ -70,7 +114,7 @@ object CacheRegistry {
     * Idempotent; frames already dropped by `clearCache()` unpersist as
     * a no-op. */
   def releaseAll(): Unit = synchronized {
-    tracked.foreach { case (_, df) =>
+    tracked.foreach { case (_, _, _, df) =>
       try df.unpersist(false) catch { case _: Throwable => () }
     }
     tracked.clear()

@@ -765,7 +765,12 @@ object Similarity {
     if (threshold >= cosinePairsAutoTau(corpus.sparkSession))
       cosinePairsViaCells(corpus, threshold, nlist, 8, iters, idCol, vecCol, rowCount)
     else
-      cosinePairsComplete(corpus, threshold, nlist, iters, idCol, vecCol, rowCount)
+      // through the SHARED front half (r15 verdict item 6): an ad-hoc
+      // caller who also prices the run (the stats twin) reuses this
+      // build's assignment cache instead of constructing a second one;
+      // the unused stats frame is lazy — costs nothing here
+      cosinePairsCompleteWithStats(
+        corpus, threshold, nlist, iters, idCol, vecCol, rowCount)._2
 
   /** Byte budget for [[cosinePairsComplete]]'s tracked (id, cell, sim)
     * assignment cache: default 8 GiB — comfortably held by one big

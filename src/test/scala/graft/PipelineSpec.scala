@@ -102,6 +102,24 @@ class PipelineSpec extends AnyFunSuite {
       "dataset cache must be empty after CacheRegistry.releaseAll()")
   }
 
+  test("CacheRegistry re-track guard: plan-equal same-tag tracks dedupe (r15 item 6)") {
+    import graft.core.CacheRegistry
+    import spark.implicits._
+    CacheRegistry.releaseAll(); spark.catalog.clearCache()
+    try {
+      def mk() = Seq((1L, "a"), (2L, "b")).toDF("id", "s").filter(F.col("id") > 0)
+      val p1 = CacheRegistry.track("guard.test", mk())
+      val p2 = CacheRegistry.track("guard.test", mk()) // separately built, plan-equal
+      assert(p2 eq p1, "plan-equal re-track must return the existing frame")
+      assert(CacheRegistry.trackedTags.count(_ == "guard.test") == 1)
+      // a genuinely different plan under the same tag is a NEW cache
+      val p3 = CacheRegistry.track("guard.test",
+        Seq((9L, "z")).toDF("id", "s").filter(F.col("id") > 0))
+      assert(!(p3 eq p1))
+      assert(CacheRegistry.trackedTags.count(_ == "guard.test") == 2)
+    } finally { CacheRegistry.releaseAll(); spark.catalog.clearCache() }
+  }
+
   test("containment over budget: exactness in waves — same pairs at ANY budget") {
     // adaptiveContainmentCap still serves the INCREMENTAL nightly path
     // (stored capped sizes must share one coherent cap with the fold)
@@ -752,9 +770,11 @@ class PipelineSpec extends AnyFunSuite {
         .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(prs.select("id_a", "id_b").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet == sepPairs)
-      // the separate calls are the shape the combined API replaces: they
-      // persist one copy EACH under the shared tag
-      assert(CacheRegistry.trackedTags.count(_ == "cosinePairsComplete.assigned") == 3,
+      // r16 re-track guard: the standalone stats-then-run calls used to
+      // persist one copy EACH under the shared tag (doubled executor
+      // cache + double-counted bench bytes); plan-equal re-tracks now
+      // return the existing frame, so the tag still holds ONE entry
+      assert(CacheRegistry.trackedTags.count(_ == "cosinePairsComplete.assigned") == 1,
         CacheRegistry.trackedTags.toString)
     } finally { CacheRegistry.releaseAll(); spark.catalog.clearCache() }
   }

@@ -140,6 +140,26 @@ class PrefixSpec extends AnyFunSuite {
     assert(a2 == b2)
   }
 
+  test("sorted-frame chunk bounds are memoized; anchored plan carries no bounds join") {
+    val rows = Seq[(Int, java.lang.Long)](
+      (7, 1L), (3, 2L), (9, 3L), (1, 4L), (5, 5L), (2, 6L))
+    val f = multi(rows.map { case (k, v) => RowIV(k, v) }, 3).sort(Sorter("i"))
+    // first anchor pays the one bounds job; the bounds ride the plan as
+    // LITERALS — no crossJoin/broadcast-agg subtree left (r15 item 5)
+    val a1 = f.dropCols("i")
+    val plan = a1.df.queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("join"),
+      s"anchored plan must not carry a bounds join:\n$plan")
+    assert(a1.records().tail.map(_.head) ==
+      Seq("4", "6", "2", "5", "1", "3"), "order preserved after key drop")
+    // a second anchor of the same frame is a memo HIT: no second scan
+    val h0 = Prefix.BoundsCache.hits
+    val a2 = f.dropCols("i")
+    assert(Prefix.BoundsCache.hits > h0,
+      "re-anchoring the same frame must hit the bounds memo")
+    assert(a2.records() == a1.records())
+  }
+
   test("rollingN gates: order-sensitive aggs and oversized n take the window form") {
     val rows = (0 until 12).map(i => RowIV(i, java.lang.Long.valueOf(i * 10L)))
     val f = multi(rows, 4)
