@@ -178,6 +178,12 @@ object Bench {
   // deadline that fires during the optional improvement passes still
   // yields a complete artifact and must not be labeled partial.
   @volatile private var pass1Done = false
+  // HOST-SPEED CANARY (r15 verdict item 8): min-of-3 of a FIXED
+  // synthetic CPU job (range+hash agg — no library code, no IO, plan
+  // identical across rounds), run at window start. The judge divides
+  // round totals by the canary ratio to separate code movement from
+  // shared-host speed shifts without recomputing per-query tables.
+  @volatile private var canarySec = -1.0
   @volatile private var sfDirSeen = ""
   @volatile private var loadStart = -1.0
 
@@ -244,7 +250,7 @@ object Bench {
     val cacheBytes = cacheBytesAtRun.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${m(minTimes)},"first":${m(firstTimes)},"failed":$failed,"errors":$errs,"partial":$partial,"loaded":$loaded,"ext_load_at_min":$extm,"io_stall_at_min":$iom,"load_passes":$passes,"load_start":$loadStart,"load_end":$load1,"cache_leak":$cacheLeak,"leftover_cache_tags":${leftoverTags.map("\"" + _ + "\"").mkString("[", ",", "]")},"cache_bytes":$cacheBytes,"sf":"$sfDirSeen"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${m(minTimes)},"first":${m(firstTimes)},"failed":$failed,"errors":$errs,"partial":$partial,"loaded":$loaded,"ext_load_at_min":$extm,"io_stall_at_min":$iom,"load_passes":$passes,"load_start":$loadStart,"load_end":$load1,"canary_sec":$canarySec,"cache_leak":$cacheLeak,"leftover_cache_tags":${leftoverTags.map("\"" + _ + "\"").mkString("[", ",", "]")},"cache_bytes":$cacheBytes,"sf":"$sfDirSeen"}"""
     // The driver captures only the LAST ~2000 chars of output and
     // parses the JSON it finds there — the full artifact above is
     // 6-10 KB, so BENCH_r08/r09 both landed `parsed: null` and were
@@ -271,7 +277,7 @@ object Bench {
     // raw stdout, single line: sbt [info] prefixes and log4j noise both
     // broke driver-side parsing before; System.out directly is safest
     System.out.println(
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qShort,"failed":$failedShort,"partial":$partial,"loaded":$loaded,"dirty_at_min":$dirty,"load_start":$loadStart%.2f,"load_end":$load1%.2f,"cache_leak":$cacheLeak,"sf":"$sfDirSeen","detail":"BENCH_DETAIL.json"}""")
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qShort,"failed":$failedShort,"partial":$partial,"loaded":$loaded,"dirty_at_min":$dirty,"load_start":$loadStart%.2f,"load_end":$load1%.2f,"canary_sec":$canarySec%.2f,"cache_leak":$cacheLeak,"sf":"$sfDirSeen","detail":"BENCH_DETAIL.json"}""")
     System.out.flush()
   }
 
@@ -359,6 +365,18 @@ object Bench {
     }
 
     val ncpu = try cpus.toInt catch { case _: Throwable => 32 }
+
+    // host-speed canary: 3 runs, keep the min (see canarySec above)
+    withWatchdog("bench-canary", sliceSec = 60.0) {
+      canarySec = (0 until 3).map { _ =>
+        val t0 = System.nanoTime()
+        // decimal accumulator: summing raw 64-bit hashes overflows ANSI
+        // long addition almost immediately (same fix as the probes)
+        spark.range(50000000L)
+          .selectExpr("sum(cast(xxhash64(id) as decimal(38,0)))").collect()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
 
     // (seconds, ok, external cpu cores, io stall fraction during the run)
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,

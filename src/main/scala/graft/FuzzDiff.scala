@@ -102,7 +102,7 @@ object FuzzDiff {
         val valueCols = st.cols.filterNot(st.labels.contains)
         val numCols = valueCols.filter(c => st.types(c) == 'l' || st.types(c) == 'd')
         val keyCols = Seq("k1", "k2").filter(st.cols.contains)
-        rng.nextInt(24) match {
+        rng.nextInt(28) match {
           case 0 if numCols.nonEmpty => // numeric filter
             val c = numCols(rng.nextInt(numCols.size))
             val lit = fmt(st.types(c), rng)
@@ -522,6 +522,94 @@ object FuzzDiff {
               "k2" +: Seq("a", "b", "c", "d", "e").map(v => s"pv_$v"),
               Seq("a", "b", "c", "d", "e").map(v => s"pv_$v" -> 'l').toMap + ("k2" -> 'l'),
               base = false, labels = Seq("k2")))
+          case 24 if st.cols.contains("ts") && st.types.get("ts").contains('t') =>
+            // RollingDuration [t, t+d) — the off-by-one-unit edge class
+            // SURVEY §2.6 warns about (groupers.go:317-345,
+            // internal.go:2410-2421): the right edge is EXCLUSIVE, and
+            // both engines express it as an inclusive range of d−1 µs.
+            // ts rows are whole seconds with duplicates, so d in seconds
+            // puts window boundaries EXACTLY ON row timestamps — the
+            // worst case for an inclusive/exclusive mix-up. Null ts rows
+            // are pre-dropped (cross-engine null-peer-group frames are a
+            // different contract than the edge under test).
+            val longs = valueCols.filter(c => st.types(c) == 'l' && c != "ts")
+            val out = if (st.cols.contains("rd")) "rd2" else "rd"
+            if (longs.isEmpty || st.cols.contains(out) || st.labels.nonEmpty) None else {
+              val c = longs(rng.nextInt(longs.size))
+              val secs = Seq(1, 2, 5, 10, 86400)(rng.nextInt(5))
+              val part = if (st.cols.contains("k1") && rng.nextBoolean()) Seq("k1") else Nil
+              val pw = if (part.isEmpty) "" else "PARTITION BY k1 "
+              val fr2 = Rolling.rollingDuration(
+                st.fr.filter(Map("ts" -> ((x: org.apache.spark.sql.Column) => x.isNotNull))),
+                "ts", secs * 1000000L, c, x => F.sum(x), out, part)
+              Some(st.copy(fr = fr2,
+                sub = s"SELECT *, CAST(sum($c) OVER (${pw}ORDER BY epoch_us(ts) " +
+                  s"RANGE BETWEEN CURRENT ROW AND ${secs * 1000000L - 1} FOLLOWING) " +
+                  s"AS BIGINT) AS $out FROM (SELECT * FROM (${st.sub}) WHERE ts IS NOT NULL)",
+                cols = st.cols :+ out, types = st.types + (out -> 'l'), base = false))
+            }
+          case 25 if numCols.nonEmpty => // Where null-poisoning (series.go:683-703)
+            // ANY inspected column null ⇒ result null, BEFORE the
+            // predicate runs — not SQL ternary logic (a null compare
+            // would fall to ELSE, not to NULL)
+            val c = numCols(rng.nextInt(numCols.size))
+            val out = if (st.cols.contains("wh")) "wh2" else "wh"
+            if (st.cols.contains(out)) None else {
+              val lit = fmt(st.types(c), rng)
+              val extra = if (st.cols.contains("k1") && c != "k1" && rng.nextBoolean())
+                Seq("k1") else Nil
+              val inspected = c +: extra
+              val fr2 = st.fr.where(out, inspected,
+                F.col(c) > F.expr(lit), F.lit(1L), F.lit(0L))
+              val poison = inspected.map(i => s"$i IS NULL").mkString(" OR ")
+              Some(st.copy(fr = fr2,
+                sub = s"SELECT *, CASE WHEN $poison THEN NULL " +
+                  s"WHEN $c > $lit THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END " +
+                  s"AS $out FROM (${st.sub})",
+                cols = st.cols :+ out, types = st.types + (out -> 'l'), base = false))
+            }
+          case 26 if st.base => // PromoteToColLevel: FIRST v1 in frame order per cell
+            // (internal.go:1435-1483) — rides the r16 pivotCore, so this
+            // stage pins both the per-cell first-in-frame-order pick
+            // (min_by on the cell ordinal) and the group-rep window
+            // (rid mirror counts ALL rows, incl. null/excluded k1)
+            val fr2 = Reshape.promoteToColLevel(st.fr, Seq("k2"), "k1", "v1",
+              knownValues = Seq("a", "b", "c", "d", "e"), prefix = "pm_")
+            val cells = Seq("a", "b", "c", "d", "e").map(v =>
+              s"max(CASE WHEN k1 = '$v' AND cpos = 1 THEN v1 END) AS pm_$v").mkString(", ")
+            Some(St(fr2,
+              s"SELECT k2, CAST(min(pos) AS BIGINT) AS rid, $cells FROM " +
+                s"(SELECT *, row_number() OVER (ORDER BY ${orderSql(st.order)}) AS pos, " +
+                s"row_number() OVER (PARTITION BY k2, k1 ORDER BY ${orderSql(st.order)}) AS cpos " +
+                s"FROM (${st.sub})) GROUP BY k2",
+              Nil,
+              "k2" +: Seq("a", "b", "c", "d", "e").map(v => s"pm_$v"),
+              Seq("a", "b", "c", "d", "e").map(v => s"pm_$v" -> 'l').toMap + ("k2" -> 'l'),
+              base = false, labels = Seq("k2")))
+          case 27 if numCols.nonEmpty => // SetRows: positional in-place overwrite
+            val c = numCols(rng.nextInt(numCols.size))
+            val ps = Seq.fill(1 + rng.nextInt(4))(rng.nextInt(25)).distinct
+            val lit = fmt(st.types(c), rng)
+            val fr2 = st.fr.setRows(c, ps, F.expr(lit))
+            val others = st.cols.filterNot(_ == c)
+            val inList = ps.mkString(", ")
+            if (st.order.exists(_._1 == c)) {
+              // overwriting a SORT KEY: the engine anchors the old order
+              // first (setRows' withCol branch) — freeze it into rid and
+              // clear the spec, the case-5 ffill-onto-key mirror
+              Some(st.copy(fr = fr2,
+                sub = s"SELECT ${others.mkString(", ")}, " +
+                  s"CASE WHEN rn - 1 IN ($inList) THEN $lit ELSE $c END AS $c, rn AS rid " +
+                  s"FROM (SELECT *, row_number() OVER (ORDER BY ${orderSql(st.order)}) AS rn " +
+                  s"FROM (${st.sub}))",
+                order = Nil))
+            } else {
+              Some(st.copy(fr = fr2,
+                sub = s"SELECT ${(others :+ "rid").mkString(", ")}, " +
+                  s"CASE WHEN rn - 1 IN ($inList) THEN $lit ELSE $c END AS $c " +
+                  s"FROM (SELECT *, row_number() OVER (ORDER BY ${orderSql(st.order)}) AS rn " +
+                  s"FROM (${st.sub}))"))
+            }
           case _ => None
         }
       }

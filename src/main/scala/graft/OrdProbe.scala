@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
+
+/** Third-decade (×1000) probe for the chunked-ordinal family (r15
+  * verdict item 7): anchorOrder via `Prefix.materializeOrd` (the xo3
+  * shape — dropping a sort key materializes the order into the banded
+  * chunked ordinal) and whole-frame `Prefix.rollingN` (the xo5 shape —
+  * chunked head-carry). Both carry machinery whose constants grow with
+  * chunk count; the ×100 points exist (ScaleProbe xo family), this adds
+  * the ×1000 decade with the DocProbe protocol: one leg per scale,
+  * FORCED checksum printed (rows + order-free hash so two runs are
+  * comparable), disk reported per leg.
+  *
+  * Copies shift l_orderkey by 10^7 (sf0.1 max orderkey < 10^7), the
+  * ScaleProbe span — at ×1000 ids stay < 10^10, far inside long range.
+  *
+  * Run like DocProbe: plain `java` with the Spark jars + add-opens,
+  * main `graft.OrdProbe`, args `[factor=1000] [xo3 xo5]`.
+  */
+object OrdProbe {
+  def main(args: Array[String]): Unit = {
+    val base = "/root/testdata/sf0.1"
+    val out = "/tmp/ordprobe"
+    val factor = args.collectFirst {
+      case a if a.startsWith("factor=") => a.drop(7).toInt
+    }.getOrElse(1000)
+    val only = args.filter(_.startsWith("xo")).toSet
+    def on(p: String) = only.isEmpty || only.contains(p)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val maxKey = spark.read.parquet(s"$base/lineitem.parquet")
+      .agg(F.max(F.col("l_orderkey").cast("long"))).head().getLong(0)
+    require(maxKey < 10000000L, s"orderkey shift span assumes sf0.1 (max $maxKey)")
+
+    def build(f: Int): String = {
+      val path = s"$out/lineitem_${f}x.parquet"
+      if (!new java.io.File(path).exists()) {
+        val df = spark.read.parquet(s"$base/lineitem.parquet")
+          .select(F.col("l_orderkey"), F.col("l_quantity"), F.col("l_extendedprice"))
+        (0 until f).map(i =>
+            df.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * 10000000L)))
+          .reduce(_ unionByName _)
+          .repartition(64).write.mode("overwrite").parquet(path)
+        println(s"[ordprobe] built ${f}x")
+      }
+      path
+    }
+
+    def dfFree(): String =
+      f"${new java.io.File("/tmp").getUsableSpace / (1L << 30)}%d GiB free"
+
+    def time(tag: String, mk: => DataFrame): Unit =
+      try {
+        val t0 = System.nanoTime()
+        val df = mk
+        val r = df.agg(F.count(F.lit(1)),
+          F.sum(F.xxhash64(df.columns.map(F.col).toSeq: _*)
+            .cast("decimal(38,0)"))).collect()(0)
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[ordprobe] $tag%-26s $dt%9.2f s   rows=${r.get(0)} sum=${r.get(1)}   ${dfFree()}")
+      } catch {
+        case e: Throwable =>
+          println(s"[ordprobe] $tag FAILED: ${String.valueOf(e.getMessage).take(160)}  ${dfFree()}")
+      } finally {
+        graft.core.CacheRegistry.releaseAll()
+        spark.catalog.clearCache()
+        System.gc(); Thread.sleep(500); System.gc(); Thread.sleep(500)
+      }
+
+    for (f <- Seq(1, factor)) {
+      val path = if (f == 1) s"$base/lineitem.parquet" else build(f)
+      def li = spark.read.parquet(path)
+        .select(F.col("l_orderkey"), F.col("l_quantity"), F.col("l_extendedprice"))
+      println(s"[ordprobe] === ${f}x: ${dfFree()} ===")
+      if (on("xo3")) time(s"xo3_anchor_drop_${f}x", {
+        val fr = graft.core.TadaFrame.ingest(li)
+          .sort(graft.core.Sorter("l_quantity"), graft.core.Sorter("l_orderkey"))
+        fr.dropCols("l_quantity").df
+      })
+      if (on("xo5")) time(s"xo5_rollingn_frame_${f}x", {
+        val fr = graft.core.TadaFrame.ingest(
+          li.select(F.col("l_orderkey"), F.col("l_quantity")))
+        graft.core.Rolling.rollingN(fr, 4, "l_quantity", x => F.sum(x), "r").df
+      })
+    }
+    spark.stop()
+  }
+}
