@@ -175,6 +175,13 @@ class CoreSemanticsSpec extends AnyFunSuite {
     val so = Reshape.pivotTable(f.sort(Sorter("s", descending = true)),
       Seq("g"), "k", F.sum(F.col("v")), knownValues = Seq("a", "b"), prefix = "pv_")
     assert(so.records().tail.map(_.head) == Seq("z", "x", "y"))
+    // plan audit: the rep window's hash exchange on the labels SATISFIES
+    // the pivot aggregation's clustering — one data exchange total, no
+    // second shuffle for carrying the rep as a grouping column
+    val nEx = "Exchange hashpartitioning".r
+      .findAllIn(un.df.queryExecution.executedPlan.toString).size
+    assert(nEx == 1, s"unsorted pivot must shuffle once, saw $nEx:\n" +
+      un.df.queryExecution.executedPlan.toString.take(2000))
   }
 
   test("empty pivot domain on a sorted frame returns an empty frame (ADVICE r15 medium)") {
