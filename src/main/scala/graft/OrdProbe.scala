@@ -30,7 +30,13 @@ object OrdProbe {
     def on(p: String) = only.isEmpty || only.contains(p)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .config("spark.sql.shuffle.partitions", "32")
+      // chunk count for the sorted-frame prefix family = shuffle
+      // partitions; at 600M rows the 32 default means 19M-row
+      // single-task chunk sorts (external-sort spill) — the probe knob
+      // shows the trajectory is partition-count-governed, exactly the
+      // knob a real cluster scales with the data
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("GRAFT_ORD_SHUFFLE", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -81,10 +87,37 @@ object OrdProbe {
       def li = spark.read.parquet(path)
         .select(F.col("l_orderkey"), F.col("l_quantity"), F.col("l_extendedprice"))
       println(s"[ordprobe] === ${f}x: ${dfFree()} ===")
+      // corpus floor: checksumming the raw columns IS the minimum cost
+      // of any full-materialization probe at this scale (the x48
+      // read-floor discipline) — the anchor probes are read against it
+      if (on("xo0")) time(s"xo0_read_floor_${f}x", li)
+      // Spark's own global sort (range exchange + per-partition sort) +
+      // a banded ordinal from monotonically_increasing_id — the
+      // apples-to-apples PERFORMANCE comparator for materializeOrd
+      // (rejected as the implementation: range boundaries are sampled
+      // per execution, the determinism hazard Prefix documents). The
+      // checksum consumes the ordinal, so EliminateSorts cannot prune
+      // the sort (a bare orderBy under the agg measured the read floor
+      // — the GRAFT_PROBE_FORCE hazard class).
+      if (on("xo3s")) time(s"xo3s_spark_sort_${f}x",
+        li.orderBy(F.col("l_extendedprice"), F.col("l_orderkey"))
+          .withColumn("o", F.monotonically_increasing_id()))
       if (on("xo3")) time(s"xo3_anchor_drop_${f}x", {
         val fr = graft.core.TadaFrame.ingest(li)
           .sort(graft.core.Sorter("l_quantity"), graft.core.Sorter("l_orderkey"))
         fr.dropCols("l_quantity").df
+      })
+      // high-cardinality-key twin: l_quantity has only 50 distinct
+      // values, so xo3's width-bucketing caps at ≤50 chunks no matter
+      // the partition count — per-chunk sorts grow 10× per decade and
+      // dominate the ×1000 point. l_extendedprice is ~continuous, so
+      // the bucketing reaches the full configured chunk count; the gap
+      // between xo3 and xo3b isolates key-cardinality cost from the
+      // ordinal machinery itself.
+      if (on("xo3b")) time(s"xo3b_anchor_drop_hk_${f}x", {
+        val fr = graft.core.TadaFrame.ingest(li)
+          .sort(graft.core.Sorter("l_extendedprice"), graft.core.Sorter("l_orderkey"))
+        fr.dropCols("l_extendedprice").df
       })
       if (on("xo5")) time(s"xo5_rollingn_frame_${f}x", {
         val fr = graft.core.TadaFrame.ingest(
