@@ -115,11 +115,20 @@ object Prefix {
     * load-bearing. */
   private[graft] object BoundsCache {
     private val cache = new java.util.concurrent.ConcurrentHashMap[
-      String, (Option[Double], Option[Double])]()
+      (AnyRef, String), (Option[Double], Option[Double])]()
     private val hitCtr = new java.util.concurrent.atomic.AtomicLong
     /** Memo hits so far — PrefixSpec asserts re-anchors are scan-free. */
     private[graft] def hits: Long = hitCtr.get
-    private def key(sel: DataFrame): String = {
+    /** STRUCTURAL plan key + file-state string. The canonicalized plan
+      * is compared as an OBJECT (`==`), never rendered: leaf nodes like
+      * `LocalRelation`/`LogicalRDD` print only their schema, so two
+      * in-memory frames with equal schemas but different data would
+      * collide as strings (stale bounds stay order-monotone — any
+      * (mn, mx) literals bucket monotonically and clamp at the edges —
+      * so a collision degrades BALANCE, never correctness; still a
+      * silent parallelism trap). Same discipline as CacheRegistry's
+      * re-track guard. */
+    private def key(sel: DataFrame): (AnyRef, String) = {
       val files = sel.queryExecution.analyzed.collect {
         case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
           r.relation
@@ -137,7 +146,7 @@ object Prefix {
           }
         case _ => Nil
       }
-      sel.queryExecution.analyzed.canonicalized.toString + files.mkString("|")
+      (sel.queryExecution.analyzed.canonicalized, files.mkString("|"))
     }
     /** (min, max) of `sel`'s single double column; inner Options are the
       * all-null corpus. No lock across the job — a racing duplicate

@@ -158,6 +158,17 @@ class PrefixSpec extends AnyFunSuite {
     assert(Prefix.BoundsCache.hits > h0,
       "re-anchoring the same frame must hit the bounds memo")
     assert(a2.records() == a1.records())
+    // a SAME-SCHEMA frame with different data must MISS (the key is the
+    // structural plan — a rendered string prints only the schema for
+    // in-memory leaves and would serve frame f's bounds to frame g,
+    // silently collapsing g's chunk balance)
+    val h1 = Prefix.BoundsCache.hits
+    val g = multi(Seq((100, 1L), (900, 2L), (500, 3L))
+      .map { case (k, v) => RowIV(k, v) }, 3).sort(Sorter("i"))
+    val ga = g.dropCols("i")
+    assert(Prefix.BoundsCache.hits == h1,
+      "different data under the same schema must not hit the memo")
+    assert(ga.records().tail.map(_.head) == Seq("1", "3", "2"))
   }
 
   test("rollingN gates: order-sensitive aggs and oversized n take the window form") {
