@@ -86,10 +86,9 @@ object Prefix {
     keys :+ (if (fwd) F.col(ORD).asc else F.col(ORD).desc)
   }
 
-  /** First-sort-key expression on a double scale for width-bucketing, or
+  /** Sort-key expression on a double scale for width-bucketing, or
     * None when the type has no order-preserving numeric image. */
-  private def bucketScale(f: TadaFrame): Option[Column] = {
-    val s = f.order.head
+  private def bucketScaleOf(f: TadaFrame, s: Sorter): Option[Column] = {
     val c0 = f.df(s.name)
     val c = s.cast.map(c0.cast).getOrElse(c0)
     val dt = s.cast.getOrElse(f.df.schema(s.name).dataType)
@@ -100,6 +99,10 @@ object Prefix {
       case _                            => None
     }
   }
+
+  /** First-sort-key image — the primary chunking axis. */
+  private def bucketScale(f: TadaFrame): Option[Column] =
+    bucketScaleOf(f, f.order.head)
 
   /** Session memo for the sorted-frame chunking's bucket bounds (r15
     * verdict item 5): `anchorOrder`/`materializeOrd` and every chunked
@@ -115,7 +118,9 @@ object Prefix {
     * load-bearing. */
   private[graft] object BoundsCache {
     private val cache = new java.util.concurrent.ConcurrentHashMap[
-      (AnyRef, String), (Option[Double], Option[Double])]()
+      (AnyRef, String), (Option[Double], Option[Double], Double)]()
+    private val vcache = new java.util.concurrent.ConcurrentHashMap[
+      (AnyRef, String), Array[Double]]()
     private val hitCtr = new java.util.concurrent.atomic.AtomicLong
     /** Memo hits so far — PrefixSpec asserts re-anchors are scan-free. */
     private[graft] def hits: Long = hitCtr.get
@@ -148,20 +153,44 @@ object Prefix {
       }
       (sel.queryExecution.analyzed.canonicalized, files.mkString("|"))
     }
-    /** (min, max) of `sel`'s single double column; inner Options are the
+    /** (min, max, approx distinct) of `sel`'s single double column in
+      * ONE map-side-cheap pass (HLL for the distinct — deterministic for
+      * fixed data, only gates an optimization). Inner Options are the
       * all-null corpus. No lock across the job — a racing duplicate
       * bounds job is harmless, a blocked construction thread is not. */
-    def minMax(sel: DataFrame): Option[(Option[Double], Option[Double])] =
+    def stats(sel: DataFrame): Option[(Option[Double], Option[Double], Double)] =
       try {
         val k = key(sel)
         val hit = cache.get(k)
         if (hit != null) { hitCtr.incrementAndGet(); Some(hit) }
         else {
           val c = sel.columns.head
-          val r = sel.agg(F.min(F.col(c)), F.max(F.col(c))).head()
+          val r = sel.agg(F.min(F.col(c)), F.max(F.col(c)),
+            F.approx_count_distinct(F.col(c))).head()
           val v = (if (r.isNullAt(0)) None else Some(r.getDouble(0)),
-            if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+            if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+            r.getLong(2).toDouble)
           cache.put(k, v)
+          Some(v)
+        }
+      } catch { case _: Throwable => None }
+
+    /** The ≤ `cap` SORTED distinct non-null values of `sel`'s single
+      * double column, memoized — the low-cardinality chunking's value
+      * vocabulary. Empty array = over cap (the limit(cap+1) collect saw
+      * more) or genuinely empty; callers treat both as "don't engage".
+      * Driver-bounded by construction: cap+1 doubles. */
+    def distinctValues(sel: DataFrame, cap: Int): Option[Array[Double]] =
+      try {
+        val k = key(sel)
+        val hit = vcache.get(k)
+        if (hit != null) { hitCtr.incrementAndGet(); Some(hit) }
+        else {
+          val c = sel.columns.head
+          val got = sel.filter(F.col(c).isNotNull).distinct()
+            .limit(cap + 1).collect().map(_.getDouble(0))
+          val v = if (got.length > cap) Array.empty[Double] else got.sorted
+          vcache.put(k, v)
           Some(v)
         }
       } catch { case _: Throwable => None }
@@ -202,15 +231,17 @@ object Prefix {
         F.when(keyD.isNull || mn.isNull, F.lit(k.toLong)).otherwise(
           if (f.order.head.descending) F.lit(k - 1L) - ascNonNull else ascNonNull)
       }
-      BoundsCache.minMax(f.df.select(keyClean.as("__pfx_k"))) match {
-        case Some((mnV, mxV)) =>
-          // bounds as LITERALS (r15 verdict item 5): no broadcast-agg
-          // subtree in the plan at all, and repeated anchors/chunked ops
-          // on one frame pay the bounds scan once per session
-          def litOf(v: Option[Double]) =
-            v.map(d => F.lit(d)).getOrElse(F.lit(null).cast(DoubleType))
-          val asc = ascExpr(litOf(mnV), litOf(mxV))
-          f.df.withColumn(CHUNK, if (fwd) asc else -asc)
+      BoundsCache.stats(f.df.select(keyClean.as("__pfx_k"))) match {
+        case Some((mnV, mxV, dApprox)) =>
+          lowCardChunk(f, keyD, keyClean, k, fwd, dApprox).getOrElse {
+            // bounds as LITERALS (r15 verdict item 5): no broadcast-agg
+            // subtree in the plan at all, and repeated anchors/chunked
+            // ops on one frame pay the bounds scan once per session
+            def litOf(v: Option[Double]) =
+              v.map(d => F.lit(d)).getOrElse(F.lit(null).cast(DoubleType))
+            val asc = ascExpr(litOf(mnV), litOf(mxV))
+            f.df.withColumn(CHUNK, if (fwd) asc else -asc)
+          }
         case None =>
           // bounds job failed — lazy crossJoin form, the pre-r16 plan
           // (the memo is never load-bearing)
@@ -222,6 +253,93 @@ object Prefix {
             .drop("__pfx_mn", "__pfx_mx")
       }
     }
+
+  /** LOW-CARDINALITY first-sort-key chunking (r16, found by the ×1000
+    * OrdProbe): width-bucketing keeps equal keys in one chunk, so a
+    * first key with d distinct values caps chunk parallelism at d
+    * REGARDLESS of the configured chunk count — a 50-value key (status,
+    * category, quantity) on a 4000-core cluster runs a 50-way sort.
+    * When d < chunk count, chunk instead by (exact value index) × (a
+    * tie SUB-BAND that is order-monotone within the tie's own internal
+    * order): the ingest-ordinal band for single-key sorts (tie order IS
+    * `__ord`), or a width bucket of the second sort key's numeric image
+    * under its global bounds (equal s2 values share a band, so deeper
+    * ties stay un-split — monotonicity over the FULL order holds, and
+    * the within-chunk window still orders by the full key). Multi-key
+    * sorts with a non-bucketable (string) second key don't engage —
+    * value-chunking alone would match what width-bucketing already
+    * gives. The value index comes from a broadcast join against the
+    * collected (≤ 4096-value, memoized) vocabulary — exact, not
+    * width-approximate, because a bucket that MIXES two key values
+    * cannot be sub-banded (the band would reorder rows across the two
+    * values). Engagement and all stats are memoized session jobs
+    * ([[BoundsCache]]); any failure returns None and the caller keeps
+    * the width-bucket plan — never load-bearing. */
+  private def lowCardChunk(f: TadaFrame, keyD: Column, keyClean: Column,
+                           k: Int, fwd: Boolean, dApprox: Double): Option[DataFrame] = {
+    val maxEngage = math.min(k - 1, 4096)
+    if (maxEngage < 1 || dApprox < 1 || dApprox > maxEngage * 1.1) return None
+    val s1 = f.order.head
+    // the tie sub-band axis: (double image, its descending flag, image
+    // of the CLEANED axis for bounds). None ⇒ don't engage.
+    val subAxis: Option[(Column, Boolean)] =
+      if (f.order.size == 1)
+        Some((F.shiftright(F.col(ORD), 33).cast(DoubleType), false))
+      else bucketScaleOf(f, f.order(1)).map(img => (img, f.order(1).descending))
+    val (img2, desc2) = subAxis.getOrElse(return None)
+    val nonFinite2 = F.isnan(img2) ||
+      img2 === F.lit(Double.PositiveInfinity) ||
+      img2 === F.lit(Double.NegativeInfinity)
+    val img2Clean = F.when(nonFinite2, F.lit(null)).otherwise(img2)
+    val values = BoundsCache
+      .distinctValues(f.df.select(keyClean.as("__pfx_k")), maxEngage)
+      .getOrElse(return None)
+    if (values.isEmpty) return None // over cap (approx under-counted) or empty
+    val d = values.length
+    val sub = math.max(2, math.ceil(k.toDouble / d).toInt)
+    val (mn2, mx2, _) = BoundsCache
+      .stats(f.df.select(img2Clean.as("__pfx_k"))).getOrElse(return None)
+    // sub-band ∈ [0, sub): width bucket of img2 under its GLOBAL bounds;
+    // nulls sort last within the tie (both sort directions) → top band;
+    // NaN/+Inf top, −Inf bottom, flipped on the s2 axis' own direction
+    val subCol = (mn2, mx2) match {
+      case (Some(lo), Some(hi)) =>
+        val b = F.when(F.lit(hi) === F.lit(lo), F.lit(0L)).otherwise(
+          F.least(F.lit(sub - 1L), F.greatest(F.lit(0L),
+            F.floor((img2 - F.lit(lo)) / ((F.lit(hi) - F.lit(lo)) / sub)))))
+        val nn = F.when(F.isnan(img2) ||
+            img2 === F.lit(Double.PositiveInfinity), F.lit(sub - 1L))
+          .when(img2 === F.lit(Double.NegativeInfinity), F.lit(0L))
+          .otherwise(b)
+        F.when(img2.isNull, F.lit(sub - 1L)).otherwise(
+          if (desc2) F.lit(sub - 1L) - nn else nn)
+      case _ => F.lit(0L) // all-null sub axis: no split, still correct
+    }
+    val spark = f.df.sparkSession
+    // (value, index) vocabulary as a broadcast literal frame — built
+    // from driver-held values, so both consumers of the chunked frame
+    // see identical indices even on recompute
+    val idxRows = values.zipWithIndex.map { case (v, i) =>
+      org.apache.spark.sql.Row(v, i.toLong)
+    }
+    val idxMap = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(idxRows.toSeq).asJava),
+      StructType(Seq(StructField("__pfx_v", DoubleType, nullable = false),
+        StructField("__pfx_i", LongType, nullable = false))))
+    val joined = f.df.join(F.broadcast(idxMap),
+      keyClean === F.col("__pfx_v"), "left")
+    val bigK = d.toLong * sub
+    val idx = if (s1.descending) F.lit(d - 1L) - F.col("__pfx_i") else F.col("__pfx_i")
+    val pinned = F.when(F.isnan(keyD) || keyD === F.lit(Double.PositiveInfinity),
+        F.lit(if (s1.descending) 0L else bigK - 1))
+      .when(keyD === F.lit(Double.NegativeInfinity),
+        F.lit(if (s1.descending) bigK - 1 else 0L))
+      .otherwise(idx * sub + subCol)
+    val asc = F.when(keyD.isNull, F.lit(bigK)).otherwise(pinned)
+    Some(joined.withColumn(CHUNK, if (fwd) asc else -asc)
+      .drop("__pfx_v", "__pfx_i"))
+  }
 
   /** Name of the ordinal column produced by [[materializeOrd]]. */
   private[core] val MATORD = "__pfx_o2"

@@ -171,6 +171,43 @@ class PrefixSpec extends AnyFunSuite {
     assert(ga.records().tail.map(_.head) == Seq("1", "3", "2"))
   }
 
+  test("low-cardinality sort key: value-chunking sub-bands ties (r16)") {
+    // 24 rows, key in {1, 2, 3} (d=3 < k=4 chunks): width-bucketing caps
+    // parallelism at 3; value-chunking splits each tie by a sub-band and
+    // must stay value-identical to the window forms
+    val rows = (0 until 24).map(i =>
+      RowIV(1 + i % 3, java.lang.Long.valueOf((i * 7 % 24).toLong)))
+    val f = multi(rows, 4).sort(Sorter("i"))
+    def chunksOf(fr: TadaFrame): Long =
+      Prefix.chunked(fr, fwd = true).get.select(Prefix.CHUNK).distinct().count()
+    // single-key sort: tie order is __ord -> ingest-partition sub-band
+    assert(chunksOf(f) > 3, "single-key low-card must split ties")
+    assert(Analytics.cumSum(f, "v", "cs").records() ==
+      Analytics.cumSumWindow(f, "v", "cs").records())
+    assert(Rolling.rollingN(f, 4, "v", x => F.sum(x), "r").records() ==
+      Rolling.rollingNWindow(f, 4, "v", x => F.sum(x), "r").records())
+    // multi-key: tie order is the SECOND key -> its width bucket; cover
+    // both direction combinations incl. descending axes
+    for ((d1, d2) <- Seq((false, false), (true, false), (false, true), (true, true))) {
+      val fm = multi(rows, 4).sort(
+        Sorter("i", descending = d1), Sorter("v", descending = d2))
+      assert(chunksOf(fm) > 3, s"multi-key low-card must split ties ($d1,$d2)")
+      assert(Analytics.shift(fm, "v", 2, "sh").records() ==
+        Analytics.shiftWindow(fm, "v", 2, "sh").records(), s"($d1,$d2)")
+      assert(Analytics.cumSum(fm, "v", "cs").records() ==
+        Analytics.cumSumWindow(fm, "v", "cs").records(), s"($d1,$d2)")
+    }
+    // string second key: tie-internal order is not bucketable -> the
+    // width path runs (no vocabulary broadcast join in the plan)
+    val fs = TadaFrame.ingest(spark.createDataFrame(spark.sparkContext.parallelize(
+        (0 until 12).map(i => (1 + i % 2, ('a' + i % 5).toChar.toString, i.toLong)), 3))
+      .toDF("i", "s", "v")).sort(Sorter("i"), Sorter("s"))
+    val plan = Analytics.cumSum(fs, "v", "cs").df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("__pfx_v"), "string-s2 sorts must not engage value-chunking")
+    assert(Analytics.cumSum(fs, "v", "cs").records() ==
+      Analytics.cumSumWindow(fs, "v", "cs").records())
+  }
+
   test("rollingN gates: order-sensitive aggs and oversized n take the window form") {
     val rows = (0 until 12).map(i => RowIV(i, java.lang.Long.valueOf(i * 10L)))
     val f = multi(rows, 4)
