@@ -23,12 +23,13 @@ import scala.collection.mutable.ArrayBuffer
   */
 object CacheRegistry {
 
-  /** (tag, plan key, file-state key, frame). The plan key is the
-    * canonicalized ANALYZED plan compared STRUCTURALLY (`==`) — a
-    * rendered string would collide: `LocalRelation.toString` prints only
-    * the schema, not the leaf data. The file-state key pins
-    * size+mtime of any parquet inputs, so a same-plan track over
-    * re-written files is a new cache, not a stale hit. */
+  /** (tag, plan key, file-state key, frame). The plan key is the shared
+    * [[PlanKey]] discipline: canonicalized ANALYZED plan compared
+    * STRUCTURALLY (rendered strings collide for in-memory leaves),
+    * plus output field NAMES (canonicalization erases aliases — a
+    * re-track of `select(x.as(\"b\"))` must not be handed the earlier
+    * `as(\"a\")` frame), plus file state (a same-plan track over
+    * re-written files is a new cache, not a stale hit). */
   private val tracked = ArrayBuffer.empty[(String, AnyRef, String, DataFrame)]
 
   /** Persist `df` (default storage level) and remember it under `tag`.
@@ -48,37 +49,26 @@ object CacheRegistry {
   def track(tag: String, df: DataFrame): DataFrame = synchronized {
     require(tag.matches("[A-Za-z0-9._-]+"),
       s"CacheRegistry tag must match [A-Za-z0-9._-]+ (JSON-safe, unescaped): '$tag'")
-    val planKey: AnyRef =
-      try df.queryExecution.analyzed.canonicalized
-      catch { case _: Throwable => null }
-    val fileKey =
-      try {
-        df.queryExecution.analyzed.collect {
-          case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-            r.relation
-        }.flatMap {
-          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-            h.location.inputFiles.toSeq.sorted.map { p =>
-              val st = try {
-                val path = new org.apache.hadoop.fs.Path(p)
-                val fs = path.getFileSystem(
-                  df.sparkSession.sessionState.newHadoopConf())
-                val s = fs.getFileStatus(path)
-                s"${s.getLen}:${s.getModificationTime}"
-              } catch { case _: Throwable => "?" }
-              s"$p@$st"
-            }
-          case _ => Nil
-        }.mkString("|")
-      } catch { case _: Throwable => "?" }
+    val (planKey, fileKey) =
+      try PlanKey.of(df) catch { case _: Throwable => (null, "?") }
     val hit = if (planKey == null) None
       else tracked.collectFirst {
         case (t, pk, fk, p) if t == tag && pk == planKey && fk == fileKey => p
       }
-    hit.getOrElse {
-      val p = df.persist()
-      tracked += ((tag, planKey, fileKey, p))
-      p
+    hit match {
+      case Some(p) =>
+        // a clearCache() that bypassed releaseAll() leaves the entry
+        // registered but unpersisted — re-arm the cache on hit instead
+        // of silently recomputing for the rest of the session
+        val cached =
+          try p.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+          catch { case _: Throwable => true }
+        if (!cached) p.persist()
+        p
+      case None =>
+        val p = df.persist()
+        tracked += ((tag, planKey, fileKey, p))
+        p
     }
   }
 

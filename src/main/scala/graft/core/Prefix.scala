@@ -124,35 +124,12 @@ object Prefix {
     private val hitCtr = new java.util.concurrent.atomic.AtomicLong
     /** Memo hits so far — PrefixSpec asserts re-anchors are scan-free. */
     private[graft] def hits: Long = hitCtr.get
-    /** STRUCTURAL plan key + file-state string. The canonicalized plan
-      * is compared as an OBJECT (`==`), never rendered: leaf nodes like
-      * `LocalRelation`/`LogicalRDD` print only their schema, so two
-      * in-memory frames with equal schemas but different data would
-      * collide as strings (stale bounds stay order-monotone — any
-      * (mn, mx) literals bucket monotonically and clamp at the edges —
-      * so a collision degrades BALANCE, never correctness; still a
-      * silent parallelism trap). Same discipline as CacheRegistry's
-      * re-track guard. */
-    private def key(sel: DataFrame): (AnyRef, String) = {
-      val files = sel.queryExecution.analyzed.collect {
-        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-          r.relation
-      }.flatMap {
-        case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-          h.location.inputFiles.toSeq.sorted.map { p =>
-            val st = try {
-              val path = new org.apache.hadoop.fs.Path(p)
-              val fs = path.getFileSystem(
-                sel.sparkSession.sessionState.newHadoopConf())
-              val s = fs.getFileStatus(path)
-              s"${s.getLen}:${s.getModificationTime}"
-            } catch { case _: Throwable => "?" }
-            s"$p@$st"
-          }
-        case _ => Nil
-      }
-      (sel.queryExecution.analyzed.canonicalized, files.mkString("|"))
-    }
+    /** STRUCTURAL plan key + field names + file state — the shared
+      * [[PlanKey]] discipline (a rendered plan string prints only the
+      * schema for in-memory leaves and would collide; stale bounds stay
+      * order-monotone, so a collision here degrades BALANCE, never
+      * correctness — still a silent parallelism trap). */
+    private def key(sel: DataFrame): (AnyRef, String) = PlanKey.of(sel)
     /** (min, max, approx distinct) of `sel`'s single double column in
       * ONE map-side-cheap pass (HLL for the distinct — deterministic for
       * fixed data, only gates an optimization). Inner Options are the
@@ -330,7 +307,16 @@ object Prefix {
     val joined = f.df.join(F.broadcast(idxMap),
       keyClean === F.col("__pfx_v"), "left")
     val bigK = d.toLong * sub
-    val idx = if (s1.descending) F.lit(d - 1L) - F.col("__pfx_i") else F.col("__pfx_i")
+    // vocabulary-miss fallback (r16 review): a finite key the memoized
+    // vocabulary never saw (a non-snapshot source mutated between the
+    // vocabulary job and execution) must not become a NULL chunk — rank
+    // it against the literal vocabulary (count of values below it),
+    // which still places it monotonically between its neighbors (an
+    // above-all value shares the top/null chunk; the window re-sorts
+    // within). O(d) per MISSING row only — coalesce short-circuits.
+    val idx0 = F.coalesce(F.col("__pfx_i"),
+      F.size(F.filter(F.lit(values), v => v < keyClean)).cast(LongType))
+    val idx = if (s1.descending) F.lit(d - 1L) - idx0 else idx0
     val pinned = F.when(F.isnan(keyD) || keyD === F.lit(Double.PositiveInfinity),
         F.lit(if (s1.descending) 0L else bigK - 1))
       .when(keyD === F.lit(Double.NegativeInfinity),

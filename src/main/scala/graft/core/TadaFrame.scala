@@ -427,11 +427,20 @@ final case class TadaFrame(
 
   /** Deterministic shuffle (series.go:422-435): rand(seed) becomes the new
     * frame order. */
-  def shuffle(seed: Long): TadaFrame = {
-    val shuffled = df.withColumn(ORD2, rand(seed))
-      .orderBy(ORD2).drop(ORD).withColumnRenamed(ORD2, ORD)
-    copy(df = shuffled, order = Nil)
-  }
+  /** Shuffle(seed): seeded pseudo-random permutation. r16 (review): the
+    * previous `rand(seed)` ordinal was a DOUBLE, breaking every
+    * downstream consumer of the hidden ordinal's long contract (the
+    * chunked plans' `__ord >> 33` bands, append's band arithmetic) the
+    * moment a shuffled frame flowed on. `xxhash64(old ordinal, seed)`
+    * is a deterministic seeded permutation with no window, no sort and
+    * no extra pass; masking to 53 bits keeps the append band contract
+    * (`__ord` ∈ [0, 2^53), one band). Hash ties (~n²/2^54) leave the
+    * tied PAIR's relative order nondeterministic — semantically benign
+    * for a shuffle, same class as the old rand doubles. */
+  def shuffle(seed: Long): TadaFrame =
+    copy(df = df.withColumn(ORD,
+        xxhash64(df(ORD), lit(seed)).bitwiseAND(lit((1L << 53) - 1))),
+      order = Nil, bands = 1)
 
   // ===== §2.7 sort =====
 

@@ -1048,6 +1048,28 @@ object Dedup {
   private[graft] def maybeBroadcastVocab(vocab: DataFrame, countFrom: DataFrame): DataFrame =
     maybeBroadcastByCount(vocab, countFrom, "graft.containment.maxBroadcastVocab", 8000000L)
 
+  /** The capped-df vocabulary view both estimators below are keyed on —
+    * ONE builder, because the memo keys must stay plan-identical. */
+  private def cappedDfView(gramDf: DataFrame, dfCol: String, maxDf: Int): DataFrame =
+    gramDf
+      .select(F.col(dfCol).cast("long").as("__dfv"))
+      .filter(F.col("__dfv").between(2L, maxDf.toLong))
+
+  /** Exact capped pair mass Σ_{2≤df≤maxDf} df·(df−1) over a gram
+    * frequency frame — the row count of the inverted-index pair join at
+    * cap `maxDf`. One memoized scan per (plan, file-state) per session;
+    * −1 on estimate failure (every caller fails OPEN to its single-pass
+    * plan — the estimate is never load-bearing for correctness). */
+  private[graft] def cappedPairMass(gramDf: DataFrame, dfCol: String,
+                                    maxDf: Int): Double = {
+    val capped = cappedDfView(gramDf, dfCol, maxDf)
+    try Similarity.memoizedScalar(capped) { g =>
+      Option(g.agg(F.sum(F.col("__dfv") * (F.col("__dfv") - F.lit(1L)))).head.get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+    }.toDouble
+    catch { case _: Throwable => -1.0 }
+  }
+
   /** The largest df cap whose EXACT cumulative pair mass
     * Σ_{df≤cap} df·(df−1) fits `budget`, together with the mass at the
     * caller's `maxDf`. This serves the INCREMENTAL nightly-rebuild shape
@@ -1064,29 +1086,10 @@ object Dedup {
     * histogram job — at most `maxDf` distinct df values — only when
     * over budget); on estimate failure it fails OPEN to `maxDf`,
     * preserving the previous never-load-bearing contract. */
-  /** Exact capped pair mass Σ_{2≤df≤maxDf} df·(df−1) over a gram
-    * frequency frame — the row count of the inverted-index pair join at
-    * cap `maxDf`. One memoized scan per (plan, file-state) per session;
-    * −1 on estimate failure (every caller fails OPEN to its single-pass
-    * plan — the estimate is never load-bearing for correctness). */
-  private[graft] def cappedPairMass(gramDf: DataFrame, dfCol: String,
-                                    maxDf: Int): Double = {
-    val capped = gramDf
-      .select(F.col(dfCol).cast("long").as("__dfv"))
-      .filter(F.col("__dfv").between(2L, maxDf.toLong))
-    try Similarity.memoizedScalar(capped) { g =>
-      Option(g.agg(F.sum(F.col("__dfv") * (F.col("__dfv") - F.lit(1L)))).head.get(0))
-        .map(_.asInstanceOf[Long]).getOrElse(0L)
-    }.toDouble
-    catch { case _: Throwable => -1.0 }
-  }
-
   def adaptiveContainmentCap(gramDf: DataFrame, dfCol: String, maxDf: Int,
                              budget0: Long = -1L): (Int, Double) = {
     val budget = if (budget0 > 0) budget0 else pairBudget(gramDf.sparkSession)
-    val capped = gramDf
-      .select(F.col(dfCol).cast("long").as("__dfv"))
-      .filter(F.col("__dfv").between(2L, maxDf.toLong))
+    val capped = cappedDfView(gramDf, dfCol, maxDf)
     val est = cappedPairMass(gramDf, dfCol, maxDf)
     if (est < 0 || est <= budget.toDouble) (maxDf, est)
     else {
@@ -1222,12 +1225,18 @@ object Dedup {
     // wave. Cost: waves× feature-frame scans (cached below) — total
     // work linear in the mass, which is the size of the exact answer's
     // evidence. Estimate failure (est < 0) fails OPEN to single-pass.
-    val waves =
-      if (estPairs < 0 || estPairs <= budget.toDouble) 1
-      else math.min(math.ceil(estPairs / budget.toDouble).toLong, 1024L).toInt
+    val wavesRaw =
+      if (estPairs < 0 || estPairs <= budget.toDouble) 1L
+      else math.ceil(estPairs / budget.toDouble).toLong
+    val waves = math.min(wavesRaw, 1024L).toInt
     if (waves > 1)
       println(s"[graft] $tag: pair mass " + f"$estPairs%.3g" +
-        s" over budget $budget — exact answer in $waves waves")
+        s" over budget $budget — exact answer in $waves waves" +
+        // no silent caps (repo discipline): past 1024× over budget each
+        // wave carries ~mass/1024 > budget rows — still exact, disk no
+        // longer bounded by the budget itself
+        (if (wavesRaw > waves) f" (CAPPED from $wavesRaw — ~${estPairs / waves}%.3g rows/wave exceeds the budget)"
+         else ""))
     // width from the mass ONE pair join actually carries
     val estForWidth = if (waves > 1) budget.toDouble else estPairs
     val w = Explosion.width(estForWidth, machine)

@@ -32,8 +32,9 @@ object Similarity {
   private val CountCacheMax = 256
   private val countCache =
     java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[String, Long](64, 0.75f, false) {
-        override def removeEldestEntry(e: java.util.Map.Entry[String, Long]): Boolean =
+      new java.util.LinkedHashMap[(String, AnyRef, String), Long](64, 0.75f, false) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, AnyRef, String), Long]): Boolean =
           size() > CountCacheMax
       })
 
@@ -51,24 +52,11 @@ object Similarity {
     * estimate, ≤ budget, so the cap never engaged and the pair join
     * exploded to ~10^10 rows); PipelineSpec pins key distinctness
     * under persist. */
-  private[graft] def corpusKey(df: DataFrame): String = {
-    val files = df.queryExecution.analyzed.collect {
-      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r.relation
-    }.flatMap {
-      case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-        h.location.inputFiles.toSeq.sorted.map { p =>
-          val st = try {
-            val path = new org.apache.hadoop.fs.Path(p)
-            val fs = path.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
-            val s = fs.getFileStatus(path)
-            s"${s.getLen}:${s.getModificationTime}"
-          } catch { case _: Throwable => "?" }
-          s"$p@$st"
-        }
-      case _ => Nil
-    }
-    df.queryExecution.logical.canonicalized.toString + files.mkString("|")
-  }
+  private[graft] def corpusKey(df: DataFrame): (AnyRef, String) =
+    graft.core.PlanKey.of(df) // r16: structural key, shared helper —
+    // the rendered-string key collided for same-schema in-memory frames
+    // (LocalRelation/LogicalRDD print only their schema), which could
+    // serve one corpus's memoized estimate to another
 
   /** Memoized `df.count()` keyed by `corpusKey` — one count job per
     * distinct (plan, file-state) per session. No lock held across the
@@ -80,13 +68,15 @@ object Similarity {
     * one job per (plan, file-state) per session, so repeated builds of
     * the same query never re-pay the estimate. */
   private[graft] def memoizedScalar(df: DataFrame)(action: DataFrame => Long): Long = {
-    val k = "scalar:" + corpusKey(df)
+    val (p, f) = corpusKey(df)
+    val k = ("scalar", p, f)
     if (countCache.containsKey(k)) countCache.get(k)
     else { val v = action(df); countCache.put(k, v); v }
   }
 
   private[pipeline] def memoizedCount(df: DataFrame): Long = {
-    val k = corpusKey(df)
+    val (p, f) = corpusKey(df)
+    val k = ("count", p, f)
     if (countCache.containsKey(k)) countCache.get(k)
     else { val v = df.count(); countCache.put(k, v); v }
   }

@@ -184,6 +184,27 @@ class CoreSemanticsSpec extends AnyFunSuite {
       un.df.queryExecution.executedPlan.toString.take(2000))
   }
 
+  test("shuffle(seed): deterministic, long ordinal, composes with chunked ops") {
+    val f = frame(spark.createDataFrame(spark.sparkContext.parallelize(
+      (0 until 32).map(i => (i, i.toLong)), 4)).toDF("i", "v"))
+    val s7 = f.shuffle(7)
+    assert(s7.records() == f.shuffle(7).records(), "same seed, same order")
+    assert(s7.records() != f.shuffle(8).records(), "different seed, different order")
+    assert(s7.records().tail.map(_.head).sorted ==
+      (0 until 32).map(_.toString).sorted, "a permutation, not a resample")
+    // the ordinal stays LONG (r16 review: the rand() double ordinal broke
+    // the chunked plans' shiftright bands on any downstream prefix op)
+    assert(s7.df.schema(TadaFrame.ORD).dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(Analytics.cumSum(s7, "v", "cs").records() ==
+      Analytics.cumSumWindow(s7, "v", "cs").records(),
+      "whole-frame chunked cumsum must run on a shuffled frame")
+    // and the pivot ordinal machinery accepts a shuffled frame
+    val pv = Reshape.pivotTable(s7.withCol("g", F.col("i") % 3),
+      Seq("g"), "i", F.count(F.lit(1)))
+    assert(pv.records().tail.size == 3)
+  }
+
   test("empty pivot domain on a sorted frame returns an empty frame (ADVICE r15 medium)") {
     val empty = frame(Seq.empty[(Int, String, String, Double)]
       .toDF("s", "g", "k", "v")).sort(Sorter("s"))
