@@ -35,6 +35,10 @@ object DocProbe {
       .config("spark.ui.enabled", "false")
       .config("graft.containment.maxPairs", sys.env.getOrElse(
         "GRAFT_CONTAINMENT_MAX_PAIRS", "500000000"))
+      // compressed parquet spill for over-budget wave survivors: the
+      // block-manager default stores them uncompressed (the first ×1000
+      // forced winnow run accumulated ~4× the columnar size)
+      .config("graft.containment.waveDir", "/tmp/docprobe/waves")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val D = pipeline.Dedup

@@ -28,6 +28,9 @@ import graft.streaming.Streams
   *    with planted near/exact duplicate families, arrivals a mix of
   *    copies, perturbed copies and fresh docs. Values compare exactly
   *    (both sides share the jaccard kernel).
+  *  - `Streams.containmentAgainstIndex` vs the batch incremental fold
+  *    restricted to cross pairs — arrivals include random subsequence
+  *    slices (the subset-duplicate shape).
   *
   * Late data is deliberately NOT generated here: watermark-drop
   * semantics diverge from batch BY CONTRACT and are pinned separately
@@ -179,6 +182,67 @@ object StreamFuzz {
     }
   }
 
+  /** Containment-vs-stored-gram-index twin vs the batch incremental
+    * fold, restricted to CROSS pairs (the twin's contract: arrival-vs-
+    * arrival pairs are not emitted; run the batch fold over the store
+    * when they matter). Arrivals include random SUBSEQUENCE slices of
+    * corpus docs — the subset-duplicate shape containment exists for —
+    * plus perturbed copies and fresh docs; no gram approaches the df
+    * cap at these sizes, so frozen-cap streaming values equal the
+    * batch fold's exactly. */
+  def containIndexCase(spark: SparkSession, seed: Int, nDocs: Int,
+                       dir: String, tag: String): Int = {
+    import spark.implicits._
+    val D = graft.pipeline.Dedup
+    val rng = new Random(seed * 524287 + 11)
+    val pool = (0 until 80).map(i => s"t$i")
+    def fresh(): String =
+      Seq.fill(14 + rng.nextInt(16))(pool(rng.nextInt(pool.size))).mkString(" ")
+    val corpusTexts = Array.fill(nDocs)(fresh())
+    val corpus = corpusTexts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toSeq.toDF("doc_id", "text")
+    val index = D.containmentGramIndex(corpus, "doc_id", "text").persist()
+    val gramDf = index.groupBy("g").agg(F.count(F.lit(1)).as("df"))
+    val sizes = index.join(gramDf.filter(F.col("df") <= 1000), "g")
+      .groupBy("id").agg(F.count(F.lit(1)).as("n"))
+    val arrivals = (0 until math.max(4, nDocs / 2)).map { j =>
+      val t = rng.nextInt(4) match {
+        case 0 => // subset slice of a corpus doc — containment ≈ 1.0
+          val ws = corpusTexts(rng.nextInt(nDocs)).split(" ")
+          val a = rng.nextInt(math.max(1, ws.length - 6))
+          ws.slice(a, a + 6 + rng.nextInt(ws.length - a)).mkString(" ")
+        case 1 => corpusTexts(rng.nextInt(nDocs)) // exact copy
+        case _ => fresh()
+      }
+      (1000000L + j, new java.sql.Timestamp(BASE + j * 1000L), t, j)
+    }.toDF("doc_id", "ts", "text", "arr")
+    val cd = s"$dir/ci-docs"
+    chunkByArrival(arrivals, "arr", cd, files = 4)
+    val src = spark.readStream.schema(arrivals.drop("arr").schema)
+      .option("maxFilesPerTrigger", "1").parquet(cd)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("id_small"), r.getAs[Long]("id_big"),
+        r.getAs[Long]("n_small"), r.getAs[Long]("inter"),
+        r.getAs[Double]("containment"))
+    val got = runToMemory(
+      Streams.containmentAgainstIndex(src, index, "doc_id", "ts", "text",
+        "10 minutes"),
+      s"sfuzz_ci_${tag}_$seed").collect().map(key).toSeq.sorted
+    val want = D.containmentPairsIncremental(index, gramDf, sizes,
+        arrivals.drop("ts", "arr"), "doc_id", "text")
+      // cross pairs only — the twin never emits arrival-vs-arrival
+      .filter((F.col("id_small") >= 1000000L) =!= (F.col("id_big") >= 1000000L))
+      .collect().map(key).toSeq.sorted
+    spark.sql(s"DROP TABLE IF EXISTS sfuzz_ci_${tag}_$seed")
+    index.unpersist()
+    if (got == want) 0 else {
+      println(s"[streamfuzz] MISMATCH containment_vs_index seed=$seed scale=$tag: " +
+        s"stream ${got.size} vs batch ${want.size}; " +
+        s"extra=${(got.diff(want)).take(5)} missing=${(want.diff(got)).take(5)}")
+      1
+    }
+  }
+
   /** Full sweep: `seeds` per twin per scale; returns total mismatches. */
   def run(spark: SparkSession, seeds: Range, root: String,
           scales: Seq[(String, Int, Int)]): Int = {
@@ -191,6 +255,7 @@ object StreamFuzz {
       rm(new java.io.File(dir))
       bad += intervalJoinCase(spark, seed, nEvents, dir, tag)
       bad += dedupIndexCase(spark, seed, nDocs, dir, tag)
+      bad += containIndexCase(spark, seed, nDocs, dir, tag)
       rm(new java.io.File(dir))
     }
     bad
@@ -207,7 +272,7 @@ object StreamFuzz {
     spark.sparkContext.setLogLevel("WARN")
     val scales = Seq(("1x", 2000, 240), ("10x", 20000, 2400))
     val bad = run(spark, 1 to seeds, "/tmp/streamfuzz", scales)
-    println(s"[streamfuzz] ${seeds} seeds x ${scales.size} scales x 2 twins: " +
+    println(s"[streamfuzz] ${seeds} seeds x ${scales.size} scales x 3 twins: " +
       s"$bad mismatches")
     spark.stop()
     if (bad != 0) sys.exit(1)

@@ -1288,19 +1288,42 @@ object Dedup {
         .filter(F.col("containment") >= tau)
     }
     if (waves == 1) wavePairs(grams)
-    else (0 until waves).map { s =>
-      val slice = wavePairs(grams.filter(
-          F.pmod(F.xxhash64(F.col("id")), F.lit(waves.toLong)) === s.toLong))
-        // eager: run wave s NOW and keep only its survivors; the wave's
-        // pre-checkpoint lineage (and with it the budget-sized shuffle)
-        // becomes collectable before wave s+1 starts
-        .localCheckpoint(true)
-      // nudge the ContextCleaner so the finished wave's shuffle files
-      // are unregistered while the next wave runs — this is what bounds
-      // PEAK disk to ~one wave instead of the full mass
-      System.gc()
-      slice
-    }.reduce(_ unionByName _)
+    else {
+      def slice(s: Int): DataFrame = wavePairs(grams.filter(
+        F.pmod(F.xxhash64(F.col("id")), F.lit(waves.toLong)) === s.toLong))
+      // Wave SURVIVOR storage. The survivors ARE the exact answer — at
+      // over-budget mass that can itself be billions of rows, and any
+      // exact computation must materialize it once. Two homes:
+      //  - `graft.containment.waveDir` set (the at-scale config; any
+      //    cluster-visible path): each wave APPENDS compressed parquet
+      //    and the result is read back — survivors cost their columnar
+      //    size, lineage truncates per wave. The ×1000 winnow probe
+      //    measured the default block-manager spill at ~4× this
+      //    (spark.rdd.compress is off by default).
+      //  - unset (portable default): eager localCheckpoint per wave.
+      // Either way the wave's pre-materialization lineage — and with it
+      // the budget-sized shuffle — becomes collectable before the next
+      // wave starts (the gc nudge drains the ContextCleaner), so peak
+      // LIVE shuffle is ~one wave instead of the full mass.
+      val waveDir =
+        try Some(spark.conf.get("graft.containment.waveDir"))
+            .filter(_.nonEmpty).map(_ + s"/$tag-waves-" + java.util.UUID.randomUUID)
+        catch { case _: Throwable => None }
+      waveDir match {
+        case Some(dir) =>
+          (0 until waves).foreach { s =>
+            slice(s).write.mode("append").parquet(dir)
+            System.gc()
+          }
+          spark.read.parquet(dir)
+        case None =>
+          (0 until waves).map { s =>
+            val out = slice(s).localCheckpoint(true)
+            System.gc()
+            out
+          }.reduce(_ unionByName _)
+      }
+    }
   }
 
   /** The stored membership artifact for incremental containment: one

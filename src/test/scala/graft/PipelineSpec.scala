@@ -147,6 +147,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(full.length == 15 && full.forall(_._5 == 1.0))
     assert(waved.toSeq == full.toSeq,
       "over-budget waves must reproduce the single-pass pair set exactly")
+    // the compressed parquet spill home (graft.containment.waveDir —
+    // the at-scale config) produces the same pair set
+    spark.conf.set("graft.containment.maxPairs", "3")
+    spark.conf.set("graft.containment.waveDir", "/tmp/graft-test-waves")
+    val spilled = try {
+      Dedup.containmentPairs(clique, "doc_id", "text").collect().map(key).sorted
+    } finally {
+      spark.conf.unset("graft.containment.maxPairs")
+      spark.conf.unset("graft.containment.waveDir")
+    }
+    assert(spilled.toSeq == full.toSeq, "parquet-spill waves must match too")
     graft.core.CacheRegistry.releaseAll()
   }
 
