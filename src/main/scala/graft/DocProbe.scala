@@ -113,7 +113,10 @@ object DocProbe {
         val index = graft.core.CacheRegistry.track("docprobe.q92.index",
           D.containmentGramIndex(d, "doc_id", "text"))
         val gramDf = index.groupBy("g").agg(F.count(F.lit(1)).as("df"))
-        val eff = D.adaptiveContainmentCap(gramDf, "df", 1000)._1
+        // r16: the nightly cap is the fixed semantic stop-gram cap (the
+        // q92 registration's shape) — the fold's fan-out is batch-
+        // bounded, so no mass budget applies to the incremental path
+        val eff = 1000
         val sizes = index.join(
             D.maybeBroadcastVocab(gramDf.filter(F.col("df") <= eff), gramDf), "g")
           .groupBy("id").agg(F.count(F.lit(1)).as("n"))

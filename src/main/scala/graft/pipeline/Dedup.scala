@@ -1072,20 +1072,19 @@ object Dedup {
 
   /** The largest df cap whose EXACT cumulative pair mass
     * Σ_{df≤cap} df·(df−1) fits `budget`, together with the mass at the
-    * caller's `maxDf`. This serves the INCREMENTAL nightly-rebuild shape
-    * (q92's registration): the stored index's capped sizes and the fold
-    * must share ONE coherent cap, so a stored artifact cannot be
-    * re-sliced per query the way [[containmentPairsFromFeatures]]'s
-    * waves re-slice a one-shot build. When a corpus's whole vocabulary
-    * drifts toward the cap (the failure the per-gram cap cannot see —
-    * no single gram over `maxDf`, but Σ df² explosive), evidence narrows
-    * to the lowest-df, i.e. most-discriminative, grams until the pair
-    * join is affordable; `cap = 1` means honest "no discriminative
-    * evidence", never an n² explosion. Runs one memoized
-    * vocabulary-scan job (plus one
-    * histogram job — at most `maxDf` distinct df values — only when
-    * over budget); on estimate failure it fails OPEN to `maxDf`,
-    * preserving the previous never-load-bearing contract. */
+    * caller's `maxDf`. r16: NO registered path degrades through this
+    * anymore — the one-shot operators compute over-budget masses
+    * exactly in waves, and the incremental nightly (q92's shape) keeps
+    * the fixed semantic cap because its fold's fan-out is
+    * BATCH-bounded, never corpus-mass-bounded. Retained as the capacity
+    * DIAGNOSTIC it always computed (DocProbe's `qcap` prints it per
+    * decade; a pipeline can price "what cap WOULD a given rebuild
+    * budget force" before provisioning): evidence narrows to the
+    * lowest-df, i.e. most-discriminative, grams; `cap = 1` means "no
+    * discriminative evidence fits". Runs one memoized vocabulary-scan
+    * job (plus one histogram job — at most `maxDf` distinct df values —
+    * only when over budget); on estimate failure it fails OPEN to
+    * `maxDf`. */
   def adaptiveContainmentCap(gramDf: DataFrame, dfCol: String, maxDf: Int,
                              budget0: Long = -1L): (Int, Double) = {
     val budget = if (budget0 > 0) budget0 else pairBudget(gramDf.sparkSession)

@@ -644,14 +644,16 @@ object CurationQueries extends QueryPack {
         val d = Tables.documents(s, dir).select(F.col("doc_id"), F.col("text"))
         val index = Dedup.containmentGramIndex(d, "doc_id", "text").persist()
         val gramDf = index.groupBy("g").agg(F.count(F.lit(1)).as("df"))
-        // nightly-rebuild cap selection: the SAME pair-budget
-        // degradation containmentPairs applies (r11 — the 100× probe
-        // filled the disk when the whole vocabulary sat just under a
-        // fixed cap). At the oracle SFs the mass is far under budget,
-        // so eff == 1000 and the hash contract is unchanged; stored
-        // sizes and the fold share the one effective cap, which the
-        // rebuild-equivalence property requires.
-        val eff = Dedup.adaptiveContainmentCap(gramDf, "df", 1000)._1
+        // nightly-rebuild cap: the FIXED semantic stop-gram cap (r16).
+        // Until r15 this ran the adaptive budget degradation, which at
+        // over-budget corpora builds a df≤1-gram index — a silently
+        // near-empty incremental system, the same weakness class the
+        // one-shot waves replaced. The incremental fold needs no mass
+        // budget: its pair fan-out is BATCH-bounded (≤ batch gram
+        // instances × maxDf), never corpus-mass-bounded, so the stored
+        // sizes and the fold share the honest cap. Stored sizes must be
+        // built AT this cap (rebuild-equivalence requires one cap).
+        val eff = 1000
         // vocabulary side broadcast when small — without the hint this
         // join exchanges the whole corpus gram explosion (r11 probe)
         val sizes = index.join(
