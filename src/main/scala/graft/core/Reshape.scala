@@ -22,27 +22,38 @@ object Reshape {
     * differential-fuzz seed-511 contract — a re-ingested pivot took
     * Spark's partition order and a later stable sort's ties diverged).
     *
-    * r16 (ADVICE r15): the group ordinal is an UNFILTERED window rep.
-    * Every pivot aggregate is cell-filtered, so the r15 least()-of-
-    * per-cell-partials shape lost any row whose pivot value was null or
-    * outside `knownValues` (`Seq[String]` can never express null) —
-    * group order silently diverged from the reference's first-
-    * appearance-over-ALL-rows contract (internal.go:1399-1424), and an
-    * all-excluded group got a null ordinal. Instead the rep is computed
-    * per ROW as `min(...) over partitionBy(labels)` — constant within a
-    * group, covering every row — and carried as an extra GROUPING
-    * column: groups are unchanged (the rep is functionally dependent on
-    * the labels) and the window's hash exchange on the labels already
-    * satisfies the groupBy's clustering, so there is still exactly one
-    * shuffle and no join. This also deletes the `_{alias}` sentinel
-    * matching and the least()/NullType paths (ADVICE r15 medium + low):
-    * with a single un-aliased aggregate Spark names pivot columns by
-    * the pivot value alone, and grouping columns lead the output, so
-    * the cell columns are derived positionally, never by name.
+    * ONE aggregation, group ordinal = `least()` over per-cell rep
+    * partials (r15 fold): the same `groupBy().pivot().agg()` pass
+    * produces the cells and a per-cell group-rep partial, so the plan
+    * keeps MAP-SIDE partial aggregation and exchanges ~#groups×#cells
+    * partial rows, never the data (the r16 window-rep variant was
+    * measured 1.6–4× on low-cardinality labels: a window needs the raw
+    * rows exchanged first, killing the partials).
+    *
+    * Exactness over ALL rows (ADVICE r15 high): every pivot aggregate
+    * is cell-filtered, so a row whose pivot value is null or outside
+    * `knownValues` would contribute to no rep partial — group order
+    * would diverge from the reference's first-appearance-over-ALL-rows
+    * contract (internal.go:1399-1424), and an all-excluded group would
+    * get a null ordinal. So every row is GIVEN a cell: with
+    * `knownValues`, excluded and null pivot values are remapped onto a
+    * SENTINEL cell that participates in the `least()` and is dropped
+    * from the output; in auto-discovery mode the value list (collected
+    * here, exactly as Spark's own discovery would) includes null, so
+    * all rows are covered already. Values are always passed explicitly
+    * and the output columns derived POSITIONALLY from them — no
+    * dependence on Spark's '{value}_{alias}' naming (ADVICE r15 low),
+    * and an empty value domain short-circuits to the empty frame
+    * instead of ranking a NullType rep (ADVICE r15 medium).
     *
     * `cellAgg(aug, cellOrd)` builds the per-cell aggregate; `cellOrd`
     * ranks the cell's rows in frame order (in-group position for sorted
     * frames, ingest ordinal otherwise) for first-in-frame-order cells. */
+  private val SENT = "__pv_other"
+  // aggregate aliases — cosmetic only: the output layout is positional
+  private val PC = "__pvc"
+  private val PR = "__pvr"
+
   private def pivotCore(f: TadaFrame, labels: Seq[String], column: String,
                         knownValues: Seq[String], prefix: String)(
       cellAgg: (DataFrame, Column) => Column): TadaFrame = {
@@ -50,35 +61,67 @@ object Reshape {
     require(labels.nonEmpty,
       "pivot requires at least one label column to group rows by " +
         "(ADVICE r14: an empty label set previously threw from reduce())")
+    require(!knownValues.contains(SENT),
+      s"pivot value '$SENT' collides with the internal sentinel cell")
     val sorted = f.order.nonEmpty
     val g = TadaGrouped(f, labels, aligned = false)
-    val w = org.apache.spark.sql.expressions.Window
-    val aug0 =
+    val aug =
       if (sorted) f.df.withColumn(GPOS, F.row_number().over(
-        w.partitionBy(labels.map(f.df(_)): _*).orderBy(f.orderCols: _*)))
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(labels.map(f.df(_)): _*).orderBy(f.orderCols: _*)))
       else f.df
-    val repCol =
-      if (sorted) g.repWindowCol(aug0)
-      else F.min(aug0(ORD)).over(w.partitionBy(labels.map(aug0(_)): _*))
-    val aug = aug0.withColumn(REP, repCol)
     val cellOrd = if (sorted) aug(GPOS) else aug(ORD)
-    val grouped = aug.groupBy((labels :+ REP).map(aug(_)): _*)
-    val pv0 =
-      if (knownValues.nonEmpty) grouped.pivot(column, knownValues)
-      else grouped.pivot(column)
-    val pv = pv0.agg(cellAgg(aug, cellOrd))
-    // grouping columns (labels, REP) lead the pivot output; the cells
-    // follow in pivot-value order — positional, no name convention.
-    val cellNames = pv.columns.drop(labels.size + 1).toSeq
-    assert(knownValues.isEmpty || cellNames == knownValues,
-      s"pivot cell naming drifted: got $cellNames for values $knownValues")
+    val repA = if (sorted) g.cellRepAgg(aug) else F.min(aug(ORD))
+    // explicit value list: caller's (+ sentinel), or our own discovery —
+    // the same distinct+sort (nulls first) collect Spark's auto pivot
+    // runs internally, so auto mode costs no extra job
+    val (vals: Seq[Any], pivotCol: Column) =
+      if (knownValues.nonEmpty)
+        ((knownValues :+ SENT).toSeq,
+          F.when(aug(column).isin(knownValues.map(v => v: Any): _*), aug(column))
+            .otherwise(F.lit(SENT)))
+      else {
+        val maxVals = 10000
+        val got = f.df.select(column).distinct().limit(maxVals + 1)
+          .sort(column).collect().map(_.get(0)).toSeq
+        require(got.size <= maxVals,
+          s"pivot column '$column' exceeds $maxVals distinct values")
+        (got, aug(column))
+      }
+    if (vals.isEmpty) {
+      // empty domain ⇒ zero rows ⇒ zero groups: the empty frame, typed
+      val empty = f.df.select(labels.map(f.df(_)): _*)
+        .withColumn(ORD, F.lit(null).cast(org.apache.spark.sql.types.LongType))
+        .limit(0)
+      return TadaFrame(empty, labels = labels, name = f.name,
+        order = Nil, bands = f.bands)
+    }
+    val grouped = aug.groupBy(labels.map(aug(_)): _*)
+    val pv = grouped.pivot(pivotCol, vals)
+      .agg(cellAgg(aug, cellOrd).as(PC), repA.as(PR))
+    // positional layout: labels, then (cell, rep) PAIRS in `vals` order
+    val body = pv.columns.drop(labels.size).toSeq
+    assert(body.size == 2 * vals.size,
+      s"pivot output drifted: ${body.size} columns for ${vals.size} values")
+    val repCols = vals.indices.map(i => body(2 * i + 1))
+    val repExpr =
+      if (repCols.size == 1) pv(repCols.head)
+      else F.least(repCols.map(pv(_)): _*)
     val withOrd =
-      if (sorted) g.rankRep(pv) // reads/ranks REP, drops it, appends ORD
-      else pv.withColumn(ORD, pv(REP)).drop(REP)
-    // columns now: labels, cells…, ORD — rename cells positionally (a
-    // pivot value may collide with a label name; toDF is duplicate-safe)
-    val outNames = labels ++ cellNames.map(prefix + _) :+ ORD
-    TadaFrame(withOrd.toDF(outNames: _*), labels = labels, name = f.name,
+      if (sorted) g.rankRep(pv.withColumn(REP, repExpr).drop(repCols: _*))
+      else pv.withColumn(ORD, repExpr).drop(repCols: _*)
+    // columns are now positionally labels, cells…, ORD — rename through
+    // unambiguous temporaries, drop the sentinel cell (knownValues
+    // mode), then apply the final names (a pivot value may collide with
+    // a label name; positional toDF is duplicate-safe throughout)
+    val tmpNames = labels ++ vals.indices.map(i => s"__pvcell_$i") :+ ORD
+    val named = withOrd.toDF(tmpNames: _*)
+    val dropped =
+      if (knownValues.nonEmpty) named.drop(s"__pvcell_${vals.size - 1}")
+      else named
+    val keptVals = if (knownValues.nonEmpty) vals.dropRight(1) else vals
+    val outNames = labels ++ keptVals.map(v => prefix + String.valueOf(v)) :+ ORD
+    TadaFrame(dropped.toDF(outNames: _*), labels = labels, name = f.name,
       order = Nil, bands = f.bands)
   }
 

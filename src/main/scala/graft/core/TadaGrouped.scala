@@ -59,21 +59,17 @@ final case class TadaGrouped(frame: TadaFrame, keys: Seq[String], aligned: Boole
     F.min_by(F.struct(frame.order.zipWithIndex.map { case (s, i) =>
       aug(s.name).as(s"k$i") } :+ aug(ORD).as("o"): _*), aug(GPOS)).as(REP)
 
-  /** Unfiltered per-group rep as a WINDOW column (constant per group,
-    * sorted frames): `min` over `partitionBy(keys)` of the same struct
-    * [[repAgg]] aggregates, led by the in-group position `g` so the
-    * minimum is the group's frame-order-first row. Carried as an extra
-    * GROUPING column through pivots, the rep covers ALL of the group's
-    * rows — including rows whose pivot value is null or outside
-    * `knownValues`, which per-cell pivot partials can never see (every
-    * pivot aggregate is cell-filtered; ADVICE r15 high). The k/o fields
-    * keep [[rankRep]]'s contract (it reads them by name; `g` is inert).
-    * The window's `partitionBy(keys)` exchange is the same hash
-    * partitioning the downstream groupBy needs, so no second shuffle. */
-  private[core] def repWindowCol(aug: DataFrame): Column =
+  /** Per-CELL group-rep partial for the pivot fold (Reshape): like
+    * [[repAgg]] but prefixed with the in-group position `g`, so the
+    * overall group rep is `least()` of the cell partials — `g` is a
+    * row_number within the group, unique across the group's cells, and
+    * the struct comparison never reads past it. Exact over ALL rows
+    * because the pivot core gives EVERY row a cell (excluded/null pivot
+    * values land in a sentinel cell; ADVICE r15 high). The k/o fields
+    * keep [[rankRep]]'s contract (it reads them by name; `g` is inert). */
+  private[core] def cellRepAgg(aug: DataFrame): Column =
     F.min(F.struct(aug(GPOS).as("g") +: frame.order.zipWithIndex.map {
       case (s, i) => aug(s.name).as(s"k$i") } :+ aug(ORD).as("o"): _*))
-      .over(Window.partitionBy(keys.map(aug(_)): _*))
 
   /** Dense long group ordinal ranked on the REDUCED output (#groups
     * rows): order the captured representatives by the frame's sort spec

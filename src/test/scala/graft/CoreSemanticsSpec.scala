@@ -175,13 +175,18 @@ class CoreSemanticsSpec extends AnyFunSuite {
     val so = Reshape.pivotTable(f.sort(Sorter("s", descending = true)),
       Seq("g"), "k", F.sum(F.col("v")), knownValues = Seq("a", "b"), prefix = "pv_")
     assert(so.records().tail.map(_.head) == Seq("z", "x", "y"))
-    // plan audit: the rep window's hash exchange on the labels SATISFIES
-    // the pivot aggregation's clustering — one data exchange total, no
-    // second shuffle for carrying the rep as a grouping column
-    val nEx = "Exchange hashpartitioning".r
-      .findAllIn(un.df.queryExecution.executedPlan.toString).size
-    assert(nEx == 1, s"unsorted pivot must shuffle once, saw $nEx:\n" +
-      un.df.queryExecution.executedPlan.toString.take(2000))
+    // plan audit: Spark plans pivot as two-phase aggregation —
+    // groupBy(labels, pivotCol) partials, exchange, pivotfirst, exchange
+    // — BOTH exchanges carry partial-AGGREGATED rows (~groups × cells),
+    // never the data, and partial_ aggregation rides each map side. The
+    // rejected window-rep variant exchanged the raw rows (measured
+    // 1.6–4× on low-cardinality labels).
+    val plan = un.df.queryExecution.executedPlan.toString
+    val nEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(nEx <= 2, s"pivot must exchange only aggregate partials, saw $nEx:\n" +
+      plan.take(2000))
+    assert(plan.contains("partial_pivotfirst") || plan.contains("partial_"),
+      s"pivot must keep map-side partial aggregation:\n${plan.take(2000)}")
   }
 
   test("shuffle(seed): deterministic, long ordinal, composes with chunked ops") {
