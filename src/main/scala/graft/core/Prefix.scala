@@ -39,12 +39,17 @@ import org.apache.spark.sql.types._
   *     scan's natural parallelism.
   *   - '''Sorted frame''' with a numeric / date / timestamp / boolean
   *     first key: width-bucket the first sort key between its min and max
-  *     (both computed lazily and crossJoined as a broadcast scalar — the
-  *     same pattern as Similarity's cutoff scalar). Equal keys land in one
-  *     chunk; the within-chunk window orders by the FULL key so chunk
-  *     granularity only needs monotonicity. Value skew can unbalance
-  *     chunks (documented) but never breaks correctness, and the worst
-  *     case degenerates to the status-quo single partition.
+  *     (r16: one memoized bounds job per (plan, file state) per session —
+  *     [[Prefix.BoundsCache]] — injected as literals; the lazy
+  *     broadcast-crossJoin form survives only as the job-failure
+  *     fallback). Equal keys land in one chunk; the within-chunk window
+  *     orders by the FULL key so chunk granularity only needs
+  *     monotonicity. Value skew can unbalance chunks (documented) but
+  *     never breaks correctness. r16: a LOW-CARDINALITY first key (d
+  *     distinct < chunk count — the equal-keys invariant would cap
+  *     parallelism at d) switches to exact value-index chunks × a tie
+  *     sub-band monotone in the tie's internal order
+  *     ([[Prefix.lowCardChunk]]).
   *   - '''Sorted frame, non-bucketable first key''' (string): fall back to
   *     the single-partition window form — correct, rare (an explicit
   *     whole-frame prefix over a string-sorted frame), and exactly the
