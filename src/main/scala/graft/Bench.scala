@@ -250,7 +250,7 @@ object Bench {
     val cacheBytes = cacheBytesAtRun.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${m(minTimes)},"first":${m(firstTimes)},"failed":$failed,"errors":$errs,"partial":$partial,"loaded":$loaded,"ext_load_at_min":$extm,"io_stall_at_min":$iom,"load_passes":$passes,"load_start":$loadStart,"load_end":$load1,"canary_sec":$canarySec,"cache_leak":$cacheLeak,"leftover_cache_tags":${leftoverTags.map("\"" + _ + "\"").mkString("[", ",", "]")},"cache_bytes":$cacheBytes,"sf":"$sfDirSeen"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${m(minTimes)},"first":${m(firstTimes)},"failed":$failed,"errors":$errs,"partial":$partial,"loaded":$loaded,"ext_load_at_min":$extm,"io_stall_at_min":$iom,"load_passes":$passes,"load_start":$loadStart,"load_end":$load1,"canary_sec":$canarySec,"forced":true,"cache_leak":$cacheLeak,"leftover_cache_tags":${leftoverTags.map("\"" + _ + "\"").mkString("[", ",", "]")},"cache_bytes":$cacheBytes,"sf":"$sfDirSeen"}"""
     // The driver captures only the LAST ~2000 chars of output and
     // parses the JSON it finds there — the full artifact above is
     // 6-10 KB, so BENCH_r08/r09 both landed `parsed: null` and were
@@ -277,7 +277,7 @@ object Bench {
     // raw stdout, single line: sbt [info] prefixes and log4j noise both
     // broke driver-side parsing before; System.out directly is safest
     System.out.println(
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qShort,"failed":$failedShort,"partial":$partial,"loaded":$loaded,"dirty_at_min":$dirty,"load_start":$loadStart%.2f,"load_end":$load1%.2f,"canary_sec":$canarySec%.2f,"cache_leak":$cacheLeak,"sf":"$sfDirSeen","detail":"BENCH_DETAIL.json"}""")
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qShort,"failed":$failedShort,"partial":$partial,"loaded":$loaded,"dirty_at_min":$dirty,"load_start":$loadStart%.2f,"load_end":$load1%.2f,"canary_sec":$canarySec%.2f,"forced":true,"cache_leak":$cacheLeak,"sf":"$sfDirSeen","detail":"BENCH_DETAIL.json"}""")
     System.out.flush()
   }
 
@@ -378,11 +378,27 @@ object Bench {
       }.min
     }
 
+    // FORCE the query's OWN physical plan (r16 verdict item 1): the old
+    // `count()` probe let Catalyst prune everything that cannot change
+    // cardinality — 25 of 107 queries (including the newest chunked-
+    // prefix family, q101–q103/q106/q107) were timed at the parquet
+    // scan floor, so a regression in exactly that machinery was
+    // invisible to the headline number (ProbeAudit said so honestly;
+    // the bench didn't). Executing `queryExecution.toRdd` iterates the
+    // planned physical tree at the InternalRow level with NO logical
+    // rewrite at all: projections, global sorts, map-only transforms
+    // and UnsafeRow field writes all run, and nothing is collected to
+    // the driver. This is the honest "time to produce every output
+    // row" — strictly more work than count() on the pruned set, so
+    // r17 per-query numbers re-baseline (old→new deltas in PERF.md).
+    def force(df: org.apache.spark.sql.DataFrame): Unit =
+      df.queryExecution.toRdd.foreach(_ => ())
+
     // (seconds, ok, external cpu cores, io stall fraction during the run)
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                 sliceSec: Double): (Double, Boolean, Double, Double) = {
       val snap0 = cpuSnap()
-      val (dt, ok) = withWatchdog(s"bench-$name", sliceSec)(fn(spark, sfDir).count())
+      val (dt, ok) = withWatchdog(s"bench-$name", sliceSec)(force(fn(spark, sfDir)))
       val snap1 = cpuSnap()
       // snapshot per-tag cached bytes BEFORE the release (cheap:
       // block-manager metadata only, no jobs); only non-zero entries
@@ -427,7 +443,7 @@ object Bench {
     // throughput, reproducible across rounds.
     if (budgetSec - elapsed > 150) {
       all.filter { case (n, _) => tier(n) == 2 }.foreach { case (name, fn) =>
-        withWatchdog(s"bench-warm-$name", sliceSec = 30.0)(fn(spark, sfDir).count())
+        withWatchdog(s"bench-warm-$name", sliceSec = 30.0)(force(fn(spark, sfDir)))
         graft.core.CacheRegistry.releaseAll()
         spark.catalog.clearCache()
       }

@@ -12,6 +12,13 @@ import org.apache.spark.sql.catalyst.plans.logical._
   * are eliminated outright, so a "100× exponent" recorded through
   * count() on such a query is the exponent of a parquet ROW COUNT.
   *
+  * SCOPE since r17: `Bench` no longer uses count() — it executes each
+  * query's OWN physical plan (`queryExecution.toRdd.foreach`), which
+  * admits no logical rewrite, so the headline bench times ALL listed
+  * queries honestly regardless of this audit. The audit remains the
+  * hygiene gate for ad-hoc probes (ScaleProbe/DocProbe legs run
+  * without GRAFT_PROBE_FORCE=1 still probe through count()).
+  *
   * Mechanics: build each query, wrap it in a global count aggregate,
   * and inspect the OPTIMIZED logical plan — after the pruning rules
   * have run, so whatever work-bearing nodes remain are the ones the
@@ -63,6 +70,8 @@ object ProbeAudit {
     }
     println(s"\n== ${pruned.size} PRUNED-UNDER-COUNT (need GRAFT_PROBE_FORCE=1): " +
       pruned.mkString(","))
+    println("== Bench itself is unaffected since r17: it forces each query's " +
+      "own physical plan (toRdd), which count()-pruning cannot touch")
     spark.stop()
   }
 }

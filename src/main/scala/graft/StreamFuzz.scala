@@ -15,7 +15,15 @@ import graft.streaming.Streams
   * and compared row-for-row against the corresponding BATCH operator
   * over the same data.
   *
-  * Covered twins (the two with state evidence, per the r15 verdict):
+  * Covered twins (r16 added the first three; r17 extends to the FULL
+  * stateful/stored-artifact surface, r16 verdict item 2 — tumbling/
+  * sliding/session window counts vs the same window expressions in
+  * batch mode with a sentinel-flushed watermark, embeddingDedupStream
+  * vs `Similarity.incrementalCosinePairs`, noveltyStream /
+  * stripSpansStream / newDocsStream vs their batch operators on one
+  * shared corpus with null/no-gram edge rows, quotaPerGroup contract
+  * invariants incl. replay determinism, and sessionSummaries' final
+  * state vs batch count/sum):
   *
   *  - `Streams.intervalJoin` vs the identical batch join predicate.
   *    Arrival disorder is generated BOUNDED (rows arrive within ±J of
@@ -72,9 +80,10 @@ object StreamFuzz {
     withB.unpersist()
   }
 
-  private def runToMemory(out: DataFrame, name: String): DataFrame = {
+  private def runToMemory(out: DataFrame, name: String,
+                          mode: String = "append"): DataFrame = {
     val spark = out.sparkSession
-    val q = out.writeStream.outputMode("append")
+    val q = out.writeStream.outputMode(mode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .format("memory").queryName(name).start()
     try { q.processAllAvailable(); q.awaitTermination() } finally q.stop()
@@ -243,6 +252,344 @@ object StreamFuzz {
     }
   }
 
+  // ===== r17: the remaining stateful twins (r16 verdict item 2) =====
+
+  /** Windowed-aggregate twins: tumbling / sliding / session counts vs
+    * the SAME window expressions evaluated in BATCH mode (Spark's
+    * window()/session_window() work in both — the differential isolates
+    * the streaming state machinery: partial aggregation, watermark
+    * eviction, session MERGE state). Append mode only emits windows the
+    * watermark has closed, so a far-future sentinel event rides the
+    * LAST micro-batch to flush every real window; sentinel-keyed rows
+    * are excluded from both sides. Values are dyadic rationals, so the
+    * stream's incremental sums equal the batch sums bit-for-bit. */
+  def windowCountsCase(spark: SparkSession, seed: Int, nEvents: Int,
+                       dir: String, tag: String): Int = {
+    import spark.implicits._
+    val rng = new Random(seed * 2741 + 29)
+    val J = 120 // arrival jitter, seconds — watermark 10 min ≫ 2J
+    val rows = (0 until nEvents).map { i =>
+      (i.toLong,
+        new java.sql.Timestamp(BASE + i * 1000L + rng.nextInt(1000)),
+        rng.nextInt(6).toLong,
+        Seq("click", "view", "buy")(rng.nextInt(3)),
+        (rng.nextInt(8001) - 4000) / 4.0,
+        i + rng.nextInt(2 * J + 1) - J)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "arr")
+    val sentinelTs = BASE + (nEvents + 86400L) * 1000L
+    val sentinel = Seq((-1L, new java.sql.Timestamp(sentinelTs), -1L,
+      "__flush", 0.0, nEvents + 10 * J))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "arr")
+    val all = rows.unionByName(sentinel)
+    val ed = s"$dir/wc-events"
+    chunkByArrival(all, "arr", ed, files = 6)
+    val src = spark.readStream.schema(all.drop("arr").schema)
+      .option("maxFilesPerTrigger", "1").parquet(ed)
+    val batch = rows.drop("arr").cache()
+    var bad = 0
+    def report(name: String, got: Seq[Any], want: Seq[Any]): Unit =
+      if (got != want) {
+        bad += 1
+        println(s"[streamfuzz] MISMATCH $name seed=$seed scale=$tag: " +
+          s"stream ${got.size} rows vs batch ${want.size}; " +
+          s"extra=${got.diff(want).take(5)} missing=${want.diff(got).take(5)}")
+      }
+    // tumbling: (bucket, type, n, sum) — exact dyadic sums
+    locally {
+      val got = runToMemory(
+        Streams.tumblingCounts(src, "1 minute", "10 minutes"),
+        s"sfuzz_wt_${tag}_$seed")
+        .filter($"event_type" =!= "__flush").collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSeq.sorted
+      val want = batch
+        .groupBy(F.window($"ts", "1 minute"), $"event_type")
+        .agg(F.count(F.lit(1)).as("n"), F.sum($"value").as("v"))
+        .select(F.col("window.start"), $"event_type", $"n", $"v").collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSeq.sorted
+      report("tumbling_counts", got, want)
+      spark.sql(s"DROP TABLE IF EXISTS sfuzz_wt_${tag}_$seed")
+    }
+    // sliding: overlapping windows; exclude the sentinel-only windows
+    // (strictly after the last real event)
+    locally {
+      val cutoff = BASE + (nEvents + 3600L) * 1000L
+      val got = runToMemory(
+        Streams.slidingCounts(src, "3 minutes", "1 minute", "10 minutes"),
+        s"sfuzz_ws_${tag}_$seed")
+        .filter($"bucket" < new java.sql.Timestamp(cutoff)).collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getLong(1))).toSeq.sorted
+      // the sentinel contributes 1 to no real window (it is hours past);
+      // batch over the real rows only
+      val want = batch
+        .groupBy(F.window($"ts", "3 minutes", "1 minute"))
+        .agg(F.count(F.lit(1)).as("n"))
+        .select(F.col("window.start"), $"n").collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getLong(1))).toSeq.sorted
+      report("sliding_counts", got, want)
+      spark.sql(s"DROP TABLE IF EXISTS sfuzz_ws_${tag}_$seed")
+    }
+    // session windows: the one nontrivial MERGE state — random gaps
+    // around the 40 s session gap split users into multiple sessions
+    locally {
+      val got = runToMemory(
+        Streams.sessionCounts(src, "40 seconds", "10 minutes"),
+        s"sfuzz_sc_${tag}_$seed")
+        .filter($"user_id" =!= -1L).collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getTimestamp(1).getTime,
+          r.getLong(2), r.getLong(3))).toSeq.sorted
+      val want = batch
+        .groupBy(F.session_window($"ts", "40 seconds"), $"user_id")
+        .agg(F.count(F.lit(1)).as("n"))
+        .select(F.col("session_window.start"), F.col("session_window.end"),
+          $"user_id", $"n").collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getTimestamp(1).getTime,
+          r.getLong(2), r.getLong(3))).toSeq.sorted
+      report("session_counts", got, want)
+      spark.sql(s"DROP TABLE IF EXISTS sfuzz_sc_${tag}_$seed")
+    }
+    batch.unpersist()
+    bad
+  }
+
+  /** Embedding near-dup vs stored hyperplane index twin vs
+    * `Similarity.incrementalCosinePairs`: random unit vectors with
+    * planted near/exact copies; both sides share the cosine kernel, so
+    * values compare exactly. */
+  def embeddingDedupCase(spark: SparkSession, seed: Int, nVecs: Int,
+                         dir: String, tag: String): Int = {
+    import spark.implicits._
+    val S = graft.pipeline.Similarity
+    val rng = new Random(seed * 6151 + 7)
+    val dim = 16
+    def unit(): Array[Float] = {
+      val v = Array.fill(dim)(rng.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    def near(v: Array[Float]): Array[Float] = {
+      val w = v.map(x => x + (rng.nextGaussian() * 0.05).toFloat)
+      val n = math.sqrt(w.map(x => x.toDouble * x).sum)
+      w.map(x => (x / n).toFloat)
+    }
+    val corpusVecs = Array.fill(nVecs)(unit())
+    val corpus = corpusVecs.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toSeq.toDF("vec_id", "embedding")
+    val index = S.hyperplaneIndex(corpus).persist()
+    val arrivals = (0 until math.max(4, nVecs / 2)).map { j =>
+      val v = rng.nextInt(4) match {
+        case 0 => near(corpusVecs(rng.nextInt(nVecs)))
+        case 1 => corpusVecs(rng.nextInt(nVecs))
+        case _ => unit()
+      }
+      (1000000L + j, new java.sql.Timestamp(BASE + j * 1000L), v, j)
+    }.toDF("vec_id", "ts", "embedding", "arr")
+    val vd = s"$dir/ed-vecs"
+    chunkByArrival(arrivals, "arr", vd, files = 5)
+    val src = spark.readStream.schema(arrivals.drop("arr").schema)
+      .option("maxFilesPerTrigger", "1").parquet(vd)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val got = runToMemory(
+      Streams.embeddingDedupStream(src, index, "vec_id", "ts", "embedding",
+        "10 minutes", threshold = 0.9),
+      s"sfuzz_ed_${tag}_$seed").collect().map(key).toSeq.sorted
+    val want = S.incrementalCosinePairs(index,
+        arrivals.select($"vec_id".as("id"), $"embedding".as("vec"),
+          S.hyperplaneBucket($"embedding").as("bucket")), 0.9)
+      .collect().map(key).toSeq.sorted
+    spark.sql(s"DROP TABLE IF EXISTS sfuzz_ed_${tag}_$seed")
+    index.unpersist()
+    if (got == want) 0 else {
+      println(s"[streamfuzz] MISMATCH embedding_dedup seed=$seed scale=$tag: " +
+        s"stream ${got.size} vs batch ${want.size}; " +
+        s"extra=${got.diff(want).take(5)} missing=${want.diff(got).take(5)}")
+      1
+    }
+  }
+
+  /** Stateless stored-artifact twins in one corpus: novelty scoring vs
+    * `TextOps.ngramNoveltyFromVocab`, span stripping vs
+    * `Dedup.stripSpansFromProfile`, and bloom-gated exact dedup vs
+    * `Dedup.bloomNewDocs`. All three are immediate-emission operators —
+    * the differential pins that the shared kernels (gram hashing, chunk
+    * hashing, bloom probe) produce identical values through the
+    * streaming plan, including null-text and no-gram edge rows. */
+  def statelessTwinsCase(spark: SparkSession, seed: Int, nDocs: Int,
+                         dir: String, tag: String): Int = {
+    import spark.implicits._
+    val T = graft.pipeline.TextOps
+    val D = graft.pipeline.Dedup
+    val rng = new Random(seed * 9173 + 5)
+    val pool = (0 until 70).map(i => s"n$i")
+    def fresh(): String =
+      Seq.fill(10 + rng.nextInt(14))(pool(rng.nextInt(pool.size))).mkString(" ")
+    val refTexts = Array.fill(math.max(4, nDocs / 2))(fresh())
+    val ref = refTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toSeq.toDF("doc_id", "text")
+    val vocab = T.refGramVocab(ref, "text").persist()
+    // profile: the chunk hashes of a few reference docs (distinct)
+    val profile = ref.filter($"doc_id" % 3 === 0)
+      .select(F.explode(T.chunkHashesKernel(T.tokens($"text"), 3)).as("chunk_hash"))
+      .distinct().persist()
+    val keyIndex = ref.select(F.concat(F.lit("k"), $"doc_id").as("content_key"))
+    val sketch = D.bloomSketch(keyIndex, "content_key", expectedItems = 10000L)
+    val arrivals = (0 until math.max(6, nDocs / 2)).map { j =>
+      val t: String = rng.nextInt(6) match {
+        case 0 => refTexts(rng.nextInt(refTexts.length)) // exact ref copy
+        case 1 => // splice two refs: some chunks in-profile, some not
+          val a = refTexts(rng.nextInt(refTexts.length)).split(" ")
+          val b = refTexts(rng.nextInt(refTexts.length)).split(" ")
+          (a.take(3 + rng.nextInt(a.length)) ++ b.take(3 + rng.nextInt(b.length)))
+            .mkString(" ")
+        case 2 => if (rng.nextBoolean()) null else "xy" // null / no-gram edge
+        case _ => fresh()
+      }
+      val key = if (rng.nextInt(3) == 0) s"k${rng.nextInt(refTexts.length)}"
+        else if (rng.nextInt(10) == 0) null else s"new-$seed-$j"
+      (1000000L + j, new java.sql.Timestamp(BASE + j * 1000L), t, key, j)
+    }.toDF("doc_id", "ts", "text", "content_key", "arr")
+    val sd = s"$dir/st-docs"
+    chunkByArrival(arrivals, "arr", sd, files = 4)
+    val src = spark.readStream.schema(arrivals.drop("arr").schema)
+      .option("maxFilesPerTrigger", "1").parquet(sd)
+    val batchDocs = arrivals.drop("arr")
+    var bad = 0
+    def report(name: String, got: Seq[Any], want: Seq[Any]): Unit =
+      if (got != want) {
+        bad += 1
+        println(s"[streamfuzz] MISMATCH $name seed=$seed scale=$tag: " +
+          s"stream ${got.size} vs batch ${want.size}; " +
+          s"extra=${got.diff(want).take(5)} missing=${want.diff(got).take(5)}")
+      }
+    locally { // novelty
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) Double.NaN else r.getDouble(3))
+      val got = runToMemory(
+        Streams.noveltyStream(src.drop("content_key"), vocab, "doc_id", "text"),
+        s"sfuzz_nv_${tag}_$seed")
+        .select("doc_id", "n_grams", "n_novel", "novelty")
+        .collect().map(key).toSeq.sortBy(r => (r._1, r._2, r._3))
+      val want = T.ngramNoveltyFromVocab(vocab, batchDocs, "doc_id", "text")
+        .select("doc_id", "n_grams", "n_novel", "novelty")
+        .collect().map(key).toSeq.sortBy(r => (r._1, r._2, r._3))
+      report("novelty_stream", got, want)
+      spark.sql(s"DROP TABLE IF EXISTS sfuzz_nv_${tag}_$seed")
+    }
+    locally { // span stripping
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), if (r.isNullAt(1)) -1 else r.getInt(1), r.getInt(2),
+          Option(r.getString(3)).getOrElse(" null"))
+      val got = runToMemory(
+        Streams.stripSpansStream(src, profile, "doc_id", "ts", "text", size = 3),
+        s"sfuzz_sp_${tag}_$seed")
+        .select("doc_id", "n_tokens", "n_removed", "clean_text")
+        .collect().map(key).toSeq.sorted
+      val want = D.stripSpansFromProfile(batchDocs, profile, "doc_id", "text", size = 3)
+        .select("doc_id", "n_tokens", "n_removed", "clean_text")
+        .collect().map(key).toSeq.sorted
+      report("strip_spans_stream", got, want)
+      spark.sql(s"DROP TABLE IF EXISTS sfuzz_sp_${tag}_$seed")
+    }
+    locally { // bloom-gated new docs
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), Option(r.getString(1)).getOrElse(" null"))
+      val got = runToMemory(
+        Streams.newDocsStream(src, keyIndex, sketch, "content_key")
+          .select("doc_id", "content_key"),
+        s"sfuzz_bn_${tag}_$seed").collect().map(key).toSeq.sorted
+      val want = D.bloomNewDocs(batchDocs, keyIndex, sketch, "content_key",
+          persistTagged = false)
+        .select("doc_id", "content_key")
+        .collect().map(key).toSeq.sorted
+      report("new_docs_stream", got, want)
+      spark.sql(s"DROP TABLE IF EXISTS sfuzz_bn_${tag}_$seed")
+    }
+    vocab.unpersist(); profile.unpersist()
+    bad
+  }
+
+  /** quotaPerGroup invariants: append-only per-group admission is BY
+    * CONTRACT not the batch `capPerGroup` md5-min selection, so the
+    * differential pins the contract instead: (a) per-group admissions =
+    * min(cap, group rows), (b) admitted keys ⊆ input keys, (c) a replay
+    * over the SAME chunking admits the IDENTICAL set (at-least-once
+    * determinism — the within-batch md5 ordering is doing its job). */
+  def quotaCase(spark: SparkSession, seed: Int, nRows: Int,
+                dir: String, tag: String): Int = {
+    import spark.implicits._
+    val rng = new Random(seed * 3371 + 13)
+    val cap = 5
+    val rows = (0 until nRows).map { j =>
+      (s"g${rng.nextInt(8)}", s"key-$seed-$j", j)
+    }.toDF("grp", "id", "arr")
+    val qd = s"$dir/qt-rows"
+    chunkByArrival(rows, "arr", qd, files = 5)
+    def once(run: Int): Seq[(String, String)] = {
+      val src = spark.readStream.schema(rows.drop("arr").schema)
+        .option("maxFilesPerTrigger", "1").parquet(qd)
+      val out = runToMemory(
+        Streams.quotaPerGroup(src, "grp", "id", cap),
+        s"sfuzz_qt_${tag}_${seed}_$run")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+      spark.sql(s"DROP TABLE IF EXISTS sfuzz_qt_${tag}_${seed}_$run")
+      out
+    }
+    val a = once(0)
+    val b = once(1)
+    val inputKeys = rows.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val groupSizes = rows.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val admitted = a.groupBy(_._1).view.mapValues(_.size).toMap
+    var bad = 0
+    def fail(msg: String): Unit = {
+      bad += 1; println(s"[streamfuzz] MISMATCH quota seed=$seed scale=$tag: $msg")
+    }
+    groupSizes.foreach { case (g, n) =>
+      val got = admitted.getOrElse(g, 0)
+      if (got != math.min(cap.toLong, n).toInt)
+        fail(s"group $g admitted $got of $n (cap $cap)")
+    }
+    if (!a.forall(inputKeys.contains)) fail("admitted a key not in the input")
+    if (a != b) fail(s"replay diverged: ${a.diff(b).take(5)} vs ${b.diff(a).take(5)}")
+    bad
+  }
+
+  /** sessionSummaries (flatMapGroupsWithState, Update mode): the final
+    * per-user running summary must equal the batch count/sum. Values
+    * are dyadic so the stream's arrival-order accumulation equals the
+    * batch sum exactly; the final emission per user is the one with the
+    * maximal (monotone) event count. */
+  def sessionSummariesCase(spark: SparkSession, seed: Int, nEvents: Int,
+                           dir: String, tag: String): Int = {
+    import spark.implicits._
+    val rng = new Random(seed * 8209 + 1)
+    val rows = (0 until nEvents).map { i =>
+      (i.toLong, new java.sql.Timestamp(BASE + i * 1000L), rng.nextInt(10).toLong,
+        "e", (rng.nextInt(8001) - 4000) / 4.0, i + rng.nextInt(101) - 50)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "arr")
+    val ud = s"$dir/ss-events"
+    chunkByArrival(rows, "arr", ud, files = 5)
+    val src = spark.readStream.schema(rows.drop("arr").schema)
+      .option("maxFilesPerTrigger", "1").parquet(ud)
+      .as[Streams.Event]
+    val got = runToMemory(
+      Streams.sessionSummaries(src).toDF(), s"sfuzz_ss_${tag}_$seed", mode = "update")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      .groupBy(_._1).map(_._2.maxBy(_._2)).toSeq.sorted
+    spark.sql(s"DROP TABLE IF EXISTS sfuzz_ss_${tag}_$seed")
+    val want = rows.groupBy("user_id")
+      .agg(F.count(F.lit(1)).cast("int").as("n"), F.sum("value").as("v"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq.sorted
+    if (got == want) 0 else {
+      println(s"[streamfuzz] MISMATCH session_summaries seed=$seed scale=$tag: " +
+        s"extra=${got.diff(want).take(5)} missing=${want.diff(got).take(5)}")
+      1
+    }
+  }
+
   /** Full sweep: `seeds` per twin per scale; returns total mismatches. */
   def run(spark: SparkSession, seeds: Range, root: String,
           scales: Seq[(String, Int, Int)]): Int = {
@@ -256,6 +603,12 @@ object StreamFuzz {
       bad += intervalJoinCase(spark, seed, nEvents, dir, tag)
       bad += dedupIndexCase(spark, seed, nDocs, dir, tag)
       bad += containIndexCase(spark, seed, nDocs, dir, tag)
+      // r17: the remaining stateful/stored-artifact twins
+      bad += windowCountsCase(spark, seed, nEvents, dir, tag)
+      bad += embeddingDedupCase(spark, seed, nDocs, dir, tag)
+      bad += statelessTwinsCase(spark, seed, nDocs, dir, tag)
+      bad += quotaCase(spark, seed, math.max(40, nDocs), dir, tag)
+      bad += sessionSummariesCase(spark, seed, math.min(nEvents, 4000), dir, tag)
       rm(new java.io.File(dir))
     }
     bad
@@ -272,7 +625,7 @@ object StreamFuzz {
     spark.sparkContext.setLogLevel("WARN")
     val scales = Seq(("1x", 2000, 240), ("10x", 20000, 2400))
     val bad = run(spark, 1 to seeds, "/tmp/streamfuzz", scales)
-    println(s"[streamfuzz] ${seeds} seeds x ${scales.size} scales x 3 twins: " +
+    println(s"[streamfuzz] ${seeds} seeds x ${scales.size} scales x 12 twins: " +
       s"$bad mismatches")
     spark.stop()
     if (bad != 0) sys.exit(1)

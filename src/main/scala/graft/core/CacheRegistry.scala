@@ -32,6 +32,54 @@ object CacheRegistry {
     * re-written files is a new cache, not a stale hit). */
   private val tracked = ArrayBuffer.empty[(String, AnyRef, String, DataFrame)]
 
+  /** PlanKey failures seen by [[track]] (r16 verdict: a throwing plan
+    * silently disabled the re-track guard — every such track persisted
+    * a fresh copy with no signal). The guard cannot safely fall back to
+    * a weaker key (a schema-level match could hand a DIFFERENT frame to
+    * the caller — a correctness bug, where the double-persist is only a
+    * memory bug), so the failure stays fail-open but is now counted and
+    * logged, surfaced next to [[trackedTags]]. */
+  private val planKeyFailCtr = new java.util.concurrent.atomic.AtomicLong
+  def planKeyFailures: Long = planKeyFailCtr.get
+
+  /** TEST SEAM: forces the key computation in [[track]] to fail, so the
+    * fail-open accounting path is spec-coverable (a DataFrame whose
+    * ANALYZED plan throws at canonicalization is not constructible
+    * through the public API). Never set outside tests. */
+  private[graft] var failPlanKeysForTest = false
+
+  /** Scratch directories written by operators (the containment wave
+    * spill) whose RETURNED plan reads them back — like tracked caches,
+    * the builder can never delete them itself, and before r17 each
+    * call leaked one answer-sized parquet copy per invocation (r16
+    * ADVICE). Deleted by [[releaseAll]] (same contract as unpersist:
+    * the consumer has finished its actions) and by a JVM shutdown hook
+    * for sessions that never release. Entries carry the Hadoop conf so
+    * non-local cluster paths delete through the right FileSystem. */
+  private val scratch =
+    ArrayBuffer.empty[(org.apache.hadoop.conf.Configuration, String)]
+  @volatile private var hookArmed = false
+
+  /** Register a scratch directory for deletion at [[releaseAll]] /
+    * JVM exit. */
+  def trackScratch(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = synchronized {
+    scratch += ((spark.sparkContext.hadoopConfiguration, dir))
+    if (!hookArmed) {
+      hookArmed = true
+      Runtime.getRuntime.addShutdownHook(new Thread(() => dropScratch()))
+    }
+  }
+
+  private def dropScratch(): Unit = {
+    val entries = synchronized { val e = scratch.toList; scratch.clear(); e }
+    entries.foreach { case (conf, dir) =>
+      try {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(conf).delete(p, true)
+      } catch { case _: Throwable => () }
+    }
+  }
+
   /** Persist `df` (default storage level) and remember it under `tag`.
     * Tags must be plain dotted identifiers: `Bench.tagBytesJson` embeds
     * them UNESCAPED in BENCH_DETAIL's JSON, so a quote or backslash in a
@@ -50,7 +98,18 @@ object CacheRegistry {
     require(tag.matches("[A-Za-z0-9._-]+"),
       s"CacheRegistry tag must match [A-Za-z0-9._-]+ (JSON-safe, unescaped): '$tag'")
     val (planKey, fileKey) =
-      try PlanKey.of(df) catch { case _: Throwable => (null, "?") }
+      try {
+        if (failPlanKeysForTest) throw new IllegalStateException("test seam")
+        PlanKey.of(df)
+      } catch {
+        case e: Throwable =>
+          planKeyFailCtr.incrementAndGet()
+          println(s"[graft] CacheRegistry.track('$tag'): PlanKey failed " +
+            s"(${e.getClass.getSimpleName}) — re-track guard disabled for " +
+            s"this call, a repeat track will persist a second copy " +
+            s"(failures so far: ${planKeyFailCtr.get})")
+          (null, "?")
+      }
     val hit = if (planKey == null) None
       else tracked.collectFirst {
         case (t, pk, fk, p) if t == tag && pk == planKey && fk == fileKey => p
@@ -103,10 +162,13 @@ object CacheRegistry {
   /** Unpersist everything tracked (non-blocking) and forget it.
     * Idempotent; frames already dropped by `clearCache()` unpersist as
     * a no-op. */
-  def releaseAll(): Unit = synchronized {
-    tracked.foreach { case (_, _, _, df) =>
-      try df.unpersist(false) catch { case _: Throwable => () }
+  def releaseAll(): Unit = {
+    synchronized {
+      tracked.foreach { case (_, _, _, df) =>
+        try df.unpersist(false) catch { case _: Throwable => () }
+      }
+      tracked.clear()
     }
-    tracked.clear()
+    dropScratch()
   }
 }

@@ -50,10 +50,15 @@ import org.apache.spark.sql.types._
   *     parallelism at d) switches to exact value-index chunks × a tie
   *     sub-band monotone in the tie's internal order
   *     ([[Prefix.lowCardChunk]]).
-  *   - '''Sorted frame, non-bucketable first key''' (string): fall back to
-  *     the single-partition window form — correct, rare (an explicit
-  *     whole-frame prefix over a string-sorted frame), and exactly the
-  *     pre-r13 plan.
+  *   - '''Sorted frame, STRING first key''' (r17): width-bucket the
+  *     lcp-stripped 6-byte binary-prefix image ([[Prefix.stringImageExpr]]
+  *     — monotone in Spark's UTF8 byte order, mutation-guarded at the
+  *     snapshot bounds). Before r17 string keys fell to the
+  *     single-partition window form — the one remaining parallelism
+  *     cliff, on the COMMON key type of a text corpus. Value-chunking
+  *     additionally engages when the image is injective (every value
+  *     fits the window — the low-card enum shape); a truly imageless
+  *     key (job failure) still falls back to the global window form.
   *
   * `repartitionByRange` + `spark_partition_id` was rejected for chunking:
   * the range boundaries are sampled per-execution (seeded by rdd id), so
@@ -92,7 +97,13 @@ object Prefix {
   }
 
   /** Sort-key expression on a double scale for width-bucketing, or
-    * None when the type has no order-preserving numeric image. */
+    * None when the type has no order-preserving numeric image.
+    * r17: STRING keys get one too (the lcp-stripped binary-prefix
+    * image, [[stringImageExpr]]) — before this, any string sort key
+    * dropped the whole chunked prefix family to the single-partition
+    * global-window fallback, the one remaining parallelism cliff on a
+    * 100 TB corpus (string keys are the COMMON case: ids, categories,
+    * status enums). */
   private def bucketScaleOf(f: TadaFrame, s: Sorter): Option[Column] = {
     val c0 = f.df(s.name)
     val c = s.cast.map(c0.cast).getOrElse(c0)
@@ -101,7 +112,74 @@ object Prefix {
       case _: NumericType | BooleanType => Some(c.cast(DoubleType))
       case TimestampType                => Some(F.unix_micros(c).cast(DoubleType))
       case DateType                     => Some(F.unix_date(c).cast(DoubleType))
+      case StringType =>
+        BoundsCache.stringBounds(f.df.select(c.as("__pfx_k"))).map {
+          case (Some(mn), Some(mx), _) => stringImageExpr(c, mn, mx)
+          case _ => F.lit(null).cast(DoubleType) // all-null column
+        }
       case _                            => None
+    }
+  }
+
+  /** Order-preserving (monotone, non-strict) double image of a string
+    * column: the 6 bytes after the corpus min/max longest common
+    * prefix, zero-padded, read as a 48-bit big-endian integer — exact
+    * in a double, and byte-lexicographic order IS Spark's UTF8String
+    * order, so the image is monotone over [mn, mx]. Distinct strings
+    * sharing the 6-byte window collide to one image value — safe for
+    * width-bucketing and tie sub-banding (the within-chunk window
+    * re-sorts by the full key; a monotone non-injective s2 image can
+    * only MERGE adjacent tie bands, never split one), but NOT for
+    * value-chunking unless injective (see [[injectiveScale]]).
+    * Mutation guards: the lcp window is only monotone for values inside
+    * the snapshot [mn, mx] (binary order forces any such value to share
+    * the lcp) — values a mutating non-snapshot source adds OUTSIDE the
+    * snapshot range pin to −1 / 2^48, below and above every legit
+    * image, keeping the image total-order monotone unconditionally. */
+  private[core] def stringImageExpr(c: Column, mn: String, mx: String): Column = {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val mnB = mn.getBytes(utf8)
+    val mxB = mx.getBytes(utf8)
+    val lcp = mnB.zip(mxB).takeWhile { case (a, b) => a == b }.length
+    // zero-pad past lcp+6 so the window is always 6 full bytes (values
+    // in [mn, mx] are ≥ lcp bytes long; shorter suffixes read as
+    // trailing 0x00 — exactly their byte-lexicographic rank)
+    val window = F.substring(
+      F.concat(c.cast(BinaryType), F.lit(Array.fill[Byte](lcp + 6)(0))),
+      lcp + 1, 6)
+    val img = F.conv(F.hex(window), 16, 10).cast(DoubleType)
+    F.when(c < F.lit(mn), F.lit(-1.0))
+      .when(c > F.lit(mx), F.lit(281474976710656.0)) // 2^48
+      .otherwise(img)
+  }
+
+  /** Whether the first key's double image is INJECTIVE (image value ⇔
+    * key value) — the precondition for value-chunking: [[lowCardChunk]]
+    * sub-bands one vocabulary value's rows by a tie axis (ord / s2),
+    * which would REORDER rows across two distinct key values if they
+    * shared an image. Numeric/temporal/boolean images are direct casts
+    * (injective up to double precision — a ≤4096-value vocabulary of
+    * keys beyond 2^53 is the only theoretical exception); the string
+    * image is injective exactly when every value fits the 6-byte
+    * window (max octet length ≤ lcp+6) — which is precisely the
+    * low-cardinality enum shape (status flags, priorities) that
+    * value-chunking exists for. */
+  private def injectiveScale(f: TadaFrame, s: Sorter): Boolean = {
+    val dt = s.cast.getOrElse(f.df.schema(s.name).dataType)
+    dt match {
+      case StringType =>
+        val c0 = f.df(s.name)
+        val c = s.cast.map(c0.cast).getOrElse(c0)
+        BoundsCache.stringBounds(f.df.select(c.as("__pfx_k"))) match {
+          case Some((Some(mn), Some(mx), maxLen)) =>
+            val utf8 = java.nio.charset.StandardCharsets.UTF_8
+            val lcp = mn.getBytes(utf8).zip(mx.getBytes(utf8))
+              .takeWhile { case (a, b) => a == b }.length
+            maxLen <= lcp + 6
+          case Some(_) => true // all-null: nothing to collide
+          case None    => false
+        }
+      case _ => true
     }
   }
 
@@ -122,10 +200,22 @@ object Prefix {
     * job failure — callers keep the lazy form, the memo is never
     * load-bearing. */
   private[graft] object BoundsCache {
-    private val cache = new java.util.concurrent.ConcurrentHashMap[
-      (AnyRef, String), (Option[Double], Option[Double], Double)]()
-    private val vcache = new java.util.concurrent.ConcurrentHashMap[
-      (AnyRef, String), Array[Double]]()
+    /** Bounded LRU (r16 ADVICE): the keys retain full ANALYZED plan
+      * trees plus file listings, so an unbounded map grows driver
+      * memory for the session lifetime under fuzz sweeps / notebooks /
+      * registry services — same memo role and same fix as
+      * `Similarity.countCache` (synchronized insertion-order
+      * LinkedHashMap, eldest-out past the cap). */
+    private val MaxEntries = 256
+    private def lru[V](): java.util.Map[(AnyRef, String), V] =
+      java.util.Collections.synchronizedMap(
+        new java.util.LinkedHashMap[(AnyRef, String), V](64, 0.75f, false) {
+          override def removeEldestEntry(
+              e: java.util.Map.Entry[(AnyRef, String), V]): Boolean =
+            size() > MaxEntries
+        })
+    private val cache = lru[(Option[Double], Option[Double], Double)]()
+    private val vcache = lru[Array[Double]]()
     private val hitCtr = new java.util.concurrent.atomic.AtomicLong
     /** Memo hits so far — PrefixSpec asserts re-anchors are scan-free. */
     private[graft] def hits: Long = hitCtr.get
@@ -176,6 +266,29 @@ object Prefix {
           Some(v)
         }
       } catch { case _: Throwable => None }
+
+    private val scache = lru[(Option[String], Option[String], Long)]()
+
+    /** (min, max, max octet length) of `sel`'s single STRING column in
+      * one memoized pass — the anchors of the string sort key's
+      * binary-prefix image (r17). Inner Nones are the all-null corpus;
+      * `None` on job failure (callers keep the no-image fallback). */
+    def stringBounds(sel: DataFrame): Option[(Option[String], Option[String], Long)] =
+      try {
+        val k = key(sel)
+        val hit = scache.get(k)
+        if (hit != null) { hitCtr.incrementAndGet(); Some(hit) }
+        else {
+          val c = sel.columns.head
+          val r = sel.agg(F.min(F.col(c)), F.max(F.col(c)),
+            F.max(F.octet_length(F.col(c)))).head()
+          val v = (if (r.isNullAt(0)) None else Some(r.getString(0)),
+            if (r.isNullAt(1)) None else Some(r.getString(1)),
+            if (r.isNullAt(2)) 0L else r.getInt(2).toLong)
+          scache.put(k, v)
+          Some(v)
+        }
+      } catch { case _: Throwable => None }
   }
 
   /** The frame with an order-monotone deterministic chunk column, or None
@@ -215,7 +328,11 @@ object Prefix {
       }
       BoundsCache.stats(f.df.select(keyClean.as("__pfx_k"))) match {
         case Some((mnV, mxV, dApprox)) =>
-          lowCardChunk(f, keyD, keyClean, k, fwd, dApprox).getOrElse {
+          // value-chunking needs image ⇔ key (see injectiveScale):
+          // a non-injective string image must stay width-bucketed
+          (if (injectiveScale(f, f.order.head))
+             lowCardChunk(f, keyD, keyClean, k, fwd, dApprox)
+           else None).getOrElse {
             // bounds as LITERALS (r15 verdict item 5): no broadcast-agg
             // subtree in the plan at all, and repeated anchors/chunked
             // ops on one frame pay the bounds scan once per session
@@ -247,16 +364,26 @@ object Prefix {
     * `__ord`), or a width bucket of the second sort key's numeric image
     * under its global bounds (equal s2 values share a band, so deeper
     * ties stay un-split — monotonicity over the FULL order holds, and
-    * the within-chunk window still orders by the full key). Multi-key
-    * sorts with a non-bucketable (string) second key don't engage —
-    * value-chunking alone would match what width-bucketing already
-    * gives. The value index comes from a broadcast join against the
+    * the within-chunk window still orders by the full key). r17: a
+    * STRING second key sub-bands through its binary-prefix image
+    * ([[stringImageExpr]] — monotone, possibly non-injective, which
+    * for a sub-band can only merge adjacent tie bands, never split
+    * one), closing the r16 gap where (low-card key, string tiebreak)
+    * sorts ran at parallelism = d. The value index comes from a
+    * broadcast join against the
     * collected (≤ 4096-value, memoized) vocabulary — exact, not
     * width-approximate, because a bucket that MIXES two key values
     * cannot be sub-banded (the band would reorder rows across the two
     * values). Engagement and all stats are memoized session jobs
     * ([[BoundsCache]]); any failure returns None and the caller keeps
     * the width-bucket plan — never load-bearing. */
+  /** TEST SEAM: overrides the memoized vocabulary for the next
+    * [[lowCardChunk]] builds, so the vocabulary-miss pin (reachable
+    * only when a non-snapshot source mutates between the memoized
+    * vocabulary job and execution) is spec-coverable with the REAL
+    * plan. Never set outside tests. */
+  private[graft] var testVocabOverride: Option[Array[Double]] = None
+
   private def lowCardChunk(f: TadaFrame, keyD: Column, keyClean: Column,
                            k: Int, fwd: Boolean, dApprox: Double): Option[DataFrame] = {
     val maxEngage = math.min(k - 1, 4096)
@@ -273,9 +400,9 @@ object Prefix {
       img2 === F.lit(Double.PositiveInfinity) ||
       img2 === F.lit(Double.NegativeInfinity)
     val img2Clean = F.when(nonFinite2, F.lit(null)).otherwise(img2)
-    val values = BoundsCache
+    val values = testVocabOverride.getOrElse(BoundsCache
       .distinctValues(f.df.select(keyClean.as("__pfx_k")), maxEngage)
-      .getOrElse(return None)
+      .getOrElse(return None))
     if (values.isEmpty) return None // over cap (approx under-counted) or empty
     val d = values.length
     val sub = math.max(2, math.ceil(k.toDouble / d).toInt)
@@ -312,21 +439,30 @@ object Prefix {
     val joined = f.df.join(F.broadcast(idxMap),
       keyClean === F.col("__pfx_v"), "left")
     val bigK = d.toLong * sub
-    // vocabulary-miss fallback (r16 review): a finite key the memoized
-    // vocabulary never saw (a non-snapshot source mutated between the
-    // vocabulary job and execution) must not become a NULL chunk — rank
-    // it against the literal vocabulary (count of values below it),
-    // which still places it monotonically between its neighbors (an
-    // above-all value shares the top/null chunk; the window re-sorts
-    // within). O(d) per MISSING row only — coalesce short-circuits.
-    val idx0 = F.coalesce(F.col("__pfx_i"),
-      F.size(F.filter(F.lit(values), v => v < keyClean)).cast(LongType))
-    val idx = if (s1.descending) F.lit(d - 1L) - idx0 else idx0
+    // vocabulary-miss fallback (r16 review; pin made MONOTONE r17 per
+    // the r16 ADVICE): a finite key the memoized vocabulary never saw
+    // (a non-snapshot source mutated between the vocabulary job and
+    // execution) must not become a NULL chunk. The r16 rank-based
+    // index gave misses an s2-derived sub-band — sub-banding across
+    // two distinct key values, which can land a miss in an EARLIER
+    // chunk than a smaller vocab value, and an above-all ascending
+    // miss past the null chunk. r17 pins misses to the TOP band of
+    // their predecessor value (chunk = rank·sub − 1, clamped to 0;
+    // rank = count of vocab values below, direction-flipped): strictly
+    // after every predecessor-value chunk, strictly before every
+    // successor-value chunk, always below the null chunk bigK, and
+    // sub-band-free — the within-chunk window re-sorts by the full
+    // key. O(d) per MISSING row only — the when() short-circuits.
+    val missRank = F.size(F.filter(F.lit(values), v => v < keyClean)).cast(LongType)
+    val missFi = if (s1.descending) F.lit(d.toLong) - missRank else missRank
+    val missChunk = F.greatest(F.lit(0L), missFi * sub - 1L)
+    val hitIdx = if (s1.descending) F.lit(d - 1L) - F.col("__pfx_i") else F.col("__pfx_i")
     val pinned = F.when(F.isnan(keyD) || keyD === F.lit(Double.PositiveInfinity),
         F.lit(if (s1.descending) 0L else bigK - 1))
       .when(keyD === F.lit(Double.NegativeInfinity),
         F.lit(if (s1.descending) bigK - 1 else 0L))
-      .otherwise(idx * sub + subCol)
+      .when(F.col("__pfx_i").isNull, missChunk)
+      .otherwise(hitIdx * sub + subCol)
     val asc = F.when(keyD.isNull, F.lit(bigK)).otherwise(pinned)
     Some(joined.withColumn(CHUNK, if (fwd) asc else -asc)
       .drop("__pfx_v", "__pfx_i"))

@@ -427,20 +427,39 @@ final case class TadaFrame(
 
   /** Deterministic shuffle (series.go:422-435): rand(seed) becomes the new
     * frame order. */
-  /** Shuffle(seed): seeded pseudo-random permutation. r16 (review): the
-    * previous `rand(seed)` ordinal was a DOUBLE, breaking every
-    * downstream consumer of the hidden ordinal's long contract (the
-    * chunked plans' `__ord >> 33` bands, append's band arithmetic) the
-    * moment a shuffled frame flowed on. `xxhash64(old ordinal, seed)`
-    * is a deterministic seeded permutation with no window, no sort and
-    * no extra pass; masking to 53 bits keeps the append band contract
-    * (`__ord` ∈ [0, 2^53), one band). Hash ties (~n²/2^54) leave the
-    * tied PAIR's relative order nondeterministic — semantically benign
-    * for a shuffle, same class as the old rand doubles. */
-  def shuffle(seed: Long): TadaFrame =
-    copy(df = df.withColumn(ORD,
-        xxhash64(df(ORD), lit(seed)).bitwiseAND(lit((1L << 53) - 1))),
+  /** Shuffle(seed): seeded pseudo-random BIJECTION over the 53-bit
+    * ordinal band. r16 used `xxhash64(ord, seed) & (2^53−1)` — a raw
+    * hash, whose ~n²/2^54 expected collisions are NOT benign: ordinal
+    * uniqueness is load-bearing downstream (Prefix's tail rebuild
+    * groups/joins on `__ord`, setRows/dedup are positional), so at the
+    * corpus scales this engine targets (~20 expected duplicate ordinals
+    * at the 600M-row ×1000 probe scale) a shuffled frame feeding a
+    * chunked op would silently merge two rows' windows (r16 ADVICE,
+    * medium). r17: a 3-round unbalanced add-Feistel over the 26/27-bit
+    * halves of the band — each round adds a seeded hash of one half
+    * into the other modulo the half's width, so every round is
+    * invertible (subtract the same hash) and the composition is a true
+    * permutation of [0, 2^53): collision-free BY CONSTRUCTION, still
+    * deterministic, sort-free, and one map-side expression. Output
+    * stays in [0, 2^53) (one band; `__ord >> 33` chunking sees the
+    * uniformly-hashed top bits), preserving the append band contract.
+    * Domain note: ingest/materialized ordinals are banded
+    * `chunk << 33 | row` values < 2^53 by construction — the same
+    * assumption the r16 mask already made. */
+  def shuffle(seed: Long): TadaFrame = {
+    val maskA = (1L << 26) - 1 // high half: bits 27..52
+    val maskB = (1L << 27) - 1 // low half: bits 0..26
+    var l: Column = shiftright(df(ORD), 27)
+    var r: Column = df(ORD).bitwiseAND(lit(maskB))
+    for (round <- 0 until 3) {
+      r = (r + xxhash64(l, lit(seed), lit(round)).bitwiseAND(lit(maskB)))
+        .bitwiseAND(lit(maskB))
+      l = (l + xxhash64(r, lit(seed), lit(round + 64)).bitwiseAND(lit(maskA)))
+        .bitwiseAND(lit(maskA))
+    }
+    copy(df = df.withColumn(ORD, shiftleft(l, 27).bitwiseOR(r)),
       order = Nil, bands = 1)
+  }
 
   // ===== §2.7 sort =====
 

@@ -1310,6 +1310,12 @@ object Dedup {
         catch { case _: Throwable => None }
       waveDir match {
         case Some(dir) =>
+          // registered like a tracked cache: the returned plan reads
+          // this directory back, so only the consumer's releaseAll (or
+          // JVM exit) can delete it — before r17 every call leaked one
+          // answer-sized parquet copy (r16 ADVICE), and bench min-of-N
+          // / Explain rebuilds are a supported repeat-call pattern
+          graft.core.CacheRegistry.trackScratch(spark, dir)
           (0 until waves).foreach { s =>
             slice(s).write.mode("append").parquet(dir)
             System.gc()

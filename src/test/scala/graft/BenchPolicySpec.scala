@@ -118,4 +118,53 @@ class BenchPolicySpec extends AnyFunSuite {
     assert(graft.core.CacheRegistry.trackedTags.contains("spec.ok_tag-1"))
     ok.unpersist()
   }
+
+  test("CacheRegistry PlanKey failure is counted and logged, never a wrong hit (r16 verdict)") {
+    // A throwing PlanKey used to disable the re-track guard SILENTLY —
+    // every such track persisted a fresh copy with no signal. It must
+    // stay fail-open (a weaker schema-level key could hand a DIFFERENT
+    // frame to the caller — a correctness bug) but be observable.
+    val spark = TestSpark.spark
+    import graft.core.CacheRegistry
+    CacheRegistry.releaseAll()
+    val df = spark.range(4).toDF("x")
+    val before = CacheRegistry.planKeyFailures
+    CacheRegistry.failPlanKeysForTest = true
+    try {
+      val a = CacheRegistry.track("spec.pkfail", df)
+      val b = CacheRegistry.track("spec.pkfail", df)
+      assert(CacheRegistry.planKeyFailures == before + 2,
+        "each failed key computation must be counted")
+      // fail-open: two entries under the tag (the memory cost is the
+      // documented tradeoff; a fabricated hit would be worse)
+      assert(CacheRegistry.trackedTags.count(_ == "spec.pkfail") == 2)
+      assert(a.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+      assert(b.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+    } finally {
+      CacheRegistry.failPlanKeysForTest = false
+      CacheRegistry.releaseAll()
+    }
+    // with keys working again, the re-track guard still dedups
+    val c = CacheRegistry.track("spec.pkok", df)
+    val d = CacheRegistry.track("spec.pkok", df)
+    assert(CacheRegistry.trackedTags.count(_ == "spec.pkok") == 1)
+    assert(c eq d)
+    CacheRegistry.releaseAll()
+  }
+
+  test("scratch directories (containment wave spill) are deleted at releaseAll (r16 ADVICE)") {
+    val spark = TestSpark.spark
+    import graft.core.CacheRegistry
+    val dir = java.nio.file.Files.createTempDirectory("graft-scratch-spec").toFile
+    val sub = new java.io.File(dir, "wave-0.parquet")
+    spark.range(8).write.mode("overwrite").parquet(sub.toString)
+    assert(sub.exists())
+    CacheRegistry.trackScratch(spark, dir.toString)
+    CacheRegistry.releaseAll()
+    assert(!dir.exists(),
+      "releaseAll must delete registered scratch dirs (one leaked " +
+        "answer-sized parquet per containment call otherwise)")
+    // idempotent: a second release with nothing registered is a no-op
+    CacheRegistry.releaseAll()
+  }
 }

@@ -201,6 +201,33 @@ class CoreSemanticsSpec extends AnyFunSuite {
     // the chunked plans' shiftright bands on any downstream prefix op)
     assert(s7.df.schema(TadaFrame.ORD).dataType ==
       org.apache.spark.sql.types.LongType)
+    // r17 (ADVICE medium): the permutation is a Feistel BIJECTION of
+    // [0, 2^53), not a raw hash — ordinal uniqueness is load-bearing
+    // downstream (positional ops, rollingN tail rebuild), and a hash's
+    // ~n²/2^54 collisions silently merge two rows' windows at corpus
+    // scale. Distinctness must survive a domain far denser than the
+    // test frame: 200k sequential ords AND 200k banded (chunk<<33|row)
+    // ords, plus band-boundary values.
+    locally {
+      val dense = spark.range(200000L)
+      val banded = spark.range(200000L)
+        .select(F.shiftleft(F.col("id") % 512, 33)
+          .bitwiseOR(F.floor(F.col("id") / 512).cast("long")).as("id"))
+      val edges = spark.createDataset(Seq(0L, 1L, (1L << 33) - 1, 1L << 33,
+        (1L << 53) - 1, (1L << 52) + 12345L))(org.apache.spark.sql.Encoders.scalaLong)
+        .toDF("id")
+      for ((dom, tag) <- Seq((dense, "dense"), (banded, "banded"), (edges, "edges"))) {
+        val n = dom.count()
+        val g = TadaFrame.ingest(dom.withColumnRenamed("id", "x"))
+          .copy(df = dom.select(F.col("id").as("x"), F.col("id").as(TadaFrame.ORD)))
+        val out = g.shuffle(42).df
+        assert(out.select(TadaFrame.ORD).distinct().count() == n,
+          s"shuffle must be collision-free on the $tag domain")
+        val mm = out.agg(F.min(TadaFrame.ORD), F.max(TadaFrame.ORD)).head()
+        assert(mm.getLong(0) >= 0L && mm.getLong(1) < (1L << 53),
+          s"shuffled ordinals must stay in [0, 2^53) on the $tag domain")
+      }
+    }
     assert(Analytics.cumSum(s7, "v", "cs").records() ==
       Analytics.cumSumWindow(s7, "v", "cs").records(),
       "whole-frame chunked cumsum must run on a shuffled frame")

@@ -197,15 +197,24 @@ class PrefixSpec extends AnyFunSuite {
       assert(Analytics.cumSum(fm, "v", "cs").records() ==
         Analytics.cumSumWindow(fm, "v", "cs").records(), s"($d1,$d2)")
     }
-    // string second key: tie-internal order is not bucketable -> the
-    // width path runs (no vocabulary broadcast join in the plan)
-    val fs = TadaFrame.ingest(spark.createDataFrame(spark.sparkContext.parallelize(
-        (0 until 12).map(i => (1 + i % 2, ('a' + i % 5).toChar.toString, i.toLong)), 3))
-      .toDF("i", "s", "v")).sort(Sorter("i"), Sorter("s"))
-    val plan = Analytics.cumSum(fs, "v", "cs").df.queryExecution.optimizedPlan.toString
-    assert(!plan.contains("__pfx_v"), "string-s2 sorts must not engage value-chunking")
-    assert(Analytics.cumSum(fs, "v", "cs").records() ==
-      Analytics.cumSumWindow(fs, "v", "cs").records())
+    // string second key (r17): the binary-prefix image sub-bands the
+    // ties, so value-chunking now ENGAGES (the r16 gap: a (low-card
+    // key, string tiebreak) sort ran at parallelism = d) — and stays
+    // value-identical across both direction combos
+    for ((d1, d2) <- Seq((false, false), (true, false), (false, true), (true, true))) {
+      val fs = TadaFrame.ingest(spark.createDataFrame(spark.sparkContext.parallelize(
+          (0 until 12).map(i => (1 + i % 2, ('a' + i % 5).toChar.toString, i.toLong)), 3))
+        .toDF("i", "s", "v"))
+        .sort(Sorter("i", descending = d1), Sorter("s", descending = d2))
+      val plan = Analytics.cumSum(fs, "v", "cs").df.queryExecution.optimizedPlan.toString
+      assert(plan.contains("__pfx_v"),
+        s"string-s2 sorts must engage value-chunking via the string image ($d1,$d2)")
+      assert(chunksOf(fs) > 2, s"string-s2 ties must sub-band ($d1,$d2)")
+      assert(Analytics.cumSum(fs, "v", "cs").records() ==
+        Analytics.cumSumWindow(fs, "v", "cs").records(), s"($d1,$d2)")
+      assert(Analytics.shift(fs, "v", 2, "sh").records() ==
+        Analytics.shiftWindow(fs, "v", 2, "sh").records(), s"($d1,$d2)")
+    }
   }
 
   test("rollingN gates: order-sensitive aggs and oversized n take the window form") {
@@ -324,11 +333,101 @@ class PrefixSpec extends AnyFunSuite {
       Analytics.cumSumWindow(f, "v", "cs").records())
   }
 
-  test("sorted frame, string key: falls back to the window form (still correct)") {
+  test("sorted frame, string key: chunks via the binary-prefix image (r17)") {
     val f = multi(Seq(RowSV(0, "b", 2L), RowSV(1, "a", 1L), RowSV(2, "c", 3L)), 2)
       .sort(Sorter("s"))
     val got = Analytics.shift(f, "v", 1, "p").records().tail.map(_.last)
     assert(got == Seq("(null)", "1", "2"))
+    // before r17 this was the one key type that fell to the global
+    // single-partition window; now it chunks like any numeric key
+    assert(Prefix.chunked(f, fwd = true).isDefined,
+      "string sort keys must produce a parallel chunking")
+    assertNoGlobalDataWindow(Analytics.cumSum(f, "v", "cs").df)
+  }
+
+  test("string sort key: chunked == window across shapes (lcp, unicode, nulls, desc)") {
+    // shared prefix forces the lcp-stripped window; lengths straddle the
+    // 6-byte image; unicode exercises UTF8 byte order; nulls sort last
+    val pool = Seq("doc_alpha", "doc_beta", "doc_alphabet", "doc_a", "doc_",
+      "doc_ζeta", "doc_Ωmega", "doc_beta2", null, "doc_alpha", "doc_z")
+    val rows = (0 until 22).map(i => RowSV(i, pool(i % pool.length),
+      java.lang.Long.valueOf((i * 13 % 22).toLong)))
+    for (desc <- Seq(false, true)) {
+      val f = multi(rows, 4).sort(Sorter("s", descending = desc))
+      assert(Analytics.cumSum(f, "v", "cs").records() ==
+        Analytics.cumSumWindow(f, "v", "cs").records(), s"cumsum desc=$desc")
+      assert(Analytics.shift(f, "v", 2, "sh").records() ==
+        Analytics.shiftWindow(f, "v", 2, "sh").records(), s"shift desc=$desc")
+      assert(Rolling.rollingN(f, 3, "v", x => F.sum(x), "r").records() ==
+        Rolling.rollingNWindow(f, 3, "v", x => F.sum(x), "r").records(),
+        s"rollingN desc=$desc")
+      // multiple finite chunks: the image must actually spread the keys
+      val ch = Prefix.chunked(f, fwd = true).get
+      assert(ch.filter(F.col("s").isNotNull)
+        .select(Prefix.CHUNK).distinct().count() > 1,
+        s"string keys collapsed into one chunk, desc=$desc")
+    }
+  }
+
+  test("low-card ENUM string key: injective image engages value-chunking (r17)") {
+    // 1-char flags (the l_returnflag shape): every value fits the 6-byte
+    // window -> image is injective -> value-chunking may sub-band ties
+    val rows = (0 until 24).map(i => RowSV(i, Seq("A", "N", "R")(i % 3),
+      java.lang.Long.valueOf((i * 7 % 24).toLong)))
+    val f = multi(rows, 4).sort(Sorter("s"))
+    val ch = Prefix.chunked(f, fwd = true).get
+    assert(ch.select(Prefix.CHUNK).distinct().count() > 3,
+      "injective low-card string key must sub-band ties past d=3 chunks")
+    assert(Analytics.cumSum(f, "v", "cs").records() ==
+      Analytics.cumSumWindow(f, "v", "cs").records())
+    // long strings sharing a 7+-byte tail AFTER the lcp are NOT injective
+    // (image collides distinct keys) -> value-chunking must NOT engage,
+    // width-bucketing (within-chunk re-sort) keeps it correct
+    val longRows = (0 until 12).map(i => RowSV(i,
+      "prefix_" + Seq("alphagamma1", "alphagamma2", "betagamma00")(i % 3),
+      java.lang.Long.valueOf(i.toLong)))
+    val fl = multi(longRows, 3).sort(Sorter("s"))
+    val plan = Analytics.cumSum(fl, "v", "cs").df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("__pfx_v"),
+      "non-injective string image must not value-chunk (would reorder across keys)")
+    assert(Analytics.cumSum(fl, "v", "cs").records() ==
+      Analytics.cumSumWindow(fl, "v", "cs").records())
+  }
+
+  test("vocabulary-miss pin is monotone (r16 ADVICE): misses between/below/above") {
+    // simulate the mutated-source scenario: the memoized vocabulary saw
+    // {2, 6} but execution also sees one value it never did — below all
+    // (0), between (4), above all (12). The r16 rank-based fallback gave
+    // misses an s2/ord-derived sub-band (which can land a miss BEFORE a
+    // smaller vocab value) and pushed above-all ascending misses past
+    // the null chunk; the r17 pin must stay monotone in both directions.
+    for (miss <- Seq(0.0, 4.0, 12.0); desc <- Seq(false, true)) {
+      val rows = Seq[(java.lang.Double, Long)](
+        (2.0, 1L), (6.0, 2L), (miss, 3L), (2.0, 4L), (6.0, 5L),
+        (miss, 6L), (2.0, 7L), (6.0, 8L), (null, 9L))
+        .zipWithIndex.map { case ((k, v), i) =>
+          RowKV(i, k, java.lang.Long.valueOf(v)) }
+      Prefix.testVocabOverride = Some(Array(2.0, 6.0))
+      try {
+        val f = multi(rows, 4).sort(Sorter("k", descending = desc))
+        val ch = Prefix.chunked(f, fwd = true).get
+        assert(ch.queryExecution.optimizedPlan.toString.contains("__pfx_v"),
+          s"value-chunking must engage for the miss test to bite ($miss,$desc)")
+        val a = Analytics.cumSum(f, "v", "cs").records()
+        val sh = Analytics.shift(f, "v", 1, "sh").records()
+        // miss rows sit strictly below the null chunk
+        val nullChunk = ch.filter(F.col("k").isNull)
+          .select(Prefix.CHUNK).head().getLong(0)
+        val missMax = ch.filter(F.col("k") === miss)
+          .agg(F.max(Prefix.CHUNK)).head().getLong(0)
+        assert(missMax < nullChunk, s"miss chunk past the null chunk ($miss,$desc)")
+        Prefix.testVocabOverride = None
+        assert(a == Analytics.cumSumWindow(f, "v", "cs").records(),
+          s"cumsum with vocab miss ($miss,$desc)")
+        assert(sh == Analytics.shiftWindow(f, "v", 1, "sh").records(),
+          s"shift with vocab miss ($miss,$desc)")
+      } finally { Prefix.testVocabOverride = None }
+    }
   }
 
   test("overwriting an order-key column routes through the anchoring window form") {
