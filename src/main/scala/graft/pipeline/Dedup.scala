@@ -1048,6 +1048,69 @@ object Dedup {
   private[graft] def maybeBroadcastVocab(vocab: DataFrame, countFrom: DataFrame): DataFrame =
     maybeBroadcastByCount(vocab, countFrom, "graft.containment.maxBroadcastVocab", 8000000L)
 
+  /** How much evidence a stop-gram cap excludes (r16 verdict item 3):
+    * grams with df > maxDf carry no containment evidence BY DESIGN, but
+    * before r17 the excluded mass was visible only in DocProbe's `qcap`
+    * print — so an empty pair set at corpus scale was indistinguishable
+    * from a genuinely duplication-free corpus without re-running the
+    * probe. `excludedRowFraction` near 1.0 means "the corpus's gram
+    * evidence lives above the cap" (raise maxDf or accept the semantic
+    * exclusion); near 0.0 means "empty answer = no duplication". */
+  final case class CapStats(tag: String, maxDf: Int, gramsTotal: Long,
+                            gramsExcluded: Long, featureRowsTotal: Long,
+                            featureRowsExcluded: Long) {
+    def excludedRowFraction: Double =
+      if (featureRowsTotal == 0L) 0.0
+      else featureRowsExcluded.toDouble / featureRowsTotal
+  }
+
+  @volatile private var lastCap: Option[CapStats] = None
+
+  /** The cap diagnostic of the most recent [[containmentPairsFromFeatures]]
+    * build in this session (containmentPairs / winnowOverlapPairs) —
+    * read it after an empty or suspiciously small answer. */
+  def lastCapStats: Option[CapStats] = lastCap
+
+  /** Session memo for [[capStats]] — keyed like every other estimator
+    * (structural PlanKey + the cap), so repeated builds (bench min-of-N,
+    * Explain) stay job-free; the memo-job discipline is spec-pinned by
+    * the width-estimate test. */
+  private val capCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(AnyRef, String), CapStats](16, 0.75f, false) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(AnyRef, String), CapStats]): Boolean =
+        size() > 64
+    })
+
+  /** Compute [[CapStats]] for any per-gram frequency frame — the stored
+    * `containmentGramIndex` df frame (price the incremental fold's
+    * frozen cap: `capStats(gramDfIdx, "df", maxDf, "nightly")`), or the
+    * one-shot family's internal vocabulary. One memoized aggregation
+    * job per (plan, file state, cap) per session (a cache read when the
+    * frame is persisted); None on failure — purely diagnostic, never
+    * load-bearing. */
+  def capStats(gramDf: DataFrame, dfCol: String, maxDf: Int,
+               tag: String): Option[CapStats] =
+    try {
+      val sel = gramDf.select(F.col(dfCol).cast("long").as("__dfv"))
+      val (pk, fk) = graft.core.PlanKey.of(sel)
+      val key = (pk, fk + "|cap=" + maxDf)
+      val hit = capCache.get(key)
+      if (hit != null) Some(hit.copy(tag = tag))
+      else {
+        val c = F.col("__dfv")
+        val r = sel.agg(
+          F.count(F.lit(1)),
+          F.sum(F.when(c > maxDf, 1L).otherwise(0L)),
+          F.sum(c),
+          F.sum(F.when(c > maxDf, c).otherwise(0L))).head()
+        def lg(i: Int) = if (r.isNullAt(i)) 0L else r.getLong(i)
+        val cs = CapStats(tag, maxDf, lg(0), lg(1), lg(2), lg(3))
+        capCache.put(key, cs)
+        Some(cs)
+      }
+    } catch { case _: Throwable => None }
+
   /** The capped-df vocabulary view both estimators below are keyed on —
     * ONE builder, because the memo keys must stay plan-identical. */
   private def cappedDfView(gramDf: DataFrame, dfCol: String, maxDf: Int): DataFrame =
@@ -1207,13 +1270,28 @@ object Dedup {
     // min-of-2, Explain) never re-pay the corpus scan
     val budget = pairBudget(spark)
     val estPairs = cappedPairMass(gdf, "__df", maxDf)
+    // cap observability (r16 verdict item 3): the estimate job above
+    // just materialized gdf's cache, so this aggregation is a cache
+    // read; logged only when the cap actually excludes evidence, kept
+    // in lastCapStats either way
+    capStats(gdf, "__df", maxDf, tag).foreach { cs =>
+      lastCap = Some(cs)
+      if (cs.gramsExcluded > 0)
+        println(f"[graft] $tag: stop-gram cap df>$maxDf excludes " +
+          f"${cs.gramsExcluded} of ${cs.gramsTotal} grams = " +
+          f"${cs.featureRowsExcluded} of ${cs.featureRowsTotal} feature rows " +
+          f"(${cs.excludedRowFraction * 100}%.1f%%) — evidence above the cap " +
+          "is absent from the pair set BY DESIGN (Dedup.lastCapStats)")
+    }
     // EXACTNESS IN WAVES (r15 verdict item 1): when the pair mass at the
     // caller's cap exceeds the budget — the EXPECTED regime at corpus
     // scale, not a stress case — the answer is still computed exactly,
     // in ⌈mass/budget⌉ sequential waves, instead of narrowing the df cap
     // until the evidence (and the answer) silently vanished. The pair
-    // space is sliced by a hash of the LEFT id: pair (a, b), a < b,
-    // belongs to exactly the wave of hash(a), and side B stays whole, so
+    // space is sliced by a hash of the LEFT id (plus, past the side-A
+    // cap, a hash of the RIGHT id — the r17 two-level grid below): pair
+    // (a, b), a < b, belongs to exactly one cell, and each side carries
+    // its documents' complete gram sets, so
     // each wave's intersection counts are COMPLETE for its pairs — the
     // τ filter applies inside the wave and no cross-wave re-aggregation
     // ever re-exchanges the full mass (gram-domain slicing would). Each
@@ -1227,15 +1305,30 @@ object Dedup {
     val wavesRaw =
       if (estPairs < 0 || estPairs <= budget.toDouble) 1L
       else math.ceil(estPairs / budget.toDouble).toLong
-    val waves = math.min(wavesRaw, 1024L).toInt
+    // TWO-LEVEL grid past the side-A slice cap (r17, r16 verdict item
+    // 7): side-A id-hash slicing alone is capped (a slice below ~1/1024
+    // of the ids stops shrinking wave mass once single hot documents
+    // dominate a slice), so the pre-r17 code CAPPED at 1024 waves and
+    // logged that per-wave rows now exceed the budget — exact but with
+    // unbounded per-wave disk. r17 splits each over-cap wave AGAIN by a
+    // side-B id hash: pair (a, b) lands in exactly the cell
+    // (h(a) mod w1, h(b) mod w2) — both sides of the cell's join still
+    // carry their documents' COMPLETE gram sets, so the intersection
+    // stays complete and τ stays cell-local; w1·w2 ≥ ⌈mass/budget⌉
+    // bounds every cell's pair exchange by the budget again. The cap is
+    // a conf (`graft.containment.maxSideAWaves`) so specs and clusters
+    // with different executor counts can move it.
+    val maxW1 =
+      try spark.conf.get("graft.containment.maxSideAWaves").toInt
+      catch { case _: Throwable => 1024 }
+    val w1 = math.min(wavesRaw, math.max(1, maxW1).toLong).toInt
+    val w2 = math.ceil(wavesRaw.toDouble / math.max(1, w1)).toInt
+    val waves = w1 * w2
     if (waves > 1)
       println(s"[graft] $tag: pair mass " + f"$estPairs%.3g" +
         s" over budget $budget — exact answer in $waves waves" +
-        // no silent caps (repo discipline): past 1024× over budget each
-        // wave carries ~mass/1024 > budget rows — still exact, disk no
-        // longer bounded by the budget itself
-        (if (wavesRaw > waves) f" (CAPPED from $wavesRaw — ~${estPairs / waves}%.3g rows/wave exceeds the budget)"
-         else ""))
+        (if (w2 > 1) s" ($w1 x $w2 two-level grid: the side-B split keeps " +
+          "every cell's pair exchange within budget)" else ""))
     // width from the mass ONE pair join actually carries
     val estForWidth = if (waves > 1) budget.toDouble else estPairs
     val w = Explosion.width(estForWidth, machine)
@@ -1264,10 +1357,13 @@ object Dedup {
       grams.groupBy("id").agg(F.count(F.lit(1)).as("__n")),
       grams0.select(F.col("id")).distinct())
     // one wave: the τ-filtered containment pairs whose LEFT (smaller-id)
-    // side lies in `left` — side B is always the whole feature frame
-    def wavePairs(left: DataFrame): DataFrame = {
+    // side lies in `left` and whose right side lies in `right` (the
+    // whole feature frame except in the two-level grid) — both sides
+    // carry complete per-document gram sets, so the intersection count
+    // is complete for every pair the cell owns
+    def wavePairs(left: DataFrame, right: DataFrame): DataFrame = {
       val pairs0 = left.select(F.col("g"), F.col("id").as("id_a"))
-        .join(grams.select(F.col("g"), F.col("id").as("id_b")), "g")
+        .join(right.select(F.col("g"), F.col("id").as("id_b")), "g")
         .filter(F.col("id_a") < F.col("id_b"))
       // hash-repartition on the group key satisfies the aggregation's
       // required distribution — sizing adds no extra exchange
@@ -1286,10 +1382,20 @@ object Dedup {
             .as("containment"))
         .filter(F.col("containment") >= tau)
     }
-    if (waves == 1) wavePairs(grams)
+    if (waves == 1) wavePairs(grams, grams)
     else {
-      def slice(s: Int): DataFrame = wavePairs(grams.filter(
-        F.pmod(F.xxhash64(F.col("id")), F.lit(waves.toLong)) === s.toLong))
+      // cell (s, t): side A sliced by h(id) mod w1, side B by a
+      // SEED-DISTINCT h(id, 1) mod w2 (w2 = 1 ⇒ whole frame) — each
+      // (a, b) pair belongs to exactly one cell
+      def slice(c: Int): DataFrame = {
+        val (s, t) = (c / w2, c % w2)
+        wavePairs(
+          grams.filter(
+            F.pmod(F.xxhash64(F.col("id")), F.lit(w1.toLong)) === s.toLong),
+          if (w2 == 1) grams
+          else grams.filter(
+            F.pmod(F.xxhash64(F.col("id"), F.lit(1)), F.lit(w2.toLong)) === t.toLong))
+      }
       // Wave SURVIVOR storage. The survivors ARE the exact answer — at
       // over-budget mass that can itself be billions of rows, and any
       // exact computation must materialize it once. Two homes:
@@ -1358,7 +1464,12 @@ object Dedup {
     * through the membership index (`__cut` below), never by recounting
     * the corpus. Grams already past the cap in the index stay excluded;
     * every gram the pairs need is a batch gram, so the whole df update
-    * is pruned to the batch's vocabulary.
+    * is pruned to the batch's vocabulary. To PRICE what the frozen cap
+    * excludes from the stored index (an empty nightly answer at corpus
+    * scale vs genuinely no duplication — r16 verdict item 3), run
+    * `capStats(gramDfIdx, "df", maxDf, tag)` against the stored df
+    * frame; this operator stays lazy, so the diagnostic is the caller's
+    * one extra (cache-read) job, not an unconditional build cost.
     *
     * Scale shape: the index is touched by two equi-joins on `g`
     * (candidates + crosser corrections) — bucketed storage shuffles

@@ -464,22 +464,45 @@ object Streams {
   }
 
   /** Custom per-key state (KeyValueGroupedDataset.flatMapGroupsWithState):
-    * running per-user session summaries with processing-time timeout —
-    * the escape hatch for stateful logic windows can't express. */
-  def sessionSummaries(events: Dataset[Event]): Dataset[SessionSummary] = {
+    * running per-user session summaries — the escape hatch for stateful
+    * logic windows can't express.
+    *
+    * `idleTimeout` (e.g. "30 minutes") closes a user's state after that
+    * much PROCESSING time without arrivals (the final summary is
+    * re-emitted and the state removed — bounding state to active
+    * users). r17: the timeout is opt-in, and the default is NoTimeout,
+    * because processing-time state makes a drain-style run
+    * (Trigger.AvailableNow / processAllAvailable) non-terminating: the
+    * engine keeps scheduling no-data batches to check clocks that never
+    * stop advancing (the r16 harness observed 1400+ empty micro-batches
+    * before the run was killed). Use the timeout only under continuous
+    * triggers; the pre-r17 form set ProcessingTimeTimeout
+    * unconditionally while never arming a per-key duration — all hang,
+    * no expiry. */
+  def sessionSummaries(events: Dataset[Event],
+                       idleTimeout: Option[String] = None): Dataset[SessionSummary] = {
     import events.sparkSession.implicits._
+    val conf = if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionSummary, SessionSummary](
-        OutputMode.Update, GroupStateTimeout.ProcessingTimeTimeout) {
+        OutputMode.Update, conf) {
         (uid: Long, batch: Iterator[Event], state: GroupState[SessionSummary]) =>
-          val prev = state.getOption.getOrElse(SessionSummary(uid, 0, 0.0))
-          var n = prev.n_events
-          var v = prev.total_value
-          batch.foreach { e => n += 1; v += e.value }
-          val next = SessionSummary(uid, n, v)
-          state.update(next)
-          Iterator(next)
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            Iterator(last) // session closes: final summary, state freed
+          } else {
+            val prev = state.getOption.getOrElse(SessionSummary(uid, 0, 0.0))
+            var n = prev.n_events
+            var v = prev.total_value
+            batch.foreach { e => n += 1; v += e.value }
+            val next = SessionSummary(uid, n, v)
+            state.update(next)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            Iterator(next)
+          }
       }
   }
 }

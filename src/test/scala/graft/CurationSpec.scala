@@ -240,6 +240,20 @@ class CurationSpec extends AnyFunSuite {
         assert(out((2, 1)) == ((6L, 6L, 1.0)), "subset dup must score containment 1.0")
         assert(out.contains((3, 4)) || out.contains((4, 3)))
       } else assert(out.isEmpty, "df cap 1 drops every shared gram")
+      // cap observability (r16 verdict item 3): the build must record
+      // exactly how much evidence the stop-gram cap excluded, so an
+      // empty answer (the maxDf=1 leg HERE) is distinguishable from a
+      // duplication-free corpus without re-running a probe
+      val cs = Dedup.lastCapStats.get
+      assert(cs.tag == "containmentPairs" && cs.maxDf == maxDf)
+      assert(cs.gramsTotal == docFreq.size.toLong, s"maxDf=$maxDf")
+      assert(cs.gramsExcluded == docFreq.values.count(_ > maxDf).toLong, s"maxDf=$maxDf")
+      assert(cs.featureRowsTotal == docFreq.values.map(_.toLong).sum, s"maxDf=$maxDf")
+      assert(cs.featureRowsExcluded ==
+        docFreq.values.filter(_ > maxDf).map(_.toLong).sum, s"maxDf=$maxDf")
+      if (maxDf == 1)
+        assert(cs.excludedRowFraction > 0.0,
+          "the empty answer must be attributable to the cap")
     }
   }
 

@@ -161,6 +161,36 @@ class PipelineSpec extends AnyFunSuite {
     graft.core.CacheRegistry.releaseAll()
   }
 
+  test("containment two-level wave grid (past the side-A cap) is bit-identical (r16 verdict 7)") {
+    // Pre-r17, mass > 1024 x budget CAPPED the wave count and logged
+    // that per-wave rows exceed the budget (unbounded per-wave disk).
+    // Now a side-B hash split kicks in: force it by dropping the
+    // side-A cap to 4 with a budget that wants ~10+ waves, and compare
+    // against the single-pass answer AND the one-level waved answer.
+    val clique = (0L until 8L).map(i => (i, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("id_small"), r.getAs[Long]("id_big"),
+        r.getAs[Long]("n_small"), r.getAs[Long]("inter"),
+        r.getAs[Double]("containment"))
+    def run(): Seq[(Long, Long, Long, Long, Double)] =
+      Dedup.containmentPairs(clique, "doc_id", "text").collect().map(key).toSeq.sorted
+    val full = run()
+    assert(full.length == 28 && full.forall(_._5 == 1.0))
+    // mass = 6 grams x 8x7 = 336; budget 24 -> 14 waves raw
+    spark.conf.set("graft.containment.maxPairs", "24")
+    val oneLevel = try run() finally spark.conf.unset("graft.containment.maxPairs")
+    spark.conf.set("graft.containment.maxPairs", "24")
+    spark.conf.set("graft.containment.maxSideAWaves", "4") // grid: 4 x 4
+    val grid = try run() finally {
+      spark.conf.unset("graft.containment.maxPairs")
+      spark.conf.unset("graft.containment.maxSideAWaves")
+    }
+    assert(oneLevel == full, "one-level waves must match the single pass")
+    assert(grid == full, "the two-level grid must match the single pass")
+    graft.core.CacheRegistry.releaseAll()
+  }
+
   test("simhashWordEdges: cliques collapse to representatives, output is duplication-invariant") {
     // the re-shaped q42 contract: identical docs are one WORD, so a
     // clique contributes zero edges — the edge set must not grow when
