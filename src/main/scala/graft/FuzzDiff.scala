@@ -73,9 +73,22 @@ object FuzzDiff {
 
     for (seed <- seeds) {
       val rng = new Random(seed)
+      // k1 string shapes (r17, widened for the string sort-key image —
+      // Prefix.stringImageExpr): single-char enums (injective image,
+      // value-chunking), long shared-prefix values (the lcp-strip
+      // window), values whose difference sits past the 6-byte window
+      // (image COLLISION -> width path + within-chunk re-sort), and
+      // char runs of varying length (prefix-order edges like "aa" <
+      // "aab"). ASCII only: Spark and DuckDB both compare binary.
+      def genStr(rng: Random): String = rng.nextInt(4) match {
+        case 0 => ('a' + rng.nextInt(5)).toChar.toString
+        case 1 => "pfx_common_" + ('a' + rng.nextInt(5)).toChar
+        case 2 => "w%07d".format(rng.nextInt(30))
+        case _ => ('a' + rng.nextInt(3)).toChar.toString * (1 + rng.nextInt(9))
+      }
       def genRows(n: Int) = (0 until n).map { i =>
         (i.toLong,
-          if (rng.nextInt(10) == 0) null else ('a' + rng.nextInt(5)).toChar.toString,
+          if (rng.nextInt(10) == 0) null else genStr(rng),
           if (rng.nextInt(10) == 0) None else Some(rng.nextInt(5).toLong),
           if (rng.nextInt(8) == 0) None else Some((rng.nextInt(2001) - 1000).toLong),
           if (rng.nextInt(8) == 0) None else Some((rng.nextInt(8001) - 4000) / 4.0),
