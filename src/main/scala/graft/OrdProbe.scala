@@ -119,6 +119,27 @@ object OrdProbe {
           .sort(graft.core.Sorter("l_extendedprice"), graft.core.Sorter("l_orderkey"))
         fr.dropCols("l_extendedprice").df
       })
+      // STRING-key twins (r17 — before the string image, BOTH of these
+      // fell to the single-partition global window, the one remaining
+      // parallelism cliff; there is no honest pre-r17 number to compare
+      // against because that plan shape is precisely what the image
+      // removes). xo6 = high-cardinality string (zero-padded orderkey:
+      // lcp-stripped digit window, width-bucket path — the xo3b twin);
+      // xo6b = 5-value enum string (injective image, value-chunking —
+      // the xo3 low-card twin).
+      if (on("xo6")) time(s"xo6_anchor_drop_str_${f}x", {
+        val fr = graft.core.TadaFrame.ingest(
+          li.withColumn("sk", F.format_string("ord%010d", F.col("l_orderkey"))))
+          .sort(graft.core.Sorter("sk"), graft.core.Sorter("l_orderkey"))
+        fr.dropCols("sk").df
+      })
+      if (on("xo6b")) time(s"xo6b_anchor_drop_strenum_${f}x", {
+        val fr = graft.core.TadaFrame.ingest(
+          li.withColumn("sk", F.concat(F.lit("f"),
+            (F.col("l_quantity").cast("long") % 5).cast("string"))))
+          .sort(graft.core.Sorter("sk"), graft.core.Sorter("l_orderkey"))
+        fr.dropCols("sk").df
+      })
       if (on("xo5")) time(s"xo5_rollingn_frame_${f}x", {
         val fr = graft.core.TadaFrame.ingest(
           li.select(F.col("l_orderkey"), F.col("l_quantity")))
