@@ -82,8 +82,12 @@ object PipeProbe {
       // re-attaches text for the downstream stages (one id-equi-join —
       // at 100 TB that join is the honest cost of not carrying text
       // through the gate's shuffle+sort)
+      // approxAbove lowered so the sketch gate (and its corpus-shaped
+      // tracked cache — the overlap this probe exists to observe)
+      // engages at the probe scales, as it would at 100 TB
       var cur = if (upTo < 1) docs
-        else T.qualityGateAuto(docs, "doc_id", "text", "source", pct = 0.5)
+        else T.qualityGateAuto(docs, "doc_id", "text", "source", pct = 0.5,
+            approxAbove = 1000000L)
           .join(docs.select(F.col("doc_id"), F.col("text")), Seq("doc_id"))
       // 2: exact dedup, first-appearance keeper per content key — ONE
       // hash aggregation collapses the ×N duplication before anything
@@ -115,8 +119,12 @@ object PipeProbe {
           .groupBy("doc_id")
           .agg((F.sum(F.when(F.col("__hit").isNotNull, 1L).otherwise(0L))
             .cast("double") / F.count(F.lit(1))).as("__contam"))
+        // 0.8: the synthetic corpus shares a word pool with the eval
+        // slice, so 3-gram overlap is high across the board — the
+        // threshold keeps the downstream stages non-degenerate (a 0.2
+        // cut left 8 of 2411 docs, making the sample stage vacuous)
         cur = cur.join(frac, Seq("doc_id"), "left")
-          .filter(F.coalesce(F.col("__contam"), F.lit(0.0)) < 0.2)
+          .filter(F.coalesce(F.col("__contam"), F.lit(0.0)) < 0.8)
           .drop("__contam")
       }
       // 5: deterministic sample — 20% by content-stable row coordinate,
