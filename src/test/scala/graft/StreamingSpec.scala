@@ -664,4 +664,51 @@ class StreamingSpec extends AnyFunSuite {
         "group with room admits up to the quota")
     } finally q.stop()
   }
+
+  test("sessionSummaries idleTimeout closes state (final re-emit, counters reset)") {
+    // r17: the timeout is opt-in (the unconditional ProcessingTimeTimeout
+    // made every drain-style run non-terminating) and, when armed, must
+    // actually CLOSE the session: re-emit the final summary and remove
+    // the state, so a later arrival for the same user starts from zero.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ss-stream")
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val schema = Seq((1L, t("2024-01-01 00:00:00"), 1L, "e", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value").schema
+    def writeBatch(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .repartition(1).write.mode("append").parquet(dir.toString + "/ev")
+    writeBatch(Seq((1L, t("2024-01-01 00:00:00"), 7L, "e", 2.5),
+      (2L, t("2024-01-01 00:00:01"), 7L, "e", 1.5)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString + "/ev")
+      .as[Streams.Event]
+    // a REAL trigger interval: armed processing-time state makes the
+    // default (as-fast-as-possible) trigger busy-spin no-data
+    // clock-check batches — the production pairing for idleTimeout is
+    // always an interval trigger; processAllAvailable never settles
+    // under the spin, so the test polls with deadlines instead
+    val q = Streams.sessionSummaries(stream, idleTimeout = Some("1 second"))
+      .toDF().writeStream.outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("300 milliseconds"))
+      .format("memory").queryName("ss_out").start()
+    try {
+      def got = spark.table("ss_out").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+      def awaitCond(what: String)(cond: => Boolean): Unit = {
+        val deadline = System.nanoTime() + 60L * 1000000000L
+        while (!cond && System.nanoTime() < deadline) Thread.sleep(300)
+        assert(cond, s"$what (timed out; got: $got)")
+      }
+      awaitCond("running summary first")(got.contains((7L, 2, 4.0)))
+      // let user 7's timeout expire; its state times out in a later
+      // clock-check batch and re-emits the final summary
+      awaitCond("timeout must re-emit user 7's final summary")(
+        got.count(_ == ((7L, 2, 4.0))) >= 2)
+      // state was removed: a fresh arrival for 7 restarts from zero
+      writeBatch(Seq((4L, t("2024-01-01 00:02:00"), 7L, "e", 0.25)))
+      awaitCond("post-timeout arrival must start a NEW session")(
+        got.contains((7L, 1, 0.25)))
+    } finally q.stop()
+  }
 }
