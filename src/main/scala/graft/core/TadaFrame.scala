@@ -440,25 +440,44 @@ final case class TadaFrame(
     * into the other modulo the half's width, so every round is
     * invertible (subtract the same hash) and the composition is a true
     * permutation of [0, 2^53): collision-free BY CONSTRUCTION, still
-    * deterministic, sort-free, and one map-side expression. Output
-    * stays in [0, 2^53) (one band; `__ord >> 33` chunking sees the
-    * uniformly-hashed top bits), preserving the append band contract.
-    * Domain note: ingest/materialized ordinals are banded
-    * `chunk << 33 | row` values < 2^53 by construction — the same
-    * assumption the r16 mask already made. */
+    * deterministic, sort-free, and one map-side expression.
+    *
+    * APPENDED frames (`bands` > 1) carry ordinals in [0, bands·2^53) —
+    * and both append sides share ingest ordinals in their low 53 bits,
+    * so any permutation that ignored the band bits would collide them
+    * SYSTEMATICALLY (one duplicate ordinal per shared ingest position,
+    * not ~n²/2^54). The full construction is a bijection of
+    * [0, bands) × [0, 2^53): the band TWEAKS every Feistel round hash
+    * (each band gets its own permutation of the inner domain), and the
+    * output band is `(band + h(inner')) mod bands` — invertible because
+    * inner' alone recovers the band offset, then the band recovers the
+    * tweaked Feistel. Output ordinals stay in [0, bands·2^53) and
+    * `bands` is KEPT, so the append band budget still holds downstream;
+    * the single-band case reduces to the plain Feistel. */
   def shuffle(seed: Long): TadaFrame = {
-    val maskA = (1L << 26) - 1 // high half: bits 27..52
+    val maskA = (1L << 26) - 1 // high half of the inner 53: bits 27..52
     val maskB = (1L << 27) - 1 // low half: bits 0..26
-    var l: Column = shiftright(df(ORD), 27)
-    var r: Column = df(ORD).bitwiseAND(lit(maskB))
+    val inner = df(ORD).bitwiseAND(lit((1L << 53) - 1))
+    val band = shiftright(df(ORD), 53) // ∈ [0, bands)
+    var l: Column = shiftright(inner, 27)
+    var r: Column = inner.bitwiseAND(lit(maskB))
     for (round <- 0 until 3) {
-      r = (r + xxhash64(l, lit(seed), lit(round)).bitwiseAND(lit(maskB)))
+      r = (r + xxhash64(l, band, lit(seed), lit(round)).bitwiseAND(lit(maskB)))
         .bitwiseAND(lit(maskB))
-      l = (l + xxhash64(r, lit(seed), lit(round + 64)).bitwiseAND(lit(maskA)))
+      l = (l + xxhash64(r, band, lit(seed), lit(round + 64)).bitwiseAND(lit(maskA)))
         .bitwiseAND(lit(maskA))
     }
-    copy(df = df.withColumn(ORD, shiftleft(l, 27).bitwiseOR(r)),
-      order = Nil, bands = 1)
+    val innerP = shiftleft(l, 27).bitwiseOR(r)
+    val newOrd =
+      if (bands == 1) innerP
+      else {
+        // double-pmod keeps every intermediate < 2·bands (no ANSI
+        // overflow risk from adding a raw 64-bit hash)
+        val bandP = pmod(pmod(xxhash64(innerP, lit(seed), lit(7)),
+          lit(bands.toLong)) + band, lit(bands.toLong))
+        shiftleft(bandP, 53) + innerP
+      }
+    copy(df = df.withColumn(ORD, newOrd), order = Nil, bands = bands)
   }
 
   // ===== §2.7 sort =====

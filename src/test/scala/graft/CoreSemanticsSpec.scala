@@ -227,6 +227,24 @@ class CoreSemanticsSpec extends AnyFunSuite {
         assert(mm.getLong(0) >= 0L && mm.getLong(1) < (1L << 53),
           s"shuffled ordinals must stay in [0, 2^53) on the $tag domain")
       }
+      // APPENDED frames: both sides carry the SAME ingest ordinals in
+      // their low 53 bits, so a permutation that ignored the band bits
+      // collides every shared position systematically — the bijection
+      // must cover the full [0, bands·2^53) domain
+      val halfA = (0 until 5000).map(i => RowXY(i, i.toLong))
+      val halfB = (0 until 5000).map(i => RowXY(i + 5000, -i.toLong))
+      val app = TadaFrame.ingest(
+          spark.createDataFrame(spark.sparkContext.parallelize(halfA, 4)))
+        .append(TadaFrame.ingest(
+          spark.createDataFrame(spark.sparkContext.parallelize(halfB, 4))))
+      val sh = app.shuffle(42)
+      assert(sh.df.select(TadaFrame.ORD).distinct().count() == 10000L,
+        "shuffle must be collision-free on an appended (multi-band) frame")
+      assert(sh.bands == app.bands, "band budget survives the shuffle")
+      assert(sh.df.agg(F.max(TadaFrame.ORD)).head().getLong(0) <
+        (app.bands.toLong << 53), "shuffled ordinals stay inside the band domain")
+      assert(sh.records() == app.shuffle(42).records(),
+        "multi-band shuffle stays deterministic")
     }
     assert(Analytics.cumSum(s7, "v", "cs").records() ==
       Analytics.cumSumWindow(s7, "v", "cs").records(),
@@ -245,3 +263,6 @@ class CoreSemanticsSpec extends AnyFunSuite {
     assert(out.records().head == Seq("g"))
   }
 }
+
+/** Tiny two-column fixture for the multi-band shuffle bijectivity case. */
+case class RowXY(i: Int, v: java.lang.Long)
