@@ -35,6 +35,10 @@ object DocProbe {
       .config("spark.ui.enabled", "false")
       .config("graft.containment.maxPairs", sys.env.getOrElse(
         "GRAFT_CONTAINMENT_MAX_PAIRS", "500000000"))
+      // r17 two-level wave grid: probing a forced side-B split on the
+      // REAL corpus needs the side-A cap movable (grid = w1 × w2 cells)
+      .config("graft.containment.maxSideAWaves", sys.env.getOrElse(
+        "GRAFT_MAX_SIDEA_WAVES", "1024"))
       // compressed parquet spill for over-budget wave survivors: the
       // block-manager default stores them uncompressed (the first ×1000
       // forced winnow run accumulated ~4× the columnar size)
