@@ -254,6 +254,95 @@ object StreamFuzz {
 
   // ===== r17: the remaining stateful twins (r16 verdict item 2) =====
 
+  /** Winnow-fingerprint-vs-stored-index twin
+    * (`Streams.winnowOverlapAgainstIndex`) vs an INDEPENDENT batch
+    * model: both sides' features come from the same
+    * `TextOps.winnowFromTokens` kernel, but the batch side computes the
+    * capped pairs with plain joins/groupBy over the (id, g) frames —
+    * none of the streaming path's broadcast/array machinery — so the
+    * stream's candidate join + exact array-intersection is checked
+    * against first-principles SQL. Arrivals include verbatim SPAN
+    * copies (winnowing guarantees shared runs ≥ w+k−1 share a
+    * fingerprint — the shape this operator exists for). */
+  def winnowIndexCase(spark: SparkSession, seed: Int, nDocs: Int,
+                      dir: String, tag: String): Int = {
+    import spark.implicits._
+    val T = graft.pipeline.TextOps
+    val rng = new Random(seed * 130363 + 19)
+    val pool = (0 until 90).map(i => s"v$i")
+    def fresh(): String =
+      Seq.fill(16 + rng.nextInt(18))(pool(rng.nextInt(pool.size))).mkString(" ")
+    val corpusTexts = Array.fill(nDocs)(fresh())
+    val corpus = corpusTexts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toSeq.toDF("doc_id", "text")
+    val (k, w, tau, maxDf) = (3, 4, 0.5, 1000)
+    // the stored fingerprint membership index — the nightly artifact
+    val index = corpus.select(F.col("doc_id").as("id"),
+      F.explode(T.winnowFromTokens(T.tokens(F.col("text")), k, w)).as("g"))
+      .persist()
+    val arrivals = (0 until math.max(4, nDocs / 2)).map { j =>
+      val t = rng.nextInt(4) match {
+        case 0 => // verbatim span splice: shares a long run with a doc
+          val a = corpusTexts(rng.nextInt(nDocs)).split(" ")
+          val s = rng.nextInt(math.max(1, a.length - 10))
+          (Seq.fill(4)(pool(rng.nextInt(pool.size))) ++
+            a.slice(s, s + 8 + rng.nextInt(a.length - s))).mkString(" ")
+        case 1 => corpusTexts(rng.nextInt(nDocs))
+        case _ => fresh()
+      }
+      (1000000L + j, new java.sql.Timestamp(BASE + j * 1000L), t, j)
+    }.toDF("doc_id", "ts", "text", "arr")
+    val wd = s"$dir/wi-docs"
+    chunkByArrival(arrivals, "arr", wd, files = 4)
+    val src = spark.readStream.schema(arrivals.drop("arr").schema)
+      .option("maxFilesPerTrigger", "1").parquet(wd)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("id_small"), r.getAs[Long]("id_big"),
+        r.getAs[Long]("n_small"), r.getAs[Long]("inter"),
+        r.getAs[Double]("containment"))
+    val got = runToMemory(
+      Streams.winnowOverlapAgainstIndex(src, index, "doc_id", "ts", "text",
+        "10 minutes", k, w, tau, maxDf),
+      s"sfuzz_wi_${tag}_$seed").collect().map(key).toSeq.sorted
+    // first-principles batch model over the SAME feature kernel: capped
+    // df over index ∪ arrivals, cross pairs only, plain joins
+    val bFeat = arrivals.select(F.col("doc_id").as("id"),
+      F.explode(T.winnowFromTokens(T.tokens(F.col("text")), k, w)).as("g"))
+    // the streaming contract FREEZES the cap at the stored index
+    val kept = index.groupBy("g").agg(F.count(F.lit(1)).as("__df"))
+      .filter(F.col("__df") <= maxDf).select("g")
+    val ia = index.join(kept, "g")
+    val sza = ia.groupBy("id").agg(F.count(F.lit(1)).as("na"))
+    // arrival capped size = its grams minus the index's stop grams
+    val stop = index.groupBy("g").agg(F.count(F.lit(1)).as("__df"))
+      .filter(F.col("__df") > maxDf).select("g")
+    val szb = bFeat.join(stop, Seq("g"), "left_anti")
+      .groupBy("id").agg(F.count(F.lit(1)).as("nb"))
+    val inter = ia.select(F.col("g"), F.col("id").as("id_a"))
+      .join(bFeat.select(F.col("g"), F.col("id").as("id_b")), "g")
+      .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).as("inter"))
+    val want = inter
+      .join(sza.select(F.col("id").as("id_a"), F.col("na")), "id_a")
+      .join(szb.select(F.col("id").as("id_b"), F.col("nb")), "id_b")
+      .select(
+        F.when(F.col("na") <= F.col("nb"), F.col("id_a")).otherwise(F.col("id_b")).as("id_small"),
+        F.when(F.col("na") <= F.col("nb"), F.col("id_b")).otherwise(F.col("id_a")).as("id_big"),
+        F.least(F.col("na"), F.col("nb")).as("n_small"),
+        F.col("inter"),
+        F.round(F.col("inter").cast("double") / F.least(F.col("na"), F.col("nb")), 6)
+          .as("containment"))
+      .filter(F.col("containment") >= tau)
+      .collect().map(key).toSeq.sorted
+    spark.sql(s"DROP TABLE IF EXISTS sfuzz_wi_${tag}_$seed")
+    index.unpersist()
+    if (got == want) 0 else {
+      println(s"[streamfuzz] MISMATCH winnow_vs_index seed=$seed scale=$tag: " +
+        s"stream ${got.size} vs batch ${want.size}; " +
+        s"extra=${got.diff(want).take(5)} missing=${want.diff(got).take(5)}")
+      1
+    }
+  }
+
   /** Windowed-aggregate twins: tumbling / sliding / session counts vs
     * the SAME window expressions evaluated in BATCH mode (Spark's
     * window()/session_window() work in both — the differential isolates
@@ -608,6 +697,7 @@ object StreamFuzz {
       if (on("interval")) bad += intervalJoinCase(spark, seed, nEvents, dir, tag)
       if (on("dedup")) bad += dedupIndexCase(spark, seed, nDocs, dir, tag)
       if (on("contain")) bad += containIndexCase(spark, seed, nDocs, dir, tag)
+      if (on("winnow")) bad += winnowIndexCase(spark, seed, nDocs, dir, tag)
       // r17: the remaining stateful/stored-artifact twins
       if (on("window")) bad += windowCountsCase(spark, seed, nEvents, dir, tag)
       if (on("embedding")) bad += embeddingDedupCase(spark, seed, nDocs, dir, tag)
@@ -631,7 +721,7 @@ object StreamFuzz {
     spark.sparkContext.setLogLevel("ERROR")
     val scales = Seq(("1x", 2000, 240), ("10x", 20000, 2400))
     val bad = run(spark, 1 to seeds, "/tmp/streamfuzz", scales, only)
-    println(s"[streamfuzz] ${seeds} seeds x ${scales.size} scales x 12 twins: " +
+    println(s"[streamfuzz] ${seeds} seeds x ${scales.size} scales x 13 twins: " +
       s"$bad mismatches")
     spark.stop()
     if (bad != 0) sys.exit(1)
