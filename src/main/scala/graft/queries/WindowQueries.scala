@@ -552,5 +552,55 @@ object WindowQueries extends QueryPack {
         FROM (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS tp0
               FROM orders)
         ORDER BY o_orderkey
+      """)),
+
+    // §2.6 WHOLE-FRAME cumsum over a STRING-sorted frame (r17): before
+    // the binary-prefix string image (Prefix.stringImageExpr) this plan
+    // fell to the single-partition global window; c_name is the
+    // high-cardinality shared-prefix shape ("Customer#000000123" — the
+    // lcp-strip window reads the digit tail). Both engines compare
+    // strings byte-lexicographically, so the oracle replays the order
+    // exactly.
+    Query(
+      "q108_cumsum_string_key",
+      (s, dir) => {
+        val cust = TadaFrame.ingest(Tables.customer(s, dir))
+          .sort(Sorter("c_name"), Sorter("c_custkey"))
+          .withCol("ab", dec(col("c_acctbal")))
+        Analytics.cumSum(cust, "ab", "running_bal")
+          .withCol("running_bal", col("running_bal").cast("double"))
+          .out.select("c_custkey", "running_bal")
+          .orderBy("c_custkey")
+      },
+      Some("""
+        SELECT c_custkey,
+               CAST(sum(COALESCE(CAST(c_acctbal AS DECIMAL(18,2)), 0)) OVER
+                 (ORDER BY c_name ASC NULLS LAST, c_custkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS running_bal
+        FROM customer
+        ORDER BY c_custkey
+      """)),
+
+    // §2.6 WHOLE-FRAME shift over an ENUM-string-sorted frame (r17):
+    // o_orderstatus has 3 one-char values — the injective string image
+    // shape, where value-chunking sub-bands the ties (before r17:
+    // global window; with the image but without injectivity gating the
+    // parallelism would cap at 3).
+    Query(
+      "q109_shift_string_enum_key",
+      (s, dir) => {
+        val orders = TadaFrame.ingest(Tables.orders(s, dir))
+          .sort(Sorter("o_orderstatus"), Sorter("o_orderkey"))
+        Analytics.shift(orders, "o_totalprice", 2, "prev2_total")
+          .out.select("o_orderkey", "prev2_total")
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey,
+               lag(o_totalprice, 2) OVER
+                 (ORDER BY o_orderstatus ASC NULLS LAST, o_orderkey) AS prev2_total
+        FROM orders
+        ORDER BY o_orderkey
       """)))
 }
