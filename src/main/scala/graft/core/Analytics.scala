@@ -70,11 +70,99 @@ object Analytics {
   def shiftWindow(f: TadaFrame, c: String, n: Int, out: String): TadaFrame =
     f.withCol(out, F.lag(f.df(c), n).over(f.globalWindow))
 
+  /** Cap on the ranked column's (approximate) distinct count below which
+    * the BY-VALUE plan is chosen by the dispatchers: the distinct frame
+    * is vocabulary-sized and the rank join broadcasts. Matches
+    * [[Prefix.lowCardChunk]]'s engagement cap — the same "is this a
+    * vocabulary or a corpus" question on a different axis. */
+  private val ByValueMaxDistinct = 4096
+
+  /** The ranked column's value-axis chunking: an order-monotone chunk id
+    * that is a pure FUNCTION OF THE VALUE (equal values always share a
+    * chunk — the invariant that lets per-chunk rank/count partials
+    * compose into exact global ranks), plus the memoized approximate
+    * distinct count and whether the double image is injective (drives
+    * the byValue-vs-chunked dispatch for strings — a non-injective
+    * image's distinct count under-reports the RAW vocabulary, see
+    * [[Prefix.stringImageExpr]]). None when the type has no monotone
+    * numeric image or the bounds job failed — callers keep the global
+    * window form; the memo is never load-bearing. */
+  private final case class ValueAxis(chunk: Column, k: Int,
+                                     dApprox: Double, injective: Boolean)
+
+  private def valueAxis(f: TadaFrame, c: String): Option[ValueAxis] = {
+    val v = f.df(c)
+    val imgInj: Option[(Column, Boolean)] = f.df.schema(c).dataType match {
+      case _: NumericType | BooleanType => Some((v.cast(DoubleType), true))
+      case TimestampType => Some((F.unix_micros(v).cast(DoubleType), true))
+      case DateType      => Some((F.unix_date(v).cast(DoubleType), true))
+      case StringType =>
+        Prefix.BoundsCache.stringBounds(f.df.select(v.as("__pfx_k"))).flatMap {
+          case (Some(mn), Some(mx), maxLen) =>
+            val utf8 = java.nio.charset.StandardCharsets.UTF_8
+            val lcp = mn.getBytes(utf8).zip(mx.getBytes(utf8))
+              .takeWhile { case (a, b) => a == b }.length
+            Some((Prefix.stringImageExpr(v, mn, mx), maxLen <= lcp + 6))
+          case _ => None // all-null string column: window form is trivial
+        }
+      case _ => None
+    }
+    imgInj.flatMap { case (img, inj) =>
+      val k = f.df.sparkSession.conf
+        .get("spark.sql.shuffle.partitions", "200").toInt.max(1)
+      // NaN/±Inf poison the bucket width exactly as in Prefix.chunked —
+      // exclude from bounds, pin their rows to the edge chunks (the
+      // within-chunk window orders by the real value, so sharing a
+      // chunk with extreme finite values stays correct)
+      val nonFinite = F.isnan(img) ||
+        img === F.lit(Double.PositiveInfinity) ||
+        img === F.lit(Double.NegativeInfinity)
+      val clean = F.when(nonFinite, F.lit(null)).otherwise(img)
+      Prefix.BoundsCache.stats(f.df.select(clean.as("__pfx_k"))).flatMap {
+        case (Some(mn), Some(mx), d) =>
+          val bucket =
+            if (mx == mn) F.lit(0L)
+            else F.least(F.lit(k - 1L), F.greatest(F.lit(0L),
+              F.floor((img - F.lit(mn)) / ((F.lit(mx) - F.lit(mn)) / k))))
+          val nn = F.when(F.isnan(img) ||
+              img === F.lit(Double.PositiveInfinity), F.lit(k - 1L))
+            .when(img === F.lit(Double.NegativeInfinity), F.lit(0L))
+            .otherwise(bucket)
+          // null values get their own top chunk (k) — they never join the
+          // rank math (null in ⇒ null out) but must not share a chunk id
+          Some(ValueAxis(F.when(v.isNull, F.lit(k.toLong)).otherwise(nn), k, d, inj))
+        case _ => None // all-null column
+      }
+    }
+  }
+
   /** Dense rank ascending over values; ties share a rank; null in ⇒ null
-    * out (internal.go:2302-2351). dense_rank counts null rows as a rank,
-    * so rank nulls first and subtract the null bucket. */
+    * out (internal.go:2302-2351). DISPATCHER (r18): low-cardinality
+    * values take [[rankDenseByValue]] (rank join against the vocabulary);
+    * everything else with a monotone numeric image takes
+    * [[rankDenseChunked]] (the [[Prefix]] width-bucket discipline on the
+    * VALUE axis — before r18 a near-unique ranked column, e.g. a
+    * continuous price/score at corpus scale, degenerated to the one
+    * remaining single-partition global window a user query could hit);
+    * no image ⇒ the sequential [[rankDenseWindow]] reference form. All
+    * three forms are value-identical (AnalyticsSpec pins row-for-row
+    * equality on ties/nulls/NaN/multi-partition fixtures). */
   def rankDense(f: TadaFrame, c: String, out: String,
-                partitionBy: Seq[String] = Nil): TadaFrame = {
+                partitionBy: Seq[String] = Nil): TadaFrame =
+    valueAxis(f, c) match {
+      case Some(ax) if ax.injective && ax.dApprox <= ByValueMaxDistinct =>
+        rankDenseByValue(f, c, out, partitionBy)
+      case Some(_) =>
+        rankDenseChunked(f, c, out, partitionBy)(rankDenseWindow(f, c, out, partitionBy))
+      case None => rankDenseWindow(f, c, out, partitionBy)
+    }
+
+  /** Sequential [[rankDense]] — one ordered window (single-partition
+    * when `partitionBy` is empty or low-cardinality). The reference's
+    * exact evaluation shape; kept as the semantic oracle for the two
+    * scale forms and the fallback when no numeric image exists. */
+  def rankDenseWindow(f: TadaFrame, c: String, out: String,
+                      partitionBy: Seq[String] = Nil): TadaFrame = {
     val v = f.df(c)
     val wOrder =
       if (partitionBy.isEmpty) Window.orderBy(v.asc_nulls_first)
@@ -138,12 +226,88 @@ object Analytics {
     f.copy(df = joined.select(f.df.columns.map(f.df(_)) :+ ranked("__rdv_rk").as(out): _*))
   }
 
+  /** [[rankDense]] for NEAR-UNIQUE values — identical semantics, the
+    * [[Prefix]] chunked-prefix discipline applied to the VALUE axis.
+    * Dense rank decomposes over any value-monotone chunking in which
+    * equal values share a chunk (width buckets of the value's double
+    * image are exactly that): the global rank of a row is its dense
+    * rank WITHIN its chunk plus the number of distinct values in all
+    * lower chunks. So: bucket rows by value ([[valueAxis]] — memoized
+    * bounds as literals, the BoundsCache discipline), run dense_rank
+    * inside each (partition, chunk) — parallel, one hash exchange —
+    * aggregate per-chunk DISTINCT counts into a tiny #chunks-row frame,
+    * exclusive-prefix it, and join the offsets back. Versus the global
+    * window form this replaces a single-partition sort of every row
+    * with k-way parallel sorts (q26's pre-byValue 100× probe measured
+    * that window at 32 s / e 0.80 on 60M rows); versus byValue it never
+    * materializes a corpus-sized distinct frame. The offsets frame has
+    * ≤ |groups|·(k+1) rows — left unhinted so AQE broadcasts it when
+    * small and falls back to a shuffle join under a high-cardinality
+    * `partitionBy` (where the plain window form is already parallel and
+    * the dispatcher's gain is marginal anyway).
+    *
+    * Physical row order of the result is unspecified (join output) —
+    * see the row-order contract note on [[rankDenseByValue]]. Exact for
+    * every type with a monotone image, including NaN (pinned to the top
+    * value chunk; ordered/counted as one value inside it, exactly as
+    * the window form ties NaNs) and non-injective string images
+    * (colliding values share a chunk; the within-chunk window ranks the
+    * REAL value). */
+  def rankDenseChunked(f: TadaFrame, c: String, out: String,
+                       partitionBy: Seq[String] = Nil)(
+      window: => TadaFrame): TadaFrame =
+    valueAxis(f, c) match {
+      case None => window
+      case Some(ax) =>
+        val v = f.df(c)
+        val part = partitionBy.map(f.df(_))
+        val CH = "__rkc_c"
+        val ch = f.df.withColumn(CH, ax.chunk)
+        val wIn = Window.partitionBy(part :+ F.col(CH): _*).orderBy(v.asc)
+        val within = ch.withColumn("__rkc_l", F.dense_rank().over(wIn))
+        val counts = ch.filter(v.isNotNull)
+          .groupBy(part :+ F.col(CH): _*)
+          .agg(F.countDistinct(v).as("__rkc_d"))
+        val wOff = (if (partitionBy.isEmpty) Window.orderBy(F.col(CH))
+          else Window.partitionBy(partitionBy.map(F.col): _*).orderBy(F.col(CH)))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offs = counts
+          .withColumn("__rkc_off", F.coalesce(F.sum("__rkc_d").over(wOff), F.lit(0L)))
+          .select(partitionBy.zipWithIndex.map { case (p, i) => F.col(p).as(s"__rkc_p$i") } ++
+            Seq(F.col(CH).as("__rkc_c2"), F.col("__rkc_off")): _*)
+        // partition keys null-safe, chunk strict (chunk ids never null) —
+        // the rankDenseByValue join-key contract
+        val cond = (partitionBy.zipWithIndex.map { case (p, i) =>
+          f.df(p) <=> offs(s"__rkc_p$i") } :+ (within(CH) === offs("__rkc_c2"))).reduce(_ && _)
+        val joined = within.join(offs, cond, "left")
+        val rk = (within("__rkc_l").cast(LongType) +
+          F.coalesce(offs("__rkc_off"), F.lit(0L))).cast(IntegerType)
+        f.copy(df = joined.select(f.df.columns.map(f.df(_)) :+
+          F.when(v.isNull, F.lit(null)).otherwise(rk).as(out): _*))
+    }
+
   /** Exclusive percentile (internal.go:2353-2388): fraction of non-null
     * values STRICTLY below; ties share the first-occurrence value —
     * `(min_rank - 1) / count_nonnull`. Deliberately NOT `percent_rank`
-    * ((r-1)/(n-1)) nor `cume_dist` (≤, not <). */
+    * ((r-1)/(n-1)) nor `cume_dist` (≤, not <). DISPATCHER (r18) with the
+    * same three plans as [[rankDense]]: by-value under the vocabulary
+    * cap, [[percentileChunked]] for near-unique values with a monotone
+    * image, [[percentileWindow]] otherwise. All three compute the same
+    * integer numerator/denominator, so the doubles are bit-identical. */
   def percentile(f: TadaFrame, c: String, out: String,
-                 partitionBy: Seq[String] = Nil): TadaFrame = {
+                 partitionBy: Seq[String] = Nil): TadaFrame =
+    valueAxis(f, c) match {
+      case Some(ax) if ax.injective && ax.dApprox <= ByValueMaxDistinct =>
+        percentileByValue(f, c, out, partitionBy)
+      case Some(_) =>
+        percentileChunked(f, c, out, partitionBy)(percentileWindow(f, c, out, partitionBy))
+      case None => percentileWindow(f, c, out, partitionBy)
+    }
+
+  /** Sequential [[percentile]] — one ordered window; the reference's
+    * exact evaluation shape, semantic oracle for the scale forms. */
+  def percentileWindow(f: TadaFrame, c: String, out: String,
+                       partitionBy: Seq[String] = Nil): TadaFrame = {
     val v = f.df(c)
     val part = partitionBy.map(f.df(_))
     val wOrder = if (part.isEmpty) Window.orderBy(v.asc_nulls_first)
@@ -195,6 +359,52 @@ object Analytics {
     val joined = f.df.join(scored, cond, "left")
     f.copy(df = joined.select(f.df.columns.map(f.df(_)) :+ scored("__pbv_pct").as(out): _*))
   }
+
+  /** [[percentile]] for NEAR-UNIQUE values — the [[rankDenseChunked]]
+    * plan shape on the min-rank decomposition: for a non-null x,
+    * `cnt_lt(x)` (non-null rows strictly below) = rows in lower value
+    * chunks + (min rank within x's chunk − 1), because equal values
+    * never span chunks. So the tiny per-chunk frame carries plain ROW
+    * counts (vs rankDenseChunked's distinct counts), their exclusive
+    * prefix is the chunk offset, the per-partition total is the same
+    * frame's full sum, and `pct = (off + local_rank − 1) / total` — the
+    * window form's exact integers, hence bit-identical doubles. Same
+    * offsets-frame/AQE note and row-order contract as
+    * [[rankDenseChunked]]. */
+  def percentileChunked(f: TadaFrame, c: String, out: String,
+                        partitionBy: Seq[String] = Nil)(
+      window: => TadaFrame): TadaFrame =
+    valueAxis(f, c) match {
+      case None => window
+      case Some(ax) =>
+        val v = f.df(c)
+        val part = partitionBy.map(f.df(_))
+        val CH = "__pcc_c"
+        val ch = f.df.withColumn(CH, ax.chunk)
+        val wIn = Window.partitionBy(part :+ F.col(CH): _*).orderBy(v.asc)
+        val within = ch.withColumn("__pcc_l", F.rank().over(wIn))
+        val counts = ch.filter(v.isNotNull)
+          .groupBy(part :+ F.col(CH): _*)
+          .agg(F.count(F.lit(1)).as("__pcc_n"))
+        val wOff = (if (partitionBy.isEmpty) Window.orderBy(F.col(CH))
+          else Window.partitionBy(partitionBy.map(F.col): _*).orderBy(F.col(CH)))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wAll =
+          if (partitionBy.isEmpty) Window.partitionBy()
+          else Window.partitionBy(partitionBy.map(F.col): _*)
+        val offs = counts
+          .withColumn("__pcc_off", F.coalesce(F.sum("__pcc_n").over(wOff), F.lit(0L)))
+          .withColumn("__pcc_tot", F.sum("__pcc_n").over(wAll))
+          .select(partitionBy.zipWithIndex.map { case (p, i) => F.col(p).as(s"__pcc_p$i") } ++
+            Seq(F.col(CH).as("__pcc_c2"), F.col("__pcc_off"), F.col("__pcc_tot")): _*)
+        val cond = (partitionBy.zipWithIndex.map { case (p, i) =>
+          f.df(p) <=> offs(s"__pcc_p$i") } :+ (within(CH) === offs("__pcc_c2"))).reduce(_ && _)
+        val joined = within.join(offs, cond, "left")
+        val pct = (offs("__pcc_off") + within("__pcc_l").cast(LongType) - 1L)
+          .cast(DoubleType) / offs("__pcc_tot")
+        f.copy(df = joined.select(f.df.columns.map(f.df(_)) :+
+          F.when(v.isNull, F.lit(null)).otherwise(pct).as(out): _*))
+    }
 
   /** Bin(edges) (internal.go:2208-2300): left-EXclusive right-INclusive
     * `lo < x <= hi`; `andLess/andMore` add open edge bins; labels default

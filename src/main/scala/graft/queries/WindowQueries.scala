@@ -582,6 +582,69 @@ object WindowQueries extends QueryPack {
         ORDER BY c_custkey
       """)),
 
+    // §2.6 dense Rank over a NEAR-UNIQUE column (r18): l_extendedprice
+    // is continuous, so the distinct frame is corpus-sized and the
+    // by-value plan buys nothing — the dispatcher routes to the CHUNKED
+    // value-axis plan (Analytics.rankDenseChunked: width-bucket by
+    // value, per-chunk dense_rank, prefix of per-chunk distinct counts)
+    // instead of the pre-r18 single-partition global window — the last
+    // global-window shape a user query could hit. Nulls punched
+    // deterministically to exercise null-in ⇒ null-out.
+    Query(
+      "q110_rank_dense_chunked",
+      (s, dir) => {
+        val li0 = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            when(col("l_orderkey") % 97 === 0, lit(null))
+              .otherwise(col("l_extendedprice")).as("p"))
+        val li = TadaFrame.ingest(li0)
+        Analytics.rankDense(li, "p", "price_rank")
+          .out.select("l_orderkey", "l_linenumber", "price_rank")
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""
+        SELECT l_orderkey, l_linenumber,
+               CASE WHEN p IS NULL THEN NULL
+                    ELSE dense_rank() OVER (ORDER BY p ASC NULLS FIRST)
+                         - max(CASE WHEN p IS NULL THEN 1 ELSE 0 END) OVER ()
+               END AS price_rank
+        FROM (SELECT l_orderkey, l_linenumber,
+                     CASE WHEN l_orderkey % 97 = 0 THEN NULL
+                          ELSE l_extendedprice END AS p
+              FROM lineitem)
+        ORDER BY l_orderkey, l_linenumber
+      """)),
+
+    // §2.6 exclusive Percentile over a NEAR-UNIQUE column (r18) — the
+    // percentileChunked twin of q110: same integer numerator/denominator
+    // as the window form, so the doubles hash-match the oracle exactly.
+    Query(
+      "q111_percentile_chunked",
+      (s, dir) => {
+        val o0 = Tables.orders(s, dir)
+          .select(col("o_orderkey"),
+            when(col("o_orderkey") % 89 === 0, lit(null))
+              .otherwise(col("o_totalprice")).as("tp"))
+        val o = TadaFrame.ingest(o0)
+        Analytics.percentile(o, "tp", "tp_pct")
+          .out.select("o_orderkey", "tp_pct")
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey,
+               CASE WHEN tp IS NULL THEN NULL
+                    ELSE CAST(rank() OVER (ORDER BY tp ASC NULLS FIRST)
+                              - sum(CASE WHEN tp IS NULL THEN 1 ELSE 0 END) OVER ()
+                              - 1 AS DOUBLE)
+                         / count(tp) OVER ()
+               END AS tp_pct
+        FROM (SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 89 = 0 THEN NULL
+                          ELSE o_totalprice END AS tp
+              FROM orders)
+        ORDER BY o_orderkey
+      """)),
+
     // §2.6 WHOLE-FRAME shift over an ENUM-string-sorted frame (r17):
     // o_orderstatus has 3 one-char values — the injective string image
     // shape, where value-chunking sub-bands the ties (before r17:

@@ -37,9 +37,15 @@ class AnalyticsSpec extends AnyFunSuite {
       1.0, Double.NaN, 0.0, -0.0, null, Double.NaN, 2.0, -1.5).toDF("v")
     val f = frame(df)
     assert(Analytics.rankDenseByValue(f, "v", "r").records() ==
-      Analytics.rankDense(f, "v", "r").records())
+      Analytics.rankDenseWindow(f, "v", "r").records())
     assert(Analytics.percentileByValue(f, "v", "p").records() ==
-      Analytics.percentile(f, "v", "p").records())
+      Analytics.percentileWindow(f, "v", "p").records())
+    // chunked value-axis forms (r18): NaN pins to the top value chunk
+    // and ties inside it exactly as the window form ties NaNs
+    assert(Analytics.rankDenseChunked(f, "v", "r")(fail("no fallback")).records() ==
+      Analytics.rankDenseWindow(f, "v", "r").records())
+    assert(Analytics.percentileChunked(f, "v", "p")(fail("no fallback")).records() ==
+      Analytics.percentileWindow(f, "v", "p").records())
     // NaN ranks above every real value; both NaNs share one dense rank
     // (vocabulary: -1.5, 0.0, 1.0, 2.0, NaN -> NaN = rank 5)
     val ranks = Analytics.rankDenseByValue(f, "v", "r").records().tail.map(_(1))
@@ -63,21 +69,73 @@ class AnalyticsSpec extends AnyFunSuite {
         .map(r => (Option(r.get(0)).map(_.toString).getOrElse(""),
           Option(r.get(1)), Option(r.get(2))))
         .toSeq.sortBy(x => (x._1, x._2.map(_.toString).getOrElse("")))
-    assert(vals(Analytics.rankDenseByValue(f, "v", "r", Seq("g")), "r") ==
-      vals(Analytics.rankDense(f, "v", "r", Seq("g")), "r"))
-    assert(vals(Analytics.percentileByValue(f, "v", "p", Seq("g")), "p") ==
-      vals(Analytics.percentile(f, "v", "p", Seq("g")), "p"))
+    val wantR = vals(Analytics.rankDenseWindow(f, "v", "r", Seq("g")), "r")
+    val wantP = vals(Analytics.percentileWindow(f, "v", "p", Seq("g")), "p")
+    assert(vals(Analytics.rankDenseByValue(f, "v", "r", Seq("g")), "r") == wantR)
+    assert(vals(Analytics.percentileByValue(f, "v", "p", Seq("g")), "p") == wantP)
+    // the chunked value-axis forms (r18) on the same adversarial fixture
+    // — partitioned (null partition key included) and whole-frame
+    assert(vals(Analytics.rankDenseChunked(f, "v", "r", Seq("g"))(fail("nf")), "r") == wantR)
+    assert(vals(Analytics.percentileChunked(f, "v", "p", Seq("g"))(fail("nf")), "p") == wantP)
     // and with no partitioning (the whole-frame contract)
-    assert(vals(Analytics.rankDenseByValue(f, "v", "r"), "r") ==
-      vals(Analytics.rankDense(f, "v", "r"), "r"))
-    assert(vals(Analytics.percentileByValue(f, "v", "p"), "p") ==
-      vals(Analytics.percentile(f, "v", "p"), "p"))
+    val wantR0 = vals(Analytics.rankDenseWindow(f, "v", "r"), "r")
+    val wantP0 = vals(Analytics.percentileWindow(f, "v", "p"), "p")
+    assert(vals(Analytics.rankDenseByValue(f, "v", "r"), "r") == wantR0)
+    assert(vals(Analytics.percentileByValue(f, "v", "p"), "p") == wantP0)
+    assert(vals(Analytics.rankDenseChunked(f, "v", "r")(fail("nf")), "r") == wantR0)
+    assert(vals(Analytics.percentileChunked(f, "v", "p")(fail("nf")), "p") == wantP0)
+    // the dispatcher routes somewhere value-identical on this fixture too
+    assert(vals(Analytics.rankDense(f, "v", "r", Seq("g")), "r") == wantR)
+    assert(vals(Analytics.percentile(f, "v", "p", Seq("g")), "p") == wantP)
     // spot-pin the doubles are the exact integer ratios (bit-identical
     // to the window form, not approximately equal)
     val p = Analytics.percentileByValue(f, "v", "p", Seq("g")).df
       .filter(F.col("g") === "a" && F.col("v") === 2.0)
       .select("p").head().getDouble(0)
     assert(p == 2.0 / 5.0) // two non-null values strictly below, of 5
+  }
+
+  test("chunked rank/percentile: string values route through the binary-prefix image") {
+    // shared-prefix strings (the c_name shape) — the image is NON-
+    // injective collapse-prone only past 6 window bytes; colliding
+    // values share a chunk and the within-chunk window ranks the real
+    // value, so equality must hold regardless. Includes ties + null.
+    val df = Seq[(String, String)](
+      ("x", "doc-0000017"), ("x", "doc-0000003"), ("x", null),
+      ("x", "doc-0000003"), ("y", "doc-0000099"), ("y", "doc-0000001"),
+      ("y", "doc-00000010"), (null, "doc-0000042")).toDF("g", "s")
+    val f = frame(df)
+    def vals(t: TadaFrame, out: String) =
+      t.df.select(F.col("g"), F.col("s"), F.col(out)).collect()
+        .map(r => (Option(r.get(0)).map(_.toString).getOrElse(""),
+          Option(r.get(1)).map(_.toString).getOrElse(""),
+          Option(r.get(2)).map(_.toString).getOrElse("")))
+        .toSeq.sorted
+    assert(vals(Analytics.rankDenseChunked(f, "s", "r", Seq("g"))(fail("nf")), "r") ==
+      vals(Analytics.rankDenseWindow(f, "s", "r", Seq("g")), "r"))
+    assert(vals(Analytics.percentileChunked(f, "s", "p")(fail("nf")), "p") ==
+      vals(Analytics.percentileWindow(f, "s", "p"), "p"))
+  }
+
+  test("rank/percentile dispatcher: near-unique values take the chunked plan") {
+    // 6000 distinct doubles > the 4096 by-value cap — the dispatcher
+    // must pick the chunked form (observable: the plan carries the
+    // chunk-offset join, not a corpus-sized distinct window), and the
+    // values must equal the window oracle.
+    val df = (0 until 6000).map(i => ((i * 37 % 6000) + 0.25, i % 3)).toDF("v", "g")
+    val f = frame(df)
+    val got = Analytics.rankDense(f, "v", "r")
+    assert(got.df.queryExecution.analyzed.toString.contains("__rkc_off"),
+      "dispatcher did not route a near-unique column to the chunked plan")
+    val want = Analytics.rankDenseWindow(f, "v", "r")
+    def vals(t: TadaFrame) = t.df.select(F.col("v"), F.col("r")).collect()
+      .map(r => (r.getDouble(0), r.getInt(1))).toSeq.sorted
+    assert(vals(got) == vals(want))
+    val gotP = Analytics.percentile(f, "v", "p")
+    assert(gotP.df.queryExecution.analyzed.toString.contains("__pcc_off"))
+    def valsP(t: TadaFrame) = t.df.select(F.col("v"), F.col("p")).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1))).toSeq.sorted
+    assert(valsP(gotP) == valsP(Analytics.percentileWindow(f, "v", "p")))
   }
 
   test("percentile is EXCLUSIVE (strictly-below fraction), ties share min rank") {
