@@ -177,7 +177,86 @@ final case class TadaGrouped(frame: TadaFrame, keys: Seq[String], aligned: Boole
 
   def sum(cols: String*): TadaFrame = reduce(cols, "sum")
   def mean(cols: String*): TadaFrame = reduce(cols, "mean")
-  def median(cols: String*): TadaFrame = reduce(cols, "median")
+
+  /** Exact grouped median — DISPATCHER (r18, the rankDenseByValue
+    * discipline on the aggregate axis). The `percentile(c, 0.5)` agg is
+    * exact but buffers EVERY group value in the final agg task: its
+    * parallelism is #groups and its memory is the group's size — on
+    * lineitem's 3-4 return flags at the 100× probe that is ~20M doubles
+    * per task. For a LOW-CARDINALITY value domain the same number is a
+    * function of per-value counts alone, so ≤[[TadaGrouped.MedianVocabCap]]
+    * approx-distinct numeric columns (memoized session job — never
+    * load-bearing) route to [[medianByValue]]; sorted/stringified/aligned
+    * reduces and high-cardinality or non-numeric columns keep the
+    * percentile-agg form. Both forms produce bit-identical doubles
+    * (GroupOrderSpec pins it). */
+  def median(cols: String*): TadaFrame =
+    if (!aligned && !stringified && frame.order.isEmpty &&
+        cols.nonEmpty && cols.forall(medianByValueEligible))
+      medianByValue(cols)
+    else reduce(cols, "median")
+
+  private def medianByValueEligible(c: String): Boolean =
+    df.schema(c).dataType.isInstanceOf[NumericType] && {
+      Prefix.BoundsCache.stats(
+        df.select(df(c).cast(DoubleType).as("__pfx_k"))) match {
+        case Some((_, _, d)) => d <= TadaGrouped.MedianVocabCap
+        case None => false
+      }
+    }
+
+  /** Exact grouped median through per-(group, value) COUNTS: count rows
+    * per (group, value) — one shuffle, map-side combinable, no value
+    * buffers — cumulative-count the vocabulary inside each group
+    * (window over the tiny (groups × vocabulary) frame), pick the two
+    * values covering sorted positions floor/ceil(0.5·(n−1)), and
+    * interpolate with Spark Percentile's exact expression
+    * `(hi − pos)·v_lo + (pos − lo)·v_hi` — NOT `(v_lo + v_hi)/2`, whose
+    * different rounding could drift an ULP from the agg form. Nulls are
+    * excluded from counts (all-null group ⇒ null median, the agg
+    * contract); NaN sorts above every value and poisons interpolation
+    * identically in both forms. Final-stage parallelism is
+    * #groups × vocabulary — never group-sized buffers. */
+  private def medianByValue(cols: Seq[String]): TadaFrame = {
+    val base = df.groupBy(keys.map(df(_)): _*).agg(F.min(df(ORD)).as(ORD))
+    val joined = cols.foldLeft(base) { (acc, c) =>
+      val v = df(c).cast(DoubleType)
+      val cnt = df.filter(df(c).isNotNull)
+        .groupBy(keys.map(df(_)) :+ v.as("__mv_v"): _*)
+        .agg(F.count(F.lit(1)).as("__mv_n"))
+      val wCum = Window.partitionBy(keys.map(F.col): _*)
+        .orderBy(F.col("__mv_v").asc).rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.partitionBy(keys.map(F.col): _*)
+      val scored = cnt
+        .withColumn("__mv_cum", F.sum("__mv_n").over(wCum))
+        .withColumn("__mv_tot", F.sum("__mv_n").over(wAll))
+      // value v covers sorted positions [cum − n, cum − 1] (0-based)
+      val pos = (F.col("__mv_tot") - 1L).cast(DoubleType) / 2.0
+      val lo = F.floor(pos)
+      val hi = F.ceil(pos)
+      val prev = F.col("__mv_cum") - F.col("__mv_n")
+      val med = scored.groupBy(keys.map(F.col): _*).agg(
+        F.max(F.when(prev <= lo && lo <= F.col("__mv_cum") - 1, F.col("__mv_v"))).as("__mv_lo"),
+        F.max(F.when(prev <= hi && hi <= F.col("__mv_cum") - 1, F.col("__mv_v"))).as("__mv_hi"),
+        F.max(F.col("__mv_tot")).as("__mv_tN"))
+      val posA = (F.col("__mv_tN") - 1L).cast(DoubleType) / 2.0
+      val loA = F.floor(posA).cast(DoubleType)
+      val hiA = F.ceil(posA).cast(DoubleType)
+      val medE = F.when(loA === hiA || F.col("__mv_lo") === F.col("__mv_hi"),
+          F.col("__mv_lo"))
+        .otherwise((hiA - posA) * F.col("__mv_lo") + (posA - loA) * F.col("__mv_hi"))
+      val medR = med.select(keys.zipWithIndex.map { case (k, i) =>
+        F.col(k).as(s"__mv_k$i") } :+ medE.as(s"median_$c"): _*)
+      // null group KEYS are legitimate groups — join null-safely (the
+      // rankDenseByValue join-key contract)
+      val cond = keys.zipWithIndex.map { case (k, i) =>
+        acc(k) <=> medR(s"__mv_k$i") }.reduce(_ && _)
+      acc.join(medR, cond, "left")
+        .drop(keys.indices.map(i => s"__mv_k$i"): _*)
+    }
+    TadaFrame(joined, labels = keys, name = frame.name, order = Nil,
+      bands = frame.bands)
+  }
   def stdDev(cols: String*): TadaFrame = reduce(cols, "stdDev")
   def count(cols: String*): TadaFrame = reduce(cols, "count")
   def nUnique(cols: String*): TadaFrame = reduce(cols, "nunique")
@@ -257,6 +336,11 @@ final case class TadaGrouped(frame: TadaFrame, keys: Seq[String], aligned: Boole
 object TadaGrouped {
   private[core] val GPOS = "__gpos"
   private[core] val REP = "__grep"
+
+  /** Approx-distinct cap under which [[TadaGrouped.median]] dispatches
+    * to the by-value counting plan — the same "vocabulary vs corpus"
+    * threshold as Analytics' rank dispatch and Prefix.lowCardChunk. */
+  private[core] val MedianVocabCap = 4096
 }
 
 /** Rolling windows (groupers.go:295-345) — per-row groups over following

@@ -147,6 +147,31 @@ object JoinGroupQueries extends QueryPack {
         ORDER BY l_returnflag
       """)),
 
+    // §2.5 exact grouped Median through the BY-VALUE counting plan
+    // (r18): l_quantity (50 values) and l_linenumber (7) are the
+    // low-cardinality domains where TadaGrouped.median dispatches to
+    // per-(group, value) counts + vocabulary-window position picks —
+    // no group-sized value buffer in the final agg task (q14's
+    // percentile(c, 0.5) holds ~20M doubles per task at the 100× probe;
+    // this plan's final stage is #groups × vocabulary). Values are
+    // integers/halves, exact on both engines.
+    Query(
+      "q112_grouped_median_by_value",
+      (s, dir) => {
+        val li = TadaFrame.ingest(Tables.lineitem(s, dir))
+        li.groupBy("l_returnflag").median("l_quantity", "l_linenumber")
+          .out.select("l_returnflag", "median_l_quantity", "median_l_linenumber")
+          .orderBy("l_returnflag")
+      },
+      Some("""
+        SELECT l_returnflag,
+               quantile_cont(l_quantity, 0.5) AS median_l_quantity,
+               quantile_cont(CAST(l_linenumber AS DOUBLE), 0.5) AS median_l_linenumber
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+      """)),
+
     // §2.5 Earliest/Latest (time min/max) + HavingCount: active users with
     // ≥ some events.
     Query(

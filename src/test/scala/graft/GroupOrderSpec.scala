@@ -175,6 +175,41 @@ class GroupOrderSpec extends AnyFunSuite {
     assertNoGlobalDataWindow(f.setRows("k", Seq(0), F.lit("Z")).df)
   }
 
+  test("grouped median: by-value counting plan equals the percentile agg bit-for-bit") {
+    // even + odd group sizes (interpolated and direct medians), a null
+    // value, an all-null group, a NULL GROUP KEY, multi-partition input
+    val rows = Seq[(String, java.lang.Double)](
+      ("a", 3.0), ("a", 1.0), ("a", 2.0), ("a", 8.0),   // even: (2+3)/2
+      ("b", 5.0), ("b", 7.0), ("b", 6.0),               // odd: 6
+      ("c", null), ("c", null),                         // all-null: null
+      ("d", 4.0), ("d", null),                          // nulls excluded
+      (null, 9.0), (null, 11.0))                        // null key group
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => KRow(r._1, r._2)), 3))
+    val f = TadaFrame.ingest(df)
+    val got = f.groupBy("k").median("v")
+    // dispatch engaged: the plan carries the counting machinery, and no
+    // Percentile agg buffers group values
+    val plan = got.df.queryExecution.analyzed.toString
+    assert(plan.contains("__mv_"), "median did not dispatch to the by-value plan")
+    assert(!plan.contains("percentile("), "by-value plan still carries the buffering agg")
+    def vals(t: TadaFrame) = t.df.select(F.col("k"), F.col("median_v")).collect()
+      .map(r => (Option(r.get(0)).map(_.toString).getOrElse(""), Option(r.get(1))))
+      .toSeq.sortBy(_._1)
+    val want = vals(f.groupBy("k").reduceWith(
+      Seq("median_v" -> F.percentile(F.col("v"), F.lit(0.5)))))
+    assert(vals(got) == want)
+    assert(vals(got).toMap.apply("a").contains(2.5))
+    assert(vals(got).toMap.apply("c").isEmpty)
+    // group order contract holds through the by-value plan (first
+    // appearance in ingest order: a, b, c, d, null)
+    assert(got.records().tail.map(_.head) == Seq("a", "b", "c", "d", "(null)"))
+    // a sorted reduce keeps the percentile-agg form by design
+    val sortedPlan = f.sort(Sorter("v")).groupBy("k").median("v")
+      .df.queryExecution.analyzed.toString
+    assert(!sortedPlan.contains("__mv_"))
+  }
+
   test("string sort key: grouped ordinal still correct via rep ranking") {
     // the CHUNKED ordinal fallback is for anchorOrder; grouped paths never
     // need a global pass even for string keys (partition-local window +
