@@ -23,7 +23,9 @@ import graft.streaming.Streams
   * stripSpansStream / newDocsStream vs their batch operators on one
   * shared corpus with null/no-gram edge rows, quotaPerGroup contract
   * invariants incl. replay determinism, and sessionSummaries' final
-  * state vs batch count/sum):
+  * state vs batch count/sum; r18 adds the last three uncovered ops —
+  * dedupStream / enrichStream / sampleStream, [[ingestTwinsCase]] —
+  * closing the surface at 16/16):
   *
   *  - `Streams.intervalJoin` vs the identical batch join predicate.
   *    Arrival disorder is generated BOUNDED (rows arrive within ±J of
@@ -681,6 +683,105 @@ object StreamFuzz {
     }
   }
 
+  // ===== r18: the last 3 uncovered ops (r17 verdict item 2) =====
+
+  /** The three remaining ingest-path twins in one corpus (r18 — takes
+    * StreamFuzz to 16/16 streaming ops):
+    *
+    *  - `Streams.dedupStream` (the only previously-uncovered STATEFUL
+    *    op — `dropDuplicatesWithinWatermark`) vs batch key-distinct.
+    *    Duplicate keys carry a key-determined payload, the watermark
+    *    horizon spans the whole stream, so the stream must emit EXACTLY
+    *    one row per key, the payload must be the key's, and the emitted
+    *    event_id must belong to that key's input rows (which arrival
+    *    wins inside one micro-batch is deliberately not contractual).
+    *  - `Streams.enrichStream` vs the batch first-match lookup: a dim
+    *    with DUPLICATE keys (first row per key in frame order must win
+    *    — the Lookup.merge contract) and stream keys missing from the
+    *    dim (null enrichment).
+    *  - `Streams.sampleStream` vs the same `Sampling.hashBp` predicate
+    *    in batch: identical survivor sets under replayed/reordered
+    *    arrival — the backfill-reproducibility contract. */
+  def ingestTwinsCase(spark: SparkSession, seed: Int, nRows: Int,
+                      dir: String, tag: String): Int = {
+    import spark.implicits._
+    val rng = new Random(seed * 27449 + 23)
+    val nKeys = math.max(8, nRows / 4)
+    val rows = (0 until nRows).map { i =>
+      val k = s"k${rng.nextInt(nKeys)}"
+      (i.toLong, new java.sql.Timestamp(BASE + i * 1000L), k,
+        (math.abs(k.hashCode) % 997).toDouble, i + rng.nextInt(101) - 50)
+    }.toDF("event_id", "ts", "key", "v", "arr")
+    val rd = s"$dir/in-rows"
+    chunkByArrival(rows, "arr", rd, files = 5)
+    def src() = spark.readStream.schema(rows.drop("arr").schema)
+      .option("maxFilesPerTrigger", "1").parquet(rd)
+    val batch = rows.drop("arr").cache()
+    var bad = 0
+    def fail(name: String, msg: String): Unit = {
+      bad += 1
+      println(s"[streamfuzz] MISMATCH $name seed=$seed scale=$tag: $msg")
+    }
+    locally { // dedupStream
+      val got = runToMemory(
+        Streams.dedupStream(src(), "ts", "1 hour", Seq("key")),
+        s"sfuzz_dd_${tag}_$seed")
+        .collect().map(r => (r.getLong(0), r.getString(2), r.getDouble(3))).toSeq
+      spark.sql(s"DROP TABLE IF EXISTS sfuzz_dd_${tag}_$seed")
+      val wantKV = batch.select("key", "v").distinct().collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSeq.sorted
+      val keyIds = batch.select("key", "event_id").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      if (got.map(r => (r._2, r._3)).sorted != wantKV)
+        fail("dedup_stream", s"kept (key, v) set != batch distinct: " +
+          s"stream ${got.size} rows vs batch ${wantKV.size} keys")
+      if (got.map(_._2).distinct.size != got.size)
+        fail("dedup_stream", "emitted a key more than once inside the horizon")
+      got.find(r => !keyIds.getOrElse(r._2, Set.empty).contains(r._1)).foreach { r =>
+        fail("dedup_stream", s"kept row $r carries an event_id from another key")
+      }
+    }
+    locally { // enrichStream
+      // dim: ~60% of keys present, each with 1-3 duplicate rows whose
+      // attr differs by insertion rank — first row per key must win
+      val dimRows = (0 until nKeys).filter(_ % 5 != 4).flatMap { j =>
+        (0 to rng.nextInt(3)).map(r => (s"k$j", s"a$j-$r"))
+      }
+      val dim = dimRows.toDF("key", "attr")
+      val got = runToMemory(
+        Streams.enrichStream(src(), dim, Seq("key"), Seq("attr"))
+          .select("event_id", "attr"),
+        s"sfuzz_en_${tag}_$seed")
+        .collect().map(r => (r.getLong(0), Option(r.getString(1)).getOrElse(" null")))
+        .toSeq.sorted
+      spark.sql(s"DROP TABLE IF EXISTS sfuzz_en_${tag}_$seed")
+      val firstPer = dimRows.groupBy(_._1).map { case (k, g) => (k, g.head._2) }
+      val want = batch.select("event_id", "key").collect()
+        .map(r => (r.getLong(0), firstPer.get(r.getString(1)).getOrElse(" null")))
+        .toSeq.sorted
+      if (got != want)
+        fail("enrich_stream", s"extra=${got.diff(want).take(5)} " +
+          s"missing=${want.diff(got).take(5)}")
+    }
+    locally { // sampleStream
+      val bp = 3000
+      val got = runToMemory(
+        Streams.sampleStream(src(), F.col("key"), bp).select("event_id"),
+        s"sfuzz_sm_${tag}_$seed")
+        .collect().map(_.getLong(0)).toSeq.sorted
+      spark.sql(s"DROP TABLE IF EXISTS sfuzz_sm_${tag}_$seed")
+      val want = batch
+        .filter(graft.pipeline.Sampling.hashBp(F.col("key")) < bp)
+        .select("event_id").collect().map(_.getLong(0)).toSeq.sorted
+      if (got != want)
+        fail("sample_stream", s"extra=${got.diff(want).take(5)} " +
+          s"missing=${want.diff(got).take(5)}")
+    }
+    batch.unpersist()
+    bad
+  }
+
   /** Full sweep: `seeds` per twin per scale; returns total mismatches.
     * `only` filters cases by name prefix (debug/bisect). */
   def run(spark: SparkSession, seeds: Range, root: String,
@@ -704,6 +805,8 @@ object StreamFuzz {
       if (on("stateless")) bad += statelessTwinsCase(spark, seed, nDocs, dir, tag)
       if (on("quota")) bad += quotaCase(spark, seed, math.max(40, nDocs), dir, tag)
       if (on("session")) bad += sessionSummariesCase(spark, seed, math.min(nEvents, 4000), dir, tag)
+      // r18: dedupStream / enrichStream / sampleStream — 16/16 ops covered
+      if (on("ingest")) bad += ingestTwinsCase(spark, seed, math.max(60, nDocs), dir, tag)
       rm(new java.io.File(dir))
     }
     bad
@@ -721,7 +824,7 @@ object StreamFuzz {
     spark.sparkContext.setLogLevel("ERROR")
     val scales = Seq(("1x", 2000, 240), ("10x", 20000, 2400))
     val bad = run(spark, 1 to seeds, "/tmp/streamfuzz", scales, only)
-    println(s"[streamfuzz] ${seeds} seeds x ${scales.size} scales x 13 twins: " +
+    println(s"[streamfuzz] ${seeds} seeds x ${scales.size} scales x 16 twins: " +
       s"$bad mismatches")
     spark.stop()
     if (bad != 0) sys.exit(1)

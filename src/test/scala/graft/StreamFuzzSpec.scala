@@ -12,7 +12,7 @@ object SlowStream extends Tag("graft.SlowStream")
   * PERF.md); this keeps a small always-on regression slice in `sbt
   * test`. */
 class StreamFuzzSpec extends AnyFunSuite {
-  test("stream fuzz: all 12 streaming twins equal batch on random inputs",
+  test("stream fuzz: all 16 streaming twins equal batch on random inputs",
       SlowStream) {
     val seeds = sys.env.get("GRAFT_STREAMFUZZ_SEEDS").flatMap(_.toIntOption).getOrElse(2)
     val bad = StreamFuzz.run(TestSpark.spark, 1 to seeds, "/tmp/streamfuzz-spec",
