@@ -98,7 +98,7 @@ object Analytics {
       case DateType      => Some((F.unix_date(v).cast(DoubleType), true))
       case StringType =>
         Prefix.BoundsCache.stringBounds(f.df.select(v.as("__pfx_k"))).flatMap {
-          case (Some(mn), Some(mx), maxLen) =>
+          case (Some(mn), Some(mx), maxLen, _) =>
             val utf8 = java.nio.charset.StandardCharsets.UTF_8
             val lcp = mn.getBytes(utf8).zip(mx.getBytes(utf8))
               .takeWhile { case (a, b) => a == b }.length

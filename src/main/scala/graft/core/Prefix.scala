@@ -56,9 +56,10 @@ import org.apache.spark.sql.types._
   *     snapshot bounds). Before r17 string keys fell to the
   *     single-partition window form — the one remaining parallelism
   *     cliff, on the COMMON key type of a text corpus. Value-chunking
-  *     additionally engages when the image is injective (every value
-  *     fits the window — the low-card enum shape); a truly imageless
-  *     key (job failure) still falls back to the global window form.
+  *     engages for ANY ≤4096-distinct string key (r18: the vocabulary
+  *     joins on the RAW string, not the image, so no injectivity
+  *     precondition); a truly imageless key (job failure) still falls
+  *     back to the global window form.
   *
   * `repartitionByRange` + `spark_partition_id` was rejected for chunking:
   * the range boundaries are sampled per-execution (seeded by rdd id), so
@@ -114,7 +115,7 @@ object Prefix {
       case DateType                     => Some(F.unix_date(c).cast(DoubleType))
       case StringType =>
         BoundsCache.stringBounds(f.df.select(c.as("__pfx_k"))).map {
-          case (Some(mn), Some(mx), _) => stringImageExpr(c, mn, mx)
+          case (Some(mn), Some(mx), _, _) => stringImageExpr(c, mn, mx)
           case _ => F.lit(null).cast(DoubleType) // all-null column
         }
       case _                            => None
@@ -129,8 +130,9 @@ object Prefix {
     * sharing the 6-byte window collide to one image value — safe for
     * width-bucketing and tie sub-banding (the within-chunk window
     * re-sorts by the full key; a monotone non-injective s2 image can
-    * only MERGE adjacent tie bands, never split one), but NOT for
-    * value-chunking unless injective (see [[injectiveScale]]).
+    * only MERGE adjacent tie bands, never split one). Value-chunking
+    * never reads the image at all (r18): its vocabulary joins on the
+    * raw string value, so image collisions cannot reorder rows.
     * Mutation guards: the lcp window is only monotone for values inside
     * the snapshot [mn, mx] (binary order forces any such value to share
     * the lcp) — values a mutating non-snapshot source adds OUTSIDE the
@@ -151,36 +153,6 @@ object Prefix {
     F.when(c < F.lit(mn), F.lit(-1.0))
       .when(c > F.lit(mx), F.lit(281474976710656.0)) // 2^48
       .otherwise(img)
-  }
-
-  /** Whether the first key's double image is INJECTIVE (image value ⇔
-    * key value) — the precondition for value-chunking: [[lowCardChunk]]
-    * sub-bands one vocabulary value's rows by a tie axis (ord / s2),
-    * which would REORDER rows across two distinct key values if they
-    * shared an image. Numeric/temporal/boolean images are direct casts
-    * (injective up to double precision — a ≤4096-value vocabulary of
-    * keys beyond 2^53 is the only theoretical exception); the string
-    * image is injective exactly when every value fits the 6-byte
-    * window (max octet length ≤ lcp+6) — which is precisely the
-    * low-cardinality enum shape (status flags, priorities) that
-    * value-chunking exists for. */
-  private def injectiveScale(f: TadaFrame, s: Sorter): Boolean = {
-    val dt = s.cast.getOrElse(f.df.schema(s.name).dataType)
-    dt match {
-      case StringType =>
-        val c0 = f.df(s.name)
-        val c = s.cast.map(c0.cast).getOrElse(c0)
-        BoundsCache.stringBounds(f.df.select(c.as("__pfx_k"))) match {
-          case Some((Some(mn), Some(mx), maxLen)) =>
-            val utf8 = java.nio.charset.StandardCharsets.UTF_8
-            val lcp = mn.getBytes(utf8).zip(mx.getBytes(utf8))
-              .takeWhile { case (a, b) => a == b }.length
-            maxLen <= lcp + 6
-          case Some(_) => true // all-null: nothing to collide
-          case None    => false
-        }
-      case _ => true
-    }
   }
 
   /** First-sort-key image — the primary chunking axis. */
@@ -267,13 +239,17 @@ object Prefix {
         }
       } catch { case _: Throwable => None }
 
-    private val scache = lru[(Option[String], Option[String], Long)]()
+    private val scache = lru[(Option[String], Option[String], Long, Double)]()
 
-    /** (min, max, max octet length) of `sel`'s single STRING column in
-      * one memoized pass — the anchors of the string sort key's
-      * binary-prefix image (r17). Inner Nones are the all-null corpus;
-      * `None` on job failure (callers keep the no-image fallback). */
-    def stringBounds(sel: DataFrame): Option[(Option[String], Option[String], Long)] =
+    /** (min, max, max octet length, approx distinct) of `sel`'s single
+      * STRING column in one memoized pass — the anchors of the string
+      * sort key's binary-prefix image (r17) plus the RAW-value
+      * cardinality that gates string value-chunking (r18: the image's
+      * HLL under-counts whenever the 6-byte window collides, so the
+      * engagement gate must read the raw column). Inner Nones are the
+      * all-null corpus; `None` on job failure (callers keep the
+      * no-image fallback). */
+    def stringBounds(sel: DataFrame): Option[(Option[String], Option[String], Long, Double)] =
       try {
         val k = key(sel)
         val hit = scache.get(k)
@@ -281,14 +257,58 @@ object Prefix {
         else {
           val c = sel.columns.head
           val r = sel.agg(F.min(F.col(c)), F.max(F.col(c)),
-            F.max(F.octet_length(F.col(c)))).head()
+            F.max(F.octet_length(F.col(c))),
+            F.approx_count_distinct(F.col(c))).head()
           val v = (if (r.isNullAt(0)) None else Some(r.getString(0)),
             if (r.isNullAt(1)) None else Some(r.getString(1)),
-            if (r.isNullAt(2)) 0L else r.getInt(2).toLong)
+            if (r.isNullAt(2)) 0L else r.getInt(2).toLong,
+            r.getLong(3).toDouble)
           scache.put(k, v)
           Some(v)
         }
       } catch { case _: Throwable => None }
+
+    private val svcache = lru[Array[String]]()
+
+    /** The ≤ `cap` distinct non-null STRING values of `sel`'s single
+      * column, sorted in UTF-8 BYTE order (Spark's string comparison —
+      * `String.compareTo`'s UTF-16 code-unit order disagrees for
+      * supplementary characters, which would scramble the ascending
+      * chunk-index invariant), memoized. Empty array = over cap or
+      * genuinely empty; callers treat both as "don't engage". */
+    def distinctStrings(sel: DataFrame, cap: Int): Option[Array[String]] =
+      try {
+        val k = key(sel)
+        val hit = svcache.get(k)
+        if (hit != null) { hitCtr.incrementAndGet(); Some(hit) }
+        else {
+          val c = sel.columns.head
+          val got = sel.filter(F.col(c).isNotNull).distinct()
+            .limit(cap + 1).collect().map(_.getString(0))
+          val v = if (got.length > cap) Array.empty[String]
+            else got.sorted(Utf8Order)
+          svcache.put(k, v)
+          Some(v)
+        }
+      } catch { case _: Throwable => None }
+  }
+
+  /** Unsigned UTF-8 byte-lexicographic ordering — exactly Spark's
+    * UTF8String comparison, which is what every string sort key and
+    * string join/filter comparison in a plan uses. */
+  private[graft] object Utf8Order extends Ordering[String] {
+    def compare(a: String, b: String): Int = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      x.length - y.length
+    }
   }
 
   /** The frame with an order-monotone deterministic chunk column, or None
@@ -328,11 +348,11 @@ object Prefix {
       }
       BoundsCache.stats(f.df.select(keyClean.as("__pfx_k"))) match {
         case Some((mnV, mxV, dApprox)) =>
-          // value-chunking needs image ⇔ key (see injectiveScale):
-          // a non-injective string image must stay width-bucketed
-          (if (injectiveScale(f, f.order.head))
-             lowCardChunk(f, keyD, keyClean, k, fwd, dApprox)
-           else None).getOrElse {
+          // r18: value-chunking joins the vocabulary on the RAW key
+          // value (strings included), so it no longer needs an
+          // injective image — lowCardChunk gates itself on the raw
+          // cardinality and falls back here when over cap
+          lowCardChunk(f, keyD, keyClean, k, fwd, dApprox).getOrElse {
             // bounds as LITERALS (r15 verdict item 5): no broadcast-agg
             // subtree in the plan at all, and repeated anchors/chunked
             // ops on one frame pay the bounds scan once per session
@@ -370,25 +390,47 @@ object Prefix {
     * for a sub-band can only merge adjacent tie bands, never split
     * one), closing the r16 gap where (low-card key, string tiebreak)
     * sorts ran at parallelism = d. The value index comes from a
-    * broadcast join against the
-    * collected (≤ 4096-value, memoized) vocabulary — exact, not
-    * width-approximate, because a bucket that MIXES two key values
-    * cannot be sub-banded (the band would reorder rows across the two
-    * values). Engagement and all stats are memoized session jobs
-    * ([[BoundsCache]]); any failure returns None and the caller keeps
-    * the width-bucket plan — never load-bearing. */
+    * broadcast join of the RAW key value (r18 — strings join as
+    * strings, never through the collision-prone image; ADVICE r17)
+    * against the collected (≤ 4096-value, memoized) vocabulary —
+    * exact, not width-approximate, because a bucket that MIXES two key
+    * values cannot be sub-banded (the band would reorder rows across
+    * the two values). Engagement and all stats are memoized session
+    * jobs ([[BoundsCache]]); any failure returns None and the caller
+    * keeps the width-bucket plan — never load-bearing. */
   /** TEST SEAM: overrides the memoized vocabulary for the next
     * [[lowCardChunk]] builds, so the vocabulary-miss pin (reachable
     * only when a non-snapshot source mutates between the memoized
     * vocabulary job and execution) is spec-coverable with the REAL
-    * plan. Never set outside tests. */
-  private[graft] var testVocabOverride: Option[Array[Double]] = None
+    * plan. Doubles for numeric/temporal keys, Strings for string keys.
+    * Never set outside tests. */
+  private[graft] var testVocabOverride: Option[Array[Any]] = None
 
   private def lowCardChunk(f: TadaFrame, keyD: Column, keyClean: Column,
                            k: Int, fwd: Boolean, dApprox: Double): Option[DataFrame] = {
     val maxEngage = math.min(k - 1, 4096)
-    if (maxEngage < 1 || dApprox < 1 || dApprox > maxEngage * 1.1) return None
     val s1 = f.order.head
+    // r18 (ADVICE r17): the vocabulary axis is the RAW key value — for
+    // strings, the string itself, NOT its binary-prefix image. The r17
+    // image-based join required an injective image (enum shape only)
+    // and still carried a mutation hazard: an unseen in-range string
+    // whose 6-byte window collided with a vocabulary value joined to
+    // that value's index and took an s2 sub-band — sub-banding across
+    // two distinct keys. Joining on the raw value makes collisions
+    // impossible by construction (any unseen value is a vocab MISS and
+    // takes the monotone miss pin below), and widens value-chunking to
+    // EVERY ≤4096-distinct string key, not just ones that fit the
+    // image window. The engagement gate reads the raw cardinality
+    // (stringBounds' HLL) — the image's distinct count under-reports
+    // exactly when windows collide.
+    val dt1 = s1.cast.getOrElse(f.df.schema(s1.name).dataType)
+    val isStr = dt1 == StringType
+    val rawKey = { val c0 = f.df(s1.name); s1.cast.map(c0.cast).getOrElse(c0) }
+    val dGate =
+      if (!isStr) dApprox
+      else BoundsCache.stringBounds(f.df.select(rawKey.as("__pfx_k")))
+        .map(_._4).getOrElse(return None)
+    if (maxEngage < 1 || dGate < 1 || dGate > maxEngage * 1.1) return None
     // the tie sub-band axis: (double image, its descending flag, image
     // of the CLEANED axis for bounds). None ⇒ don't engage.
     val subAxis: Option[(Column, Boolean)] =
@@ -400,11 +442,22 @@ object Prefix {
       img2 === F.lit(Double.PositiveInfinity) ||
       img2 === F.lit(Double.NegativeInfinity)
     val img2Clean = F.when(nonFinite2, F.lit(null)).otherwise(img2)
-    val values = testVocabOverride.getOrElse(BoundsCache
-      .distinctValues(f.df.select(keyClean.as("__pfx_k")), maxEngage)
-      .getOrElse(return None))
+    val values: Array[Any] = testVocabOverride.getOrElse {
+      if (isStr)
+        BoundsCache.distinctStrings(f.df.select(rawKey.as("__pfx_k")), maxEngage)
+          .getOrElse(return None).toArray[Any]
+      else
+        BoundsCache.distinctValues(f.df.select(keyClean.as("__pfx_k")), maxEngage)
+          .getOrElse(return None).toArray[Any]
+    }
     if (values.isEmpty) return None // over cap (approx under-counted) or empty
     val d = values.length
+    // the join/miss axis: raw string values vs the cleaned double image
+    val vocabCol = if (isStr) rawKey else keyClean
+    val vocabLit =
+      if (isStr) F.lit(values.map(_.asInstanceOf[String]))
+      else F.lit(values.map(_.asInstanceOf[Double]))
+    val vType: DataType = if (isStr) StringType else DoubleType
     val sub = math.max(2, math.ceil(k.toDouble / d).toInt)
     val (mn2, mx2, _) = BoundsCache
       .stats(f.df.select(img2Clean.as("__pfx_k"))).getOrElse(return None)
@@ -434,10 +487,10 @@ object Prefix {
     val idxMap = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](
         scala.jdk.CollectionConverters.SeqHasAsJava(idxRows.toSeq).asJava),
-      StructType(Seq(StructField("__pfx_v", DoubleType, nullable = false),
+      StructType(Seq(StructField("__pfx_v", vType, nullable = false),
         StructField("__pfx_i", LongType, nullable = false))))
     val joined = f.df.join(F.broadcast(idxMap),
-      keyClean === F.col("__pfx_v"), "left")
+      vocabCol === F.col("__pfx_v"), "left")
     val bigK = d.toLong * sub
     // vocabulary-miss fallback (r16 review; pin made MONOTONE r17 per
     // the r16 ADVICE): a finite key the memoized vocabulary never saw
@@ -453,7 +506,7 @@ object Prefix {
     // successor-value chunk, always below the null chunk bigK, and
     // sub-band-free — the within-chunk window re-sorts by the full
     // key. O(d) per MISSING row only — the when() short-circuits.
-    val missRank = F.size(F.filter(F.lit(values), v => v < keyClean)).cast(LongType)
+    val missRank = F.size(F.filter(vocabLit, v => v < vocabCol)).cast(LongType)
     val missFi = if (s1.descending) F.lit(d.toLong) - missRank else missRank
     val missChunk = F.greatest(F.lit(0L), missFi * sub - 1L)
     val hitIdx = if (s1.descending) F.lit(d - 1L) - F.col("__pfx_i") else F.col("__pfx_i")

@@ -369,29 +369,65 @@ class PrefixSpec extends AnyFunSuite {
     }
   }
 
-  test("low-card ENUM string key: injective image engages value-chunking (r17)") {
-    // 1-char flags (the l_returnflag shape): every value fits the 6-byte
-    // window -> image is injective -> value-chunking may sub-band ties
+  test("low-card string key: raw-value vocabulary engages value-chunking (r18)") {
+    // 1-char flags (the l_returnflag shape)
     val rows = (0 until 24).map(i => RowSV(i, Seq("A", "N", "R")(i % 3),
       java.lang.Long.valueOf((i * 7 % 24).toLong)))
     val f = multi(rows, 4).sort(Sorter("s"))
     val ch = Prefix.chunked(f, fwd = true).get
     assert(ch.select(Prefix.CHUNK).distinct().count() > 3,
-      "injective low-card string key must sub-band ties past d=3 chunks")
+      "low-card string key must sub-band ties past d=3 chunks")
     assert(Analytics.cumSum(f, "v", "cs").records() ==
       Analytics.cumSumWindow(f, "v", "cs").records())
-    // long strings sharing a 7+-byte tail AFTER the lcp are NOT injective
-    // (image collides distinct keys) -> value-chunking must NOT engage,
-    // width-bucketing (within-chunk re-sort) keeps it correct
+    // long strings sharing a 7+-byte tail AFTER the lcp COLLIDE in the
+    // 6-byte image. r17 gated value-chunking out here (the image join
+    // would have merged distinct keys); r18 joins the vocabulary on the
+    // RAW string, so value-chunking engages — and must still be exact —
+    // for any ≤4096-distinct string key (ADVICE r17 closed by
+    // construction: a collision cannot reorder rows it never joins on)
     val longRows = (0 until 12).map(i => RowSV(i,
       "prefix_" + Seq("alphagamma1", "alphagamma2", "betagamma00")(i % 3),
       java.lang.Long.valueOf(i.toLong)))
     val fl = multi(longRows, 3).sort(Sorter("s"))
     val plan = Analytics.cumSum(fl, "v", "cs").df.queryExecution.optimizedPlan.toString
-    assert(!plan.contains("__pfx_v"),
-      "non-injective string image must not value-chunk (would reorder across keys)")
+    assert(plan.contains("__pfx_v"),
+      "image-colliding low-card string key must value-chunk via the raw vocabulary")
     assert(Analytics.cumSum(fl, "v", "cs").records() ==
       Analytics.cumSumWindow(fl, "v", "cs").records())
+    val chL = Prefix.chunked(fl, fwd = true).get
+    assert(chL.select(Prefix.CHUNK).distinct().count() > 3,
+      "colliding-image string key must still sub-band past d=3 chunks")
+  }
+
+  test("STRING vocabulary-miss pin is monotone (r18: raw-value vocab)") {
+    // mutated-source scenario on a STRING key: the memoized vocabulary
+    // saw {"bb", "ff"}; execution also sees one unseen value — below
+    // all ("aa"), between ("dd"), above all ("zz"). Misses must take
+    // the monotone raw-string pin (below the null chunk, ordered
+    // against the vocabulary by UTF8 byte comparison).
+    for (miss <- Seq("aa", "dd", "zz"); desc <- Seq(false, true)) {
+      val rows = Seq[(String, Long)](
+        ("bb", 1L), ("ff", 2L), (miss, 3L), ("bb", 4L), ("ff", 5L),
+        (miss, 6L), ("bb", 7L), ("ff", 8L), (null, 9L))
+        .zipWithIndex.map { case ((k, v), i) =>
+          RowSV(i, k, java.lang.Long.valueOf(v)) }
+      Prefix.testVocabOverride = Some(Array[Any]("bb", "ff"))
+      try {
+        val f = multi(rows, 4).sort(Sorter("s", descending = desc))
+        val ch = Prefix.chunked(f, fwd = true).get
+        assert(ch.queryExecution.optimizedPlan.toString.contains("__pfx_v"),
+          s"value-chunking must engage for the miss test to bite ($miss,$desc)")
+        val a = Analytics.cumSum(f, "v", "cs").records()
+        val nullChunk = ch.filter(F.col("s").isNull)
+          .select(Prefix.CHUNK).head().getLong(0)
+        val missMax = ch.filter(F.col("s") === miss)
+          .agg(F.max(Prefix.CHUNK)).head().getLong(0)
+        assert(missMax < nullChunk, s"miss chunk past the null chunk ($miss,$desc)")
+        Prefix.testVocabOverride = None
+        assert(a == Analytics.cumSumWindow(f, "v", "cs").records(),
+          s"cumsum with string vocab miss ($miss,$desc)")
+      } finally { Prefix.testVocabOverride = None }
+    }
   }
 
   test("vocabulary-miss pin is monotone (r16 ADVICE): misses between/below/above") {
@@ -407,7 +443,7 @@ class PrefixSpec extends AnyFunSuite {
         (miss, 6L), (2.0, 7L), (6.0, 8L), (null, 9L))
         .zipWithIndex.map { case ((k, v), i) =>
           RowKV(i, k, java.lang.Long.valueOf(v)) }
-      Prefix.testVocabOverride = Some(Array(2.0, 6.0))
+      Prefix.testVocabOverride = Some(Array[Any](2.0, 6.0))
       try {
         val f = multi(rows, 4).sort(Sorter("k", descending = desc))
         val ch = Prefix.chunked(f, fwd = true).get
