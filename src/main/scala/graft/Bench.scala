@@ -80,6 +80,17 @@ object Bench {
     bytes.map { case (t, b) => "\"" + t + "\":" + b }.mkString("{", ",", "}")
   private val loadPasses = scala.collection.mutable.ArrayBuffer.empty[String]
 
+  /** The timing path, named once (ADVICE r17): `emit` derives the
+    * artifact's `forced` claim from this constant and records the
+    * method itself as `force_method`, and `force()` dispatches on it —
+    * so a future regression back to count()-style probing cannot keep
+    * asserting `forced:true` without also lying here, one line away
+    * from the dispatch it would have to change. "toRdd" = execute the
+    * query's OWN physical plan at the InternalRow level (no logical
+    * rewrite, nothing collected). */
+  private[graft] val ForceMethod = "toRdd"
+  private[graft] def forcedClaim: Boolean = ForceMethod == "toRdd"
+
   /** Runs whose external competition exceeds this many cores (of 32)
     * are treated as load-contaminated: they can't settle a query, and
     * >1 s mins recorded under them get clean-window retries. Loaded
@@ -249,8 +260,13 @@ object Bench {
       .exists(s => !s.sharedState.cacheManager.isEmpty) || leftoverTags.nonEmpty
     val cacheBytes = cacheBytesAtRun.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // r18 (r17 verdict item 7): a bench run that hit CacheRegistry's
+    // fail-open PlanKey path (re-track guard disabled, possible double
+    // persists) must be visible in the artifact, not only in stdout —
+    // 0 in a clean run, like leftover_cache_tags.
+    val planKeyFails = graft.core.CacheRegistry.planKeyFailures
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${m(minTimes)},"first":${m(firstTimes)},"failed":$failed,"errors":$errs,"partial":$partial,"loaded":$loaded,"ext_load_at_min":$extm,"io_stall_at_min":$iom,"load_passes":$passes,"load_start":$loadStart,"load_end":$load1,"canary_sec":$canarySec,"forced":true,"cache_leak":$cacheLeak,"leftover_cache_tags":${leftoverTags.map("\"" + _ + "\"").mkString("[", ",", "]")},"cache_bytes":$cacheBytes,"sf":"$sfDirSeen"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${m(minTimes)},"first":${m(firstTimes)},"failed":$failed,"errors":$errs,"partial":$partial,"loaded":$loaded,"ext_load_at_min":$extm,"io_stall_at_min":$iom,"load_passes":$passes,"load_start":$loadStart,"load_end":$load1,"canary_sec":$canarySec,"forced":$forcedClaim,"force_method":"$ForceMethod","cache_leak":$cacheLeak,"leftover_cache_tags":${leftoverTags.map("\"" + _ + "\"").mkString("[", ",", "]")},"cache_bytes":$cacheBytes,"plan_key_failures":$planKeyFails,"sf":"$sfDirSeen"}"""
     // The driver captures only the LAST ~2000 chars of output and
     // parses the JSON it finds there — the full artifact above is
     // 6-10 KB, so BENCH_r08/r09 both landed `parsed: null` and were
@@ -277,7 +293,7 @@ object Bench {
     // raw stdout, single line: sbt [info] prefixes and log4j noise both
     // broke driver-side parsing before; System.out directly is safest
     System.out.println(
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qShort,"failed":$failedShort,"partial":$partial,"loaded":$loaded,"dirty_at_min":$dirty,"load_start":$loadStart%.2f,"load_end":$load1%.2f,"canary_sec":$canarySec%.2f,"forced":true,"cache_leak":$cacheLeak,"sf":"$sfDirSeen","detail":"BENCH_DETAIL.json"}""")
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qShort,"failed":$failedShort,"partial":$partial,"loaded":$loaded,"dirty_at_min":$dirty,"load_start":$loadStart%.2f,"load_end":$load1%.2f,"canary_sec":$canarySec%.2f,"forced":$forcedClaim,"cache_leak":$cacheLeak,"plan_key_failures":$planKeyFails,"sf":"$sfDirSeen","detail":"BENCH_DETAIL.json"}""")
     System.out.flush()
   }
 
@@ -391,8 +407,11 @@ object Bench {
     // the driver. This is the honest "time to produce every output
     // row" — strictly more work than count() on the pruned set, so
     // r17 per-query numbers re-baseline (old→new deltas in PERF.md).
-    def force(df: org.apache.spark.sql.DataFrame): Unit =
-      df.queryExecution.toRdd.foreach(_ => ())
+    def force(df: org.apache.spark.sql.DataFrame): Unit = ForceMethod match {
+      case "toRdd" => df.queryExecution.toRdd.foreach(_ => ())
+      case other => throw new IllegalStateException(
+        s"unknown ForceMethod '$other' — update force() AND the artifact flag together")
+    }
 
     // (seconds, ok, external cpu cores, io stall fraction during the run)
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,

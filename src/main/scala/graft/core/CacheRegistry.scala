@@ -161,7 +161,17 @@ object CacheRegistry {
 
   /** Unpersist everything tracked (non-blocking) and forget it.
     * Idempotent; frames already dropped by `clearCache()` unpersist as
-    * a no-op. */
+    * a no-op.
+    *
+    * SCRATCH is STRONGER than unpersist (ADVICE r17): tracked scratch
+    * directories are physically deleted, and a containment-family
+    * result plan that reads one back fails later actions with
+    * FileNotFoundException instead of recomputing. releaseAll is
+    * therefore the session-owner's END-OF-CONSUMPTION barrier — in a
+    * shared session, call it only once every consumer has finished (or
+    * re-materialized) its frames, exactly as Bench does between timed
+    * queries. The call-site contract is documented on
+    * `Dedup.containmentPairs`. */
   def releaseAll(): Unit = {
     synchronized {
       tracked.foreach { case (_, _, _, df) =>

@@ -1216,7 +1216,19 @@ object Dedup {
     * corpus lives in). Each wave's pair exchange fits the budget; the
     * result is the same pair set at any budget. The fixed per-gram
     * `maxDf` stop-gram cap is still semantic (boilerplate grams carry
-    * no containment evidence) and still bounds the worst single gram. */
+    * no containment evidence) and still bounds the worst single gram.
+    *
+    * LIFETIME (ADVICE r17, stronger than unpersist): in the WAVES
+    * regime the returned frame READS BACK a scratch parquet dir that
+    * `CacheRegistry.releaseAll()` (and JVM exit) DELETES — so unlike a
+    * released cache, which degrades to recompute, a returned frame
+    * retained past the session's releaseAll fails later actions with
+    * FileNotFoundException. Contract: finish (or re-materialize) this
+    * result before calling releaseAll; in a shared session, releaseAll
+    * is the session-owner's end-of-consumption barrier, not a per-
+    * operator cleanup. Applies to every containment-family operator
+    * that can enter waves ([[winnowOverlapPairs]], the incremental
+    * folds). */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        k: Int = 3, tau: Double = 0.8, maxDf: Int = 1000,
                        persistGrams: Boolean = false): DataFrame = {
@@ -1237,7 +1249,9 @@ object Dedup {
     *
     * Same inverted-index machinery as [[containmentPairs]] — per-
     * fingerprint df cap, exact Σ df·(df−1) width sizing, adaptive pair
-    * budget — applied to the fingerprint features. */
+    * budget — applied to the fingerprint features; the same
+    * stronger-than-unpersist scratch LIFETIME contract in the waves
+    * regime (see [[containmentPairs]]). */
   def winnowOverlapPairs(docs: DataFrame, idCol: String, textCol: String,
                          k: Int = 3, w: Int = 4, tau: Double = 0.6,
                          maxDf: Int = 1000): DataFrame = {

@@ -8,6 +8,15 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class BenchPolicySpec extends AnyFunSuite {
 
+  test("the artifact's forced claim derives from the single ForceMethod constant") {
+    // ADVICE r17: "forced":true was a hardcoded literal in both JSON
+    // emits — a regression back to count()-probing would have kept
+    // asserting it. Now emit reads forcedClaim and force() dispatches
+    // on ForceMethod, so this pin breaks the moment either moves.
+    assert(Bench.ForceMethod == "toRdd")
+    assert(Bench.forcedClaim)
+  }
+
   test("settle requires genuine two-sided agreement") {
     // agreeing pair, quiet box: settled
     assert(Bench.settledAfterRun(dt = 1.00, prevMin = 1.05, extCores = 0.1))

@@ -665,7 +665,13 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("sessionSummaries idleTimeout closes state (final re-emit, counters reset)") {
+  // Tagged SlowStream (ADVICE r17): wall-clock processing-time
+  // behavior is inherently timing-sensitive — the timeout-to-trigger
+  // ratio below (2 s vs 300 ms) is wide enough that a GC pause cannot
+  // expire a key before its second arrival is processed, and the
+  // poll deadlines bound the worst case on a loaded box.
+  test("sessionSummaries idleTimeout closes state (final re-emit, counters reset)",
+      SlowStream) {
     // r17: the timeout is opt-in (the unconditional ProcessingTimeTimeout
     // made every drain-style run non-terminating) and, when armed, must
     // actually CLOSE the session: re-emit the final summary and remove
@@ -688,7 +694,7 @@ class StreamingSpec extends AnyFunSuite {
     // clock-check batches — the production pairing for idleTimeout is
     // always an interval trigger; processAllAvailable never settles
     // under the spin, so the test polls with deadlines instead
-    val q = Streams.sessionSummaries(stream, idleTimeout = Some("1 second"))
+    val q = Streams.sessionSummaries(stream, idleTimeout = Some("2 seconds"))
       .toDF().writeStream.outputMode("update")
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("300 milliseconds"))
       .format("memory").queryName("ss_out").start()
