@@ -145,6 +145,43 @@ object OrdProbe {
           li.select(F.col("l_orderkey"), F.col("l_quantity")))
         graft.core.Rolling.rollingN(fr, 4, "l_quantity", x => F.sum(x), "r").df
       })
+      // r18: whole-frame dense rank / exclusive percentile over the
+      // NEAR-UNIQUE l_extendedprice — the dispatcher routes to the
+      // chunked value-axis plans (Analytics.rankDenseChunked /
+      // percentileChunked). Comparators: xo3s (Spark global sort,
+      // e≈0.74-0.75 at ×1000 from the r14/r17 probes) is the bound the
+      // chunked plan must beat; xo7w is the pre-r18 single-partition
+      // window form, run at ×1 only (at ×1000 it IS the cliff — one
+      // thread sorting 600M rows; measured once in r12's q26 100×
+      // probe at 32 s on 60M rows).
+      if (on("xo7")) time(s"xo7_rank_chunked_${f}x", {
+        val fr = graft.core.TadaFrame.ingest(li)
+        graft.core.Analytics.rankDense(fr, "l_extendedprice", "rk").df
+      })
+      if (on("xo7p")) time(s"xo7p_pct_chunked_${f}x", {
+        val fr = graft.core.TadaFrame.ingest(li)
+        graft.core.Analytics.percentile(fr, "l_extendedprice", "pc").df
+      })
+      if (on("xo7w") && f == 1) time(s"xo7w_rank_window_${f}x", {
+        val fr = graft.core.TadaFrame.ingest(li)
+        graft.core.Analytics.rankDenseWindow(fr, "l_extendedprice", "rk").df
+      })
+      // r18: grouped exact median, agg-buffer form vs by-value counting
+      // form (TadaGrouped.median dispatch) — the q14 buffer-shape
+      // question at scale: 4 groups over the copied corpus means the
+      // percentile(c, 0.5) agg holds ~rows/4 doubles in ONE task's
+      // buffer, while the by-value form's final stage is 4 × |vocab|.
+      if (on("xo8")) time(s"xo8_median_byvalue_${f}x", {
+        val fr = graft.core.TadaFrame.ingest(
+          li.withColumn("g", (F.col("l_orderkey") % 4).cast("int")))
+        fr.groupBy("g").median("l_quantity").df
+      })
+      if (on("xo8b")) time(s"xo8b_median_aggbuf_${f}x", {
+        val fr = graft.core.TadaFrame.ingest(
+          li.withColumn("g", (F.col("l_orderkey") % 4).cast("int")))
+        fr.groupBy("g").reduceWith(Seq(
+          "median_l_quantity" -> F.percentile(F.col("l_quantity"), F.lit(0.5)))).df
+      })
     }
     spark.stop()
   }

@@ -73,9 +73,67 @@ object PipeProbe {
       .select(F.explode(D.shingles(F.col("text"), 3)).as("g"))
       .distinct().withColumn("__hit", F.lit(1))
 
+    // ===== POOL-SPLIT corpus (r18, r17 verdict item 4) =====
+    // The original probe corpus is the real sf0.1 documents table, whose
+    // generator shares ONE word pool across all docs — 3-gram overlap
+    // with any eval slice is uniformly high, so the decontamination
+    // stage had to probe at 0.8 instead of its documented 0.2 operating
+    // point (a 0.2 cut left 8 of 2411 docs). The split corpus draws
+    // training text from a `tw…` pool and the eval suite from a
+    // disjoint `ev…` pool; 10% of base docs splice a 40-token VERBATIM
+    // eval span (contamination ≈ 0.25-0.35 of their grams — the shape
+    // the filter exists for), so at 0.2 exactly the planted docs cut
+    // and every downstream stage stays non-degenerate. All text is a
+    // pure function of the base-doc index via xxhash64 expressions —
+    // deterministic across executors and re-runs, no driver RNG.
+    val SplitBases = 5000L
+    val EvalDocs = 200L
+    def buildSplit(factor: Int): String = {
+      val path = s"$out/docs_split_${factor}x.parquet"
+      if (!new java.io.File(path).exists()) {
+        val n = SplitBases * factor
+        val df = spark.range(n)
+          .withColumn("doc_id", F.col("id"))
+          .withColumn("__b", F.pmod(F.col("id"), F.lit(SplitBases)))
+          .withColumn("source", F.concat(F.lit("src"), F.pmod(F.col("__b"), F.lit(5))))
+          .withColumn("__len", (F.lit(80) + F.pmod(F.xxhash64(F.col("__b")), F.lit(120))).cast("int"))
+          .withColumn("__train", F.transform(
+            F.sequence(F.lit(0), F.col("__len") - 1),
+            p => F.concat(F.lit("tw"),
+              F.pmod(F.xxhash64(F.col("__b") * 1000003L + p.cast("long")), F.lit(50000)))))
+          .withColumn("__e", F.pmod(F.floor(F.col("__b") / F.lit(10)), F.lit(EvalDocs)).cast("long"))
+          .withColumn("__s", F.pmod(F.xxhash64(F.col("__b") + 13L), F.lit(60)).cast("int"))
+          .withColumn("__span", F.when(F.pmod(F.col("__b"), F.lit(10)) === 0,
+            F.transform(F.sequence(F.col("__s"), F.col("__s") + 39),
+              p => F.concat(F.lit("ev"),
+                F.pmod(F.xxhash64(F.col("__e") * 7919L + p.cast("long")), F.lit(5000)))))
+            .otherwise(F.array().cast("array<string>")))
+          .withColumn("text", F.array_join(F.concat(F.col("__train"), F.col("__span")), " "))
+          .select("doc_id", "source", "text")
+        df.repartition(32).write.mode("overwrite").parquet(path)
+        println(s"[pipeprobe] built split ${factor}x")
+      }
+      path
+    }
+    // the eval suite: 200 docs of 100 `ev…` tokens — the SAME token
+    // expression the contaminated spans replay, so planted spans are
+    // verbatim eval text
+    lazy val evalGramsSplit = {
+      val docs = spark.range(EvalDocs)
+        .withColumn("text", F.array_join(F.transform(
+          F.sequence(F.lit(0), F.lit(99)),
+          p => F.concat(F.lit("ev"),
+            F.pmod(F.xxhash64(F.col("id") * 7919L + p.cast("long")), F.lit(5000)))), " "))
+      docs.select(F.explode(D.shingles(F.col("text"), 3)).as("g"))
+        .distinct().withColumn("__hit", F.lit(1))
+    }
+
     /** The funnel up to stage `upTo` (1 gate, 2 exact dedup, 3 near-dup
-      * removal, 4 contamination filter, 5 deterministic sample). */
-    def composed(docs: DataFrame, upTo: Int): DataFrame = {
+      * removal, 4 contamination filter, 5 deterministic sample), with
+      * the eval gram set + contamination threshold as parameters (r18:
+      * the split corpus probes the documented 0.2 operating point). */
+    def composed(docs: DataFrame, upTo: Int,
+                 evalG: DataFrame = evalGrams, thr: Double = 0.8): DataFrame = {
       // 1: keep each source's top half by the quality kernel — the auto
       // dispatch picks the approx sketch path at third-decade group
       // rows. The gate returns (id, group, quality) scalars; the funnel
@@ -115,16 +173,17 @@ object PipeProbe {
       if (upTo >= 4) {
         val frac = cur
           .select(F.col("doc_id"), F.explode(D.shingles(F.col("text"), 3)).as("g"))
-          .join(F.broadcast(evalGrams), Seq("g"), "left")
+          .join(F.broadcast(evalG), Seq("g"), "left")
           .groupBy("doc_id")
           .agg((F.sum(F.when(F.col("__hit").isNotNull, 1L).otherwise(0L))
             .cast("double") / F.count(F.lit(1))).as("__contam"))
-        // 0.8: the synthetic corpus shares a word pool with the eval
-        // slice, so 3-gram overlap is high across the board — the
-        // threshold keeps the downstream stages non-degenerate (a 0.2
-        // cut left 8 of 2411 docs, making the sample stage vacuous)
+        // threshold: 0.8 on the shared-pool sf0.1 corpus (3-gram overlap
+        // is uniformly high there — a 0.2 cut left 8 of 2411 docs,
+        // making the sample stage vacuous); 0.2 — the operators'
+        // documented operating point — on the pool-split corpus, where
+        // clean docs sit near 0 and planted spans near 0.3
         cur = cur.join(frac, Seq("doc_id"), "left")
-          .filter(F.coalesce(F.col("__contam"), F.lit(0.0)) < 0.8)
+          .filter(F.coalesce(F.col("__contam"), F.lit(0.0)) < thr)
           .drop("__contam")
       }
       // 5: deterministic sample — 20% by content-stable row coordinate,
@@ -165,12 +224,19 @@ object PipeProbe {
     val upTo = args.collectFirst {
       case a if a.startsWith("upTo=") => a.drop(5).toInt
     }.getOrElse(5)
+    val split = args.contains("split")
     for (f <- factors) {
-      val path = build(f)
-      val docs = spark.read.parquet(path)
-      println(s"[pipeprobe] == factor $f (${dfFree()})")
-      for (k <- 1 to upTo)
-        time(s"${f}x upTo=$k", composed(docs, k))
+      if (split) {
+        val docs = spark.read.parquet(buildSplit(f))
+        println(s"[pipeprobe] == SPLIT factor $f thr=0.2 (${dfFree()})")
+        for (k <- 1 to upTo)
+          time(s"split ${f}x upTo=$k", composed(docs, k, evalGramsSplit, thr = 0.2))
+      } else {
+        val docs = spark.read.parquet(build(f))
+        println(s"[pipeprobe] == factor $f (${dfFree()})")
+        for (k <- 1 to upTo)
+          time(s"${f}x upTo=$k", composed(docs, k))
+      }
     }
     spark.stop()
   }
