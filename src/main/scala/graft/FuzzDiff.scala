@@ -268,15 +268,22 @@ object FuzzDiff {
             Some(st.copy(fr = fr2, sub = sub2, cols = allCols,
               types = st.types ++ Map("k1_1" -> 's', "v1_1" -> 'l', "v2_1" -> 'd', "ts_1" -> 't'),
               base = false))
-          case 11 if numCols.nonEmpty => // dense rank: window form OR by-value form vs ONE SQL
+          case 11 if numCols.nonEmpty => // dense rank: all THREE forms vs ONE SQL
             val c = numCols(rng.nextInt(numCols.size))
             val out = if (st.cols.contains("rk")) "rk2" else "rk"
             if (st.cols.contains(out)) None else {
               val part = if (st.cols.contains("k1") && c != "k1" && rng.nextBoolean())
                 Seq("k1") else Nil
-              val byValue = rng.nextBoolean()
-              val fr2 = if (byValue) Analytics.rankDenseByValue(st.fr, c, out, part)
-                        else Analytics.rankDense(st.fr, c, out, part)
+              // r18: the chunked value-axis form is picked EXPLICITLY —
+              // fuzz frames are vocabulary-sized, so the dispatcher
+              // would always route them to by-value and the chunked
+              // plan (q110's scale form) would never fuzz
+              val fr2 = rng.nextInt(3) match {
+                case 0 => Analytics.rankDenseByValue(st.fr, c, out, part)
+                case 1 => Analytics.rankDenseChunked(st.fr, c, out, part)(
+                  Analytics.rankDenseWindow(st.fr, c, out, part))
+                case _ => Analytics.rankDense(st.fr, c, out, part)
+              }
               val pw = if (part.isEmpty) "" else s"PARTITION BY ${part.head} "
               val pw0 = if (part.isEmpty) "OVER ()" else s"OVER (PARTITION BY ${part.head})"
               Some(st.copy(fr = fr2,
@@ -286,15 +293,18 @@ object FuzzDiff {
                   s"END AS $out FROM (${st.sub})",
                 cols = st.cols :+ out, types = st.types + (out -> 'l'), base = false))
             }
-          case 12 if numCols.nonEmpty => // exclusive percentile, both forms vs ONE SQL
+          case 12 if numCols.nonEmpty => // exclusive percentile, all THREE forms vs ONE SQL
             val c = numCols(rng.nextInt(numCols.size))
             val out = if (st.cols.contains("pc")) "pc2" else "pc"
             if (st.cols.contains(out)) None else {
               val part = if (st.cols.contains("k1") && c != "k1" && rng.nextBoolean())
                 Seq("k1") else Nil
-              val byValue = rng.nextBoolean()
-              val fr2 = if (byValue) Analytics.percentileByValue(st.fr, c, out, part)
-                        else Analytics.percentile(st.fr, c, out, part)
+              val fr2 = rng.nextInt(3) match {
+                case 0 => Analytics.percentileByValue(st.fr, c, out, part)
+                case 1 => Analytics.percentileChunked(st.fr, c, out, part)(
+                  Analytics.percentileWindow(st.fr, c, out, part))
+                case _ => Analytics.percentile(st.fr, c, out, part)
+              }
               val pw = if (part.isEmpty) "" else s"PARTITION BY ${part.head} "
               val pw0 = if (part.isEmpty) "OVER ()" else s"OVER (PARTITION BY ${part.head})"
               Some(st.copy(fr = fr2,
