@@ -81,33 +81,32 @@ object Analytics {
     * that is a pure FUNCTION OF THE VALUE (equal values always share a
     * chunk — the invariant that lets per-chunk rank/count partials
     * compose into exact global ranks), plus the memoized approximate
-    * distinct count and whether the double image is injective (drives
-    * the byValue-vs-chunked dispatch for strings — a non-injective
-    * image's distinct count under-reports the RAW vocabulary, see
-    * [[Prefix.stringImageExpr]]). None when the type has no monotone
-    * numeric image or the bounds job failed — callers keep the global
-    * window form; the memo is never load-bearing. */
-  private final case class ValueAxis(chunk: Column, k: Int,
-                                     dApprox: Double, injective: Boolean)
+    * distinct count of the RAW value (r18: for strings this is
+    * stringBounds' own HLL — the image's count under-reports exactly
+    * when 6-byte windows collide, and the by-value plan joins on the
+    * raw value anyway, so raw cardinality is the right dispatch
+    * signal; no injectivity precondition remains). None when the type
+    * has no monotone numeric image or the bounds job failed — callers
+    * keep the global window form; the memo is never load-bearing. */
+  private final case class ValueAxis(chunk: Column, k: Int, dApprox: Double)
 
   private def valueAxis(f: TadaFrame, c: String): Option[ValueAxis] = {
     val v = f.df(c)
-    val imgInj: Option[(Column, Boolean)] = f.df.schema(c).dataType match {
-      case _: NumericType | BooleanType => Some((v.cast(DoubleType), true))
-      case TimestampType => Some((F.unix_micros(v).cast(DoubleType), true))
-      case DateType      => Some((F.unix_date(v).cast(DoubleType), true))
+    // (image, raw approx distinct when the image's own HLL would
+    // under-report — strings only)
+    val imgRaw: Option[(Column, Option[Double])] = f.df.schema(c).dataType match {
+      case _: NumericType | BooleanType => Some((v.cast(DoubleType), None))
+      case TimestampType => Some((F.unix_micros(v).cast(DoubleType), None))
+      case DateType      => Some((F.unix_date(v).cast(DoubleType), None))
       case StringType =>
         Prefix.BoundsCache.stringBounds(f.df.select(v.as("__pfx_k"))).flatMap {
-          case (Some(mn), Some(mx), maxLen, _) =>
-            val utf8 = java.nio.charset.StandardCharsets.UTF_8
-            val lcp = mn.getBytes(utf8).zip(mx.getBytes(utf8))
-              .takeWhile { case (a, b) => a == b }.length
-            Some((Prefix.stringImageExpr(v, mn, mx), maxLen <= lcp + 6))
+          case (Some(mn), Some(mx), _, dRaw) =>
+            Some((Prefix.stringImageExpr(v, mn, mx), Some(dRaw)))
           case _ => None // all-null string column: window form is trivial
         }
       case _ => None
     }
-    imgInj.flatMap { case (img, inj) =>
+    imgRaw.flatMap { case (img, rawD) =>
       val k = f.df.sparkSession.conf
         .get("spark.sql.shuffle.partitions", "200").toInt.max(1)
       // NaN/±Inf poison the bucket width exactly as in Prefix.chunked —
@@ -130,7 +129,8 @@ object Analytics {
             .otherwise(bucket)
           // null values get their own top chunk (k) — they never join the
           // rank math (null in ⇒ null out) but must not share a chunk id
-          Some(ValueAxis(F.when(v.isNull, F.lit(k.toLong)).otherwise(nn), k, d, inj))
+          Some(ValueAxis(F.when(v.isNull, F.lit(k.toLong)).otherwise(nn), k,
+            rawD.getOrElse(d)))
         case _ => None // all-null column
       }
     }
@@ -150,7 +150,7 @@ object Analytics {
   def rankDense(f: TadaFrame, c: String, out: String,
                 partitionBy: Seq[String] = Nil): TadaFrame =
     valueAxis(f, c) match {
-      case Some(ax) if ax.injective && ax.dApprox <= ByValueMaxDistinct =>
+      case Some(ax) if ax.dApprox <= ByValueMaxDistinct =>
         rankDenseByValue(f, c, out, partitionBy)
       case Some(_) =>
         rankDenseChunked(f, c, out, partitionBy)(rankDenseWindow(f, c, out, partitionBy))
@@ -297,7 +297,7 @@ object Analytics {
   def percentile(f: TadaFrame, c: String, out: String,
                  partitionBy: Seq[String] = Nil): TadaFrame =
     valueAxis(f, c) match {
-      case Some(ax) if ax.injective && ax.dApprox <= ByValueMaxDistinct =>
+      case Some(ax) if ax.dApprox <= ByValueMaxDistinct =>
         percentileByValue(f, c, out, partitionBy)
       case Some(_) =>
         percentileChunked(f, c, out, partitionBy)(percentileWindow(f, c, out, partitionBy))

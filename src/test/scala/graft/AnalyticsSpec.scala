@@ -115,6 +115,15 @@ class AnalyticsSpec extends AnyFunSuite {
       vals(Analytics.rankDenseWindow(f, "s", "r", Seq("g")), "r"))
     assert(vals(Analytics.percentileChunked(f, "s", "p")(fail("nf")), "p") ==
       vals(Analytics.percentileWindow(f, "s", "p"), "p"))
+    // dispatcher (r18): the raw-cardinality gate sends this ≤4096-distinct
+    // string vocabulary to the BY-VALUE plan — which joins on the raw
+    // string, so colliding images are irrelevant — and must equal the
+    // window oracle (no injectivity precondition remains)
+    val viaDispatch = Analytics.rankDense(f, "s", "r", Seq("g"))
+    assert(viaDispatch.df.queryExecution.analyzed.toString.contains("__rdv_"),
+      "string dispatcher did not pick the by-value plan under the raw-cardinality gate")
+    assert(vals(viaDispatch, "r") ==
+      vals(Analytics.rankDenseWindow(f, "s", "r", Seq("g")), "r"))
   }
 
   test("rank/percentile dispatcher: near-unique values take the chunked plan") {
