@@ -695,8 +695,8 @@ object Prefix {
     * anything else (or anything unrecognizable) falls back to the
     * sequential window form, which evaluates every window in frame
     * order. */
-  private def commutativeAgg(f: TadaFrame, c: String,
-                             agg: Column => Column): Boolean =
+  private[core] def commutativeAgg(f: TadaFrame, c: String,
+                                   agg: Column => Column): Boolean =
     try {
       import org.apache.spark.sql.catalyst.expressions.aggregate._
       // Column no longer exposes its Catalyst expression (Spark 4 node

@@ -381,15 +381,95 @@ object Rolling {
 
   /** RollingDuration(d): subsequent rows within [t, t+d) — left-inclusive
     * right-exclusive (internal.go:2410-2421) ⇒ range frame on microseconds
-    * [0, d-1µs]. */
+    * [0, d-1µs]. The whole-frame form (empty `partitionBy`) dispatches to
+    * [[rollingDurationChunked]] (r18 — time-bucket plan, no
+    * single-partition range window); [[rollingDurationWindow]] is the
+    * sequential reference form and the fallback. */
   def rollingDuration(f: TadaFrame, tsCol: String, micros: Long, valCol: String,
                       agg: Column => Column, out: String,
                       partitionBy: Seq[String] = Nil,
-                      finish: Column => Column = identity): TadaFrame = {
-    val us = F.unix_micros(f.df(tsCol))
-    val w0 = if (partitionBy.isEmpty) Window.orderBy(us)
-             else Window.partitionBy(partitionBy.map(f.df(_)): _*).orderBy(us)
-    val w = w0.rangeBetween(0, micros - 1)
+                      finish: Column => Column = identity): TadaFrame =
+    if (partitionBy.isEmpty)
+      rollingDurationChunked(f, tsCol, micros, valCol, agg, out, finish)(
+        rollingDurationWindow(f, tsCol, micros, valCol, agg, out, finish))
+    else {
+      val us = F.unix_micros(f.df(tsCol))
+      val w = Window.partitionBy(partitionBy.map(f.df(_)): _*).orderBy(us)
+        .rangeBetween(0, micros - 1)
+      f.withCol(out, finish(agg(f.df(valCol)).over(w)))
+    }
+
+  /** Sequential whole-frame RollingDuration — one global range window;
+    * semantic oracle for [[rollingDurationChunked]] and the fallback. */
+  private[graft] def rollingDurationWindow(f: TadaFrame, tsCol: String,
+                                           micros: Long, valCol: String,
+                                           agg: Column => Column, out: String,
+                                           finish: Column => Column = identity): TadaFrame = {
+    val w = Window.orderBy(F.unix_micros(f.df(tsCol))).rangeBetween(0, micros - 1)
     f.withCol(out, finish(agg(f.df(valCol)).over(w)))
+  }
+
+  /** Whole-frame RollingDuration, chunked TIME-BUCKET plan (r18 — the
+    * last reachable single-partition window shape after the value-axis
+    * rank work): a range frame is VALUE-based (the window of a row at
+    * time t is exactly the rows with ts ∈ [t, t+d), no tie-order
+    * dependence), so the time axis chunks like Prefix's sort keys.
+    * Bucket the epoch-micros axis into k spans of width ≥ 2d (memoized
+    * bounds as literals — the [[Prefix.BoundsCache]] discipline),
+    * replicate each row to its own bucket's tag AND the previous
+    * bucket's tag, run the SAME range window inside each tag partition
+    * — every window starting in bucket j ends strictly inside buckets
+    * {j, j+1} because width/2 ≥ d, and both copies sit in tag j — and
+    * keep each row's own-tag copy. One hash exchange + 2× in-flight
+    * duplication replaces the global sort. COMMUTATIVE aggregates only
+    * (frame SETS are identical but evaluation order differs — the
+    * [[Prefix.rollingN]] gate, reused); null-ts rows share one
+    * dedicated tag so the window form's null-peer semantics carry
+    * over. Falls back to the window form when the time span covers
+    * < 2 buckets of 2d, the aggregate is not provably commutative, or
+    * the bounds job failed. */
+  def rollingDurationChunked(f: TadaFrame, tsCol: String, micros: Long,
+                             valCol: String, agg: Column => Column,
+                             out: String, finish: Column => Column = identity)(
+      window: => TadaFrame): TadaFrame = {
+    if (micros <= 0 || !Prefix.commutativeAgg(f, valCol, agg)) return window
+    val usD = F.unix_micros(f.df(tsCol)).cast(DoubleType)
+    Prefix.BoundsCache.stats(f.df.select(usD.as("__pfx_k"))) match {
+      case Some((Some(mn), Some(mx), _)) if mx > mn =>
+        val kConf = f.df.sparkSession.conf
+          .get("spark.sql.shuffle.partitions", "200").toInt.max(1)
+        val k = math.min(kConf.toLong,
+          math.max(1L, ((mx - mn) / (2.0 * micros)).toLong)).toInt
+        if (k < 2) window
+        else {
+          val width = (mx - mn) / k
+          val TAG = "__rd_t"
+          val OWN = "__rd_o"
+          val bucket = F.least(F.lit(k - 1L), F.greatest(F.lit(0L),
+            F.floor((usD - F.lit(mn)) / F.lit(width))))
+          val tagged = f.df.withColumn(OWN,
+            F.when(usD.isNull, F.lit(k.toLong)).otherwise(bucket))
+          val own = tagged.withColumn(TAG, F.col(OWN))
+          // prev copies serve the windows that START one bucket back;
+          // bucket-0 rows have no predecessor and the null tag (k) must
+          // not leak into a numeric bucket's window
+          val prev = tagged.withColumn(TAG, F.col(OWN) - 1L)
+            .filter(F.col(OWN) >= 1L && F.col(OWN) <= (k - 1L))
+          val both = own.unionByName(prev)
+          val w = Window.partitionBy(F.col(TAG))
+            .orderBy(F.unix_micros(F.col(tsCol)))
+            .rangeBetween(0, micros - 1)
+          val res = both.withColumn(out, finish(agg(F.col(valCol)).over(w)))
+            .filter(F.col(TAG) === F.col(OWN))
+            .drop(TAG, OWN)
+          // out replaces an existing column in place, or appends — the
+          // Prefix.finish layout contract
+          val cols =
+            if (f.df.columns.contains(out)) f.df.columns.map(F.col).toSeq
+            else f.df.columns.map(F.col).toSeq :+ F.col(out)
+          f.copy(df = res.select(cols: _*))
+        }
+      case _ => window // all-null ts or bounds job failed
+    }
   }
 }

@@ -665,5 +665,30 @@ object WindowQueries extends QueryPack {
                  (ORDER BY o_orderstatus ASC NULLS LAST, o_orderkey) AS prev2_total
         FROM orders
         ORDER BY o_orderkey
+      """)),
+
+    // §2.6 WHOLE-FRAME RollingDuration (r18): the q23 shape without
+    // keys — before r18 this was the last reachable single-partition
+    // window (a global RANGE window over the data); now it runs the
+    // time-bucket plan (Rolling.rollingDurationChunked: width ≥ 2d
+    // buckets, one-bucket replication, tag-partitioned range window).
+    // Exact decimal sums keep the duplicated evaluation bit-identical.
+    Query(
+      "q113_rolling_duration_frame",
+      (s, dir) => {
+        val ev = TadaFrame.ingest(Tables.events(s, dir))
+        Rolling.rollingDuration(ev, "ts", 3600000000L, "value",
+            c => sum(dec(c)), "next_hour_value", finish = _.cast("double"))
+          .out.select("event_id", "next_hour_value")
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT event_id,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) OVER
+                 (ORDER BY epoch_us(ts)
+                  RANGE BETWEEN CURRENT ROW AND 3599999999 FOLLOWING) AS DOUBLE)
+               AS next_hour_value
+        FROM events
+        ORDER BY event_id
       """)))
 }

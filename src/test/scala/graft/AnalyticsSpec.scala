@@ -136,12 +136,25 @@ class AnalyticsSpec extends AnyFunSuite {
     val got = Analytics.rankDense(f, "v", "r")
     assert(got.df.queryExecution.analyzed.toString.contains("__rkc_off"),
       "dispatcher did not route a near-unique column to the chunked plan")
+    // plan quality: the chunked form must never put a single-partition
+    // window over the DATA — only over aggregate output (the tiny
+    // per-chunk counts frame), the GroupOrderSpec/PrefixSpec contract
+    def assertNoGlobalDataWindow(df: org.apache.spark.sql.DataFrame): Unit = {
+      import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+      val bad = df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty &&
+          w.collectFirst { case a: Aggregate => a }.isEmpty => w
+      }
+      assert(bad.isEmpty, s"single-partition window over full data:\n${bad.mkString("\n")}")
+    }
+    assertNoGlobalDataWindow(got.df)
     val want = Analytics.rankDenseWindow(f, "v", "r")
     def vals(t: TadaFrame) = t.df.select(F.col("v"), F.col("r")).collect()
       .map(r => (r.getDouble(0), r.getInt(1))).toSeq.sorted
     assert(vals(got) == vals(want))
     val gotP = Analytics.percentile(f, "v", "p")
     assert(gotP.df.queryExecution.analyzed.toString.contains("__pcc_off"))
+    assertNoGlobalDataWindow(gotP.df)
     def valsP(t: TadaFrame) = t.df.select(F.col("v"), F.col("p")).collect()
       .map(r => (r.getDouble(0), r.getDouble(1))).toSeq.sorted
     assert(valsP(gotP) == valsP(Analytics.percentileWindow(f, "v", "p")))

@@ -466,6 +466,38 @@ class PrefixSpec extends AnyFunSuite {
     }
   }
 
+  test("whole-frame rollingDuration: chunked time-bucket plan equals the window form (r18)") {
+    // irregular gaps, exact ties (two rows at one ts — range frames are
+    // value-based so both see the same window), a null ts (null-peer
+    // semantics), dyadic values; 4 partitions; d = 5 s over a ~100 s
+    // span engages k = min(4, floor(span/2d)) >= 2 buckets
+    val base = 1700000000000L
+    val offs = Seq(0L, 1L, 3L, 3L, 7L, 12L, 13L, 21L, 22L, 30L, 31L, 33L,
+      40L, 44L, 52L, 53L, 61L, 70L, 77L, 85L, 93L, 99L)
+    val rows = offs.zipWithIndex.map { case (o, i) =>
+      RowTV(i, new java.sql.Timestamp(base + o * 1000L), (i % 7) / 4.0)
+    } :+ RowTV(99, null, 2.25)
+    val f = multi(rows, 4)
+    val got = Rolling.rollingDuration(f, "ts", 5000000L, "v",
+      c => F.sum(c), "r5", finish = identity)
+    val want = Rolling.rollingDurationWindow(f, "ts", 5000000L, "v",
+      c => F.sum(c), "r5")
+    assert(got.records() == want.records())
+    // the chunked plan engaged (tag-partitioned window, no global data window)
+    val plan = got.df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("__rd_"), "whole-frame rollingDuration did not chunk")
+    assertNoGlobalDataWindow(got.df)
+    // a window longer than span/ (2*2) falls back to the window form
+    val wide = Rolling.rollingDuration(f, "ts", 60000000L, "v", c => F.sum(c), "rw")
+    assert(!wide.df.queryExecution.optimizedPlan.toString.contains("__rd_"))
+    assert(wide.records() ==
+      Rolling.rollingDurationWindow(f, "ts", 60000000L, "v", c => F.sum(c), "rw").records())
+    // non-commutative aggregates keep the sequential form (the rollingN gate)
+    val nc = Rolling.rollingDuration(f, "ts", 5000000L, "v",
+      c => F.first(c), "rf")
+    assert(!nc.df.queryExecution.optimizedPlan.toString.contains("__rd_"))
+  }
+
   test("overwriting an order-key column routes through the anchoring window form") {
     val f = multi(Seq(RowIV(2, 1L), RowIV(0, 2L), RowIV(1, 3L)), 2).sort(Sorter("i"))
     // out column == sort key "i": must anchor, not silently reorder
@@ -485,6 +517,7 @@ class PrefixSpec extends AnyFunSuite {
 }
 
 case class RowIV(i: Int, v: java.lang.Long)
+case class RowTV(i: Int, ts: java.sql.Timestamp, v: java.lang.Double)
 case class RowDV(i: Int, v: java.lang.Double)
 case class RowKV(i: Int, k: java.lang.Double, v: java.lang.Long)
 case class RowSV(i: Int, s: String, v: java.lang.Long)
