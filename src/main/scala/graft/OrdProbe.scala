@@ -64,6 +64,24 @@ object OrdProbe {
     def dfFree(): String =
       f"${new java.io.File("/tmp").getUsableSpace / (1L << 30)}%d GiB free"
 
+    // events copies for the rollingDuration leg (r18): each copy's ts
+    // shifts by 400 days so windows never cross copies and the time
+    // axis keeps a bucketable span at any factor
+    def buildEv(f: Int): String = {
+      val path = s"$out/events_${f}x.parquet"
+      if (!new java.io.File(path).exists()) {
+        val df = graft.Tables.events(spark, base)
+          .select(F.col("event_id"), F.col("ts"), F.col("value"))
+        (0 until f).map(i =>
+            df.withColumn("ts", F.col("ts") + F.expr(s"INTERVAL ${i * 400} DAYS"))
+              .withColumn("event_id", F.col("event_id") + F.lit(i * 10000000L)))
+          .reduce(_ unionByName _)
+          .repartition(64).write.mode("overwrite").parquet(path)
+        println(s"[ordprobe] built events ${f}x")
+      }
+      path
+    }
+
     def time(tag: String, mk: => DataFrame): Unit =
       try {
         val t0 = System.nanoTime()
@@ -182,6 +200,26 @@ object OrdProbe {
         fr.groupBy("g").reduceWith(Seq(
           "median_l_quantity" -> F.percentile(F.col("l_quantity"), F.lit(0.5)))).df
       })
+      // r18: whole-frame rollingDuration — the time-bucket plan
+      // (Rolling.rollingDurationChunked) vs the pre-r18 global range
+      // window (xo9w, ×1 only — it IS the cliff)
+      if (on("xo9") || on("xo9w")) {
+        val evPath = if (f == 1) null else buildEv(f)
+        def ev = if (f == 1)
+          graft.Tables.events(spark, base)
+            .select(F.col("event_id"), F.col("ts"), F.col("value"))
+        else spark.read.parquet(evPath)
+        if (on("xo9")) time(s"xo9_rollingdur_frame_${f}x", {
+          val fr = graft.core.TadaFrame.ingest(ev)
+          graft.core.Rolling.rollingDuration(fr, "ts", 3600000000L, "value",
+            x => F.sum(x), "r").df
+        })
+        if (on("xo9w") && f == 1) time(s"xo9w_rollingdur_window_${f}x", {
+          val fr = graft.core.TadaFrame.ingest(ev)
+          graft.core.Rolling.rollingDurationWindow(fr, "ts", 3600000000L, "value",
+            x => F.sum(x), "r").df
+        })
+      }
     }
     spark.stop()
   }
