@@ -186,12 +186,14 @@ final case class TadaGrouped(frame: TadaFrame, keys: Seq[String], aligned: Boole
     * per task. For a LOW-CARDINALITY value domain the same number is a
     * function of per-value counts alone, so ≤[[TadaGrouped.MedianVocabCap]]
     * approx-distinct numeric columns (memoized session job — never
-    * load-bearing) route to [[medianByValue]]; sorted/stringified/aligned
-    * reduces and high-cardinality or non-numeric columns keep the
-    * percentile-agg form. Both forms produce bit-identical doubles
-    * (GroupOrderSpec pins it). */
+    * load-bearing) route to [[medianByValue]] — sorted frames included
+    * (r18: the group-order contract rides the same repAgg/rankRep path
+    * as [[reduceWith]]); stringified/aligned reduces and
+    * high-cardinality or non-numeric columns keep the percentile-agg
+    * form. Both forms produce bit-identical doubles (GroupOrderSpec
+    * pins it). */
   def median(cols: String*): TadaFrame =
-    if (!aligned && !stringified && frame.order.isEmpty &&
+    if (!aligned && !stringified &&
         cols.nonEmpty && cols.forall(medianByValueEligible))
       medianByValue(cols)
     else reduce(cols, "median")
@@ -218,7 +220,17 @@ final case class TadaGrouped(frame: TadaFrame, keys: Seq[String], aligned: Boole
     * identically in both forms. Final-stage parallelism is
     * #groups × vocabulary — never group-sized buffers. */
   private def medianByValue(cols: Seq[String]): TadaFrame = {
-    val base = df.groupBy(keys.map(df(_)): _*).agg(F.min(df(ORD)).as(ORD))
+    // group identity + first-appearance order: the reduceWith contract
+    // verbatim — ingest ordinal for unsorted frames, the repAgg/rankRep
+    // representative ranking for sorted ones (r18)
+    val sorted = frame.order.nonEmpty
+    val srcDf =
+      if (!sorted) df
+      else df.withColumn(GPOS, F.row_number().over(
+        Window.partitionBy(keys.map(df(_)): _*).orderBy(frame.orderCols: _*)))
+    val ordAgg = if (sorted) repAgg(srcDf) else F.min(srcDf(ORD)).as(ORD)
+    val base0 = srcDf.groupBy(keys.map(srcDf(_)): _*).agg(ordAgg)
+    val base = if (sorted) rankRep(base0) else base0
     val joined = cols.foldLeft(base) { (acc, c) =>
       val v = df(c).cast(DoubleType)
       val cnt = df.filter(df(c).isNotNull)

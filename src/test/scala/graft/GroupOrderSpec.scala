@@ -204,10 +204,19 @@ class GroupOrderSpec extends AnyFunSuite {
     // group order contract holds through the by-value plan (first
     // appearance in ingest order: a, b, c, d, null)
     assert(got.records().tail.map(_.head) == Seq("a", "b", "c", "d", "(null)"))
-    // a sorted reduce keeps the percentile-agg form by design
-    val sortedPlan = f.sort(Sorter("v")).groupBy("k").median("v")
-      .df.queryExecution.analyzed.toString
-    assert(!sortedPlan.contains("__mv_"))
+    // SORTED frames dispatch too (r18): the group ordinal rides the
+    // repAgg/rankRep path, so group order follows the sort — first
+    // appearance in v-asc order (nulls last): a(1), d(4)... v asc walks
+    // 1,2,3,4,5,6,7,8,9 → first appearances a, d, b, null, c
+    val fs = f.sort(Sorter("v"))
+    val gotS = fs.groupBy("k").median("v")
+    assert(gotS.df.queryExecution.analyzed.toString.contains("__mv_"),
+      "sorted median did not dispatch to the by-value plan")
+    assert(vals(gotS) == want)
+    assert(gotS.records().tail.map(_.head) ==
+      fs.groupBy("k").reduceWith(Seq("median_v" ->
+        F.percentile(F.col("v"), F.lit(0.5)))).records().tail.map(_.head),
+      "sorted by-value median must keep the sorted-reduce group order")
   }
 
   test("string sort key: grouped ordinal still correct via rep ranking") {
