@@ -498,6 +498,30 @@ class PrefixSpec extends AnyFunSuite {
     assert(!nc.df.queryExecution.optimizedPlan.toString.contains("__rd_"))
   }
 
+  test("rollingDuration chunked == window across random shapes (mini-fuzz)") {
+    // seeded random fixtures: dense ties, null ts, varying partition
+    // counts and window lengths (some trials legitimately fall back —
+    // both paths must agree either way). Spark-vs-Spark differential:
+    // DuckDB is deliberately NOT the oracle here because RANGE-frame
+    // null-ordering semantics differ across engines; q113 pins the
+    // non-null cross-engine case.
+    val rng = new scala.util.Random(7)
+    val base = 1700000000000L
+    for (trial <- 0 until 6) {
+      val n = 30 + rng.nextInt(40)
+      val rows = (0 until n).map { i =>
+        val ts = if (rng.nextInt(12) == 0) null
+          else new java.sql.Timestamp(base + rng.nextInt(200) * 1000L)
+        RowTV(i, ts, (rng.nextInt(17) - 8) / 4.0)
+      }
+      val f = multi(rows, 1 + rng.nextInt(4))
+      val d = (1 + rng.nextInt(20)) * 1000000L
+      val got = Rolling.rollingDuration(f, "ts", d, "v", c => F.sum(c), "r")
+      val want = Rolling.rollingDurationWindow(f, "ts", d, "v", c => F.sum(c), "r")
+      assert(got.records() == want.records(), s"trial $trial d=$d n=$n")
+    }
+  }
+
   test("overwriting an order-key column routes through the anchoring window form") {
     val f = multi(Seq(RowIV(2, 1L), RowIV(0, 2L), RowIV(1, 3L)), 2).sort(Sorter("i"))
     // out column == sort key "i": must anchor, not silently reorder
