@@ -75,8 +75,17 @@ final case class TadaGrouped(frame: TadaFrame, keys: Seq[String], aligned: Boole
     * rows): order the captured representatives by the frame's sort spec
     * (with its cast images and nulls-last contract) tie-broken by ingest
     * ordinal. The single-partition window here runs over aggregate
-    * output — tiny by construction, the same shape as the per-chunk
-    * frames in [[Prefix]] — never over the data. */
+    * output, never over the data — #groups rows, which for the common
+    * low/mid-cardinality grouping is orders of magnitude below the
+    * corpus. HONEST BOUND (r18 audit): #groups is not intrinsically
+    * tiny — a SORTED frame grouped by a near-unique key ranks a
+    * corpus-sized reduced frame in one partition. Unsorted groupings
+    * never come here (they ride the free ingest ordinal); the sorted
+    * high-cardinality case would need the banded chunked-ordinal
+    * treatment (Prefix.materializeOrd over the rep fields), which
+    * interacts with the append band bookkeeping — deliberately left
+    * for a round with room to re-verify the band arithmetic rather
+    * than patched here. */
   private[core] def rankRep(res: DataFrame): DataFrame = {
     val ord = frame.order.zipWithIndex.map { case (s, i) =>
       val c0 = res(REP).getField(s"k$i")
