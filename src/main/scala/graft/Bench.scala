@@ -72,6 +72,20 @@ object Bench {
   // mis-sized, a new operator persisting corpus-shaped state) surface
   // in BENCH_DETAIL per query instead of only in probe post-mortems
   private val cacheBytesAtRun = TrieMap.empty[String, String]
+  // per-query dispatch-form tags (r19, r18 verdict item 4): which
+  // physical form each cardinality-gated operator picked while the
+  // query was built/run — a silent dispatch flip (an HLL estimate
+  // drifting across the vocabulary cap, new driver data) becomes an
+  // artifact diff instead of an unexplained timing move
+  private val dispatchAtRun = TrieMap.empty[String, String]
+
+  /** One query's op→forms dispatch tags as a JSON object fragment (ops
+    * and forms are code-authored identifiers — no escaping needed;
+    * BenchPolicySpec pins the shape and the expected forms). */
+  private[graft] def dispatchJson(forms: Seq[(String, String)]): String =
+    forms.groupBy(_._1).toSeq.sortBy(_._1).map { case (op, fs) =>
+      "\"" + op + "\":\"" + fs.map(_._2).distinct.sorted.mkString(",") + "\""
+    }.mkString("{", ",", "}")
 
   /** One query's non-zero tag→bytes snapshot as a JSON object fragment
     * (tags are code-authored dotted identifiers — no escaping needed;
@@ -260,13 +274,15 @@ object Bench {
       .exists(s => !s.sharedState.cacheManager.isEmpty) || leftoverTags.nonEmpty
     val cacheBytes = cacheBytesAtRun.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val dispatch = dispatchAtRun.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // r18 (r17 verdict item 7): a bench run that hit CacheRegistry's
     // fail-open PlanKey path (re-track guard disabled, possible double
     // persists) must be visible in the artifact, not only in stdout —
     // 0 in a clean run, like leftover_cache_tags.
     val planKeyFails = graft.core.CacheRegistry.planKeyFailures
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${m(minTimes)},"first":${m(firstTimes)},"failed":$failed,"errors":$errs,"partial":$partial,"loaded":$loaded,"ext_load_at_min":$extm,"io_stall_at_min":$iom,"load_passes":$passes,"load_start":$loadStart,"load_end":$load1,"canary_sec":$canarySec,"forced":$forcedClaim,"force_method":"$ForceMethod","cache_leak":$cacheLeak,"leftover_cache_tags":${leftoverTags.map("\"" + _ + "\"").mkString("[", ",", "]")},"cache_bytes":$cacheBytes,"plan_key_failures":$planKeyFails,"sf":"$sfDirSeen"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${m(minTimes)},"first":${m(firstTimes)},"failed":$failed,"errors":$errs,"partial":$partial,"loaded":$loaded,"ext_load_at_min":$extm,"io_stall_at_min":$iom,"load_passes":$passes,"load_start":$loadStart,"load_end":$load1,"canary_sec":$canarySec,"forced":$forcedClaim,"force_method":"$ForceMethod","cache_leak":$cacheLeak,"leftover_cache_tags":${leftoverTags.map("\"" + _ + "\"").mkString("[", ",", "]")},"cache_bytes":$cacheBytes,"dispatch":$dispatch,"plan_key_failures":$planKeyFails,"sf":"$sfDirSeen"}"""
     // The driver captures only the LAST ~2000 chars of output and
     // parses the JSON it finds there — the full artifact above is
     // 6-10 KB, so BENCH_r08/r09 both landed `parsed: null` and were
@@ -417,7 +433,10 @@ object Bench {
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                 sliceSec: Double): (Double, Boolean, Double, Double) = {
       val snap0 = cpuSnap()
+      graft.core.Dispatch.drain() // clear notes from the previous query
       val (dt, ok) = withWatchdog(s"bench-$name", sliceSec)(force(fn(spark, sfDir)))
+      val forms = graft.core.Dispatch.drain()
+      if (forms.nonEmpty) dispatchAtRun(name) = dispatchJson(forms)
       val snap1 = cpuSnap()
       // snapshot per-tag cached bytes BEFORE the release (cheap:
       // block-manager metadata only, no jobs); only non-zero entries

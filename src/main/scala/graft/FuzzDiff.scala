@@ -562,9 +562,26 @@ object FuzzDiff {
               val secs = Seq(1, 2, 5, 10, 86400)(rng.nextInt(5))
               val part = if (st.cols.contains("k1") && rng.nextBoolean()) Seq("k1") else Nil
               val pw = if (part.isEmpty) "" else "PARTITION BY k1 "
-              val fr2 = Rolling.rollingDuration(
-                st.fr.filter(Map("ts" -> ((x: org.apache.spark.sql.Column) => x.isNotNull))),
-                "ts", secs * 1000000L, c, x => F.sum(x), out, part)
+              val d = secs * 1000000L
+              val base = st.fr.filter(Map("ts" ->
+                ((x: org.apache.spark.sql.Column) => x.isNotNull)))
+              // r19 (r18 verdict item 3): the form is picked EXPLICITLY —
+              // like the rank/percentile arms — so the chunked time-bucket
+              // plan (q113/q116's scale form) fuzzes against DuckDB even
+              // on frames whose span/keys would dispatch it elsewhere;
+              // case 0 forces chunked (window fallback when the span is
+              // genuinely too short — both must agree either way)
+              def winForm: TadaFrame =
+                if (part.isEmpty)
+                  Rolling.rollingDurationWindow(base, "ts", d, c, x => F.sum(x), out)
+                else Rolling.rollingDurationKeyedWindow(
+                  base, "ts", d, c, x => F.sum(x), out, part)
+              val fr2 = rng.nextInt(3) match {
+                case 0 => Rolling.rollingDurationChunked(
+                  base, "ts", d, c, x => F.sum(x), out, part)(winForm)
+                case 1 => winForm
+                case _ => Rolling.rollingDuration(base, "ts", d, c, x => F.sum(x), out, part)
+              }
               Some(st.copy(fr = fr2,
                 sub = s"SELECT *, CAST(sum($c) OVER (${pw}ORDER BY epoch_us(ts) " +
                   s"RANGE BETWEEN CURRENT ROW AND ${secs * 1000000L - 1} FOLLOWING) " +

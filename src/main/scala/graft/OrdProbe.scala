@@ -219,7 +219,71 @@ object OrdProbe {
           graft.core.Rolling.rollingDurationWindow(fr, "ts", 3600000000L, "value",
             x => F.sum(x), "r").df
         })
+        // r19: grouped rollingDuration with FEW keys (4 segments). xo9g =
+        // the dispatcher (composed (key, bucket) time-bucket plan — the
+        // key HLL of 4 is far under the partition count); xo9gw = the
+        // plain keyed window forced, whose parallelism is capped at 4
+        // regardless of cores — the cliff the composition removes.
+        if (on("xo9g")) time(s"xo9g_rollingdur_grouped_${f}x", {
+          val fr = graft.core.TadaFrame.ingest(
+            ev.withColumn("g", (F.col("event_id") % 4).cast("int")))
+          graft.core.Rolling.rollingDuration(fr, "ts", 3600000000L, "value",
+            x => F.sum(x), "r", partitionBy = Seq("g")).df
+        })
+        if (on("xo9gw")) time(s"xo9gw_rollingdur_grouped_kw_${f}x", {
+          val fr = graft.core.TadaFrame.ingest(
+            ev.withColumn("g", (F.col("event_id") % 4).cast("int")))
+          graft.core.Rolling.rollingDurationKeyedWindow(fr, "ts", 3600000000L,
+            "value", x => F.sum(x), "r", Seq("g")).df
+        })
+        // r19 (r18 verdict item 2): BURSTY time axis — 90% of rows
+        // squeezed into one hot hour of the span, d = 60 s. Equi-width
+        // buckets over [min, max] landed the hot 90% in one bucket; the
+        // equi-depth quantile boundaries (thinned to ≥ 2d) keep the
+        // plan parallel. Read against xo9 (uniform axis, same factor):
+        // a comparable number means the skew is absorbed.
+        if (on("xo11")) time(s"xo11_rollingdur_bursty_${f}x", {
+          // hot hour = 2024-01-15T00 UTC (epoch 1705276800); the burst
+          // second is a deterministic hash of the event id
+          val hotSec = (F.xxhash64(F.col("event_id")) % 3600 + 3600) % 3600
+          val burst = ev.withColumn("ts",
+            F.when(F.col("event_id") % 10 < 9,
+              F.timestamp_micros(F.lit(1705276800000000L) + hotSec * 1000000L))
+              .otherwise(F.col("ts")))
+          val fr = graft.core.TadaFrame.ingest(burst)
+          graft.core.Rolling.rollingDuration(fr, "ts", 60000000L, "value",
+            x => F.sum(x), "r").df
+        })
       }
+      // r19 (r18 verdict item 2): HEAVY-TAILED value axis — p = price^7
+      // spans ~14 decades (the q115 shape). Under equi-width buckets
+      // ~60% of rows landed in bucket 0; equi-depth boundaries keep the
+      // chunked rank balanced. Read against xo7 (uniform axis, same
+      // factor): a comparable number means the skew is absorbed.
+      if (on("xo10")) time(s"xo10_rank_skewed_${f}x", {
+        val fr = graft.core.TadaFrame.ingest(li.withColumn("p",
+          F.pow(F.col("l_extendedprice"), 7)))
+        graft.core.Analytics.rankDense(fr, "p", "rk").df
+      })
+      // r19: banded rankRep (verdict item 1) — sorted frame grouped by a
+      // NEAR-UNIQUE key. xo12 = the dispatcher (banded chunked ordinal
+      // over the rep fields); xo12w = the single-partition reduced-output
+      // window forced via the conf threshold, ×1 only (at ×1000 it IS
+      // the cliff: a one-thread sort of ~600M reduced rows).
+      if (on("xo12")) time(s"xo12_rankrep_banded_${f}x", {
+        spark.conf.set("graft.rankRep.maxWindowGroups", "32768")
+        val fr = graft.core.TadaFrame.ingest(li)
+          .sort(graft.core.Sorter("l_extendedprice"), graft.core.Sorter("l_orderkey"))
+        fr.groupBy("l_orderkey").reduceWith(Seq("s" -> F.sum(F.col("l_quantity")))).df
+      })
+      if (on("xo12w") && f == 1) time(s"xo12w_rankrep_window_${f}x", {
+        spark.conf.set("graft.rankRep.maxWindowGroups", "1000000000")
+        try {
+          val fr = graft.core.TadaFrame.ingest(li)
+            .sort(graft.core.Sorter("l_extendedprice"), graft.core.Sorter("l_orderkey"))
+          fr.groupBy("l_orderkey").reduceWith(Seq("s" -> F.sum(F.col("l_quantity")))).df
+        } finally spark.conf.set("graft.rankRep.maxWindowGroups", "32768")
+      })
     }
     spark.stop()
   }

@@ -574,7 +574,7 @@ object StreamFuzz {
     locally { // span stripping
       def key(r: org.apache.spark.sql.Row) =
         (r.getLong(0), if (r.isNullAt(1)) -1 else r.getInt(1), r.getInt(2),
-          Option(r.getString(3)).getOrElse(" null"))
+          Option(r.getString(3)).getOrElse("\u0000null"))
       val got = runToMemory(
         Streams.stripSpansStream(src, profile, "doc_id", "ts", "text", size = 3),
         s"sfuzz_sp_${tag}_$seed")
@@ -588,7 +588,7 @@ object StreamFuzz {
     }
     locally { // bloom-gated new docs
       def key(r: org.apache.spark.sql.Row) =
-        (r.getLong(0), Option(r.getString(1)).getOrElse(" null"))
+        (r.getLong(0), Option(r.getString(1)).getOrElse("\u0000null"))
       val got = runToMemory(
         Streams.newDocsStream(src, keyIndex, sketch, "content_key")
           .select("doc_id", "content_key"),
@@ -723,8 +723,13 @@ object StreamFuzz {
       println(s"[streamfuzz] MISMATCH $name seed=$seed scale=$tag: $msg")
     }
     locally { // dedupStream
+      // the "emitted once" assertion below requires the WHOLE ts span
+      // (nRows seconds — ts = BASE + i·1000 ms) to sit inside the dedup
+      // horizon, or late duplicates legitimately re-emit and the twin
+      // goes flaky by construction (r18 ADVICE: the old hardcoded
+      // "1 hour" held only while scales capped nRows under 3600)
       val got = runToMemory(
-        Streams.dedupStream(src(), "ts", "1 hour", Seq("key")),
+        Streams.dedupStream(src(), "ts", s"${nRows + 60} seconds", Seq("key")),
         s"sfuzz_dd_${tag}_$seed")
         .collect().map(r => (r.getLong(0), r.getString(2), r.getDouble(3))).toSeq
       spark.sql(s"DROP TABLE IF EXISTS sfuzz_dd_${tag}_$seed")

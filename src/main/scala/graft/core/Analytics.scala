@@ -72,10 +72,11 @@ object Analytics {
 
   /** Cap on the ranked column's (approximate) distinct count below which
     * the BY-VALUE plan is chosen by the dispatchers: the distinct frame
-    * is vocabulary-sized and the rank join broadcasts. Matches
-    * [[Prefix.lowCardChunk]]'s engagement cap — the same "is this a
-    * vocabulary or a corpus" question on a different axis. */
-  private val ByValueMaxDistinct = 4096
+    * is vocabulary-sized and the rank join broadcasts. THE shared
+    * vocabulary threshold ([[Prefix.VocabCap]], r19) — the same "is this
+    * a vocabulary or a corpus" question lowCardChunk and the grouped
+    * median ask on their axes. */
+  private[graft] val ByValueMaxDistinct = Prefix.VocabCap
 
   /** The ranked column's value-axis chunking: an order-monotone chunk id
     * that is a pure FUNCTION OF THE VALUE (equal values always share a
@@ -109,7 +110,7 @@ object Analytics {
     imgRaw.flatMap { case (img, rawD) =>
       val k = f.df.sparkSession.conf
         .get("spark.sql.shuffle.partitions", "200").toInt.max(1)
-      // NaN/±Inf poison the bucket width exactly as in Prefix.chunked —
+      // NaN/±Inf poison the boundary stats exactly as in Prefix.chunked —
       // exclude from bounds, pin their rows to the edge chunks (the
       // within-chunk window orders by the real value, so sharing a
       // chunk with extreme finite values stays correct)
@@ -117,19 +118,29 @@ object Analytics {
         img === F.lit(Double.PositiveInfinity) ||
         img === F.lit(Double.NegativeInfinity)
       val clean = F.when(nonFinite, F.lit(null)).otherwise(img)
-      Prefix.BoundsCache.stats(f.df.select(clean.as("__pfx_k"))).flatMap {
-        case (Some(mn), Some(mx), d) =>
+      // r19 (r18 verdict item 2): chunk boundaries are memoized
+      // EQUI-DEPTH approx-percentile quantiles, not equi-width spans of
+      // [min, max] — a heavy-tailed value column (log-normal prices, a
+      // power-law score) landed ~all rows in the bottom width bucket,
+      // silently degrading the chunked plan toward the single-partition
+      // shape it replaces. chunk(v) = #boundaries ≤ v: still a pure
+      // monotone function of the value (equal values share a chunk — the
+      // partial-composition invariant), injected as an array literal so
+      // both consumers of the chunked frame agree even on recompute;
+      // quantile approximation error only unbalances chunks.
+      Prefix.BoundsCache.quantStats(f.df.select(clean.as("__pfx_k")), k).flatMap {
+        case (Some(_), Some(_), d, qs) =>
+          val nb = qs.length // chunk ids 0..nb for finite values
           val bucket =
-            if (mx == mn) F.lit(0L)
-            else F.least(F.lit(k - 1L), F.greatest(F.lit(0L),
-              F.floor((img - F.lit(mn)) / ((F.lit(mx) - F.lit(mn)) / k))))
+            if (nb == 0) F.lit(0L) // single-value/degenerate axis
+            else F.size(F.filter(F.lit(qs), b => b <= img)).cast(LongType)
           val nn = F.when(F.isnan(img) ||
-              img === F.lit(Double.PositiveInfinity), F.lit(k - 1L))
+              img === F.lit(Double.PositiveInfinity), F.lit(nb.toLong))
             .when(img === F.lit(Double.NegativeInfinity), F.lit(0L))
             .otherwise(bucket)
-          // null values get their own top chunk (k) — they never join the
-          // rank math (null in ⇒ null out) but must not share a chunk id
-          Some(ValueAxis(F.when(v.isNull, F.lit(k.toLong)).otherwise(nn), k,
+          // null values get their own top chunk (nb+1) — they never join
+          // the rank math (null in ⇒ null out) but must not share an id
+          Some(ValueAxis(F.when(v.isNull, F.lit(nb + 1L)).otherwise(nn), nb + 1,
             rawD.getOrElse(d)))
         case _ => None // all-null column
       }
@@ -151,10 +162,14 @@ object Analytics {
                 partitionBy: Seq[String] = Nil): TadaFrame =
     valueAxis(f, c) match {
       case Some(ax) if ax.dApprox <= ByValueMaxDistinct =>
+        Dispatch.note("rankDense", "byValue")
         rankDenseByValue(f, c, out, partitionBy)
       case Some(_) =>
+        Dispatch.note("rankDense", "chunked")
         rankDenseChunked(f, c, out, partitionBy)(rankDenseWindow(f, c, out, partitionBy))
-      case None => rankDenseWindow(f, c, out, partitionBy)
+      case None =>
+        Dispatch.note("rankDense", "window")
+        rankDenseWindow(f, c, out, partitionBy)
     }
 
   /** Sequential [[rankDense]] — one ordered window (single-partition
@@ -298,10 +313,14 @@ object Analytics {
                  partitionBy: Seq[String] = Nil): TadaFrame =
     valueAxis(f, c) match {
       case Some(ax) if ax.dApprox <= ByValueMaxDistinct =>
+        Dispatch.note("percentile", "byValue")
         percentileByValue(f, c, out, partitionBy)
       case Some(_) =>
+        Dispatch.note("percentile", "chunked")
         percentileChunked(f, c, out, partitionBy)(percentileWindow(f, c, out, partitionBy))
-      case None => percentileWindow(f, c, out, partitionBy)
+      case None =>
+        Dispatch.note("percentile", "window")
+        percentileWindow(f, c, out, partitionBy)
     }
 
   /** Sequential [[percentile]] — one ordered window; the reference's

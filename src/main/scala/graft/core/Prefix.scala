@@ -75,6 +75,19 @@ import org.apache.spark.sql.types._
 object Prefix {
   import TadaFrame.ORD
 
+  /** The ONE "is this a vocabulary or a corpus" threshold (r19, unifying
+    * three duplicated 4096 constants — r18 verdict item 5): a value
+    * domain at or under this many distinct values is treated as a
+    * VOCABULARY — small enough to collect to the driver, broadcast as a
+    * literal frame, and window over in one tiny partition — while
+    * anything larger is a CORPUS that must stay distributed. Engagement
+    * sites: [[lowCardChunk]]'s value-chunking vocabulary,
+    * `Analytics.ByValueMaxDistinct` (rank/percentile by-value dispatch),
+    * and `TadaGrouped.MedianVocabCap` (grouped-median by-value
+    * dispatch). One constant keeps a future retune atomic — the three
+    * sites answer the same question on different axes. */
+  private[graft] val VocabCap = 4096
+
   private[graft] val CHUNK = "__pfx_c"
   private val RNA = "__pfx_ra" // row_number ascending within chunk
   private val RND = "__pfx_rd" // row_number descending within chunk
@@ -223,10 +236,15 @@ object Prefix {
       * double column, memoized — the low-cardinality chunking's value
       * vocabulary. Empty array = over cap (the limit(cap+1) collect saw
       * more) or genuinely empty; callers treat both as "don't engage".
-      * Driver-bounded by construction: cap+1 doubles. */
+      * Driver-bounded by construction: cap+1 doubles. `cap` is part of
+      * the memo key (r18 ADVICE): a mid-session shuffle-partition change
+      * changes lowCardChunk's effective cap, and a cached over-cap empty
+      * array from the old cap would otherwise disengage value-chunking
+      * permanently (perf only — chunk ids stay correct — but silent). */
     def distinctValues(sel: DataFrame, cap: Int): Option[Array[Double]] =
       try {
-        val k = key(sel)
+        val k0 = key(sel)
+        val k = (k0._1, k0._2 + "|cap=" + cap)
         val hit = vcache.get(k)
         if (hit != null) { hitCtr.incrementAndGet(); Some(hit) }
         else {
@@ -275,10 +293,12 @@ object Prefix {
       * `String.compareTo`'s UTF-16 code-unit order disagrees for
       * supplementary characters, which would scramble the ascending
       * chunk-index invariant), memoized. Empty array = over cap or
-      * genuinely empty; callers treat both as "don't engage". */
+      * genuinely empty; callers treat both as "don't engage". `cap` is
+      * part of the memo key — same rationale as [[distinctValues]]. */
     def distinctStrings(sel: DataFrame, cap: Int): Option[Array[String]] =
       try {
-        val k = key(sel)
+        val k0 = key(sel)
+        val k = (k0._1, k0._2 + "|cap=" + cap)
         val hit = svcache.get(k)
         if (hit != null) { hitCtr.incrementAndGet(); Some(hit) }
         else {
@@ -288,6 +308,70 @@ object Prefix {
           val v = if (got.length > cap) Array.empty[String]
             else got.sorted(Utf8Order)
           svcache.put(k, v)
+          Some(v)
+        }
+      } catch { case _: Throwable => None }
+
+    private val dcache = lru[java.lang.Double]()
+
+    /** Approximate distinct count of `sel`'s single column (ANY type —
+      * HLL hashes structs too), memoized — the dispatch gate for plans
+      * whose break-even depends on cardinality (banded rankRep: #groups;
+      * keyed rollingDuration: #keys). One map-side-combined pass;
+      * deterministic for fixed data; `None` on job failure (callers keep
+      * their default plan — never load-bearing). */
+    def approxDistinct(sel: DataFrame): Option[Double] =
+      try {
+        val k = key(sel)
+        val hit = dcache.get(k)
+        if (hit != null) { hitCtr.incrementAndGet(); Some(hit.doubleValue()) }
+        else {
+          val c = sel.columns.head
+          val v = sel.agg(F.approx_count_distinct(F.col(c))).head().getLong(0).toDouble
+          dcache.put(k, java.lang.Double.valueOf(v))
+          Some(v)
+        }
+      } catch { case _: Throwable => None }
+
+    private val qcache = lru[(Option[Double], Option[Double], Double, Array[Double])]()
+
+    /** (min, max, approx distinct, ~equi-depth interior boundaries) of
+      * `sel`'s single double column in ONE memoized pass — the chunk
+      * axis for the value/time chunked plans (r19, r18 verdict item 2:
+      * equi-WIDTH buckets over min/max silently collapse a heavy-tailed
+      * value column or a bursty time axis into a few chunks — the exact
+      * single-partition shape the chunked plans exist to remove).
+      * Boundaries are `approx_percentile` at i/n for i in 1..n−1,
+      * deduped and strictly inside (min, max), so ~equal ROW COUNTS land
+      * between consecutive boundaries regardless of the distribution;
+      * a chunk id derived as "boundaries ≤ v" stays a pure monotone
+      * function of the value (equal values share a chunk — the partial-
+      * composition invariant is untouched; only BALANCE changes).
+      * Approximation error only unbalances chunks, never breaks
+      * correctness. `n` is part of the memo key. Inner Nones = all-null
+      * column; `None` on job failure. */
+    def quantStats(sel: DataFrame, n: Int):
+        Option[(Option[Double], Option[Double], Double, Array[Double])] =
+      try {
+        val k0 = key(sel)
+        val k = (k0._1, k0._2 + "|nq=" + n)
+        val hit = qcache.get(k)
+        if (hit != null) { hitCtr.incrementAndGet(); Some(hit) }
+        else {
+          val c = sel.columns.head
+          val fracs = (1 until n).map(i => i.toDouble / n)
+          val r = sel.agg(F.min(F.col(c)), F.max(F.col(c)),
+            F.approx_count_distinct(F.col(c)),
+            F.percentile_approx(F.col(c),
+              F.lit(fracs.toArray), F.lit(10000))).head()
+          val mn = if (r.isNullAt(0)) None else Some(r.getDouble(0))
+          val mx = if (r.isNullAt(1)) None else Some(r.getDouble(1))
+          val qs: Array[Double] =
+            if (r.isNullAt(3) || mn.isEmpty || mx.isEmpty) Array.empty
+            else r.getSeq[Double](3).toArray.distinct.sorted
+              .filter(b => b > mn.get && b < mx.get)
+          val v = (mn, mx, r.getLong(2).toDouble, qs)
+          qcache.put(k, v)
           Some(v)
         }
       } catch { case _: Throwable => None }
@@ -408,7 +492,7 @@ object Prefix {
 
   private def lowCardChunk(f: TadaFrame, keyD: Column, keyClean: Column,
                            k: Int, fwd: Boolean, dApprox: Double): Option[DataFrame] = {
-    val maxEngage = math.min(k - 1, 4096)
+    val maxEngage = math.min(k - 1, VocabCap)
     val s1 = f.order.head
     // r18 (ADVICE r17): the vocabulary axis is the RAW key value — for
     // strings, the string itself, NOT its binary-prefix image. The r17

@@ -71,22 +71,38 @@ final case class TadaGrouped(frame: TadaFrame, keys: Seq[String], aligned: Boole
     F.min(F.struct(aug(GPOS).as("g") +: frame.order.zipWithIndex.map {
       case (s, i) => aug(s.name).as(s"k$i") } :+ aug(ORD).as("o"): _*))
 
-  /** Dense long group ordinal ranked on the REDUCED output (#groups
-    * rows): order the captured representatives by the frame's sort spec
-    * (with its cast images and nulls-last contract) tie-broken by ingest
-    * ordinal. The single-partition window here runs over aggregate
-    * output, never over the data — #groups rows, which for the common
-    * low/mid-cardinality grouping is orders of magnitude below the
-    * corpus. HONEST BOUND (r18 audit): #groups is not intrinsically
-    * tiny — a SORTED frame grouped by a near-unique key ranks a
-    * corpus-sized reduced frame in one partition. Unsorted groupings
-    * never come here (they ride the free ingest ordinal); the sorted
-    * high-cardinality case would need the banded chunked-ordinal
-    * treatment (Prefix.materializeOrd over the rep fields), which
-    * interacts with the append band bookkeeping — deliberately left
-    * for a round with room to re-verify the band arithmetic rather
-    * than patched here. */
+  /** Group ordinal ranked on the REDUCED output (#groups rows): order
+    * the captured representatives by the frame's sort spec (with its
+    * cast images and nulls-last contract) tie-broken by ingest ordinal.
+    * DISPATCHER (r19, closing the r18 audit's last data-shaped
+    * single-partition window): for the common low/mid-cardinality
+    * grouping, #groups is orders of magnitude below the corpus and a
+    * dense `row_number` over the reduced frame ([[rankRepWindow]]) is
+    * the right plan. But a SORTED frame grouped by a NEAR-UNIQUE key
+    * ("sort by timestamp, group by user_id") ranks a corpus-sized
+    * reduced frame in ONE partition — so when the memoized group-key
+    * HLL says #groups exceeds [[TadaGrouped.RankRepMaxWindowGroups]]
+    * (conf-overridable `graft.rankRep.maxWindowGroups`), the rep fields
+    * are instead materialized through the banded chunked ordinal
+    * ([[rankRepBanded]] → `Prefix.materializeOrd`: order-monotone value
+    * chunks + partition-local row_number, one hash exchange). The gate
+    * reads the SOURCE frame (map-side HLL, memoized) because the banded
+    * path's bounds job executes the aggregation subtree once extra —
+    * worth one corpus agg pass to avoid a single-thread corpus sort,
+    * not worth it for a 50-group reduce. Unsorted groupings never come
+    * here (they ride the free ingest ordinal). */
   private[core] def rankRep(res: DataFrame): DataFrame = {
+    val big = frame.order.nonEmpty &&
+      groupCountEstimate.exists(_ > rankRepMaxWindowGroups)
+    val banded = if (big) rankRepBanded(res) else None
+    Dispatch.note("rankRep", if (banded.isDefined) "banded" else "window")
+    banded.getOrElse(rankRepWindow(res))
+  }
+
+  /** The reduced-output window form: a dense 1..#groups ordinal from a
+    * single-partition `row_number` — exact and cheap at vocabulary-sized
+    * group counts; the semantic oracle for [[rankRepBanded]]. */
+  private[core] def rankRepWindow(res: DataFrame): DataFrame = {
     val ord = frame.order.zipWithIndex.map { case (s, i) =>
       val c0 = res(REP).getField(s"k$i")
       val c = s.cast.map(c0.cast).getOrElse(c0)
@@ -95,6 +111,52 @@ final case class TadaGrouped(frame: TadaFrame, keys: Seq[String], aligned: Boole
     res.withColumn(ORD, F.row_number().over(Window.orderBy(ord: _*)).cast(LongType))
       .drop(REP)
   }
+
+  /** The banded form: re-enter the reduced frame as a TadaFrame sorted
+    * by the rep's raw key fields (same casts/directions as the frame's
+    * spec) with the rep's ingest ordinal as the `__ord` tiebreak, and
+    * let [[Prefix.materializeOrd]] assign the banded chunked ordinal
+    * `(chunk << 33) | row-in-chunk` — value-identical ORDER to the
+    * window form's dense ordinal (order consumers only compare
+    * ordinals, never assume density; GroupOrderSpec pins equality).
+    * Band bookkeeping: rep.o carries the source's band bits in its high
+    * bits (appended frames), which only feed the within-chunk ORDER —
+    * the output ordinal's chunk comes from the VALUE axis and stays
+    * under 2^53, inside the `bands` claim the result frame inherits, so
+    * a later append still lands strictly above (the same argument as
+    * `TadaFrame.anchored`, spec-pinned on append fixtures). None when
+    * no chunking exists for the first rep key (imageless type, bounds
+    * job failure) — the caller keeps the window form. */
+  private def rankRepBanded(res: DataFrame): Option[DataFrame] = {
+    val kcols = frame.order.indices.map(i => s"__rr_k$i")
+    val aug0 = res.withColumn(ORD, res(REP).getField("o"))
+    val aug = frame.order.zipWithIndex.foldLeft(aug0) { case (d, (s, i)) =>
+      d.withColumn(s"__rr_k$i", res(REP).getField(s"k$i"))
+    }
+    val sorters = frame.order.zipWithIndex.map { case (s, i) =>
+      s.copy(name = s"__rr_k$i") }
+    val tmp = TadaFrame(aug, labels = Nil, order = sorters, bands = frame.bands)
+    Prefix.materializeOrd(tmp).map { d =>
+      d.withColumn(ORD, d(Prefix.MATORD))
+        .drop((Prefix.MATORD +: kcols) :+ REP: _*)
+    }
+  }
+
+  /** Memoized HLL estimate of this grouping's group count on the SOURCE
+    * frame — the [[rankRep]] dispatch signal. Stringified groupings
+    * count the stringified row key (the thing they group by). */
+  private def groupCountEstimate: Option[Double] = {
+    val keyCol =
+      if (stringified)
+        TadaFormat.rowKey(keys.map(n => (df(n), df.schema(n).dataType)))
+      else if (keys.size == 1) df(keys.head)
+      else F.struct(keys.map(df(_)): _*)
+    Prefix.BoundsCache.approxDistinct(df.select(keyCol.as("__pfx_k")))
+  }
+
+  private def rankRepMaxWindowGroups: Double =
+    try df.sparkSession.conf.get("graft.rankRep.maxWindowGroups").toDouble
+    catch { case _: Throwable => TadaGrouped.RankRepMaxWindowGroups }
 
   /** Positional pick per group in frame order: First/Last/Nth with
     * negative-from-end and OOB⇒null (groupers.go:188-200, 824-868).
@@ -203,9 +265,13 @@ final case class TadaGrouped(frame: TadaFrame, keys: Seq[String], aligned: Boole
     * pins it). */
   def median(cols: String*): TadaFrame =
     if (!aligned && !stringified &&
-        cols.nonEmpty && cols.forall(medianByValueEligible))
+        cols.nonEmpty && cols.forall(medianByValueEligible)) {
+      Dispatch.note("median", "byValue")
       medianByValue(cols)
-    else reduce(cols, "median")
+    } else {
+      Dispatch.note("median", "agg")
+      reduce(cols, "median")
+    }
 
   private def medianByValueEligible(c: String): Boolean =
     df.schema(c).dataType.isInstanceOf[NumericType] && {
@@ -226,7 +292,12 @@ final case class TadaGrouped(frame: TadaFrame, keys: Seq[String], aligned: Boole
     * different rounding could drift an ULP from the agg form. Nulls are
     * excluded from counts (all-null group ⇒ null median, the agg
     * contract); NaN sorts above every value and poisons interpolation
-    * identically in both forms. Final-stage parallelism is
+    * identically in both forms. −0.0 edge (r18 ADVICE): the groupBy here
+    * normalizes −0.0 to 0.0 (NormalizeFloatingNumbers) while the
+    * Percentile agg buffers raw values and can return −0.0 — a group
+    * whose median is exactly −0.0 yields 0.0 vs −0.0: numerically equal
+    * (== and SQL =), differing only under stringified/bit comparisons
+    * (GroupOrderSpec pins the fixture). Final-stage parallelism is
     * #groups × vocabulary — never group-sized buffers. */
   private def medianByValue(cols: Seq[String]): TadaFrame = {
     // group identity + first-appearance order: the reduceWith contract
@@ -359,9 +430,18 @@ object TadaGrouped {
   private[core] val REP = "__grep"
 
   /** Approx-distinct cap under which [[TadaGrouped.median]] dispatches
-    * to the by-value counting plan — the same "vocabulary vs corpus"
-    * threshold as Analytics' rank dispatch and Prefix.lowCardChunk. */
-  private[core] val MedianVocabCap = 4096
+    * to the by-value counting plan — THE shared vocabulary threshold
+    * ([[Prefix.VocabCap]], r19): the same "vocabulary vs corpus"
+    * question as Analytics' rank dispatch and Prefix.lowCardChunk. */
+  private[graft] val MedianVocabCap = Prefix.VocabCap
+
+  /** Estimated group count above which [[TadaGrouped.rankRep]] abandons
+    * the single-partition reduced-output window for the banded chunked
+    * ordinal. Break-even: the banded path pays one extra execution of
+    * the aggregation subtree (the bounds job over the reduced frame),
+    * the window path pays a one-thread sort of #groups rows buffered in
+    * one task. Conf-overridable (`graft.rankRep.maxWindowGroups`). */
+  private[graft] val RankRepMaxWindowGroups = 32768.0
 }
 
 /** Rolling windows (groupers.go:295-345) — per-row groups over following
@@ -405,20 +485,50 @@ object Rolling {
     * [0, d-1µs]. The whole-frame form (empty `partitionBy`) dispatches to
     * [[rollingDurationChunked]] (r18 — time-bucket plan, no
     * single-partition range window); [[rollingDurationWindow]] is the
-    * sequential reference form and the fallback. */
+    * sequential reference form and the fallback. KEYED form (r19, r18
+    * verdict item 6): the keyed range window parallelizes by key, which
+    * is the right plan at high key cardinality but caps parallelism at
+    * #keys for few-key groupings (3 user segments = 3 partitions — the
+    * q14 buffer story on the window axis); when the memoized key HLL
+    * says #keys < the configured partition count, the time-bucket plan
+    * composes with the keys (tag = (keys, bucket)) through the same
+    * chunked path. */
   def rollingDuration(f: TadaFrame, tsCol: String, micros: Long, valCol: String,
                       agg: Column => Column, out: String,
                       partitionBy: Seq[String] = Nil,
                       finish: Column => Column = identity): TadaFrame =
     if (partitionBy.isEmpty)
-      rollingDurationChunked(f, tsCol, micros, valCol, agg, out, finish)(
-        rollingDurationWindow(f, tsCol, micros, valCol, agg, out, finish))
+      rollingDurationChunked(f, tsCol, micros, valCol, agg, out, Nil, finish) {
+        Dispatch.note("rollingDuration", "window")
+        rollingDurationWindow(f, tsCol, micros, valCol, agg, out, finish)
+      }
     else {
-      val us = F.unix_micros(f.df(tsCol))
-      val w = Window.partitionBy(partitionBy.map(f.df(_)): _*).orderBy(us)
-        .rangeBetween(0, micros - 1)
-      f.withCol(out, finish(agg(f.df(valCol)).over(w)))
+      def keyed: TadaFrame = {
+        Dispatch.note("rollingDuration", "keyedWindow")
+        rollingDurationKeyedWindow(f, tsCol, micros, valCol, agg, out,
+          partitionBy, finish)
+      }
+      val kConf = f.df.sparkSession.conf
+        .get("spark.sql.shuffle.partitions", "200").toInt.max(1)
+      val dKeys = Prefix.BoundsCache.approxDistinct(
+        f.df.select(F.struct(partitionBy.map(f.df(_)): _*).as("__pfx_k")))
+      if (dKeys.exists(_ < kConf))
+        rollingDurationChunked(f, tsCol, micros, valCol, agg, out,
+          partitionBy, finish)(keyed)
+      else keyed
     }
+
+  /** The keyed range-window form — parallel by key; the
+    * high-key-cardinality default and the semantic oracle for the
+    * composed (keys, bucket) time-bucket plan. */
+  private[graft] def rollingDurationKeyedWindow(f: TadaFrame, tsCol: String,
+      micros: Long, valCol: String, agg: Column => Column, out: String,
+      partitionBy: Seq[String], finish: Column => Column = identity): TadaFrame = {
+    val us = F.unix_micros(f.df(tsCol))
+    val w = Window.partitionBy(partitionBy.map(f.df(_)): _*).orderBy(us)
+      .rangeBetween(0, micros - 1)
+    f.withCol(out, finish(agg(f.df(valCol)).over(w)))
+  }
 
   /** Sequential whole-frame RollingDuration — one global range window;
     * semantic oracle for [[rollingDurationChunked]] and the fallback. */
@@ -430,54 +540,73 @@ object Rolling {
     f.withCol(out, finish(agg(f.df(valCol)).over(w)))
   }
 
-  /** Whole-frame RollingDuration, chunked TIME-BUCKET plan (r18 — the
-    * last reachable single-partition window shape after the value-axis
-    * rank work): a range frame is VALUE-based (the window of a row at
-    * time t is exactly the rows with ts ∈ [t, t+d), no tie-order
-    * dependence), so the time axis chunks like Prefix's sort keys.
-    * Bucket the epoch-micros axis into k spans of width ≥ 2d (memoized
-    * bounds as literals — the [[Prefix.BoundsCache]] discipline),
-    * replicate each row to its own bucket's tag AND the previous
-    * bucket's tag, run the SAME range window inside each tag partition
-    * — every window starting in bucket j ends strictly inside buckets
-    * {j, j+1} because width/2 ≥ d, and both copies sit in tag j — and
-    * keep each row's own-tag copy. One hash exchange + 2× in-flight
-    * duplication replaces the global sort. COMMUTATIVE aggregates only
-    * (frame SETS are identical but evaluation order differs — the
-    * [[Prefix.rollingN]] gate, reused); null-ts rows share one
-    * dedicated tag so the window form's null-peer semantics carry
-    * over. Falls back to the window form when the time span covers
-    * < 2 buckets of 2d, the aggregate is not provably commutative, or
-    * the bounds job failed. */
+  /** RollingDuration, chunked TIME-BUCKET plan (r18; generalized to
+    * keyed groupings r19): a range frame is VALUE-based (the window of
+    * a row at time t is exactly the rows with ts ∈ [t, t+d), no
+    * tie-order dependence), so the time axis chunks like Prefix's sort
+    * keys. Bucket the epoch-micros axis at ~EQUI-DEPTH quantile
+    * boundaries thinned to ≥ 2d spacing (r19, r18 verdict item 2:
+    * equi-width spans of [min, max] collapsed a bursty axis — one hot
+    * hour in a year-long span — into one bucket; memoized
+    * `approx_percentile` boundaries adapt to density while the 2d
+    * thinning keeps every bucket's span ≥ 2d, and approximation error
+    * only unbalances buckets), replicate each row to its own bucket's
+    * tag AND the previous bucket's tag, run the SAME range window
+    * inside each (keys, tag) partition — every window starting in
+    * bucket j ends strictly inside buckets {j, j+1} because every
+    * bucket spans ≥ 2d ≥ d, and both copies sit in tag j — and keep
+    * each row's own-tag copy. One hash exchange + 2× in-flight
+    * duplication replaces the global (or few-key) sort. COMMUTATIVE
+    * aggregates only (window row SETS are identical but evaluation
+    * order differs — the [[Prefix.rollingN]] gate, reused); null-ts
+    * rows share one dedicated tag per key so the window form's
+    * null-peer semantics carry over. Falls back to `window` when the
+    * span keeps < 2 buckets after thinning, the aggregate is not
+    * provably commutative, or the bounds job failed. */
   def rollingDurationChunked(f: TadaFrame, tsCol: String, micros: Long,
                              valCol: String, agg: Column => Column,
-                             out: String, finish: Column => Column = identity)(
+                             out: String, partCols: Seq[String] = Nil,
+                             finish: Column => Column = identity)(
       window: => TadaFrame): TadaFrame = {
     if (micros <= 0 || !Prefix.commutativeAgg(f, valCol, agg)) return window
     val usD = F.unix_micros(f.df(tsCol)).cast(DoubleType)
-    Prefix.BoundsCache.stats(f.df.select(usD.as("__pfx_k"))) match {
-      case Some((Some(mn), Some(mx), _)) if mx > mn =>
-        val kConf = f.df.sparkSession.conf
-          .get("spark.sql.shuffle.partitions", "200").toInt.max(1)
-        val k = math.min(kConf.toLong,
-          math.max(1L, ((mx - mn) / (2.0 * micros)).toLong)).toInt
-        if (k < 2) window
+    val kConf = f.df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt.max(1)
+    Prefix.BoundsCache.quantStats(f.df.select(usD.as("__pfx_k")), kConf) match {
+      case Some((Some(mn), Some(mx), _, qs)) if mx > mn =>
+        // keep a quantile boundary only when it sits ≥ 2d from the last
+        // kept boundary AND ≥ 2d inside the max — every bucket,
+        // including the first and last, then spans ≥ 2d
+        val bounds = {
+          val b = Array.newBuilder[Double]
+          var prevB = mn
+          qs.foreach { q =>
+            if (q - prevB >= 2.0 * micros && mx - q >= 2.0 * micros) {
+              b += q; prevB = q
+            }
+          }
+          b.result()
+        }
+        val nb = bounds.length // finite buckets 0..nb; null tag nb+1
+        if (nb < 1) window
         else {
-          val width = (mx - mn) / k
+          Dispatch.note("rollingDuration",
+            if (partCols.isEmpty) "chunked" else "keyedChunked")
           val TAG = "__rd_t"
           val OWN = "__rd_o"
-          val bucket = F.least(F.lit(k - 1L), F.greatest(F.lit(0L),
-            F.floor((usD - F.lit(mn)) / F.lit(width))))
+          val bucket = F.size(F.filter(F.lit(bounds), b => b <= usD))
+            .cast(LongType)
           val tagged = f.df.withColumn(OWN,
-            F.when(usD.isNull, F.lit(k.toLong)).otherwise(bucket))
+            F.when(usD.isNull, F.lit(nb + 1L)).otherwise(bucket))
           val own = tagged.withColumn(TAG, F.col(OWN))
           // prev copies serve the windows that START one bucket back;
-          // bucket-0 rows have no predecessor and the null tag (k) must
-          // not leak into a numeric bucket's window
+          // bucket-0 rows have no predecessor and the null tag (nb+1)
+          // must not leak into a numeric bucket's window
           val prev = tagged.withColumn(TAG, F.col(OWN) - 1L)
-            .filter(F.col(OWN) >= 1L && F.col(OWN) <= (k - 1L))
+            .filter(F.col(OWN) >= 1L && F.col(OWN) <= nb.toLong)
           val both = own.unionByName(prev)
-          val w = Window.partitionBy(F.col(TAG))
+          val w = Window
+            .partitionBy(partCols.map(F.col) :+ F.col(TAG): _*)
             .orderBy(F.unix_micros(F.col(tsCol)))
             .rangeBetween(0, micros - 1)
           val res = both.withColumn(out, finish(agg(F.col(valCol)).over(w)))

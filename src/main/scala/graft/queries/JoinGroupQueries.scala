@@ -172,6 +172,42 @@ object JoinGroupQueries extends QueryPack {
         ORDER BY l_returnflag
       """)),
 
+    // §2.5 SORTED frame grouped by a NEAR-UNIQUE key (r19, closing the
+    // r18 audit's last data-shaped single-partition window): ~46k
+    // distinct (orderkey, linenumber) keys at sf0.01 push the group-key
+    // HLL past TadaGrouped.RankRepMaxWindowGroups, so the group ordinal
+    // is ranked through the BANDED chunked path (rankRepBanded →
+    // Prefix.materializeOrd over the rep fields) instead of a
+    // corpus-sized single-partition row_number — "sort by timestamp,
+    // group by user_id" at corpus scale. head(500) makes the banded
+    // ordinal load-bearing: the SELECTED SET of groups is wrong if the
+    // chunked order is. Oracle mirrors the appearance rank as the tuple
+    // min over (shipdate, key) — deterministic because distinct groups
+    // differ in the key.
+    Query(
+      "q114_sorted_group_near_unique_key",
+      (s, dir) => {
+        val li0 = Tables.lineitem(s, dir)
+          .select(expr("l_orderkey * 100 + l_linenumber").as("lk"),
+            col("l_shipdate"), col("l_quantity"))
+        val li = TadaFrame.ingest(li0)
+          .sort(Sorter("l_shipdate"), Sorter("lk"))
+        li.groupBy("lk")
+          .reduceWith(Seq("qty" -> dsum(col("l_quantity"))))
+          .head(500)
+          .out.select("lk", "qty")
+          .orderBy("lk")
+      },
+      Some(s"""
+        SELECT lk, qty FROM (
+          SELECT l_orderkey * 100 + l_linenumber AS lk,
+                 ${sqlDsum("l_quantity")} AS qty,
+                 min(ROW(l_shipdate, l_orderkey * 100 + l_linenumber)) AS fa
+          FROM lineitem GROUP BY 1
+          ORDER BY fa LIMIT 500)
+        ORDER BY lk
+      """)),
+
     // §2.5 Earliest/Latest (time min/max) + HavingCount: active users with
     // ≥ some events.
     Query(

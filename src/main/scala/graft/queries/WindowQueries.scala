@@ -690,5 +690,65 @@ object WindowQueries extends QueryPack {
                AS next_hour_value
         FROM events
         ORDER BY event_id
+      """)),
+
+    // §2.6 dense Rank over a HEAVY-TAILED near-unique column (r19, r18
+    // verdict item 2): p = price^7 spans ~14 decades, so equi-WIDTH
+    // value buckets would land ~60% of rows in bucket 0 and the chunked
+    // plan would silently degrade toward the single-partition shape it
+    // replaces; the equi-DEPTH approx-percentile boundaries keep chunks
+    // ~balanced regardless of the distribution. p is 6 IEEE multiplies
+    // — bit-identical on both engines, so ranks compare exactly.
+    Query(
+      "q115_rank_skewed_axis",
+      (s, dir) => {
+        val pExpr = "((((((l_extendedprice*l_extendedprice)*l_extendedprice)" +
+          "*l_extendedprice)*l_extendedprice)*l_extendedprice)*l_extendedprice)"
+        val li0 = Tables.lineitem(s, dir)
+          .selectExpr("l_orderkey", "l_linenumber", s"$pExpr AS p")
+        val li = TadaFrame.ingest(li0)
+        Analytics.rankDense(li, "p", "p_rank")
+          .out.select("l_orderkey", "l_linenumber", "p_rank")
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""
+        SELECT l_orderkey, l_linenumber,
+               dense_rank() OVER (ORDER BY p ASC) AS p_rank
+        FROM (SELECT l_orderkey, l_linenumber,
+                     ((((((l_extendedprice*l_extendedprice)*l_extendedprice)
+                        *l_extendedprice)*l_extendedprice)*l_extendedprice)
+                        *l_extendedprice) AS p
+              FROM lineitem)
+        ORDER BY l_orderkey, l_linenumber
+      """)),
+
+    // §2.6 GROUPED RollingDuration with FEW keys (r19, r18 verdict item
+    // 6): 3 segments cap the keyed range window's parallelism at 3
+    // regardless of cluster size — the q14 buffer story on the window
+    // axis — so the dispatcher composes the time-bucket plan with the
+    // key (tag = (seg, bucket)) when the memoized key HLL is under the
+    // partition count. Exact decimal sums keep the replicated
+    // evaluation bit-identical to the keyed window oracle.
+    Query(
+      "q116_rolling_duration_grouped_chunked",
+      (s, dir) => {
+        val ev0 = Tables.events(s, dir)
+          .select(col("event_id"), col("ts"), col("value"),
+            (col("user_id") % 3).cast("int").as("seg"))
+        val ev = TadaFrame.ingest(ev0)
+        Rolling.rollingDuration(ev, "ts", 3600000000L, "value",
+            c => sum(dec(c)), "next_hour_value",
+            partitionBy = Seq("seg"), finish = _.cast("double"))
+          .out.select("event_id", "seg", "next_hour_value")
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT event_id, CAST(user_id % 3 AS INT) AS seg,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) OVER
+                 (PARTITION BY user_id % 3 ORDER BY epoch_us(ts)
+                  RANGE BETWEEN CURRENT ROW AND 3599999999 FOLLOWING) AS DOUBLE)
+               AS next_hour_value
+        FROM events
+        ORDER BY event_id
       """)))
 }

@@ -161,6 +161,49 @@ class BenchPolicySpec extends AnyFunSuite {
     CacheRegistry.releaseAll()
   }
 
+  test("the three vocabulary caps are ONE shared constant (r18 verdict item 5)") {
+    assert(graft.core.Prefix.VocabCap == 4096)
+    assert(graft.core.Analytics.ByValueMaxDistinct == graft.core.Prefix.VocabCap)
+    assert(graft.core.TadaGrouped.MedianVocabCap == graft.core.Prefix.VocabCap)
+  }
+
+  test("dispatch tags serialize as parseable JSON (r19, r18 verdict item 4)") {
+    assert(Bench.dispatchJson(Nil) == "{}")
+    assert(Bench.dispatchJson(Seq(
+      ("rankDense", "chunked"), ("rankDense", "chunked"), ("median", "byValue"))) ==
+      """{"median":"byValue","rankDense":"chunked"}""")
+  }
+
+  test("registered scale queries keep their dispatch forms (r19)") {
+    // a silent dispatch flip (an HLL estimate drifting across the
+    // vocabulary cap, new driver data) would change plan shape invisibly
+    // between rounds — pin the form each headline scale query takes.
+    // Plans are built (not executed) at sf0.001; dispatch decisions
+    // happen at construction.
+    val spark = TestSpark.spark
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/lineitem.parquet").exists(), s"$dir missing")
+    def formsOf(name: String): Map[String, String] = {
+      graft.core.Dispatch.drain()
+      graft.queries.Registry.all.find(_.name == name).get.build(spark, dir)
+      graft.core.Dispatch.drain().groupBy(_._1).map { case (op, fs) =>
+        op -> fs.map(_._2).distinct.sorted.mkString(",") }
+    }
+    assert(formsOf("q110_rank_dense_chunked").get("rankDense").contains("chunked"))
+    assert(formsOf("q111_percentile_chunked").get("percentile").exists(
+      f => f == "byValue" || f == "chunked")) // ~1.5k distinct at sf0.001, ~15k at sf0.01+
+    assert(formsOf("q112_grouped_median_by_value").get("median").contains("byValue"))
+    assert(formsOf("q113_rolling_duration_frame").get("rollingDuration").contains("chunked"))
+    assert(formsOf("q115_rank_skewed_axis").get("rankDense").contains("chunked"))
+    assert(formsOf("q116_rolling_duration_grouped_chunked")
+      .get("rollingDuration").contains("keyedChunked"))
+    // q114's near-unique-key grouping sits under the 32768 window bound
+    // at sf0.001 (~4.6k groups) and above it at sf0.01+ — the banded
+    // form itself is pinned in GroupOrderSpec; here pin that the
+    // dispatcher NOTES a form at all
+    assert(formsOf("q114_sorted_group_near_unique_key").contains("rankRep"))
+  }
+
   test("scratch directories (containment wave spill) are deleted at releaseAll (r16 ADVICE)") {
     val spark = TestSpark.spark
     import graft.core.CacheRegistry

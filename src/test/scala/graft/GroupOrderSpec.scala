@@ -219,6 +219,73 @@ class GroupOrderSpec extends AnyFunSuite {
       "sorted by-value median must keep the sorted-reduce group order")
   }
 
+  test("banded rankRep equals the window form: order, head, desc, strings, append bands (r19)") {
+    // the r18 audit's last data-shaped single-partition window: a SORTED
+    // frame grouped by a near-unique key ranked its #groups-row reduced
+    // output through one Window.orderBy. The banded path materializes
+    // the rep fields through Prefix.materializeOrd instead; the conf
+    // threshold forces it on fixture-sized group counts. The r17 Feistel
+    // lesson says the banded extension is where a first cut breaks — so
+    // the append/multi-band fixture is the load-bearing case here.
+    val sp = spark
+    def withThreshold[A](t: String)(body: => A): A = {
+      sp.conf.set("graft.rankRep.maxWindowGroups", t)
+      try body finally sp.conf.unset("graft.rankRep.maxWindowGroups")
+    }
+    val rows = (0 until 40).map(i => GRow(f"g${(i * 7) % 40}%03d", ((i * 13) % 23).toLong))
+    def checkBoth(mk: => TadaFrame): Unit = {
+      Dispatch.drain()
+      val banded = withThreshold("4")(mk)
+      assert(Dispatch.drain().contains(("rankRep", "banded")),
+        "threshold 4 over ~40 groups must dispatch the banded form")
+      val window = withThreshold("1000000000")(mk)
+      assert(banded.records() == window.records())
+      assert(banded.head(5).records() == window.head(5).records(),
+        "head after a banded reduce must select the same leading groups")
+      // the banded plan carries NO empty-partition window at all — not
+      // even the tiny-reduced-frame one the window form is allowed
+      val wins = banded.df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      assert(wins.isEmpty, s"banded rankRep still plans a global window:\n${wins.mkString("\n")}")
+    }
+    // numeric sort key, asc and desc; reduce and positional picks
+    val base = multi(rows, 4)
+    checkBoth(base.sort(Sorter("v"), Sorter("k")).groupBy("k").sum("v"))
+    checkBoth(base.sort(Sorter("v", descending = true), Sorter("k")).groupBy("k").first("v"))
+    // STRING first sort key (the binary-prefix image path on the rep axis)
+    checkBoth(base.sort(Sorter("k", descending = true)).groupBy("k").sum("v"))
+    // APPEND fixture: two bands, rep.o carries band bits in its high
+    // half — the within-chunk tiebreak must still walk band order
+    val app = multi(rows.take(20), 3).append(multi(rows.drop(20), 2))
+    checkBoth(app.sort(Sorter("v"), Sorter("k")).groupBy("k").sum("v"))
+    checkBoth(app.sort(Sorter("k")).groupBy("k").last("v"))
+    // and an append AFTER a banded reduce still lands strictly above
+    val red = withThreshold("4")(
+      multi(rows.take(20), 3).sort(Sorter("v"), Sorter("k")).groupBy("k").sum("v"))
+    val tail = multi(Seq(GRow("zzz", 99L)), 1)
+      .copy(labels = Seq("k")).renameCol("v", "sum_v")
+    val got = red.append(tail).records().tail.map(_.head)
+    assert(got.last == "zzz", "appended rows must follow every banded-ranked group")
+  }
+
+  test("grouped median -0.0 edge: by-value normalizes to +0.0 (documented exception)") {
+    // r18 ADVICE: the by-value plan's groupBy normalizes -0.0 to 0.0
+    // (NormalizeFloatingNumbers) while the Percentile agg buffers raw
+    // values and can return -0.0 — numerically equal (== and SQL =),
+    // different raw bits. Pin the by-value side of the contract.
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(KRow("z", -0.0), KRow("w", 1.5)), 2))
+    val f = TadaFrame.ingest(df)
+    val got = f.groupBy("k").median("v")
+    assert(got.df.queryExecution.analyzed.toString.contains("__mv_"),
+      "fixture must ride the by-value plan")
+    val z = got.df.filter(F.col("k") === "z").select("median_v").head().getDouble(0)
+    assert(z == 0.0 && z == -0.0) // numerically equal either way
+    assert(java.lang.Double.doubleToRawLongBits(z) == 0L,
+      "by-value median normalizes the lone -0.0 group to +0.0 — the documented edge")
+  }
+
   test("string sort key: grouped ordinal still correct via rep ranking") {
     // the CHUNKED ordinal fallback is for anchorOrder; grouped paths never
     // need a global pass even for string keys (partition-local window +
