@@ -260,11 +260,26 @@ object OrdProbe {
       // ~60% of rows landed in bucket 0; equi-depth boundaries keep the
       // chunked rank balanced. Read against xo7 (uniform axis, same
       // factor): a comparable number means the skew is absorbed.
-      if (on("xo10")) time(s"xo10_rank_skewed_${f}x", {
-        val fr = graft.core.TadaFrame.ingest(li.withColumn("p",
-          F.pow(F.col("l_extendedprice"), 7)))
-        graft.core.Analytics.rankDense(fr, "p", "rk").df
-      })
+      if (on("xo10")) {
+        time(s"xo10_rank_skewed_${f}x", {
+          val fr = graft.core.TadaFrame.ingest(li.withColumn("p",
+            F.pow(F.col("l_extendedprice"), 7)))
+          graft.core.Analytics.rankDense(fr, "p", "rk").df
+        })
+        // balance evidence: max-chunk share under the equi-depth
+        // boundaries (equi-width put ~60% of a ^7 axis in chunk 0)
+        try {
+          val fr = graft.core.TadaFrame.ingest(li.withColumn("p",
+            F.pow(F.col("l_extendedprice"), 7)))
+          graft.core.Analytics.valueChunkCounts(fr, "p").foreach { case (cc, k) =>
+            val top = cc.orderBy(F.desc("n")).limit(3).collect()
+              .map(r => s"c${r.get(0)}:${r.getLong(1)}").mkString(" ")
+            val tot = cc.agg(F.sum("n")).head().getLong(0)
+            println(s"[ordprobe] xo10_${f}x chunk balance: k=$k total=$tot top3=[$top]")
+          }
+        } catch { case e: Throwable =>
+          println(s"[ordprobe] xo10 balance FAILED: ${String.valueOf(e.getMessage).take(120)}") }
+      }
       // r19: banded rankRep (verdict item 1) — sorted frame grouped by a
       // NEAR-UNIQUE key. xo12 = the dispatcher (banded chunked ordinal
       // over the rep fields); xo12w = the single-partition reduced-output

@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.{Window, WindowSpec}
 import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.types._
@@ -146,6 +146,16 @@ object Analytics {
       }
     }
   }
+
+  /** PROBE SEAM: per-chunk row counts of `c`'s value axis — the balance
+    * evidence for the equi-depth boundaries (OrdProbe's skewed legs
+    * print the max-chunk share; a pathological share here is exactly
+    * the silent parallelism loss the quantile boundaries remove).
+    * Never used by an operator. */
+  private[graft] def valueChunkCounts(f: TadaFrame, c: String):
+      Option[(DataFrame, Int)] =
+    valueAxis(f, c).map(ax =>
+      (f.df.groupBy(ax.chunk.as("chunk")).agg(F.count(F.lit(1)).as("n")), ax.k))
 
   /** Dense rank ascending over values; ties share a rank; null in ⇒ null
     * out (internal.go:2302-2351). DISPATCHER (r18): low-cardinality
