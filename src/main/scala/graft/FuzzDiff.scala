@@ -73,6 +73,14 @@ object FuzzDiff {
 
     for (seed <- seeds) {
       val rng = new Random(seed)
+      // r19: half the seeds force the BANDED rankRep path (threshold 0 ⇒
+      // any sorted grouping's group ordinal rides Prefix.materializeOrd
+      // over the rep fields) — fuzz tables are far below the production
+      // 32768 gate, so without this the banded form would only ever see
+      // the hand-built GroupOrderSpec fixtures and q114, never a random
+      // sort/group/append composition against DuckDB.
+      spark.conf.set("graft.rankRep.maxWindowGroups",
+        if (rng.nextBoolean()) "0" else "32768")
       // k1 string shapes (r17, widened for the string sort-key image —
       // Prefix.stringImageExpr): single-char enums (injective image,
       // value-chunking), long shared-prefix values (the lcp-strip

@@ -133,7 +133,13 @@ object Analytics {
           val nb = qs.length // chunk ids 0..nb for finite values
           val bucket =
             if (nb == 0) F.lit(0L) // single-value/degenerate axis
-            else F.size(F.filter(F.lit(qs), b => b <= img)).cast(LongType)
+            else {
+              // O(log k) native binary search (BoundaryBucket) instead of
+              // the O(k) size(filter(...)) array scan — k follows the
+              // cluster's partition count, and this sits on every row
+              graft.exprs.GraftFunctions.register(f.df.sparkSession)
+              F.call_function("boundary_bucket", img, F.lit(qs))
+            }
           val nn = F.when(F.isnan(img) ||
               img === F.lit(Double.PositiveInfinity), F.lit(nb.toLong))
             .when(img === F.lit(Double.NegativeInfinity), F.lit(0L))

@@ -594,8 +594,11 @@ object Rolling {
             if (partCols.isEmpty) "chunked" else "keyedChunked")
           val TAG = "__rd_t"
           val OWN = "__rd_o"
-          val bucket = F.size(F.filter(F.lit(bounds), b => b <= usD))
-            .cast(LongType)
+          // O(log k) native binary search (BoundaryBucket) instead of the
+          // O(k) size(filter(...)) array scan — same hot-path argument as
+          // Analytics.valueAxis (ts micros are integral: no -0.0/NaN)
+          graft.exprs.GraftFunctions.register(f.df.sparkSession)
+          val bucket = F.call_function("boundary_bucket", usD, F.lit(bounds))
           val tagged = f.df.withColumn(OWN,
             F.when(usD.isNull, F.lit(nb + 1L)).otherwise(bucket))
           val own = tagged.withColumn(TAG, F.col(OWN))

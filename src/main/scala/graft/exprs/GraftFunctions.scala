@@ -27,6 +27,14 @@ object GraftFunctions {
     ("minhash_bands", "_FUNC_(shingles, k, bands) - LSH band keys",
       es => MinHashBands(es.head,
         es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])),
+    // boundaries arrive as a foldable array literal (driver-held
+    // quantiles), folded into the expression at build time so the
+    // binary-search array rides codegen as one reference object
+    ("boundary_bucket",
+      "_FUNC_(v, boundaries) - count of sorted distinct boundaries <= v",
+      es => BoundaryBucket(es.head, BoundaryBucket.prepare(
+        es(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toDoubleArray()).toSeq)),
     // Spark ships BloomFilterMightContain for its runtime-filter rewrite
     // but does not expose it in FunctionRegistry; registering it here
     // gives the dedup pipeline a codegen'd membership probe (the sketch
