@@ -137,6 +137,18 @@ object OrdProbe {
           .sort(graft.core.Sorter("l_extendedprice"), graft.core.Sorter("l_orderkey"))
         fr.dropCols("l_extendedprice").df
       })
+      // r19: HEAVY-TAILED first SORT key (price^7, ~14 decades) — the
+      // xo3b twin on a skewed axis. Under the pre-r19 equi-width sort
+      // chunking ~all rows landed in chunk 0 (the whole prefix family
+      // degraded to one chunk); the equi-depth boundaries keep the
+      // chunks balanced. Read against xo3b in the same window: a
+      // comparable number means the skew is absorbed.
+      if (on("xo13")) time(s"xo13_anchor_drop_skewed_${f}x", {
+        val fr = graft.core.TadaFrame.ingest(
+          li.withColumn("p", F.pow(F.col("l_extendedprice"), 7)))
+          .sort(graft.core.Sorter("p"), graft.core.Sorter("l_orderkey"))
+        fr.dropCols("p").df
+      })
       // STRING-key twins (r17 — before the string image, BOTH of these
       // fell to the single-partition global window, the one remaining
       // parallelism cliff; there is no honest pre-r17 number to compare

@@ -38,19 +38,22 @@ import org.apache.spark.sql.types._
   *     to scan order. Zero extra jobs, zero sampling, chunk count = the
   *     scan's natural parallelism.
   *   - '''Sorted frame''' with a numeric / date / timestamp / boolean
-  *     first key: width-bucket the first sort key between its min and max
-  *     (r16: one memoized bounds job per (plan, file state) per session —
-  *     [[Prefix.BoundsCache]] — injected as literals; the lazy
-  *     broadcast-crossJoin form survives only as the job-failure
-  *     fallback). Equal keys land in one chunk; the within-chunk window
-  *     orders by the FULL key so chunk granularity only needs
-  *     monotonicity. Value skew can unbalance chunks (documented) but
-  *     never breaks correctness. r16: a LOW-CARDINALITY first key (d
+  *     first key: bucket the first sort key on memoized EQUI-DEPTH
+  *     approx-percentile boundaries (r19 — chunk id = #boundaries ≤ v
+  *     via the O(log k) `boundary_bucket` expression; was equi-width
+  *     [min,max] spans, which a heavy-tailed key collapses into one
+  *     chunk). One memoized bounds job per (plan, file state) per
+  *     session — [[Prefix.BoundsCache]] — injected as literals; the
+  *     lazy width-bucket broadcast-crossJoin form survives only as the
+  *     job-failure fallback. Equal keys land in one chunk; the
+  *     within-chunk window orders by the FULL key so chunk granularity
+  *     only needs monotonicity. Quantile approximation error only
+  *     unbalances chunks, never breaks correctness. r16: a LOW-CARDINALITY first key (d
   *     distinct < chunk count — the equal-keys invariant would cap
   *     parallelism at d) switches to exact value-index chunks × a tie
   *     sub-band monotone in the tie's internal order
   *     ([[Prefix.lowCardChunk]]).
-  *   - '''Sorted frame, STRING first key''' (r17): width-bucket the
+  *   - '''Sorted frame, STRING first key''' (r17): bucket the
   *     lcp-stripped 6-byte binary-prefix image ([[Prefix.stringImageExpr]]
   *     — monotone in Spark's UTF8 byte order, mutation-guarded at the
   *     snapshot bounds). Before r17 string keys fell to the
@@ -430,19 +433,38 @@ object Prefix {
         F.when(keyD.isNull || mn.isNull, F.lit(k.toLong)).otherwise(
           if (f.order.head.descending) F.lit(k - 1L) - ascNonNull else ascNonNull)
       }
-      BoundsCache.stats(f.df.select(keyClean.as("__pfx_k"))) match {
-        case Some((mnV, mxV, dApprox)) =>
+      // r19: the SORT-key chunking gets the same equi-depth quantile
+      // boundaries as Analytics.valueAxis (r18 verdict item 2 closed the
+      // value/time axes; this is the remaining axis — the whole sorted-
+      // frame prefix family rides this chunking, and a heavy-tailed
+      // first sort key under width buckets lands ~all rows in one chunk,
+      // the exact single-partition shape the family exists to remove).
+      // chunk(v) = #boundaries ≤ v (BoundaryBucket, O(log k)): still a
+      // pure monotone function of the key value, equal keys share a
+      // chunk, boundaries memoized + injected as literals so both
+      // consumers of a chunked frame agree even on recompute.
+      BoundsCache.quantStats(f.df.select(keyClean.as("__pfx_k")), k) match {
+        case Some((mnV, _, dApprox, qs)) =>
           // r18: value-chunking joins the vocabulary on the RAW key
           // value (strings included), so it no longer needs an
           // injective image — lowCardChunk gates itself on the raw
           // cardinality and falls back here when over cap
           lowCardChunk(f, keyD, keyClean, k, fwd, dApprox).getOrElse {
-            // bounds as LITERALS (r15 verdict item 5): no broadcast-agg
-            // subtree in the plan at all, and repeated anchors/chunked
-            // ops on one frame pay the bounds scan once per session
-            def litOf(v: Option[Double]) =
-              v.map(d => F.lit(d)).getOrElse(F.lit(null).cast(DoubleType))
-            val asc = ascExpr(litOf(mnV), litOf(mxV))
+            val nb = qs.length // finite chunks 0..nb; null chunk nb+1
+            val bucket =
+              if (nb == 0) F.lit(0L) // single-value/degenerate axis
+              else {
+                graft.exprs.GraftFunctions.register(f.df.sparkSession)
+                F.call_function("boundary_bucket", keyD, F.lit(qs))
+              }
+            val ascNonNull = F.when(F.isnan(keyD) ||
+                keyD === F.lit(Double.PositiveInfinity), F.lit(nb.toLong))
+              .when(keyD === F.lit(Double.NegativeInfinity), F.lit(0L))
+              .otherwise(bucket)
+            val asc = if (mnV.isEmpty) F.lit(nb + 1L) // all-null key column
+              else F.when(keyD.isNull, F.lit(nb + 1L))
+                .otherwise(if (f.order.head.descending)
+                  F.lit(nb.toLong) - ascNonNull else ascNonNull)
             f.df.withColumn(CHUNK, if (fwd) asc else -asc)
           }
         case None =>

@@ -72,6 +72,30 @@ class BoundaryBucketSpec extends AnyFunSuite {
     }
   }
 
+  test("sorted-frame cumSum under a heavy-tailed SORT key equals the window form") {
+    // r19: Prefix.chunked now buckets the sort key on equi-depth
+    // boundaries — the whole prefix family must stay value-identical
+    // to the sequential form on a price^7-style axis (plus ties, nulls
+    // in the value column, and a descending run)
+    val rng = new scala.util.Random(43)
+    val rows = (1 to 3000).map { i =>
+      (i.toLong,
+        math.pow(rng.nextInt(90) + 10.0, 7) * (if (rng.nextBoolean()) 1 else -1),
+        if (rng.nextInt(10) == 0) None else Some(rng.nextInt(100).toLong))
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 8)).toDF("id", "k", "v")
+    for (desc <- Seq(false, true)) {
+      val fr = TadaFrame.ingest(df)
+        .sort(Sorter("k", descending = desc), Sorter("id"))
+      val a = Analytics.cumSum(fr, "v", "cs").out
+        .select("id", "cs").orderBy("id").collect().toSeq
+      val b = Analytics.cumSumWindow(fr, "v", "cs").out
+        .select("id", "cs").orderBy("id").collect().toSeq
+      assert(a === b, s"desc=$desc")
+    }
+  }
+
   test("chunked rank over a heavy-tailed axis still equals the window form") {
     // price^7-style skew: two decades of mass at the bottom, a long tail
     val rng = new scala.util.Random(7)
