@@ -565,23 +565,33 @@ object Prefix {
       else F.lit(values.map(_.asInstanceOf[Double]))
     val vType: DataType = if (isStr) StringType else DoubleType
     val sub = math.max(2, math.ceil(k.toDouble / d).toInt)
-    val (mn2, mx2, _) = BoundsCache
-      .stats(f.df.select(img2Clean.as("__pfx_k"))).getOrElse(return None)
-    // sub-band ∈ [0, sub): width bucket of img2 under its GLOBAL bounds;
-    // nulls sort last within the tie (both sort directions) → top band;
-    // NaN/+Inf top, −Inf bottom, flipped on the s2 axis' own direction
-    val subCol = (mn2, mx2) match {
-      case (Some(lo), Some(hi)) =>
-        val b = F.when(F.lit(hi) === F.lit(lo), F.lit(0L)).otherwise(
-          F.least(F.lit(sub - 1L), F.greatest(F.lit(0L),
-            F.floor((img2 - F.lit(lo)) / ((F.lit(hi) - F.lit(lo)) / sub)))))
-        val nn = F.when(F.isnan(img2) ||
-            img2 === F.lit(Double.PositiveInfinity), F.lit(sub - 1L))
-          .when(img2 === F.lit(Double.NegativeInfinity), F.lit(0L))
-          .otherwise(b)
-        F.when(img2.isNull, F.lit(sub - 1L)).otherwise(
-          if (desc2) F.lit(sub - 1L) - nn else nn)
-      case _ => F.lit(0L) // all-null sub axis: no split, still correct
+    // sub-band ∈ [0, sub): equi-depth quantile bands of img2 under its
+    // GLOBAL boundaries (r19 — was a width bucket of [mn2, mx2], which a
+    // skewed second key collapses: sort by (source, score^7) left every
+    // tie's rows in one band). Global boundaries stay monotone within
+    // each tie's internal order; `sub` remains the FIXED chunk
+    // multiplier (miss pin = rank·sub − 1, bigK = d·sub) — the realized
+    // band ids just occupy 0..nb2 ≤ sub−1 of it. Nulls sort last within
+    // the tie (both sort directions) → fixed top band sub−1 (≥ every
+    // finite band); NaN/+Inf top finite, −Inf bottom, flipped on the s2
+    // axis' own direction.
+    val qs2 = BoundsCache
+      .quantStats(f.df.select(img2Clean.as("__pfx_k")), sub)
+      .getOrElse(return None)._4
+    val nb2 = qs2.length // finite bands 0..nb2; nb2 <= sub - 1
+    val subCol = {
+      val b =
+        if (nb2 == 0) F.lit(0L) // degenerate/all-null sub axis
+        else {
+          graft.exprs.GraftFunctions.register(f.df.sparkSession)
+          F.call_function("boundary_bucket", img2, F.lit(qs2))
+        }
+      val nn = F.when(F.isnan(img2) ||
+          img2 === F.lit(Double.PositiveInfinity), F.lit(nb2.toLong))
+        .when(img2 === F.lit(Double.NegativeInfinity), F.lit(0L))
+        .otherwise(b)
+      F.when(img2.isNull, F.lit(sub - 1L)).otherwise(
+        if (desc2) F.lit(nb2.toLong) - nn else nn)
     }
     val spark = f.df.sparkSession
     // (value, index) vocabulary as a broadcast literal frame — built
