@@ -98,6 +98,12 @@ object Analytics {
     val imgRaw: Option[(Column, Option[Double])] = f.df.schema(c).dataType match {
       case _: NumericType | BooleanType => Some((v.cast(DoubleType), None))
       case TimestampType => Some((F.unix_micros(v).cast(DoubleType), None))
+      // r19: NTZ timestamps (zone-less parquet micros) get the same
+      // image — monotone under the pinned UTC session zone; without
+      // this, rank/percentile on an NTZ column silently kept the
+      // single-partition window form (the Prefix.bucketScaleOf story)
+      case TimestampNTZType =>
+        Some((F.unix_micros(v.cast(TimestampType)).cast(DoubleType), None))
       case DateType      => Some((F.unix_date(v).cast(DoubleType), None))
       case StringType =>
         Prefix.BoundsCache.stringBounds(f.df.select(v.as("__pfx_k"))).flatMap {

@@ -128,6 +128,15 @@ object Prefix {
     dt match {
       case _: NumericType | BooleanType => Some(c.cast(DoubleType))
       case TimestampType                => Some(F.unix_micros(c).cast(DoubleType))
+      // r19: parquet `timestamp[us]` WITHOUT a zone reads as NTZ (the
+      // driver's lineitem l_shipdate is one) — before this case, an NTZ
+      // first sort key silently dropped the WHOLE chunked prefix family
+      // to the single-partition fallback (found by the q114 dispatch tag
+      // reading "window" at sf0.1). The LTZ cast is value-preserving and
+      // strictly monotone under the engine's pinned UTC session zone
+      // (the same contract Tables.normalizeEventTs documents).
+      case TimestampNTZType =>
+        Some(F.unix_micros(c.cast(TimestampType)).cast(DoubleType))
       case DateType                     => Some(F.unix_date(c).cast(DoubleType))
       case StringType =>
         BoundsCache.stringBounds(f.df.select(c.as("__pfx_k"))).map {

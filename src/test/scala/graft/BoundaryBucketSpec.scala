@@ -96,6 +96,35 @@ class BoundaryBucketSpec extends AnyFunSuite {
     }
   }
 
+  test("NTZ timestamp sort key keeps the chunked plan (no global data window)") {
+    // r19: parquet timestamp[us] without a zone reads as TimestampNTZ —
+    // before the NTZ image in Prefix.bucketScaleOf / Analytics.valueAxis
+    // it silently dropped the whole prefix family (and the banded
+    // rankRep dispatch) to single-partition fallbacks; found live by
+    // q114's dispatch tag reading "window" at sf0.1
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val rng = new scala.util.Random(11)
+    val rows = (1 to 2000).map { i =>
+      (i.toLong, java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0)
+        .plusSeconds(rng.nextInt(86400 * 90)), rng.nextInt(50).toLong)
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 8)).toDF("id", "ts", "v")
+    assert(df.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    val fr = TadaFrame.ingest(df).sort(Sorter("ts"), Sorter("id"))
+    val cs = Analytics.cumSum(fr, "v", "cs")
+    val bad = cs.df.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty &&
+        w.collectFirst { case a: Aggregate => a }.isEmpty => w
+    }
+    assert(bad.isEmpty, "NTZ sort key fell back to a global window")
+    val a = cs.out.select("id", "cs").orderBy("id").collect().toSeq
+    val b = Analytics.cumSumWindow(fr, "v", "cs").out
+      .select("id", "cs").orderBy("id").collect().toSeq
+    assert(a === b)
+  }
+
   test("chunked rank over a heavy-tailed axis still equals the window form") {
     // price^7-style skew: two decades of mass at the bottom, a long tail
     val rng = new scala.util.Random(7)
