@@ -511,14 +511,21 @@ object Analytics {
         F.date_trunc("week", F.date_add(v, shiftDays)).cast(TimestampType) - F.expr(s"INTERVAL $shiftDays DAYS")
       case other => throw new IllegalArgumentException(s"resample by $other")
     }
-    f.withCol(out, e)
+    // NTZ in => NTZ out: date_trunc coerces NTZ through LTZ (wall-time-
+    // preserving under the pinned UTC zone); hand the caller back the
+    // input's zone flavor
+    f.withCol(out, if (f.df.schema(c).dataType == TimestampNTZType)
+      e.cast(TimestampNTZType) else e)
   }
 
   /** Resample by arbitrary duration: floor to a multiple of `micros`.
     * Pure integer arithmetic — epoch-micros exceed 2^53, so a double
     * division would round near bucket boundaries. */
   def resampleDuration(f: TadaFrame, c: String, micros: Long, out: String): TadaFrame = {
-    val us = F.unix_micros(f.df(c))
-    f.withCol(out, F.timestamp_micros(us - F.pmod(us, F.lit(micros))))
+    val dt = f.df.schema(c).dataType
+    val us = Prefix.tsMicros(f.df(c), dt)
+    val res = F.timestamp_micros(us - F.pmod(us, F.lit(micros)))
+    // NTZ in => NTZ out (wall-time-preserving under the pinned UTC zone)
+    f.withCol(out, if (dt == TimestampNTZType) res.cast(TimestampNTZType) else res)
   }
 }

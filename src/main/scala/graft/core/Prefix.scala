@@ -91,6 +91,19 @@ object Prefix {
     * sites answer the same question on different axes. */
   private[graft] val VocabCap = 4096
 
+  /** TimestampType view of a ts column of either zone flavor: NTZ casts
+    * through LTZ — value-preserving and order-preserving wall time under
+    * the engine's pinned UTC session zone (the `Tables.normalizeEventTs`
+    * contract). Spark's `unix_micros` has NO implicit NTZ cast (verified:
+    * DATATYPE_MISMATCH), so every epoch-math operator funnels through
+    * here rather than each repeating the cast. */
+  private[graft] def tsLtz(c: Column, dt: DataType): Column =
+    if (dt == TimestampNTZType) c.cast(TimestampType) else c
+
+  /** Epoch micros of a ts column of either zone flavor. */
+  private[graft] def tsMicros(c: Column, dt: DataType): Column =
+    F.unix_micros(tsLtz(c, dt))
+
   private[graft] val CHUNK = "__pfx_c"
   private val RNA = "__pfx_ra" // row_number ascending within chunk
   private val RND = "__pfx_rd" // row_number descending within chunk

@@ -524,7 +524,7 @@ object Rolling {
   private[graft] def rollingDurationKeyedWindow(f: TadaFrame, tsCol: String,
       micros: Long, valCol: String, agg: Column => Column, out: String,
       partitionBy: Seq[String], finish: Column => Column = identity): TadaFrame = {
-    val us = F.unix_micros(f.df(tsCol))
+    val us = Prefix.tsMicros(f.df(tsCol), f.df.schema(tsCol).dataType)
     val w = Window.partitionBy(partitionBy.map(f.df(_)): _*).orderBy(us)
       .rangeBetween(0, micros - 1)
     f.withCol(out, finish(agg(f.df(valCol)).over(w)))
@@ -536,7 +536,8 @@ object Rolling {
                                            micros: Long, valCol: String,
                                            agg: Column => Column, out: String,
                                            finish: Column => Column = identity): TadaFrame = {
-    val w = Window.orderBy(F.unix_micros(f.df(tsCol))).rangeBetween(0, micros - 1)
+    val w = Window.orderBy(Prefix.tsMicros(f.df(tsCol),
+      f.df.schema(tsCol).dataType)).rangeBetween(0, micros - 1)
     f.withCol(out, finish(agg(f.df(valCol)).over(w)))
   }
 
@@ -569,7 +570,8 @@ object Rolling {
                              finish: Column => Column = identity)(
       window: => TadaFrame): TadaFrame = {
     if (micros <= 0 || !Prefix.commutativeAgg(f, valCol, agg)) return window
-    val usD = F.unix_micros(f.df(tsCol)).cast(DoubleType)
+    val usD = Prefix.tsMicros(f.df(tsCol), f.df.schema(tsCol).dataType)
+      .cast(DoubleType)
     val kConf = f.df.sparkSession.conf
       .get("spark.sql.shuffle.partitions", "200").toInt.max(1)
     Prefix.BoundsCache.quantStats(f.df.select(usD.as("__pfx_k")), kConf) match {
@@ -610,7 +612,7 @@ object Rolling {
           val both = own.unionByName(prev)
           val w = Window
             .partitionBy(partCols.map(F.col) :+ F.col(TAG): _*)
-            .orderBy(F.unix_micros(F.col(tsCol)))
+            .orderBy(Prefix.tsMicros(F.col(tsCol), f.df.schema(tsCol).dataType))
             .rangeBetween(0, micros - 1)
           val res = both.withColumn(out, finish(agg(F.col(valCol)).over(w)))
             .filter(F.col(TAG) === F.col(OWN))

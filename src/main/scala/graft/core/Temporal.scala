@@ -88,8 +88,9 @@ object Temporal {
     val ord = (F.col(ts).asc +: tieBreak.map(F.col(_).asc))
     val w = Window.partitionBy(keys.map(F.col): _*).orderBy(ord: _*)
     val prev = F.lag(F.col(ts), 1).over(w)
+    val tsDt = df.schema(ts).dataType
     val brk = F.when(prev.isNull, 1)
-      .when(F.unix_micros(F.col(ts)) - F.unix_micros(prev) > gap, 1)
+      .when(Prefix.tsMicros(F.col(ts), tsDt) - Prefix.tsMicros(prev, tsDt) > gap, 1)
       .otherwise(0)
     df.withColumn("__brk", brk)
       .withColumn("session", F.sum("__brk").over(

@@ -26,6 +26,12 @@ object TadaFormat {
       regexp_replace(c.cast(StringType), "\\.0$", "")
     case TimestampType =>
       date_format(c, "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    // zone-less parquet timestamps read as NTZ; the reference has one
+    // time.Time kind and prints it RFC3339, so both flavors must
+    // stringify identically (date_format reads NTZ wall time directly —
+    // r19, verified no implicit-cast hazard)
+    case TimestampNTZType =>
+      date_format(c, "yyyy-MM-dd'T'HH:mm:ss'Z'")
     case ArrayType(_, _) =>
       // Go fmt.Sprint of a slice: space-joined in brackets; a ZERO-length
       // nested slice is null (setNullsFromInterface internal.go:1835-1926,
