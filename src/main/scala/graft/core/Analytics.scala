@@ -97,13 +97,11 @@ object Analytics {
     // under-report — strings only)
     val imgRaw: Option[(Column, Option[Double])] = f.df.schema(c).dataType match {
       case _: NumericType | BooleanType => Some((v.cast(DoubleType), None))
-      case TimestampType => Some((F.unix_micros(v).cast(DoubleType), None))
-      // r19: NTZ timestamps (zone-less parquet micros) get the same
-      // image — monotone under the pinned UTC session zone; without
-      // this, rank/percentile on an NTZ column silently kept the
-      // single-partition window form (the Prefix.bucketScaleOf story)
-      case TimestampNTZType =>
-        Some((F.unix_micros(v.cast(TimestampType)).cast(DoubleType), None))
+      // both zone flavors share the epoch image (r19: without the NTZ
+      // case, rank/percentile on a zone-less parquet timestamp silently
+      // kept the single-partition window form — Prefix.tsMicros story)
+      case dt @ (TimestampType | TimestampNTZType) =>
+        Some((Prefix.tsMicros(v, dt).cast(DoubleType), None))
       case DateType      => Some((F.unix_date(v).cast(DoubleType), None))
       case StringType =>
         Prefix.BoundsCache.stringBounds(f.df.select(v.as("__pfx_k"))).flatMap {
@@ -137,19 +135,9 @@ object Analytics {
       Prefix.BoundsCache.quantStats(f.df.select(clean.as("__pfx_k")), k).flatMap {
         case (Some(_), Some(_), d, qs) =>
           val nb = qs.length // chunk ids 0..nb for finite values
-          val bucket =
-            if (nb == 0) F.lit(0L) // single-value/degenerate axis
-            else {
-              // O(log k) native binary search (BoundaryBucket) instead of
-              // the O(k) size(filter(...)) array scan — k follows the
-              // cluster's partition count, and this sits on every row
-              graft.exprs.GraftFunctions.register(f.df.sparkSession)
-              F.call_function("boundary_bucket", img, F.lit(qs))
-            }
-          val nn = F.when(F.isnan(img) ||
-              img === F.lit(Double.PositiveInfinity), F.lit(nb.toLong))
-            .when(img === F.lit(Double.NegativeInfinity), F.lit(0L))
-            .otherwise(bucket)
+          // O(log k) binary-search chunk id with the standard NaN/±Inf
+          // pins — the shared Prefix.depthBucket definition
+          val nn = Prefix.depthBucket(f.df.sparkSession, img, qs)
           // null values get their own top chunk (nb+1) — they never join
           // the rank math (null in ⇒ null out) but must not share an id
           Some(ValueAxis(F.when(v.isNull, F.lit(nb + 1L)).otherwise(nn), nb + 1,

@@ -104,6 +104,28 @@ object Prefix {
   private[graft] def tsMicros(c: Column, dt: DataType): Column =
     F.unix_micros(tsLtz(c, dt))
 
+  /** Equi-depth chunk id of a DOUBLE image with the standard edge pins
+    * (ONE definition for the three pinning sites — Analytics.valueAxis,
+    * [[chunked]], [[lowCardChunk]]'s sub-band — so the edge semantics
+    * BoundaryBucketSpec guards cannot drift between them): finite v →
+    * #boundaries ≤ v via the O(log k) `boundary_bucket` expression;
+    * NaN/+Inf → top finite chunk `qs.length`; −Inf → 0. NULL handling
+    * stays at each caller (top chunk vs dedicated tag vs fixed band —
+    * genuinely site-specific). */
+  private[core] def depthBucket(spark: org.apache.spark.sql.SparkSession,
+                                img: Column, qs: Array[Double]): Column = {
+    val nb = qs.length
+    val b =
+      if (nb == 0) F.lit(0L) // single-value/degenerate axis
+      else {
+        graft.exprs.GraftFunctions.register(spark)
+        F.call_function("boundary_bucket", img, F.lit(qs))
+      }
+    F.when(F.isnan(img) || img === F.lit(Double.PositiveInfinity), F.lit(nb.toLong))
+      .when(img === F.lit(Double.NegativeInfinity), F.lit(0L))
+      .otherwise(b)
+  }
+
   private[graft] val CHUNK = "__pfx_c"
   private val RNA = "__pfx_ra" // row_number ascending within chunk
   private val RND = "__pfx_rd" // row_number descending within chunk
@@ -140,16 +162,14 @@ object Prefix {
     val dt = s.cast.getOrElse(f.df.schema(s.name).dataType)
     dt match {
       case _: NumericType | BooleanType => Some(c.cast(DoubleType))
-      case TimestampType                => Some(F.unix_micros(c).cast(DoubleType))
       // r19: parquet `timestamp[us]` WITHOUT a zone reads as NTZ (the
-      // driver's lineitem l_shipdate is one) — before this case, an NTZ
-      // first sort key silently dropped the WHOLE chunked prefix family
-      // to the single-partition fallback (found by the q114 dispatch tag
-      // reading "window" at sf0.1). The LTZ cast is value-preserving and
-      // strictly monotone under the engine's pinned UTC session zone
-      // (the same contract Tables.normalizeEventTs documents).
-      case TimestampNTZType =>
-        Some(F.unix_micros(c.cast(TimestampType)).cast(DoubleType))
+      // driver's lineitem l_shipdate is one) — before NTZ joined this
+      // case, an NTZ first sort key silently dropped the WHOLE chunked
+      // prefix family to the single-partition fallback (found by the
+      // q114 dispatch tag reading "window" at sf0.1). Both flavors share
+      // the [[tsMicros]] epoch image.
+      case dt @ (TimestampType | TimestampNTZType) =>
+        Some(tsMicros(c, dt).cast(DoubleType))
       case DateType                     => Some(F.unix_date(c).cast(DoubleType))
       case StringType =>
         BoundsCache.stringBounds(f.df.select(c.as("__pfx_k"))).map {
@@ -473,16 +493,7 @@ object Prefix {
           // cardinality and falls back here when over cap
           lowCardChunk(f, keyD, keyClean, k, fwd, dApprox).getOrElse {
             val nb = qs.length // finite chunks 0..nb; null chunk nb+1
-            val bucket =
-              if (nb == 0) F.lit(0L) // single-value/degenerate axis
-              else {
-                graft.exprs.GraftFunctions.register(f.df.sparkSession)
-                F.call_function("boundary_bucket", keyD, F.lit(qs))
-              }
-            val ascNonNull = F.when(F.isnan(keyD) ||
-                keyD === F.lit(Double.PositiveInfinity), F.lit(nb.toLong))
-              .when(keyD === F.lit(Double.NegativeInfinity), F.lit(0L))
-              .otherwise(bucket)
+            val ascNonNull = depthBucket(f.df.sparkSession, keyD, qs)
             val asc = if (mnV.isEmpty) F.lit(nb + 1L) // all-null key column
               else F.when(keyD.isNull, F.lit(nb + 1L))
                 .otherwise(if (f.order.head.descending)
@@ -602,16 +613,7 @@ object Prefix {
       .getOrElse(return None)._4
     val nb2 = qs2.length // finite bands 0..nb2; nb2 <= sub - 1
     val subCol = {
-      val b =
-        if (nb2 == 0) F.lit(0L) // degenerate/all-null sub axis
-        else {
-          graft.exprs.GraftFunctions.register(f.df.sparkSession)
-          F.call_function("boundary_bucket", img2, F.lit(qs2))
-        }
-      val nn = F.when(F.isnan(img2) ||
-          img2 === F.lit(Double.PositiveInfinity), F.lit(nb2.toLong))
-        .when(img2 === F.lit(Double.NegativeInfinity), F.lit(0L))
-        .otherwise(b)
+      val nn = depthBucket(f.df.sparkSession, img2, qs2)
       F.when(img2.isNull, F.lit(sub - 1L)).otherwise(
         if (desc2) F.lit(nb2.toLong) - nn else nn)
     }

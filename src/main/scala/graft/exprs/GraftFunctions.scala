@@ -32,9 +32,21 @@ object GraftFunctions {
     // binary-search array rides codegen as one reference object
     ("boundary_bucket",
       "_FUNC_(v, boundaries) - count of sorted distinct boundaries <= v",
-      es => BoundaryBucket(es.head, BoundaryBucket.prepare(
-        es(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-          .toDoubleArray()).toSeq)),
+      es => {
+        // the function is SQL-visible once registered: reject non-foldable
+        // / null / null-element boundaries with a clear message instead of
+        // an analysis-time NPE from eval().toDoubleArray()
+        def bad(why: String) = throw new IllegalArgumentException(
+          s"boundary_bucket: boundaries must be a foldable array<double> literal without nulls ($why)")
+        if (es.size != 2) bad(s"${es.size} arguments")
+        if (!es(1).foldable) bad("not foldable")
+        es(1).eval() match {
+          case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+            if ((0 until a.numElements()).exists(a.isNullAt)) bad("null element")
+            BoundaryBucket(es.head, BoundaryBucket.prepare(a.toDoubleArray()).toSeq)
+          case _ => bad("null or non-array")
+        }
+      }),
     // Spark ships BloomFilterMightContain for its runtime-filter rewrite
     // but does not expose it in FunctionRegistry; registering it here
     // gives the dedup pipeline a codegen'd membership probe (the sketch

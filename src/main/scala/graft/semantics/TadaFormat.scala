@@ -24,13 +24,10 @@ object TadaFormat {
     case DoubleType | FloatType =>
       // strip a trailing ".0" so 1.0 keys equal to integer/string "1"
       regexp_replace(c.cast(StringType), "\\.0$", "")
-    case TimestampType =>
-      date_format(c, "yyyy-MM-dd'T'HH:mm:ss'Z'")
-    // zone-less parquet timestamps read as NTZ; the reference has one
-    // time.Time kind and prints it RFC3339, so both flavors must
-    // stringify identically (date_format reads NTZ wall time directly —
-    // r19, verified no implicit-cast hazard)
-    case TimestampNTZType =>
+    // one body for both zone flavors: the reference has a single
+    // time.Time kind and prints it RFC3339 (zone-less parquet timestamps
+    // read as NTZ; date_format reads NTZ wall time directly — r19)
+    case TimestampType | TimestampNTZType =>
       date_format(c, "yyyy-MM-dd'T'HH:mm:ss'Z'")
     case ArrayType(_, _) =>
       // Go fmt.Sprint of a slice: space-joined in brackets; a ZERO-length
