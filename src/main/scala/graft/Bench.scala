@@ -211,6 +211,16 @@ object Bench {
   @volatile private var canarySec = -1.0
   @volatile private var sfDirSeen = ""
   @volatile private var loadStart = -1.0
+  // DRIFT SERIES (r20, r19 verdict item 3): one single-shot canary
+  // point every ~10 timed queries, (elapsed wall sec, canary sec).
+  // The r19 adjudication problem was structural: three same-binary
+  // runs climbed 106.6 → 116.4 → 124.9 s with ONE start-of-run canary
+  // each, so a co-tenant ramp INSIDE a run was invisible and a
+  // per-query cross-round ratio (q109's 1.59×) could not be separated
+  // from host drift by artifact alone. With the series, a cross-round
+  // comparison normalizes each query by the canary point nearest its
+  // run time instead of one number for the whole window.
+  private val canarySeries = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
 
   /** Expected-cost tier by name: 0 = sub-second relational, 1 = text
     * scans, 2 = dedup/ANN/LSH pipeline tail. Unknown names sort by tier
@@ -281,8 +291,10 @@ object Bench {
     // persists) must be visible in the artifact, not only in stdout —
     // 0 in a clean run, like leftover_cache_tags.
     val planKeyFails = graft.core.CacheRegistry.planKeyFailures
+    val cseries = canarySeries.toSeq
+      .map { case (t, s) => f"[$t%.0f,$s%.3f]" }.mkString("[", ",", "]")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${m(minTimes)},"first":${m(firstTimes)},"failed":$failed,"errors":$errs,"partial":$partial,"loaded":$loaded,"ext_load_at_min":$extm,"io_stall_at_min":$iom,"load_passes":$passes,"load_start":$loadStart,"load_end":$load1,"canary_sec":$canarySec,"forced":$forcedClaim,"force_method":"$ForceMethod","cache_leak":$cacheLeak,"leftover_cache_tags":${leftoverTags.map("\"" + _ + "\"").mkString("[", ",", "]")},"cache_bytes":$cacheBytes,"dispatch":$dispatch,"plan_key_failures":$planKeyFails,"sf":"$sfDirSeen"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${m(minTimes)},"first":${m(firstTimes)},"failed":$failed,"errors":$errs,"partial":$partial,"loaded":$loaded,"ext_load_at_min":$extm,"io_stall_at_min":$iom,"load_passes":$passes,"load_start":$loadStart,"load_end":$load1,"canary_sec":$canarySec,"canary_series":$cseries,"forced":$forcedClaim,"force_method":"$ForceMethod","cache_leak":$cacheLeak,"leftover_cache_tags":${leftoverTags.map("\"" + _ + "\"").mkString("[", ",", "]")},"cache_bytes":$cacheBytes,"dispatch":$dispatch,"plan_key_failures":$planKeyFails,"sf":"$sfDirSeen"}"""
     // The driver captures only the LAST ~2000 chars of output and
     // parses the JSON it finds there — the full artifact above is
     // 6-10 KB, so BENCH_r08/r09 both landed `parsed: null` and were
@@ -409,6 +421,9 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }.min
     }
+    // series anchor at window start (the min-of-3 — the cleanest
+    // host-speed estimate this window will produce)
+    if (canarySec > 0) canarySeries += ((elapsed, canarySec))
 
     // FORCE the query's OWN physical plan (r16 verdict item 1): the old
     // `count()` probe let Catalyst prune everything that cannot change
@@ -428,6 +443,23 @@ object Bench {
       case other => throw new IllegalStateException(
         s"unknown ForceMethod '$other' — update force() AND the artifact flag together")
     }
+
+    // The fixed host-speed probe, one shot (the startup canary keeps
+    // min-of-3; series points want the INSTANTANEOUS host speed, spikes
+    // included — that's the drift being recorded). ~0.4 s clean; the
+    // job-group watchdog bounds a stalled host; failures record nothing.
+    val canaryTick = new java.util.concurrent.atomic.AtomicLong
+    def maybeCanaryPoint(): Unit =
+      if (canaryTick.incrementAndGet() % 10 == 0 && elapsed < budgetSec * 0.95) {
+        val t0 = System.nanoTime()
+        val (_, ok) = withWatchdog("bench-canaryseg", sliceSec = 45.0) {
+          spark.range(50000000L)
+            .selectExpr("sum(cast(xxhash64(id) as decimal(38,0)))").collect()
+        }
+        if (ok) canarySeries.synchronized {
+          canarySeries += ((elapsed, (System.nanoTime() - t0) / 1e9))
+        } else errors.remove("canaryseg") // a cancelled probe is not a query failure
+      }
 
     // (seconds, ok, external cpu cores, io stall fraction during the run)
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
@@ -451,6 +483,7 @@ object Bench {
       // sweeps anything persisted outside it)
       graft.core.CacheRegistry.releaseAll()
       spark.catalog.clearCache()
+      maybeCanaryPoint()
       (dt, ok, externalCores(snap0, snap1), ioStallFraction(snap0, snap1, ncpu))
     }
 

@@ -70,6 +70,16 @@ object FuzzDiff {
     new java.io.File(outDir).mkdirs()
 
     val oracle = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // NTZ coverage accounting (r20, r19 verdict item 2): the r19 NTZ
+    // hole — every NTZ-sorted frame silently dropping to the
+    // single-partition window form — was invisible to 2,000 seeds
+    // because the corpus could not EXPRESS the type. Now half the seeds
+    // flip ts to TIMESTAMP_NTZ at ingest, and the sweep FAILS unless
+    // enough of them demonstrably reached a chunked/banded dispatch on
+    // the NTZ axis (prefix-op note with ts as first sort key, or a
+    // rollingDuration chunked note — its axis IS the ts column).
+    var ntzSeeds = 0
+    var ntzChunkedSeeds = 0
 
     for (seed <- seeds) {
       val rng = new Random(seed)
@@ -81,6 +91,16 @@ object FuzzDiff {
       // sort/group/append composition against DuckDB.
       spark.conf.set("graft.rankRep.maxWindowGroups",
         if (rng.nextBoolean()) "0" else "32768")
+      // r20: per-seed coin flip of the ts column's zone flavor. The
+      // parquet on disk stays LTZ (the DuckDB mirror is untouched —
+      // naive walls either way); the ENGINE ingests ts cast to NTZ, so
+      // every downstream op exercises the NTZ dispatch surface. Under
+      // the pinned UTC session zone the cast preserves wall time, so
+      // the generated SQL stays a valid oracle (fuzzcheck canonicalizes
+      // both flavors to naive UTC walls before hashing).
+      val ntzTs = rng.nextBoolean()
+      if (ntzTs) ntzSeeds += 1
+      var seedSawNtzChunk = false
       // k1 string shapes (r17, widened for the string sort-key image —
       // Prefix.stringImageExpr): single-char enums (injective image,
       // value-chunking), long shared-prefix values (the lcp-strip
@@ -110,9 +130,13 @@ object FuzzDiff {
       genRows(5 + rng.nextInt(36)).toDF("rid", "k1", "k2", "v1", "v2", "ts")
         .coalesce(1).write.mode("overwrite").parquet(s"$tablesDir/$ta.parquet")
 
-      def ingest(t: String): TadaFrame =
-        TadaFrame.ingest(spark.read.parquet(s"$tablesDir/$t.parquet").orderBy("rid"))
-          .dropCols("rid")
+      def ingest(t: String): TadaFrame = {
+        val raw = spark.read.parquet(s"$tablesDir/$t.parquet")
+        val flavored =
+          if (ntzTs) raw.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+          else raw
+        TadaFrame.ingest(flavored.orderBy("rid")).dropCols("rid")
+      }
 
       val baseTypes = Map("k1" -> 's', "k2" -> 'l', "v1" -> 'l', "v2" -> 'd', "ts" -> 't')
       var st = St(ingest(tm), s"SELECT rid, k1, k2, v1, v2, ts FROM $tm",
@@ -137,9 +161,16 @@ object FuzzDiff {
             Some(st.copy(
               fr = st.fr.filter(Map("k1" -> ((x: org.apache.spark.sql.Column) => x === F.expr(lit)))),
               sub = s"SELECT * FROM (${st.sub}) WHERE k1 IS NOT NULL AND k1 = $lit"))
-          case 2 => // sort, 1-2 keys
-            val ks = rng.shuffle(st.cols.toList).take(1 + rng.nextInt(2))
-              .map(c => (c, rng.nextBoolean()))
+          case 2 => // sort, 1-2 keys. r20: ~1/4 of sorts force ts FIRST
+            // (when present) — the first sort key is the chunk axis, and
+            // a ts-led sort is exactly the r19 NTZ-hole shape; unbiased
+            // picks made it ~3% of seeds, too sparse to own the type axis
+            val picked = rng.shuffle(st.cols.toList).take(1 + rng.nextInt(2))
+            val names =
+              if (st.cols.contains("ts") && rng.nextInt(4) == 0)
+                ("ts" :: picked.filterNot(_ == "ts")).take(2)
+              else picked
+            val ks = names.map(c => (c, rng.nextBoolean()))
             Some(st.copy(
               fr = st.fr.sort(ks.map { case (c, d) => Sorter(c, descending = d) }: _*),
               order = ks))
@@ -390,10 +421,14 @@ object FuzzDiff {
               val c = tss(rng.nextInt(tss.size))
               val day = 1 + rng.nextInt(88)
               val lit = f"TIMESTAMP '2024-${1 + day / 31}%02d-${1 + day % 31 % 28}%02d 12:00:00'"
+              // NTZ seeds compare NTZ-vs-NTZ (same UTC wall) — no
+              // reliance on Spark's cross-flavor comparison coercion;
+              // the DuckDB mirror keeps the plain literal either way
+              val engLit = if (ntzTs) lit.replaceFirst("TIMESTAMP", "TIMESTAMP_NTZ") else lit
               val gt = rng.nextBoolean()
               Some(st.copy(
                 fr = st.fr.filter(Map(c -> ((x: org.apache.spark.sql.Column) =>
-                  if (gt) x > F.expr(lit) else x <= F.expr(lit)))),
+                  if (gt) x > F.expr(engLit) else x <= F.expr(engLit)))),
                 sub = s"SELECT * FROM (${st.sub}) WHERE $c IS NOT NULL AND $c ${if (gt) ">" else "<="} $lit"))
             }
           case 17 => // resample (date_trunc, incl. arbitrary week start)
@@ -665,10 +700,23 @@ object FuzzDiff {
       val nOps = 2 + rng.nextInt(4)
       var applied = 0
       var tries = 0
+      Dispatch.drain() // attribute notes to this seed's steps only
       while (applied < nOps && tries < 40) {
-        step().foreach { s2 => st = s2; applied += 1 }
+        val preOrder = st.order
+        step().foreach { s2 =>
+          st = s2; applied += 1
+          val forms = Dispatch.drain()
+          // an NTZ chunk axis was really exercised when a PREFIX op
+          // chunked while ts led the sort spec (the chunk axis is the
+          // first sort key), or rollingDuration chunked (its axis is ts)
+          if (ntzTs && forms.exists { case (op, form) =>
+            form.contains("hunked") &&
+              (op == "rollingDuration" || preOrder.headOption.exists(_._1 == "ts"))
+          }) seedSawNtzChunk = true
+        }
         tries += 1
       }
+      if (seedSawNtzChunk) ntzChunkedSeeds += 1
 
       val name = f"f$seed%04d"
       st.fr.out.repartition(1).write.mode("overwrite").parquet(s"$outDir/$name")
@@ -692,7 +740,12 @@ object FuzzDiff {
     val log = new String(p.getInputStream.readAllBytes())
     val exit = p.waitFor()
     print(log)
-    (exit, seeds.size)
+    // sweep-level NTZ engagement gate: on a big sweep, zero NTZ seeds
+    // reaching a chunked dispatch means the type axis regressed to the
+    // r19 silent-fallback shape — fail even if every hash matched
+    println(s"[fuzz] ntz seeds=$ntzSeeds chunk-dispatched=$ntzChunkedSeeds")
+    if (exit == 0 && ntzSeeds >= 30 && ntzChunkedSeeds == 0) (2, seeds.size)
+    else (exit, seeds.size)
   }
 
   def main(args: Array[String]): Unit = {

@@ -303,6 +303,24 @@ object OrdProbe {
           .sort(graft.core.Sorter("l_extendedprice"), graft.core.Sorter("l_orderkey"))
         fr.groupBy("l_orderkey").reduceWith(Seq("s" -> F.sum(F.col("l_quantity")))).df
       })
+      // r20 (r19 verdict item 5): grouped ROWS-frame ops under FEW keys
+      // (4) — grouped rollingN and align-mode grouped cumsum both ride
+      // Window.partitionBy(keys), so parallelism = #keys (the xo9gw
+      // shape on the rows axis). These legs measure whether the 4-task
+      // sort amplification actually cliffs at the third decade — the
+      // composed-(key, chunk) escape is only worth building if it does.
+      if (on("xo14")) time(s"xo14_rollingn_grouped_${f}x", {
+        val fr = graft.core.TadaFrame.ingest(
+          li.withColumn("g", (F.col("l_orderkey") % 4).cast("int")))
+        graft.core.Rolling.rollingN(fr, 4, "l_quantity", x => F.sum(x), "r",
+          partitionBy = Seq("g")).df
+      })
+      if (on("xo14c")) time(s"xo14c_cumsum_grouped_${f}x", {
+        val fr = graft.core.TadaFrame.ingest(
+          li.withColumn("g", (F.col("l_orderkey") % 4).cast("int")))
+        graft.core.Analytics.cumSum(fr, "l_quantity", "cs",
+          partitionBy = Seq("g")).df
+      })
       if (on("xo12w") && f == 1) time(s"xo12w_rankrep_window_${f}x", {
         spark.conf.set("graft.rankRep.maxWindowGroups", "1000000000")
         try {

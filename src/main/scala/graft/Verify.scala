@@ -35,15 +35,31 @@ object Verify {
     val pool = Executors.newFixedThreadPool(4)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val work = SparkEntry.queries.toSeq.sortBy(_._1).filter(kv => only(kv._1))
+    // Per-query dispatch-form tags at THIS SF (r20, r19 verdict item 4):
+    // the cardinality-gated dispatchers decide at CONSTRUCTION time, so
+    // a global drain around fn() attributes correctly — but only if
+    // constructions never interleave. buildLock serializes construction
+    // (cheap: memoized bounds jobs); execution stays 4-way concurrent.
+    // Shipped as dispatch.json next to oracle_sql.json so a dispatch
+    // flip at oracle scale is an artifact diff, not a bench spelunk.
+    val dispatchByQuery = scala.collection.concurrent.TrieMap.empty[String, String]
+    val buildLock = new Object
     val futures = work.map { case (name, fn) =>
       name -> Future {
         spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
-        // repartition(1), NOT coalesce(1): coalesce narrows the WHOLE
-        // upstream pipeline to one task; repartition shuffles only the
-        // (small) final result into a single output file
-        try fn(spark, sfDir).repartition(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        finally spark.sparkContext.clearJobGroup()
+        try {
+          val df = buildLock.synchronized {
+            graft.core.Dispatch.drain()
+            val d = fn(spark, sfDir)
+            val forms = graft.core.Dispatch.drain()
+            if (forms.nonEmpty) dispatchByQuery(name) = Bench.dispatchJson(forms)
+            d
+          }
+          // repartition(1), NOT coalesce(1): coalesce narrows the WHOLE
+          // upstream pipeline to one task; repartition shuffles only the
+          // (small) final result into a single output file
+          df.repartition(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } finally spark.sparkContext.clearJobGroup()
       }
     }
     futures.foreach { case (name, f) =>
@@ -73,6 +89,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // values are Bench.dispatchJson object fragments — embedded verbatim
+    val dj = dispatchByQuery.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}: $v" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/dispatch.json"), dj)
     spark.stop()
   }
 }

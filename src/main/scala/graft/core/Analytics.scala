@@ -42,9 +42,18 @@ object Analytics {
              partitionBy: Seq[String] = Nil): TadaFrame =
     if (partitionBy.isEmpty) Prefix.cumSum(f, c, out)(cumSumWindow(f, c, out))
     else {
-      val w = win(f, partitionBy).rowsBetween(Window.unboundedPreceding, 0)
-      val zero = F.lit(0).cast(f.df.schema(c).dataType)
-      f.withCol(out, F.sum(F.coalesce(f.df(c), zero)).over(w))
+      // keyed dispatch (r20, r19 verdict item 5): the keyed window
+      // parallelizes by key — right at high key cardinality, a
+      // #keys-task cap for few-key groupings (the xo14 probe shape) —
+      // so few keys compose with the chunked prefix (key, chunk) plan
+      def keyed: TadaFrame = {
+        val w = win(f, partitionBy).rowsBetween(Window.unboundedPreceding, 0)
+        val zero = F.lit(0).cast(f.df.schema(c).dataType)
+        f.withCol(out, F.sum(F.coalesce(f.df(c), zero)).over(w))
+      }
+      if (Prefix.fewKeys(f, partitionBy))
+        Prefix.cumSum(f, c, out, partitionBy)(keyed)
+      else { Dispatch.note("cumSum", "keyedWindow"); keyed }
     }
 
   /** Sequential whole-frame CumSum — the reference's exact evaluation
@@ -63,7 +72,14 @@ object Analytics {
   def shift(f: TadaFrame, c: String, n: Int, out: String,
             partitionBy: Seq[String] = Nil): TadaFrame =
     if (partitionBy.isEmpty) Prefix.shift(f, c, n, out)(shiftWindow(f, c, n, out))
-    else f.withCol(out, F.lag(f.df(c), n).over(win(f, partitionBy)))
+    else {
+      // keyed dispatch — same few-keys composition as cumSum (r20)
+      def keyed: TadaFrame =
+        f.withCol(out, F.lag(f.df(c), n).over(win(f, partitionBy)))
+      if (Prefix.fewKeys(f, partitionBy))
+        Prefix.shift(f, c, n, out, partitionBy)(keyed)
+      else { Dispatch.note("shift", "keyedWindow"); keyed }
+    }
 
   /** Sequential whole-frame Shift — single global window; semantic oracle
     * for [[Prefix.shift]] and the no-chunking fallback. */

@@ -411,9 +411,15 @@ object Prefix {
               F.lit(fracs.toArray), F.lit(10000))).head()
           val mn = if (r.isNullAt(0)) None else Some(r.getDouble(0))
           val mx = if (r.isNullAt(1)) None else Some(r.getDouble(1))
+          // canonicalized through BoundaryBucket.prepare (ADVICE r19):
+          // boxed Array.distinct can keep a −0.0/0.0 pair that prepare
+          // would later merge inside the expression, leaving qs.length
+          // an over-count of the realized finite chunk ids — prepare
+          // here (sorted, −0.0-normalized, deduped under Double.compare)
+          // so the callers' `nb = qs.length` IS the prepared length
           val qs: Array[Double] =
             if (r.isNullAt(3) || mn.isEmpty || mx.isEmpty) Array.empty
-            else r.getSeq[Double](3).toArray.distinct.sorted
+            else graft.exprs.BoundaryBucket.prepare(r.getSeq[Double](3).toArray)
               .filter(b => b > mn.get && b < mx.get)
           val v = (mn, mx, r.getLong(2).toDouble, qs)
           qcache.put(k, v)
@@ -646,6 +652,15 @@ object Prefix {
     // successor-value chunk, always below the null chunk bigK, and
     // sub-band-free — the within-chunk window re-sorts by the full
     // key. O(d) per MISSING row only — the when() short-circuits.
+    // This is deliberately NOT boundary_bucket (the one remaining O(d)
+    // filter form; r19 verdict item 7): the vocabulary axis is the RAW
+    // key value, which for string keys is a string array —
+    // boundary_bucket is double-only by design (its binary search and
+    // −0.0/NaN pinning are IEEE semantics), and splitting the miss pin
+    // into a numeric boundary_bucket half and a string filter half
+    // would be two forms for one cold contract. The form only runs on
+    // rows a mutating non-snapshot source added after the vocabulary
+    // job — never on the hot path.
     val missRank = F.size(F.filter(vocabLit, v => v < vocabCol)).cast(LongType)
     val missFi = if (s1.descending) F.lit(d.toLong) - missRank else missRank
     val missChunk = F.greatest(F.lit(0L), missFi * sub - 1L)
@@ -731,33 +746,105 @@ object Prefix {
   private def canChunk(f: TadaFrame): Boolean =
     f.order.isEmpty || bucketScale(f).isDefined
 
-  def cumSum(f: TadaFrame, c: String, out: String)(
+  /** Every whole-frame prefix op notes its realized form (r20, r19
+    * verdict item 2): the r19 NTZ hole was THIS family silently taking
+    * the single-partition window fallback — rank/rollingDuration noted
+    * their dispatch, cumsum/shift/fill/rollingN didn't, so only a bench
+    * tag diff (not the fuzz sweep) could see the cliff. With the note,
+    * FuzzDiff asserts sweep-wide that NTZ-sorted seeds actually reach
+    * the chunked form, and Bench/Verify artifacts carry the family.
+    * Keyed (grouped) forms tag `keyedChunked`/`keyedWindow`, matching
+    * Rolling.rollingDuration's vocabulary. */
+  private def noteForm(op: String, keys: Seq[String], chunked: Boolean): Unit =
+    Dispatch.note(op, (keys.isEmpty, chunked) match {
+      case (true, true)   => "chunked"
+      case (true, false)  => "window"
+      case (false, true)  => "keyedChunked"
+      case (false, false) => "keyedWindow"
+    })
+
+  /** True when the grouped form's key tuple has (approximately) fewer
+    * distinct values than the configured partition count — the keyed
+    * window's parallelism cap binds (3 segments = 3 tasks no matter the
+    * cluster width), so the composed (key, chunk) plan wins (r20, r19
+    * verdict item 5; the same memoized-HLL gate as
+    * Rolling.rollingDuration's keyed dispatch, r19). */
+  private[core] def fewKeys(f: TadaFrame, keys: Seq[String]): Boolean = {
+    val kConf = f.df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt.max(1)
+    BoundsCache.approxDistinct(
+      f.df.select(F.struct(keys.map(f.df(_)): _*).as("__pfx_k")))
+      .exists(_ < kConf)
+  }
+
+  /** Per-(key, chunk) carry window: the tiny frame's cells walk each
+    * key's own non-empty chunks in chunk order — every cell holds ≥ 1
+    * row of its key, so "m cells back" covers "m rows back" per key,
+    * the same bounded-carry argument as the keyless form. */
+  private def carryWindow(keys: Seq[String]) =
+    if (keys.isEmpty) Window.orderBy(F.col(CHUNK))
+    else Window.partitionBy(keys.map(F.col): _*).orderBy(F.col(CHUNK))
+
+  /** Left-join the per-(key, chunk) carry frame back onto the row side
+    * NULL-SAFELY on the key columns: `Window.partitionBy` groups null
+    * keys into ONE partition (and the reference groups null keys like
+    * any other — options.go's `(null)` key), so the null-key group's
+    * carry must reach its rows — a plain equi-join silently drops it
+    * and the null-key group would lose every cross-chunk carry. Tiny's
+    * join columns are renamed first so name resolution never collides
+    * (tiny derives from the same lineage). Keyless callers keep the
+    * using-columns join. */
+  private def joinCarry(big: DataFrame, tiny: DataFrame,
+                        keys: Seq[String]): DataFrame =
+    if (keys.isEmpty) big.join(F.broadcast(tiny), Seq(CHUNK), "left")
+    else {
+      val renames = keys.zipWithIndex.map { case (k, i) => k -> s"__pfx_j$i" }
+      val t2 = renames.foldLeft(tiny) { case (d, (k, j)) => d.withColumnRenamed(k, j) }
+        .withColumnRenamed(CHUNK, "__pfx_jc")
+      val cond = (renames.map { case (k, j) => big(k) <=> t2(j) } :+
+        (big(CHUNK) === t2("__pfx_jc"))).reduce(_ && _)
+      big.join(F.broadcast(t2), cond, "left")
+        .drop("__pfx_jc" +: renames.map(_._2): _*)
+    }
+
+  /** `keys` (r20, r19 verdict item 5): the GROUPED form composed with
+    * the chunking — every window/carry structure gains the key columns
+    * (windows partition by (keys, chunk); the tiny carry frame groups by
+    * (keys, chunk) and chains carries per key over chunk order; the
+    * carry joins back null-safely). Engaged by the callers' [[fewKeys]]
+    * gate: with d keys the plain keyed window runs d tasks regardless of
+    * cluster width, while the composed plan keeps the chunk axis's full
+    * parallelism and a tiny frame of ≤ d·#chunks cells. */
+  def cumSum(f: TadaFrame, c: String, out: String, keys: Seq[String] = Nil)(
       window: => TadaFrame): TadaFrame =
     // overwriting an order key: anchor the order first (chunked, r14) and
     // re-enter on the anchored frame — its banded ordinal feeds the
     // ingest-order chunking, so values AND ordinal stay distributed;
     // non-bucketable keys keep the pre-r14 anchoring window form
     if (f.order.exists(_.name == out))
-      if (canChunk(f)) cumSum(f.anchored, c, out)(window) else window
+      if (canChunk(f)) cumSum(f.anchored, c, out, keys)(window)
+      else { noteForm("cumSum", keys, chunked = false); window }
     else chunked(f, fwd = true) match {
-      case None => window
+      case None => noteForm("cumSum", keys, chunked = false); window
       case Some(ch) =>
+        noteForm("cumSum", keys, chunked = true)
+        val cell = keys.map(F.col) :+ F.col(CHUNK)
         val zero = F.lit(0).cast(f.df.schema(c).dataType)
         val v = F.coalesce(F.col(c), zero)
         // widened type of the sequential window's Sum — cast the combined
         // result to it so the two plans are schema-identical
         val sumDt = f.df.select(F.sum(v).as("__t")).schema.head.dataType
-        val wIn = Window.partitionBy(F.col(CHUNK)).orderBy(orderBy(f, fwd = true): _*)
+        val wIn = Window.partitionBy(cell: _*).orderBy(orderBy(f, fwd = true): _*)
           .rowsBetween(Window.unboundedPreceding, 0)
         val within = ch.withColumn(out, F.sum(v).over(wIn))
         // per-chunk totals MUST come from ch (pre-overwrite): when out == c,
         // `within` has replaced c with the running sum and `v` would
         // re-resolve against it, aggregating prefix sums instead of values
-        val offs = ch.groupBy(F.col(CHUNK)).agg(F.sum(v).as("__pfx_t"))
+        val offs = ch.groupBy(cell: _*).agg(F.sum(v).as("__pfx_t"))
           .withColumn("__pfx_off", F.sum(F.col("__pfx_t")).over(
-            Window.orderBy(F.col(CHUNK)).rowsBetween(Window.unboundedPreceding, -1)))
-          .select(F.col(CHUNK), F.col("__pfx_off"))
-        val joined = within.join(F.broadcast(offs), Seq(CHUNK), "left")
+            carryWindow(keys).rowsBetween(Window.unboundedPreceding, -1)))
+          .select(cell :+ F.col("__pfx_off"): _*)
+        val joined = joinCarry(within, offs, keys)
           .withColumn(out,
             (F.col(out) + F.coalesce(F.col("__pfx_off"), F.lit(0))).cast(sumDt))
         finish(f, joined, out)
@@ -769,45 +856,51 @@ object Prefix {
     * start, assembled from the ≤|n| previous chunks' |n|-row tails on the
     * tiny per-chunk frame (each chunk holds ≥1 row, so |n| chunks back
     * always covers |n| rows back). */
-  def shift(f: TadaFrame, c: String, n: Int, out: String)(
+  def shift(f: TadaFrame, c: String, n: Int, out: String,
+            keys: Seq[String] = Nil)(
       window: => TadaFrame): TadaFrame =
     if (n == 0) f.withCol(out, f.df(c))
     else if (f.order.exists(_.name == out))
-      if (canChunk(f)) shift(f.anchored, c, n, out)(window) else window
+      if (canChunk(f)) shift(f.anchored, c, n, out, keys)(window)
+      else { noteForm("shift", keys, chunked = false); window }
     else chunked(f, fwd = n > 0) match {
-      case None => window
+      case None => noteForm("shift", keys, chunked = false); window
       case Some(ch) =>
+        noteForm("shift", keys, chunked = true)
+        val cell = keys.map(F.col) :+ F.col(CHUNK)
         val m = math.abs(n)
         // effective order: mirror order for lead, so the core is always
         // "m rows back in effective order"
         val eff = orderBy(f, fwd = n > 0)
         val rev = orderBy(f, fwd = n <= 0)
-        val wEff = Window.partitionBy(F.col(CHUNK)).orderBy(eff: _*)
-        val wRev = Window.partitionBy(F.col(CHUNK)).orderBy(rev: _*)
+        val wEff = Window.partitionBy(cell: _*).orderBy(eff: _*)
+        val wRev = Window.partitionBy(cell: _*).orderBy(rev: _*)
         val within = ch
           .withColumn(RNA, F.row_number().over(wEff))
           .withColumn(RND, F.row_number().over(wRev))
           .withColumn("__pfx_lag", F.lag(F.col(c), m).over(wEff))
-        // per-chunk tail: the last m rows in effective order, oldest first
-        // (structs keep null values that collect_list would drop)
+        // per-(key, chunk) tail: the last m rows in effective order,
+        // oldest first (structs keep null values collect_list would drop)
         val tails = within.filter(F.col(RND) <= m)
-          .groupBy(F.col(CHUNK))
+          .groupBy(cell: _*)
           .agg(F.reverse(F.sort_array(F.collect_list(
             F.struct(F.col(RND).as("r"), F.col(c).as("v"))))).as("__pfx_tail"))
-        // carry(i) = last m effective-order rows before chunk i's head —
-        // within the previous m chunk tails (bounded frame: never the
-        // O(#chunks²) flatten of an unbounded running concat)
+        // carry(i) = last m effective-order rows of THIS KEY before chunk
+        // i's head — within the key's previous m cells (each holds ≥ 1
+        // row of the key, so m cells back always covers m rows back;
+        // bounded frame: never the O(#chunks²) flatten of an unbounded
+        // running concat)
         val carries = tails
           .withColumn("__pfx_call", F.flatten(F.collect_list(F.col("__pfx_tail")).over(
-            Window.orderBy(F.col(CHUNK)).rowsBetween(-m, -1))))
+            carryWindow(keys).rowsBetween(-m, -1))))
           .withColumn("__pfx_carry",
             F.when(F.size(F.col("__pfx_call")) <= m, F.col("__pfx_call"))
               .otherwise(F.slice(F.col("__pfx_call"), -m, m)))
-          .select(F.col(CHUNK), F.col("__pfx_carry"))
+          .select(cell :+ F.col("__pfx_carry"): _*)
         // row r (1-based, effective order) reaching past the chunk head
         // reads carry[L − m + r] (1-based; < 1 ⇒ frame edge ⇒ null)
         val idx = F.size(F.col("__pfx_carry")) - m + F.col(RNA)
-        val joined = within.join(F.broadcast(carries), Seq(CHUNK), "left")
+        val joined = joinCarry(within, carries, keys)
           .withColumn(out,
             F.when(F.col(RNA) > m, F.col("__pfx_lag"))
               .otherwise(F.when(idx >= 1,
@@ -873,50 +966,57 @@ object Prefix {
     * float addition (same class as chunked cumsum; integral types
     * exact). */
   def rollingN(f: TadaFrame, n: Int, c: String, agg: Column => Column,
-               out: String, fin: Column => Column)(
+               out: String, fin: Column => Column,
+               keys: Seq[String] = Nil)(
       window: => TadaFrame): TadaFrame =
     if (f.order.exists(_.name == out))
-      if (canChunk(f)) rollingN(f.anchored, n, c, agg, out, fin)(window) else window
-    else if (n > maxRollingN(f) || !commutativeAgg(f, c, agg)) window
-    else chunked(f, fwd = true) match {
-      case None => window
+      if (canChunk(f)) rollingN(f.anchored, n, c, agg, out, fin, keys)(window)
+      else { noteForm("rollingN", keys, chunked = false); window }
+    else if (n > maxRollingN(f) || !commutativeAgg(f, c, agg)) {
+      noteForm("rollingN", keys, chunked = false); window
+    } else chunked(f, fwd = true) match {
+      case None => noteForm("rollingN", keys, chunked = false); window
       case Some(ch) =>
+        noteForm("rollingN", keys, chunked = true)
+        val cell = keys.map(F.col) :+ F.col(CHUNK)
         val m = n - 1
         val eff = orderBy(f, fwd = true)
         val rev = orderBy(f, fwd = false)
-        val wEff = Window.partitionBy(F.col(CHUNK)).orderBy(eff: _*)
+        val wEff = Window.partitionBy(cell: _*).orderBy(eff: _*)
         val wFrame = wEff.rowsBetween(0, m)
         val base = ch
           .withColumn(RNA, F.row_number().over(wEff))
           .withColumn(RND, F.row_number().over(
-            Window.partitionBy(F.col(CHUNK)).orderBy(rev: _*)))
+            Window.partitionBy(cell: _*).orderBy(rev: _*)))
         if (m == 0) {
           // [0, 0] frame: every window is the row itself — map-shaped
           finish(f, base.withColumn(out, fin(agg(F.col(c)).over(wFrame))), out)
         } else {
-          // first m frame-order rows of each chunk, values in order
+          // first m frame-order rows of each (key, chunk) cell, in order
           val heads = base.filter(F.col(RNA) <= m)
-            .groupBy(F.col(CHUNK))
+            .groupBy(cell: _*)
             .agg(F.sort_array(F.collect_list(
               F.struct(F.col(RNA).as("r"), F.col(c).as("v")))).as("__pfx_head"))
-          // carry(i) = first m frame-order rows AFTER chunk i — from the
-          // next ≤ m chunk rows of the tiny frame (each chunk holds ≥ 1
-          // row, so m chunks forward always covers m rows forward)
+          // carry(i) = first m frame-order rows of THIS KEY after chunk
+          // i — from the key's next ≤ m cells of the tiny frame (each
+          // cell holds ≥ 1 row of the key, so m cells forward always
+          // covers m rows forward)
           val carries = heads
             .withColumn("__pfx_call", F.flatten(F.collect_list(F.col("__pfx_head")).over(
-              Window.orderBy(F.col(CHUNK)).rowsBetween(1, m))))
+              carryWindow(keys).rowsBetween(1, m))))
             .withColumn("__pfx_carry", F.slice(F.col("__pfx_call"), 1, m))
-            .select(F.col(CHUNK), F.col("__pfx_carry"))
-          // tail rows: in-chunk remainder (themselves + their in-chunk
+            .select(cell :+ F.col("__pfx_carry"): _*)
+          // tail rows: in-cell remainder (themselves + their in-cell
           // followers — all within the last m, so the filtered window is
           // exact) + enough carry to reach n rows; re-aggregate via
           // explode → groupBy with the same agg
-          val wTail = Window.partitionBy(F.col(CHUNK)).orderBy(eff: _*)
+          val wTail = Window.partitionBy(cell: _*).orderBy(eff: _*)
             .rowsBetween(0, Window.unboundedFollowing)
-          val rebuilt = base.filter(F.col(RND) <= m)
-            .withColumn("__pfx_in",
-              F.collect_list(F.struct(F.col(c).as("v"))).over(wTail))
-            .join(F.broadcast(carries), Seq(CHUNK), "left")
+          val rebuilt = joinCarry(
+            base.filter(F.col(RND) <= m)
+              .withColumn("__pfx_in",
+                F.collect_list(F.struct(F.col(c).as("v"))).over(wTail)),
+            carries, keys)
             .withColumn("__pfx_full", F.concat(F.col("__pfx_in"),
               F.transform(
                 F.slice(F.coalesce(F.col("__pfx_carry"),
@@ -947,10 +1047,12 @@ object Prefix {
   def fill(f: TadaFrame, c: String, forward: Boolean)(
       window: => TadaFrame): TadaFrame =
     if (f.order.exists(_.name == c))
-      if (canChunk(f)) fill(f.anchored, c, forward)(window) else window
+      if (canChunk(f)) fill(f.anchored, c, forward)(window)
+      else { noteForm("fill", Nil, chunked = false); window }
     else chunked(f, fwd = forward) match {
-      case None => window
+      case None => noteForm("fill", Nil, chunked = false); window
       case Some(ch) =>
+        noteForm("fill", Nil, chunked = true)
         val eff = orderBy(f, fwd = forward)
         val rev = orderBy(f, fwd = !forward)
         val wIn = Window.partitionBy(F.col(CHUNK)).orderBy(eff: _*)

@@ -462,11 +462,19 @@ object Rolling {
       Prefix.rollingN(f, n, colName, agg, out, finish)(
         rollingNWindow(f, n, colName, agg, out, finish))
     else {
-      val w = Window.partitionBy(partitionBy.map(f.df(_)): _*)
-        .orderBy(f.orderCols: _*).rowsBetween(0, n - 1)
-      val c = f.df(colName)
-      val complete = F.count(lit(1)).over(w) === n
-      f.withCol(out, F.when(complete, finish(agg(c).over(w))).otherwise(lit(null)))
+      // keyed dispatch (r20, r19 verdict item 5): few keys compose with
+      // the chunked head-carry plan (key, chunk) — the keyed window's
+      // parallelism is otherwise capped at #keys (the xo14 probe shape)
+      def keyed: TadaFrame = {
+        val w = Window.partitionBy(partitionBy.map(f.df(_)): _*)
+          .orderBy(f.orderCols: _*).rowsBetween(0, n - 1)
+        val c = f.df(colName)
+        val complete = F.count(lit(1)).over(w) === n
+        f.withCol(out, F.when(complete, finish(agg(c).over(w))).otherwise(lit(null)))
+      }
+      if (Prefix.fewKeys(f, partitionBy))
+        Prefix.rollingN(f, n, colName, agg, out, finish, partitionBy)(keyed)
+      else { Dispatch.note("rollingN", "keyedWindow"); keyed }
     }
 
   /** Sequential whole-frame RollingN — one global window; semantic

@@ -40,6 +40,15 @@ object GraftFunctions {
           s"boundary_bucket: boundaries must be a foldable array<double> literal without nulls ($why)")
         if (es.size != 2) bad(s"${es.size} arguments")
         if (!es(1).foldable) bad("not foldable")
+        // element type must already be double (ADVICE r19): eval() of an
+        // int-array literal hands ArrayData.toDoubleArray() boxed
+        // Integers — an opaque ClassCastException at analysis, exactly
+        // the unclear failure this guard chain exists to prevent
+        es(1).dataType match {
+          case org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, _) => ()
+          case other => bad(s"boundaries type ${other.catalogString}")
+        }
         es(1).eval() match {
           case a: org.apache.spark.sql.catalyst.util.ArrayData =>
             if ((0 until a.numElements()).exists(a.isNullAt)) bad("null element")

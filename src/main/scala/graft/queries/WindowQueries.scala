@@ -750,5 +750,99 @@ object WindowQueries extends QueryPack {
                AS next_hour_value
         FROM events
         ORDER BY event_id
+      """)),
+
+    // §2.3 GROUPED Shift with FEW keys incl. a PUNCHED-NULL key (r20,
+    // r19 verdict item 5): 3 statuses + a deterministic null stripe cap
+    // the keyed window's parallelism at 4 tasks at ANY cluster width —
+    // the xo14 probe shape — so the dispatcher composes the chunked
+    // carry plan with the key (Prefix.shift keys form: windows
+    // partition by (key, chunk), carries chain per key over chunk
+    // order, and the carry re-joins NULL-SAFELY — both engines group
+    // null keys together, so a plain equi-join would silently drop the
+    // null group's cross-chunk carries; this query oracle-pins that).
+    Query(
+      "q117_shift_grouped_few_keys",
+      (s, dir) => {
+        val o0 = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            when(col("o_orderkey") % 97 === 0, lit(null))
+              .otherwise(col("o_orderstatus")).as("seg"))
+        val o = TadaFrame.ingest(o0).sort(Sorter("o_orderkey"))
+        Analytics.shift(o, "o_totalprice", 2, "prev2_total",
+            partitionBy = Seq("seg"))
+          .out.select("o_orderkey", "prev2_total")
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey,
+               lag(o_totalprice, 2) OVER
+                 (PARTITION BY CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                               ELSE o_orderstatus END
+                  ORDER BY o_orderkey) AS prev2_total
+        FROM orders
+        ORDER BY o_orderkey
+      """)),
+
+    // §2.6 GROUPED CumSum with FEW keys (r20) — the cumSum twin of
+    // q117: per-key running decimal total through the composed
+    // (key, chunk) plan; the null-key stripe's carries ride the same
+    // null-safe join.
+    Query(
+      "q118_cumsum_grouped_few_keys",
+      (s, dir) => {
+        val o0 = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            when(col("o_orderkey") % 89 === 0, lit(null))
+              .otherwise(col("o_orderstatus")).as("seg"))
+        val o = TadaFrame.ingest(o0).sort(Sorter("o_orderkey"))
+          .withCol("tp", dec(col("o_totalprice")))
+        Analytics.cumSum(o, "tp", "run_total", partitionBy = Seq("seg"))
+          .withCol("run_total", col("run_total").cast("double"))
+          .out.select("o_orderkey", "run_total")
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey,
+               CAST(sum(COALESCE(CAST(o_totalprice AS DECIMAL(18,2)), 0)) OVER
+                 (PARTITION BY CASE WHEN o_orderkey % 89 = 0 THEN NULL
+                               ELSE o_orderstatus END
+                  ORDER BY o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS run_total
+        FROM orders
+        ORDER BY o_orderkey
+      """)),
+
+    // §2.6 GROUPED RollingN with FEW keys (r20) — the rollingN twin:
+    // 3-row forward window per key, incomplete tail ⇒ null, through the
+    // composed head-carry plan (Prefix.rollingN keys form). Exact
+    // decimal sums keep the rebuilt tail windows bit-identical.
+    Query(
+      "q119_rollingn_grouped_few_keys",
+      (s, dir) => {
+        val o0 = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            when(col("o_orderkey") % 93 === 0, lit(null))
+              .otherwise(col("o_orderstatus")).as("seg"))
+        val o = TadaFrame.ingest(o0).sort(Sorter("o_orderkey"))
+          .withCol("tp", dec(col("o_totalprice")))
+        Rolling.rollingN(o, 3, "tp", c => sum(c), "roll3",
+            partitionBy = Seq("seg"), finish = _.cast("double"))
+          .out.select("o_orderkey", "roll3")
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey,
+               CASE WHEN count(*) OVER w = 3
+                    THEN CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w
+                              AS DOUBLE)
+               END AS roll3
+        FROM orders
+        WINDOW w AS (PARTITION BY CASE WHEN o_orderkey % 93 = 0 THEN NULL
+                                  ELSE o_orderstatus END
+                     ORDER BY o_orderkey
+                     ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING)
+        ORDER BY o_orderkey
       """)))
 }

@@ -24,9 +24,16 @@ object TadaFormat {
     case DoubleType | FloatType =>
       // strip a trailing ".0" so 1.0 keys equal to integer/string "1"
       regexp_replace(c.cast(StringType), "\\.0$", "")
-    // one body for both zone flavors: the reference has a single
-    // time.Time kind and prints it RFC3339 (zone-less parquet timestamps
-    // read as NTZ; date_format reads NTZ wall time directly — r19)
+    // One body for both zone flavors — a MAPPING DECISION, not literal
+    // reference parity (ADVICE r19): under the engine's pinned-UTC
+    // session zone an NTZ (zone-less parquet) value is treated as a UTC
+    // instant, i.e. the reference's time.Time kind, which prints RFC3339
+    // WITH the trailing 'Z' (valueContainers.go:194-196). The reference
+    // also has civil.DateTime/Date/Time kinds whose .String() prints
+    // RFC3339 WITHOUT the 'Z'; mapping NTZ there would change group keys
+    // and astype-string for zone-less data. Chosen so the same wall time
+    // keys identically through either flavor (date_format reads NTZ wall
+    // time directly — no cast hazard).
     case TimestampType | TimestampNTZType =>
       date_format(c, "yyyy-MM-dd'T'HH:mm:ss'Z'")
     case ArrayType(_, _) =>

@@ -12,6 +12,26 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Streams {
 
+  /** Watermark with an LTZ view of the event-time column. Spark cannot
+    * define a watermark on TIMESTAMP_NTZ (verified empirically on this
+    * Spark 4.1: `EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE` at analysis, r20)
+    * — the ONE surface where the engine's NTZ ≙ UTC-instant mapping
+    * cannot stay in the zone-less flavor end-to-end. Every watermarked
+    * operator funnels its event-time column through this cast first:
+    * value- and order-preserving wall time under the pinned UTC session
+    * zone (the `Prefix.tsMicros` contract), so window bounds, join
+    * ranges and dedup horizons are identical — only the OUTPUT bucket
+    * flavor becomes LTZ. The batch twins accept NTZ natively; this
+    * boundary is streaming-only. StreamFuzz's tumbling twin runs half
+    * its seeds with an NTZ source to keep the funnel pinned. */
+  private def watermarked(df: DataFrame, c: String, delay: String): DataFrame = {
+    val d =
+      if (df.schema(c).dataType == org.apache.spark.sql.types.TimestampNTZType)
+        df.withColumn(c, F.col(c).cast(org.apache.spark.sql.types.TimestampType))
+      else df
+    d.withWatermark(c, delay)
+  }
+
   /** Streaming read of an events-shaped parquet directory/file. */
   def readEvents(spark: SparkSession, pathOrGlob: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -24,8 +44,7 @@ object Streams {
     * + watermark bound state; exactly `Analytics.resampleDuration` made
     * incremental. */
   def tumblingCounts(events: DataFrame, window: String, watermark: String): DataFrame =
-    events
-      .withWatermark("ts", watermark)
+    watermarked(events, "ts", watermark)
       .groupBy(F.window(F.col("ts"), window), F.col("event_type"))
       .agg(F.count(F.lit(1)).as("n"), F.sum(F.col("value")).as("v"))
       .select(F.col("window.start").as("bucket"), F.col("event_type"), F.col("n"), F.col("v"))
@@ -33,8 +52,7 @@ object Streams {
   /** Sliding-window aggregate (streaming RollingDuration). */
   def slidingCounts(events: DataFrame, window: String, slide: String,
                     watermark: String): DataFrame =
-    events
-      .withWatermark("ts", watermark)
+    watermarked(events, "ts", watermark)
       .groupBy(F.window(F.col("ts"), window, slide))
       .agg(F.count(F.lit(1)).as("n"))
       .select(F.col("window.start").as("bucket"), F.col("n"))
@@ -45,8 +63,7 @@ object Streams {
     * the session end, so memory is bounded by OPEN sessions only. */
   def sessionCounts(events: DataFrame, gap: String, watermark: String,
                     key: String = "user_id"): DataFrame =
-    events
-      .withWatermark("ts", watermark)
+    watermarked(events, "ts", watermark)
       .groupBy(F.session_window(F.col("ts"), gap), F.col(key))
       .agg(F.count(F.lit(1)).as("n"))
       .select(F.col("session_window.start").as("session_start"),
@@ -60,7 +77,7 @@ object Streams {
     * stream; the hash shuffle carries (key, row) once per arrival. */
   def dedupStream(in: DataFrame, tsCol: String, watermark: String,
                   keyCols: Seq[String]): DataFrame =
-    in.withWatermark(tsCol, watermark)
+    watermarked(in, tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
   /** Stream-static enrichment: the streaming form of `Lookup.merge` — a
@@ -118,11 +135,12 @@ object Streams {
         D.shingles(F.col(textCol), w).as("sh_b"))
       .select(F.col("id_b"), F.col("__ts"), F.col("sh_b"),
         F.explode(D.bandKeysDirect(F.col("sh_b"), k, bands)).as("bk"))
-    b.join(F.broadcast(ixOk), "bk")
-      .select(F.col("id_a"), F.col("id_b"), F.col("__ts"),
-        D.jaccard(F.col("sh_a"), F.col("sh_b")).as("jaccard"))
-      .filter(F.col("jaccard") >= threshold)
-      .withWatermark("__ts", watermark)
+    watermarked(
+      b.join(F.broadcast(ixOk), "bk")
+        .select(F.col("id_a"), F.col("id_b"), F.col("__ts"),
+          D.jaccard(F.col("sh_a"), F.col("sh_b")).as("jaccard"))
+        .filter(F.col("jaccard") >= threshold),
+      "__ts", watermark)
       .dropDuplicatesWithinWatermark(Seq("id_a", "id_b"))
       .drop("__ts")
   }
@@ -226,8 +244,7 @@ object Streams {
     val lo = F.least(F.col("id_a"), F.col("id_b"))
     val nLo = F.when(F.col("id_a") < F.col("id_b"), F.col("__na")).otherwise(F.col("__nb"))
     val nHi = F.when(F.col("id_a") < F.col("id_b"), F.col("__nb")).otherwise(F.col("__na"))
-    b.join(F.broadcast(cand), "g")
-      .withWatermark("__ts", watermark)
+    watermarked(b.join(F.broadcast(cand), "g"), "__ts", watermark)
       .dropDuplicatesWithinWatermark(Seq("id_a", "id_b"))
       .join(F.broadcast(perDocA), "id_a")
       // __gsa is the KEPT set, so intersecting the arrival's full set
@@ -272,11 +289,12 @@ object Streams {
     val b = stream.select(F.col(idCol).as("id_b"), F.col(tsCol).as("__ts"),
       F.col(vecCol).as("v_b"),
       S.hyperplaneBucket(F.col(vecCol), planes, seed).as("bucket"))
-    b.join(F.broadcast(ix), "bucket")
-      .select(F.col("id_a"), F.col("id_b"), F.col("__ts"),
-        cos(F.col("v_a"), F.col("v_b")).as("cos"))
-      .filter(F.col("cos") >= threshold)
-      .withWatermark("__ts", watermark)
+    watermarked(
+      b.join(F.broadcast(ix), "bucket")
+        .select(F.col("id_a"), F.col("id_b"), F.col("__ts"),
+          cos(F.col("v_a"), F.col("v_b")).as("cos"))
+        .filter(F.col("cos") >= threshold),
+      "__ts", watermark)
       .dropDuplicatesWithinWatermark(Seq("id_a", "id_b"))
       .drop("__ts")
   }
@@ -413,8 +431,8 @@ object Streams {
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
                    leftTs: String, rightTs: String, lookback: String,
                    watermark: String): DataFrame = {
-    val l = left.withWatermark(leftTs, watermark)
-    val r = right.withWatermark(rightTs, watermark)
+    val l = watermarked(left, leftTs, watermark)
+    val r = watermarked(right, rightTs, watermark)
     l.join(r,
       l(key) === r(key) &&
         r(rightTs) >= l(leftTs) - F.expr(s"INTERVAL $lookback") &&

@@ -174,34 +174,67 @@ class BenchPolicySpec extends AnyFunSuite {
       """{"median":"byValue","rankDense":"chunked"}""")
   }
 
-  test("registered scale queries keep their dispatch forms (r19)") {
+  test("registered scale queries keep their dispatch forms across all three SFs (r19; matrix r20)") {
     // a silent dispatch flip (an HLL estimate drifting across the
     // vocabulary cap, new driver data) would change plan shape invisibly
-    // between rounds — pin the form each headline scale query takes.
-    // Plans are built (not executed) at sf0.001; dispatch decisions
-    // happen at construction.
+    // between rounds — pin the form each headline scale query takes AT
+    // EACH SF (r20, r19 verdict item 4: the designed gate matrix —
+    // q114 window at sf0.001, banded at sf0.01/sf0.1 — was previously
+    // verified by hand from bench runs). Plans are built (not executed);
+    // dispatch decisions happen at construction, so the only jobs this
+    // runs are the memoized bounds jobs.
     val spark = TestSpark.spark
-    val dir = "/root/testdata/sf0.001"
-    assume(new java.io.File(s"$dir/lineitem.parquet").exists(), s"$dir missing")
-    def formsOf(name: String): Map[String, String] = {
+    // the cardinality gates compare against spark.sql.shuffle.partitions
+    // — the matrix pins the PRODUCTION sessions (Bench/Verify run at 32),
+    // not the 4-partition test session (where the few-keys gate "4 keys
+    // < partitions" would read 4 < 4 = false and flip q117–q119)
+    val oldK = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    def formsOf(dir: String, name: String): Map[String, String] = {
       graft.core.Dispatch.drain()
       graft.queries.Registry.all.find(_.name == name).get.build(spark, dir)
       graft.core.Dispatch.drain().groupBy(_._1).map { case (op, fs) =>
         op -> fs.map(_._2).distinct.sorted.mkString(",") }
     }
-    assert(formsOf("q110_rank_dense_chunked").get("rankDense").contains("chunked"))
-    assert(formsOf("q111_percentile_chunked").get("percentile").exists(
-      f => f == "byValue" || f == "chunked")) // ~1.5k distinct at sf0.001, ~15k at sf0.01+
-    assert(formsOf("q112_grouped_median_by_value").get("median").contains("byValue"))
-    assert(formsOf("q113_rolling_duration_frame").get("rollingDuration").contains("chunked"))
-    assert(formsOf("q115_rank_skewed_axis").get("rankDense").contains("chunked"))
-    assert(formsOf("q116_rolling_duration_grouped_chunked")
-      .get("rollingDuration").contains("keyedChunked"))
-    // q114's near-unique-key grouping sits under the 32768 window bound
-    // at sf0.001 (~4.6k groups) and above it at sf0.01+ — the banded
-    // form itself is pinned in GroupOrderSpec; here pin that the
-    // dispatcher NOTES a form at all
-    assert(formsOf("q114_sorted_group_near_unique_key").contains("rankRep"))
+    val sfs = Seq("sf0.001", "sf0.01", "sf0.1").map(s => s"/root/testdata/$s")
+      .filter(d => new java.io.File(s"$d/lineitem.parquet").exists())
+    assume(sfs.nonEmpty, "no testdata present")
+    try for (dir <- sfs) {
+      val sfTag = dir.split("/").last
+      def check(name: String, op: String, want: String => Boolean, label: String): Unit = {
+        val got = formsOf(dir, name).get(op)
+        assert(got.exists(want), s"$name@$sfTag: $op form ${got.getOrElse("(none)")}, wanted $label")
+      }
+      check("q110_rank_dense_chunked", "rankDense", _ == "chunked", "chunked")
+      // ~1.5k distinct at sf0.001 (under the 4096 vocabulary) → byValue;
+      // ~15k/150k at sf0.01/sf0.1 → chunked: the designed transition
+      if (sfTag == "sf0.001")
+        check("q111_percentile_chunked", "percentile",
+          f => f == "byValue" || f == "chunked", "byValue|chunked")
+      else check("q111_percentile_chunked", "percentile", _ == "chunked", "chunked")
+      check("q112_grouped_median_by_value", "median", _ == "byValue", "byValue")
+      check("q113_rolling_duration_frame", "rollingDuration", _ == "chunked", "chunked")
+      check("q115_rank_skewed_axis", "rankDense", _ == "chunked", "chunked")
+      check("q116_rolling_duration_grouped_chunked", "rollingDuration",
+        _.contains("keyedChunked"), "keyedChunked")
+      // q114's designed gate: ~4.6k groups at sf0.001 sits under the
+      // 32768 window bound → window; sf0.01+ crosses it → banded
+      check("q114_sorted_group_near_unique_key", "rankRep",
+        f => if (sfTag == "sf0.001") f == "window" else f == "banded",
+        if (sfTag == "sf0.001") "window" else "banded")
+      // the whole-frame prefix family notes its form as of r20 — pin the
+      // two r19 incident shapes: q101 (NTZ sort key, the silent-fallback
+      // hole) and q109 (string-enum key, the lowCardChunk path) must
+      // stay chunked at every SF
+      check("q101_cumsum_frame", "cumSum", _ == "chunked", "chunked")
+      check("q109_shift_string_enum_key", "shift", _ == "chunked", "chunked")
+      // r20 composed grouped rows-frame forms (q117–q119): 4 key values
+      // (3 statuses + a punched-null stripe) at every SF sit far under
+      // the partition count → the few-keys gate must compose at all SFs
+      check("q117_shift_grouped_few_keys", "shift", _ == "keyedChunked", "keyedChunked")
+      check("q118_cumsum_grouped_few_keys", "cumSum", _ == "keyedChunked", "keyedChunked")
+      check("q119_rollingn_grouped_few_keys", "rollingN", _ == "keyedChunked", "keyedChunked")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", oldK)
   }
 
   test("scratch directories (containment wave spill) are deleted at releaseAll (r16 ADVICE)") {

@@ -538,6 +538,64 @@ class PrefixSpec extends AnyFunSuite {
     assert(Analytics.shift(f, "v", 1, "s").records() ==
       Analytics.shiftWindow(f, "v", 1, "s").records())
   }
+
+  // --- composed grouped (key, chunk) forms (r20, r19 verdict item 5) ---
+
+  /** 3 key values + a NULL key group over 5 ingest partitions: every
+    * key's rows straddle chunks, so the per-key carry chains and the
+    * null-safe carry join are genuinely exercised. */
+  private def groupedFixture: TadaFrame = {
+    val rows = Seq[(Int, String, java.lang.Long)](
+      (0, "a", 5L), (1, null, 2L), (2, "b", null), (3, "a", 3L), (4, null, 7L),
+      (5, "b", 1L), (6, "a", null), (7, "b", 4L), (8, null, 6L), (9, "a", 8L),
+      (10, "b", 9L), (11, null, null), (12, "a", 10L), (13, "b", 11L))
+      .map { case (i, s, v) => RowSV(i, s, v) }
+    multi(rows, 5)
+  }
+
+  test("composed grouped forms == keyed windows (null keys, lag AND lead, rollingN tails)") {
+    import org.apache.spark.sql.expressions.Window
+    val f = groupedFixture
+    val wKeyed = Window.partitionBy(f.df("s")).orderBy(f.orderCols: _*)
+    // cumsum — the dispatcher routes composed (3 keys < 4 partitions)
+    val cs = Analytics.cumSum(f, "v", "o", partitionBy = Seq("s"))
+    val csW = f.withCol("o", F.sum(F.coalesce(f.df("v"), F.lit(0L))).over(
+      wKeyed.rowsBetween(Window.unboundedPreceding, 0)))
+    assert(cs.records() == csW.records())
+    assertNoGlobalDataWindow(cs.df)
+    // shift both directions — the lead form rides the MIRROR chunking,
+    // and the null-key group must keep its cross-chunk carries (the
+    // null-safe join; a plain equi-join zeroes exactly these rows)
+    for (n <- Seq(2, -2)) {
+      val sh = Analytics.shift(f, "v", n, "o", partitionBy = Seq("s"))
+      val shW = f.withCol("o", F.lag(f.df("v"), n).over(wKeyed))
+      assert(sh.records() == shW.records(), s"shift n=$n")
+      assertNoGlobalDataWindow(sh.df)
+    }
+    // rollingN — per-key incomplete tails ⇒ null through the rebuilt path
+    val rn = Rolling.rollingN(f, 3, "v", c => F.sum(c), "o", partitionBy = Seq("s"))
+    val rnW = {
+      val w = wKeyed.rowsBetween(0, 2)
+      f.withCol("o", F.when(F.count(F.lit(1)).over(w) === 3, F.sum(f.df("v")).over(w)))
+    }
+    assert(rn.records() == rnW.records())
+    assertNoGlobalDataWindow(rn.df)
+    // the dispatcher really took the composed form (and tagged it)
+    Dispatch.drain()
+    Analytics.cumSum(f, "v", "o2", partitionBy = Seq("s"))
+    assert(Dispatch.drain().contains(("cumSum", "keyedChunked")))
+  }
+
+  test("composed grouped cumsum on a SORTED frame (sort-key chunk axis × keys)") {
+    import org.apache.spark.sql.expressions.Window
+    val f = groupedFixture.sort(Sorter("v"), Sorter("i"))
+    val cs = Analytics.cumSum(f, "v", "o", partitionBy = Seq("s"))
+    val csW = f.withCol("o", F.sum(F.coalesce(f.df("v"), F.lit(0L))).over(
+      Window.partitionBy(f.df("s")).orderBy(f.orderCols: _*)
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    assert(cs.records() == csW.records())
+    assertNoGlobalDataWindow(cs.df)
+  }
 }
 
 case class RowIV(i: Int, v: java.lang.Long)

@@ -16,6 +16,13 @@ import pandas as pd
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    # r20: the engine side may carry TIMESTAMP_NTZ (naive walls) where
+    # the generated-SQL side carries tz-aware UTC instants, or vice
+    # versa — the engine's pinned mapping is NTZ wall == UTC instant, so
+    # compare both flavors as naive UTC walls.
+    for col in df.columns:
+        if isinstance(df[col].dtype, pd.DatetimeTZDtype):
+            df[col] = df[col].dt.tz_convert("UTC").dt.tz_localize(None)
     if len(df):
         df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
