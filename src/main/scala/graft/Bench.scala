@@ -67,6 +67,12 @@ object Bench {
   // load_end 4.76 from our own work); busy-jiffies-minus-our-own can.
   private val extAtMin = TrieMap.empty[String, Double]
   private val ioAtMin = TrieMap.empty[String, Double]
+  // elapsed wall second at which each query's current min was recorded
+  // (r20): with canary_series this makes cross-round normalization
+  // MECHANICAL — divide a query's ratio by the canary ratio at the
+  // series point nearest its min — instead of narrating "the window
+  // was dirty around then"
+  private val minAtSec = TrieMap.empty[String, Double]
   // per-query tag→cached-bytes snapshot taken just before each release
   // (r11 verdict task 8): cache-pressure regressions (a budget gate
   // mis-sized, a new operator persisting corpus-shaped state) surface
@@ -264,6 +270,8 @@ object Bench {
       .map(k => f""""$k":${extAtMin.getOrElse(k, -1.0)}%.2f""").mkString("{", ",", "}")
     val iom = adjNames
       .map(k => f""""$k":${ioAtMin.getOrElse(k, -1.0)}%.2f""").mkString("{", ",", "}")
+    val minAt = adjNames
+      .map(k => f""""$k":${minAtSec.getOrElse(k, -1.0)}%.0f""").mkString("{", ",", "}")
     // loaded = some successful >1 s min was recorded under external
     // competition (cpu OR io/memory stall) and never re-achieved in a
     // quiet window: its number is an upper bound, not a clean
@@ -294,7 +302,7 @@ object Bench {
     val cseries = canarySeries.toSeq
       .map { case (t, s) => f"[$t%.0f,$s%.3f]" }.mkString("[", ",", "]")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${m(minTimes)},"first":${m(firstTimes)},"failed":$failed,"errors":$errs,"partial":$partial,"loaded":$loaded,"ext_load_at_min":$extm,"io_stall_at_min":$iom,"load_passes":$passes,"load_start":$loadStart,"load_end":$load1,"canary_sec":$canarySec,"canary_series":$cseries,"forced":$forcedClaim,"force_method":"$ForceMethod","cache_leak":$cacheLeak,"leftover_cache_tags":${leftoverTags.map("\"" + _ + "\"").mkString("[", ",", "]")},"cache_bytes":$cacheBytes,"dispatch":$dispatch,"plan_key_failures":$planKeyFails,"sf":"$sfDirSeen"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${m(minTimes)},"first":${m(firstTimes)},"failed":$failed,"errors":$errs,"partial":$partial,"loaded":$loaded,"ext_load_at_min":$extm,"io_stall_at_min":$iom,"load_passes":$passes,"load_start":$loadStart,"load_end":$load1,"canary_sec":$canarySec,"canary_series":$cseries,"min_at":$minAt,"forced":$forcedClaim,"force_method":"$ForceMethod","cache_leak":$cacheLeak,"leftover_cache_tags":${leftoverTags.map("\"" + _ + "\"").mkString("[", ",", "]")},"cache_bytes":$cacheBytes,"dispatch":$dispatch,"plan_key_failures":$planKeyFails,"sf":"$sfDirSeen"}"""
     // The driver captures only the LAST ~2000 chars of output and
     // parses the JSON it finds there — the full artifact above is
     // 6-10 KB, so BENCH_r08/r09 both landed `parsed: null` and were
@@ -494,7 +502,10 @@ object Bench {
       failures.remove(name)
       errors.remove(name)
       val prev = minTimes.getOrElse(name, Double.MaxValue)
-      if (dt < prev) { minTimes(name) = dt; extAtMin(name) = ext; ioAtMin(name) = io }
+      if (dt < prev) {
+        minTimes(name) = dt; extAtMin(name) = ext; ioAtMin(name) = io
+        minAtSec(name) = elapsed
+      }
       else if (dt <= prev * 1.1 && quietRun(ext, io)) {
         // a quiet run CONFIRMING the min within 10% upgrades its
         // provenance: the number is real even if first recorded loaded
@@ -539,6 +550,7 @@ object Bench {
       minTimes(name) = dt
       extAtMin(name) = ext
       ioAtMin(name) = io
+      minAtSec(name) = elapsed
       if (!ok) failures(name) = true
     }
     pass1Done = true

@@ -304,11 +304,11 @@ object OrdProbe {
         fr.groupBy("l_orderkey").reduceWith(Seq("s" -> F.sum(F.col("l_quantity")))).df
       })
       // r20 (r19 verdict item 5): grouped ROWS-frame ops under FEW keys
-      // (4) — grouped rollingN and align-mode grouped cumsum both ride
-      // Window.partitionBy(keys), so parallelism = #keys (the xo9gw
-      // shape on the rows axis). These legs measure whether the 4-task
-      // sort amplification actually cliffs at the third decade — the
-      // composed-(key, chunk) escape is only worth building if it does.
+      // (4). xo14/xo14c = the dispatcher (the composed (key, chunk)
+      // plan — 4 keys sit far under the partition count); xo14w = the
+      // plain keyed window FORCED, whose parallelism is capped at 4
+      // tasks regardless of cores — the xo9gw shape on the rows axis,
+      // which the composition removes.
       if (on("xo14")) time(s"xo14_rollingn_grouped_${f}x", {
         val fr = graft.core.TadaFrame.ingest(
           li.withColumn("g", (F.col("l_orderkey") % 4).cast("int")))
@@ -320,6 +320,24 @@ object OrdProbe {
           li.withColumn("g", (F.col("l_orderkey") % 4).cast("int")))
         graft.core.Analytics.cumSum(fr, "l_quantity", "cs",
           partitionBy = Seq("g")).df
+      })
+      if (on("xo14cw")) time(s"xo14cw_cumsum_grouped_kw_${f}x", {
+        val fr = graft.core.TadaFrame.ingest(
+          li.withColumn("g", (F.col("l_orderkey") % 4).cast("int")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(fr.df("g")).orderBy(fr.orderCols: _*)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        fr.withCol("cs", F.sum(F.coalesce(fr.df("l_quantity"),
+          F.lit(0).cast(fr.df.schema("l_quantity").dataType))).over(w)).df
+      })
+      if (on("xo14w")) time(s"xo14w_rollingn_grouped_kw_${f}x", {
+        val fr = graft.core.TadaFrame.ingest(
+          li.withColumn("g", (F.col("l_orderkey") % 4).cast("int")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(fr.df("g")).orderBy(fr.orderCols: _*).rowsBetween(0, 3)
+        val complete = F.count(F.lit(1)).over(w) === 4
+        fr.withCol("r", F.when(complete,
+          F.sum(fr.df("l_quantity")).over(w))).df
       })
       if (on("xo12w") && f == 1) time(s"xo12w_rankrep_window_${f}x", {
         spark.conf.set("graft.rankRep.maxWindowGroups", "1000000000")
