@@ -238,11 +238,43 @@ final case class TadaGrouped(frame: TadaFrame, keys: Seq[String], aligned: Boole
   }
 
   /** Align mode (groupers.go:202-228): the aggregate broadcast back to
-    * every original row — exactly a window aggregate, zero extra joins. */
-  private def alignWith(outs: Seq[(String, Column)]): TadaFrame = {
-    val w = Window.partitionBy(keyExprs: _*)
-    outs.foldLeft(frame) { case (f, (n, e)) => f.withCol(n, e.over(w)) }
-  }
+    * every original row. The window form (`e.over(partitionBy(keys))`,
+    * zero extra joins) is right at HIGH key cardinality, where each
+    * buffered partition is small — but WindowExec buffers a key's
+    * ENTIRE partition per task, so a few-key align over a corpus is a
+    * handful of corpus-sized buffers on a handful of tasks (the q14
+    * buffer story on the align axis; r20, same family as the composed
+    * grouped prefix ops). Few keys (memoized HLL under the partition
+    * count — the shared [[Prefix.fewKeys]] gate) instead aggregate
+    * through a map-side-combined hash groupBy (full scan parallelism,
+    * constant agg state) and broadcast the ≤#groups-row result back
+    * NULL-SAFELY (raw-column grouping puts null keys in one group in
+    * BOTH forms, and a plain equi-join would silently null exactly that
+    * group's aggregates). */
+  private def alignWith(outs: Seq[(String, Column)]): TadaFrame =
+    if (outs.isEmpty) frame
+    else if (Prefix.fewKeys(frame, keys)) {
+      Dispatch.note("align", "aggJoin")
+      val aggd = df.groupBy(keyExprs: _*)
+        .agg(outs.head._2.as("__al0"),
+          outs.tail.zipWithIndex.map { case ((_, e), i) => e.as(s"__al${i + 1}") }: _*)
+      val tiny = keys.zipWithIndex.foldLeft(aggd) { case (d, (k, i)) =>
+        d.withColumnRenamed(k, s"__alk$i") }
+      val cond = keys.zipWithIndex.map { case (k, i) =>
+        df(k) <=> tiny(s"__alk$i") }.reduce(_ && _)
+      val joined = df.join(F.broadcast(tiny), cond, "left")
+      // replace-or-append per output name — the withCol layout contract
+      val outIdx = outs.map(_._1).zipWithIndex.toMap
+      val kept = df.columns.toSeq.map { c =>
+        outIdx.get(c).map(i => F.col(s"__al$i").as(c)).getOrElse(joined(c)) }
+      val appended = outs.zipWithIndex.collect {
+        case ((n, _), i) if !df.columns.contains(n) => F.col(s"__al$i").as(n) }
+      frame.copy(df = joined.select(kept ++ appended: _*))
+    } else {
+      Dispatch.note("align", "window")
+      val w = Window.partitionBy(keyExprs: _*)
+      outs.foldLeft(frame) { case (f, (n, e)) => f.withCol(n, e.over(w)) }
+    }
 
   def align: TadaGrouped = copy(aligned = true)
 
@@ -370,12 +402,28 @@ final case class TadaGrouped(frame: TadaFrame, keys: Seq[String], aligned: Boole
     * surviving groups) so further reducers can chain — reproduced here as
     * a grouped view over the frame filtered to surviving groups. One
     * window count shares the grouping's hash partitioning; no join. */
-  def havingCount(pred: Column => Column): TadaGrouped = {
-    val w = Window.partitionBy(keyExprs: _*)
-    val kept = frame.withCol("__having_cnt", F.count(lit(1)).over(w))
-      .filter(pred(col("__having_cnt"))).dropCols("__having_cnt")
-    copy(frame = kept)
-  }
+  def havingCount(pred: Column => Column): TadaGrouped =
+    if (Prefix.fewKeys(frame, keys)) {
+      // few keys (r20, the alignWith argument): the window count buffers
+      // each key's whole partition on one task — count through a
+      // map-side-combined groupBy instead and broadcast-join the
+      // surviving groups back null-safely (null keys form a group)
+      Dispatch.note("having", "aggJoin")
+      val counts = df.groupBy(keyExprs: _*).agg(F.count(lit(1)).as("__having_cnt"))
+        .filter(pred(col("__having_cnt")))
+      val tiny = keys.zipWithIndex.foldLeft(counts) { case (d, (k, i)) =>
+        d.withColumnRenamed(k, s"__hck$i") }.drop("__having_cnt")
+      val cond = keys.zipWithIndex.map { case (k, i) =>
+        df(k) <=> tiny(s"__hck$i") }.reduce(_ && _)
+      val kept = df.join(F.broadcast(tiny), cond, "leftsemi")
+      copy(frame = frame.copy(df = kept))
+    } else {
+      Dispatch.note("having", "window")
+      val w = Window.partitionBy(keyExprs: _*)
+      val kept = frame.withCol("__having_cnt", F.count(lit(1)).over(w))
+        .filter(pred(col("__having_cnt"))).dropCols("__having_cnt")
+      copy(frame = kept)
+    }
 
   /** The grouped VIEW in the reference's printed form (a GroupedSeries/
     * GroupedDataFrame prints its rows regrouped — groupers.go print via

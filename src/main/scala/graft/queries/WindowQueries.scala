@@ -844,5 +844,37 @@ object WindowQueries extends QueryPack {
                      ORDER BY o_orderkey
                      ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING)
         ORDER BY o_orderkey
+      """)),
+
+    // §2.5 Align with FEW keys incl. a PUNCHED-NULL key (r20): the
+    // window-aggregate align buffers each key's ENTIRE partition on one
+    // task — 4 keys over a corpus is 4 corpus-sized buffers — so the
+    // few-keys gate re-plans it as a map-side-combined hash aggregate
+    // broadcast back through a NULL-SAFE join (the null-key group's
+    // aggregate must reach its rows; a plain equi-join nulls exactly
+    // those). q21 (25 nations) rides the same aggJoin dispatch; this
+    // query adds the null-key stripe the q21 shape can't express.
+    Query(
+      "q120_align_grouped_null_key",
+      (s, dir) => {
+        val o0 = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            when(col("o_orderkey") % 91 === 0, lit(null))
+              .otherwise(col("o_orderstatus")).as("seg"))
+        val o = TadaFrame.ingest(o0)
+        o.groupBy("seg").align.reduceWith(Seq(
+            "seg_sum" -> sum(dec(col("o_totalprice")))))
+          .withCol("seg_sum", col("seg_sum").cast("double"))
+          .out.select("o_orderkey", "seg_sum")
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+                 (PARTITION BY CASE WHEN o_orderkey % 91 = 0 THEN NULL
+                               ELSE o_orderstatus END) AS DOUBLE)
+               AS seg_sum
+        FROM orders
+        ORDER BY o_orderkey
       """)))
 }

@@ -234,6 +234,10 @@ class BenchPolicySpec extends AnyFunSuite {
       check("q117_shift_grouped_few_keys", "shift", _ == "keyedChunked", "keyedChunked")
       check("q118_cumsum_grouped_few_keys", "cumSum", _ == "keyedChunked", "keyedChunked")
       check("q119_rollingn_grouped_few_keys", "rollingN", _ == "keyedChunked", "keyedChunked")
+      // align's few-keys escape (r20): both the 25-nation q21 and the
+      // punched-null q120 sit under 32 partitions → aggJoin at all SFs
+      check("q21_align_window", "align", _ == "aggJoin", "aggJoin")
+      check("q120_align_grouped_null_key", "align", _ == "aggJoin", "aggJoin")
     } finally spark.conf.set("spark.sql.shuffle.partitions", oldK)
   }
 
