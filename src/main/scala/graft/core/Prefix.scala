@@ -824,6 +824,12 @@ object Prefix {
     if (f.order.exists(_.name == out))
       if (canChunk(f)) cumSum(f.anchored, c, out, keys)(window)
       else { noteForm("cumSum", keys, chunked = false); window }
+    // out shadowing a PARTITION key: `within` overwrites the key column
+    // before joinCarry, so the null-safe carry join would compare running
+    // sums against the tiny frame's original key values and drop every
+    // cross-chunk carry (ADVICE r20). The keyed window form handles
+    // out==key correctly — mirror the order-key guard above.
+    else if (keys.contains(out)) { noteForm("cumSum", keys, chunked = false); window }
     else chunked(f, fwd = true) match {
       case None => noteForm("cumSum", keys, chunked = false); window
       case Some(ch) =>

@@ -586,6 +586,23 @@ class PrefixSpec extends AnyFunSuite {
     assert(Dispatch.drain().contains(("cumSum", "keyedChunked")))
   }
 
+  test("composed grouped cumsum with out == partition key falls back to the keyed window") {
+    import org.apache.spark.sql.expressions.Window
+    // ADVICE r20: the composed plan writes `out` BEFORE joinCarry, so an
+    // out column shadowing a partition key would join running sums
+    // against the tiny frame's original key values and silently drop
+    // every cross-chunk carry. The dispatcher must route this shape to
+    // the keyed window (which reads the pre-overwrite key via f.df).
+    val f = groupedFixture
+    Dispatch.drain()
+    val cs = Analytics.cumSum(f, "v", "s", partitionBy = Seq("s"))
+    assert(Dispatch.drain().contains(("cumSum", "keyedWindow")))
+    val want = f.withCol("s", F.sum(F.coalesce(f.df("v"), F.lit(0L))).over(
+      Window.partitionBy(f.df("s")).orderBy(f.orderCols: _*)
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    assert(cs.records() == want.records())
+  }
+
   test("composed grouped cumsum on a SORTED frame (sort-key chunk axis × keys)") {
     import org.apache.spark.sql.expressions.Window
     val f = groupedFixture.sort(Sorter("v"), Sorter("i"))
