@@ -24,6 +24,9 @@ object GraftFunctions {
     ("text_quality_stats",
       "_FUNC_(text) - struct<len,tokens,stops,punct> of a document in one pass",
       es => TextQualityStats(es.head)),
+    ("dup_ngram_stats",
+      "_FUNC_(text) - struct<tokens,d2,d3>: token + distinct bigram/trigram counts",
+      es => DupNgramStats(es.head)),
     ("minhash_bands", "_FUNC_(shingles, k, bands) - LSH band keys",
       es => MinHashBands(es.head,
         es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])),

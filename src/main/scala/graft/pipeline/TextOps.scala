@@ -221,6 +221,30 @@ object TextOps {
     F.when(toks < n, F.lit(0.0)).otherwise(F.lit(1.0) - (distinct / total))
   }
 
+  /** One-pass `struct<tokens, d2, d3>` for the repetition metrics — the
+    * native [[graft.exprs.DupNgramStats]] kernel (r21). The expression
+    * form above re-evaluates the normalize regex once per column
+    * reference (q66's projection held ~17 references) plus a split and
+    * two shingle kernels; this is one compiled call per row. Project it
+    * into its OWN named column first and read fields from that —
+    * CollapseProject keeps a non-cheap expression referenced more than
+    * once in its own projection, so the kernel runs once per row. */
+  def dupNgramStats(text: Column): Column = {
+    graft.exprs.GraftFunctions.register(org.apache.spark.sql.SparkSession.active)
+    F.call_function("dup_ngram_stats", text)
+  }
+
+  /** `dupNgramFraction(text, n)` from a pre-projected [[dupNgramStats]]
+    * struct — bit-identical arithmetic (same Int inputs, same cast/
+    * divide tree) without re-running the kernel. n must be 2 or 3. */
+  def dupNgramFractionFromStats(stats: Column, n: Int): Column = {
+    require(n == 2 || n == 3, s"dupNgramFractionFromStats: n=$n not in {2,3}")
+    val toks = stats.getField("tokens")
+    val total = (toks - F.lit(n - 1)).cast("double")
+    val distinct = stats.getField(s"d$n").cast("double")
+    F.when(toks < n, F.lit(0.0)).otherwise(F.lit(1.0) - (distinct / total))
+  }
+
   /** md5 content hashes of the non-overlapping full `size`-token chunks
     * of a pre-materialized token array (partial tail chunk dropped).
     *

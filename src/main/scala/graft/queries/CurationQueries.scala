@@ -50,11 +50,17 @@ object CurationQueries extends QueryPack {
     Query(
       "q66_repetition",
       (s, dir) => {
+        val T = graft.pipeline.TextOps
         val d = Tables.documents(s, dir)
-        d.select(F.col("doc_id"),
-            graft.pipeline.TextOps.tokenCount(F.col("text")).as("n_tokens"),
-            graft.pipeline.TextOps.dupNgramFraction(F.col("text"), 2).as("dup_bigram_frac"),
-            graft.pipeline.TextOps.dupNgramFraction(F.col("text"), 3).as("dup_trigram_frac"))
+        // one dup_ngram_stats kernel call per row instead of ~17
+        // normalize-regex references + 2 shingle kernels (r21; the
+        // two-step select keeps CollapseProject from re-inlining the
+        // kernel per field — see TextOps.dupNgramStats)
+        d.select(F.col("doc_id"), T.dupNgramStats(F.col("text")).as("__rs"))
+          .select(F.col("doc_id"),
+            F.col("__rs").getField("tokens").as("n_tokens"),
+            T.dupNgramFractionFromStats(F.col("__rs"), 2).as("dup_bigram_frac"),
+            T.dupNgramFractionFromStats(F.col("__rs"), 3).as("dup_trigram_frac"))
           .orderBy("doc_id")
       },
       Some(s"""
@@ -324,10 +330,16 @@ object CurationQueries extends QueryPack {
         import org.apache.spark.sql.expressions.Window
         val T = graft.pipeline.TextOps
         val d = Tables.documents(s, dir)
-        val flags = d.select(F.col("doc_id"), F.col("source"),
+        // repetition gate through the one-pass dup_ngram_stats kernel
+        // (r21): the dupNgramFraction expression tree re-ran the
+        // normalize regex 4+ times per row inside this projection
+        val flags = d
+          .select(F.col("doc_id"), F.col("source"), F.col("text"),
+            T.dupNgramStats(F.col("text")).as("__rs"))
+          .select(F.col("doc_id"), F.col("source"),
             (T.qualityScore(F.col("text")) >= 0.35).as("q_ok"),
             (T.langId(F.col("text")) === "en").as("lang_ok"),
-            (T.dupNgramFraction(F.col("text"), 2) < 0.6).as("rep_ok"),
+            (T.dupNgramFractionFromStats(F.col("__rs"), 2) < 0.6).as("rep_ok"),
             graft.pipeline.Dedup.exactKey(F.col("text")).as("ck"),
             (graft.pipeline.Sampling.hashBp(F.col("doc_id").cast("string")) < 8000)
               .as("samp_ok"))

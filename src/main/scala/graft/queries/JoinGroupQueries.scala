@@ -113,13 +113,24 @@ object JoinGroupQueries extends QueryPack {
       "q14_group_reducers",
       (s, dir) => {
         import s.implicits._
+        import org.apache.spark.sql.expressions.Window
         val li = Tables.lineitem(s, dir)
         val sx = sum(dec($"l_extendedprice")).cast("double")
         val sx2 = sum(dec($"l_extendedprice") * dec($"l_extendedprice")).cast("double")
         val n = count($"l_extendedprice").cast("double")
-        li.groupBy($"l_returnflag")
+        // r21: the exact median used to ride this aggregation as
+        // percentile(l_quantity, 0.5) — a TypedImperativeAggregate that
+        // (a) forces every stage of the whole 6-aggregate pass into
+        // ObjectHashAggregate (no whole-stage codegen) and (b) buffers
+        // group-sized value maps through the countDistinct expand's
+        // per-(flag, partkey) intermediate groups (~20M doubles per
+        // final task at the 100× probe). Split it out through the
+        // by-value counting plan q112 pinned (per-(group, value) counts,
+        // vocabulary window, Percentile's own interpolation expression —
+        // bit-identical doubles, GroupOrderSpec + the q112 oracle), and
+        // the base pass becomes plain codegen HashAggregates.
+        val base = li.groupBy($"l_returnflag")
           .agg(
-            percentile($"l_quantity", lit(0.5)).as("median_qty"),
             // round: DuckDB's decimal->double conversion can double-round
             // one ULP off the JVM's, and sqrt amplifies nothing — 4
             // decimals absorbs it deterministically on both engines
@@ -128,6 +139,34 @@ object JoinGroupQueries extends QueryPack {
             countDistinct($"l_partkey").as("n_parts"),
             min($"l_quantity").as("min_qty"),
             max($"l_quantity").as("max_qty"))
+        val cnt = li.filter($"l_quantity".isNotNull)
+          .groupBy($"l_returnflag", $"l_quantity".cast("double").as("__v"))
+          .agg(count(lit(1)).as("__n"))
+        val wCum = Window.partitionBy($"l_returnflag").orderBy($"__v".asc)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val wAll = Window.partitionBy($"l_returnflag")
+        val scored = cnt
+          .withColumn("__cum", sum("__n").over(wCum))
+          .withColumn("__tot", sum("__n").over(wAll))
+        // value __v covers sorted positions [cum − n, cum − 1] (0-based)
+        val pos = ($"__tot" - 1L).cast("double") / 2.0
+        val lo = floor(pos)
+        val hi = ceil(pos)
+        val prev = $"__cum" - $"__n"
+        val med = scored.groupBy($"l_returnflag").agg(
+          max(when(prev <= lo && lo <= $"__cum" - 1, $"__v")).as("__lo"),
+          max(when(prev <= hi && hi <= $"__cum" - 1, $"__v")).as("__hi"),
+          max($"__tot").as("__tN"))
+        val posA = ($"__tN" - 1L).cast("double") / 2.0
+        val loA = floor(posA).cast("double")
+        val hiA = ceil(posA).cast("double")
+        val medE = when(loA === hiA || $"__lo" === $"__hi", $"__lo")
+          .otherwise((hiA - posA) * $"__lo" + (posA - loA) * $"__hi")
+        val medDf = med.select($"l_returnflag".as("__mk"), medE.as("median_qty"))
+        // null-safe: a null return flag is a legitimate group
+        base.join(broadcast(medDf), base("l_returnflag") <=> medDf("__mk"), "left")
+          .select($"l_returnflag", $"median_qty", $"stddev_pop_price",
+            $"n_rows", $"n_parts", $"min_qty", $"max_qty")
           .orderBy($"l_returnflag")
       },
       Some("""
