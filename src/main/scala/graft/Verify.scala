@@ -89,6 +89,20 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // ADVICE r20 (low): dispatch attribution assumes every Dispatch.note
+    // fires during CONSTRUCTION under buildLock. A note emitted at
+    // EXECUTION time (a future op deciding lazily, a re-entered builder
+    // inside an action) would have been silently credited to whichever
+    // query held buildLock. Drain once more after all executions: any
+    // residue means the attribution model broke — flag it loudly in the
+    // artifact instead of corrupting dispatch.json.
+    val strays = graft.core.Dispatch.drain()
+    if (strays.nonEmpty) {
+      System.err.println(s"[verify] ${strays.size} execution-time dispatch " +
+        s"notes drained AFTER the build phase — per-query attribution is " +
+        s"suspect: ${strays.mkString(", ")}")
+      dispatchByQuery("__execution_time_strays__") = Bench.dispatchJson(strays)
+    }
     // values are Bench.dispatchJson object fragments — embedded verbatim
     val dj = dispatchByQuery.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${q(k)}: $v" }.mkString("{", ",", "}")

@@ -1254,12 +1254,13 @@ object Dedup {
     * regime (see [[containmentPairs]]). */
   def winnowOverlapPairs(docs: DataFrame, idCol: String, textCol: String,
                          k: Int = 3, w: Int = 4, tau: Double = 0.6,
-                         maxDf: Int = 1000): DataFrame = {
+                         maxDf: Int = 1000,
+                         persistFps: Boolean = false): DataFrame = {
     val fps = docs
       .select(F.col(idCol).as("id"), TextOps.tokens(F.col(textCol)).as("__w"))
       .select(F.col("id"), F.explode(TextOps.winnowFromTokens(F.col("__w"), k, w)).as("g"))
     containmentPairsFromFeatures(fps, "winnowOverlapPairs", tau, maxDf,
-      persistFeatures = false)
+      persistFeatures = persistFps)
   }
 
   /** The feature-generic core of the containment family: asymmetric

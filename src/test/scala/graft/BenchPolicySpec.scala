@@ -241,6 +241,25 @@ class BenchPolicySpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", oldK)
   }
 
+  test("watchdog slices scale with host slowness, clamped (r21, r20 verdict item 1b)") {
+    // quiet host: the base slice unchanged — a 15 s slice is an honest
+    // hang bound when the canary is at its window best
+    assert(Bench.scaledSlice(15.0, 1.0) == 15.0)
+    // sub-1 ratios never SHRINK a slice (a faster-than-anchor probe is
+    // measurement noise, not headroom)
+    assert(Bench.scaledSlice(15.0, 0.5) == 15.0)
+    // a 3x co-tenant stall stretches the slice 3x — the r20 storm shape
+    // where 1.8-4.7 s queries were cancelled at 10-15 s slices under a
+    // ~70x stall
+    assert(Bench.scaledSlice(15.0, 3.0) == 45.0)
+    // ...but never past the clamp: the hard deadline must stay reachable
+    assert(Bench.scaledSlice(15.0, 100.0) == 15.0 * Bench.MaxSliceScale)
+    assert(Bench.MaxSliceScale >= 4.0,
+      "the clamp must at least cover the storm ratios r20 documented")
+    assert(Bench.DirtyCanaryRatio > 1.0 && Bench.DirtyCanaryRatio <= 2.0,
+      "dirty-canary threshold should flag real stalls without flagging noise")
+  }
+
   test("scratch directories (containment wave spill) are deleted at releaseAll (r16 ADVICE)") {
     val spark = TestSpark.spark
     import graft.core.CacheRegistry
