@@ -258,6 +258,10 @@ class BenchPolicySpec extends AnyFunSuite {
       "the clamp must at least cover the storm ratios r20 documented")
     assert(Bench.DirtyCanaryRatio > 1.0 && Bench.DirtyCanaryRatio <= 2.0,
       "dirty-canary threshold should flag real stalls without flagging noise")
+    // a stale canary cannot certify a cancellation clean: micro-storms
+    // fit between samples (the q58 78 s-gap shape), so the freshness
+    // bound must be tight enough to matter and loose enough to ever fire
+    assert(Bench.CanaryFreshSec >= 10.0 && Bench.CanaryFreshSec <= 60.0)
   }
 
   test("scratch directories (containment wave spill) are deleted at releaseAll (r16 ADVICE)") {
