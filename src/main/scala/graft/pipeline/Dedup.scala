@@ -980,6 +980,34 @@ object Dedup {
     stripSpansByHashes(toks, chunks, badHashes.select("chunk_hash"), idCol, size)
   }
 
+  /** The span-strip rewrite as ONE compiled kernel call per row (r21):
+    * the expression form — `array_join(filter(__w, j =>
+    * !array_contains(__dp, j / size)))` — is an interpreted higher-order
+    * lambda (CodegenFallback) evaluating an O(|dp|) array_contains per
+    * token, and as the final stage under the caller's global orderBy it
+    * executes TWICE (the range exchange's sampling pass re-runs the last
+    * stage). Identical output: tokens whose chunk index is in the dup
+    * set are dropped, survivors joined with a single space; null tokens
+    * ⇒ null (the kernel family's web-corpus contract). */
+  private val stripSpanKernel = F.udf { (toks: Seq[String], dp: Seq[Int], size: Int) =>
+    if (toks == null) null
+    else {
+      val bad: Set[Int] = if (dp == null) Set.empty else dp.toSet
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      val it = toks.iterator
+      while (it.hasNext) {
+        val t = it.next()
+        if (!bad.contains(j / size)) {
+          if (sb.length > 0) sb.append(' ')
+          sb.append(t)
+        }
+        j += 1
+      }
+      sb.toString
+    }
+  }
+
   private def stripSpansByHashes(toks: DataFrame, chunks: DataFrame,
                                  dupHashes: DataFrame, idCol: String,
                                  size: Int): DataFrame = {
@@ -988,16 +1016,12 @@ object Dedup {
     toks.join(dupPos, Seq(idCol), "left")
       // docs without duplicated chunks miss the join → null set; the
       // coalesce keeps the keep-test three-valued-logic-free (a null
-      // array_contains would silently drop every token)
+      // membership probe would silently drop every token)
       .withColumn("__dp", F.coalesce(F.col("__dp0"), F.array().cast("array<int>")))
       .select(F.col(idCol),
         F.size(F.col("__w")).as("n_tokens"),
         (F.size(F.col("__dp")) * size).as("n_removed"),
-        F.array_join(
-          F.filter(F.col("__w"), (_, j) =>
-            !F.array_contains(F.col("__dp"),
-              F.floor(j.cast("double") / size).cast("int"))),
-          " ").as("clean_text"))
+        stripSpanKernel(F.col("__w"), F.col("__dp"), F.lit(size)).as("clean_text"))
   }
 
   /** The containment pair-traffic budget: `graft.containment.maxPairs`
