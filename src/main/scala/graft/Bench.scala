@@ -256,6 +256,22 @@ object Bench {
     }
   }
 
+  // core count the session actually ran with — emit() and the absolute
+  // slowness gate need it for the clean-canary ceiling (r22)
+  @volatile private var ncpuSeen = 32
+
+  /** Like [[hostSlowness]] but ABSOLUTE: the best divides by the
+    * ceiling-clamped series min, so a storm spanning every point still
+    * reads slow. Used for storm DETECTION (pass-1 deferral, pass-2
+    * skips), never for slice stretching. */
+  private def hostSlownessAbs: Double = canarySeries.synchronized {
+    if (canarySeries.isEmpty) 1.0
+    else {
+      val vals = canarySeries.map(_._2)
+      math.max(1.0, vals.last / clampedBest(vals.min, ncpuSeen))
+    }
+  }
+
   /** Slowness of the series point nearest wall-second t — the emit-time
     * adjudication signal for cancellations. Unmeasurable ⇒ MaxValue:
     * fewer than two points (the lone anchor may itself be inflated), or
@@ -270,8 +286,12 @@ object Bench {
       val (pt, near) = canarySeries.minBy { case (p, _) => math.abs(p - t) }
       if (math.abs(pt - t) > CanaryFreshSec) Double.MaxValue
       else {
-        val best = canarySeries.map(_._2).min
-        math.max(1.0, near / math.max(1e-9, best))
+        // ceiling-clamped best (r22, ADVICE r21 low): a storm spanning
+        // the whole series previously made every point "clean relative
+        // to itself" and laundered storm cancellations into real-looking
+        // engine failures
+        val best = clampedBest(canarySeries.map(_._2).min, ncpuSeen)
+        math.max(1.0, near / best)
       }
     }
   }
@@ -285,6 +305,23 @@ object Bench {
   val DirtyCanaryRatio = 1.5
   def scaledSlice(baseSec: Double, slowness: Double): Double =
     baseSec * math.min(MaxSliceScale, math.max(1.0, slowness))
+
+  /** Upper bound on a CLEAN canary second at a given core count (r22,
+    * ADVICE r21 low): the fixed probe reads ~0.42 s clean at 32 cores
+    * and ~0.75 s at 8 (r20/r21 artifacts). A storm spanning the WHOLE
+    * window inflates every series point together, so series-relative
+    * slowness reads ~1.0 exactly when the window is dirtiest — and a
+    * storm cancellation was judged clean (the r20 false-failure shape).
+    * Clamping the series best to this generous ceiling (≈3.5× clean)
+    * lets a uniformly-slow window still read as slow. Pure;
+    * BenchPolicySpec pins it. */
+  def cleanCanaryCeiling(cpus: Int): Double = if (cpus >= 16) 1.5 else 3.0
+
+  /** The `best` estimate slowness ratios divide by: the window's own
+    * series minimum, clamped to the clean ceiling so a whole-window
+    * storm cannot certify itself clean. Pure; spec-pinned. */
+  def clampedBest(seriesMin: Double, cpus: Int): Double =
+    math.max(1e-9, math.min(seriesMin, cleanCanaryCeiling(cpus)))
 
   /** Expected-cost tier by name: 0 = sub-second relational, 1 = text
     * scans, 2 = dedup/ANN/LSH pipeline tail. Unknown names sort by tier
@@ -492,6 +529,7 @@ object Bench {
     }
 
     val ncpu = try cpus.toInt catch { case _: Throwable => 32 }
+    ncpuSeen = ncpu
 
     // host-speed canary: 3 runs, keep the min (see canarySec above)
     withWatchdog("bench-canary", sliceSec = 60.0) {
@@ -556,16 +594,38 @@ object Bench {
       }
     def maybeCanaryPoint(): Unit = canaryPoint(force = false)
 
+    // Freshness-aware storm gate (r22, r21 verdict item 2): the decision
+    // to DEFER or fail-fast a query needs the host's state NOW, not the
+    // state ten queries ago — when the latest series point is stale
+    // (> CanaryFreshSec old), land a fresh probe first. A window in
+    // which no probe can land (probe cancelled, or past budget) is
+    // unmeasurable and treated as stormy: running into it can only
+    // record numbers emit() itself will adjudicate dirty.
+    def slownessFreshOrMax(): Double = {
+      def fresh = canarySeries.synchronized {
+        canarySeries.nonEmpty && (elapsed - canarySeries.last._1) <= CanaryFreshSec
+      }
+      if (!fresh) canaryPoint(force = true)
+      if (!fresh) Double.MaxValue else hostSlownessAbs
+    }
+
     // (seconds, ok, external cpu cores, io stall fraction during the run)
+    // maxSliceSec caps the stretched slice: the last-chance pass bounds
+    // it by the pre-deadline headroom (ADVICE r21 low — a 240 s
+    // stretched slice past the hard deadline made the deadline-thread
+    // emit the normal exit path), and post-deferral storm runs pass the
+    // base slice so a still-stormy window fails fast instead of
+    // stretching 8x per query.
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-                sliceSec: Double): (Double, Boolean, Double, Double) = {
+                sliceSec: Double,
+                maxSliceSec: Double = Double.MaxValue): (Double, Boolean, Double, Double) = {
       val snap0 = cpuSnap()
       graft.core.Dispatch.drain() // clear notes from the previous query
       // slice scaled by the live host-slowness ratio (r21): a fixed
       // slice under a co-tenant stall cancels queries that pass clean —
       // the r20 false-failure shape. The hard deadline still bounds the JVM.
       val (dt, ok) = withWatchdog(s"bench-$name",
-        scaledSlice(sliceSec, hostSlowness))(force(fn(spark, sfDir)))
+        math.min(scaledSlice(sliceSec, hostSlowness), maxSliceSec))(force(fn(spark, sfDir)))
       val forms = graft.core.Dispatch.drain()
       if (forms.nonEmpty) dispatchAtRun(name) = dispatchJson(forms)
       val snap1 = cpuSnap()
@@ -633,8 +693,30 @@ object Bench {
 
     // Pass 1: one timing for everything, cost-ordered.
     notePass("pass1")
-    all.zipWithIndex.foreach { case ((name, fn), idx) =>
-      val remainingQueries = all.size - idx
+    // pre-tier-0 series point (r22, r21 verdict item 2): warmup + the
+    // JIT warm pass run before the first timed query, so without this
+    // the series' first point could land minutes in (run 11's series
+    // began at t=164 s — exactly past the segment the q100–q112
+    // residual needed adjudicated)
+    canaryPoint(force = true)
+    // Storm-aware deferral (r22, r21 verdict item 2): running a query
+    // into a DETECTED storm burns budget recording a number emit() will
+    // itself adjudicate dirty — the r21 driver run spent its whole
+    // budget on 38 storm-inflated queries and left 81 unmeasured. While
+    // the budget comfortably allows it (first half), a query that would
+    // start under slowness ≥ DirtyCanaryRatio is pushed to the back of
+    // the pass instead; when a full sweep has deferred (everything
+    // pending is storm-blocked) the pass sleeps a slice so the storm
+    // can pass rather than busy-looping. Past the deferral horizon the
+    // pass runs regardless — but UNstretched (maxSliceSec = the base
+    // slice), so a still-stormy window fails fast into adjudicable
+    // `failed_dirty` entries instead of stretching 8x per query.
+    val deferHorizon = budgetSec * 0.5
+    val pending = scala.collection.mutable.Queue(all: _*)
+    var deferStreak = 0
+    while (pending.nonEmpty) {
+      val q = pending.dequeue()
+      val (name, fn) = q
       val remainingBudget = budgetSec - elapsed
       // Per-query slice: an even share of what's left, floored so normal
       // queries (sub-second unloaded) never trip it, capped at 120 s.
@@ -642,14 +724,33 @@ object Bench {
       // hangs cost 10 s each, and the hard deadline bounds the total.
       val slice =
         if (remainingBudget <= 0) 10.0
-        else math.max(15.0, math.min(120.0, remainingBudget / math.max(1, remainingQueries)))
-      val (dt, ok, ext, io) = timeOne(name, fn, slice)
-      firstTimes(name) = dt
-      minTimes(name) = dt
-      extAtMin(name) = ext
-      ioAtMin(name) = io
-      minAtSec(name) = elapsed
-      if (!ok) failures(name) = true
+        else math.max(15.0, math.min(120.0, remainingBudget / math.max(1, pending.size + 1)))
+      val slowNow = slownessFreshOrMax()
+      if (slowNow >= DirtyCanaryRatio && elapsed < deferHorizon) {
+        pending.enqueue(q)
+        deferStreak += 1
+        if (deferStreak >= pending.size) {
+          loadPasses += f"storm-wait@${elapsed}%.0fs slow=${math.min(slowNow, 999.0)}%.1f"
+          Thread.sleep(10000)
+          deferStreak = 0
+        }
+      } else {
+        deferStreak = 0
+        val cap = if (slowNow >= DirtyCanaryRatio) slice else Double.MaxValue
+        val (dt, ok, ext, io) = timeOne(name, fn, slice, cap)
+        // record ONLY successful runs (ADVICE r21 medium: a cancelled
+        // pass-1 run previously wrote its elapsed-at-cancel into
+        // minTimes, and a later slower-but-successful retry could leave
+        // that phantom as the reported min — a time at which the query
+        // never completed)
+        if (ok) {
+          firstTimes(name) = dt
+          minTimes(name) = dt
+          extAtMin(name) = ext
+          ioAtMin(name) = io
+          minAtSec(name) = elapsed
+        } else failures(name) = true
+      }
     }
     pass1Done = true
     val settled = TrieMap.empty[String, Boolean]
@@ -665,7 +766,15 @@ object Bench {
       notePass("pass2")
       canaryPoint(force = true) // pass-boundary series point (r21)
       all.zipWithIndex.foreach { case ((name, fn), idx) =>
-        if (elapsed < budgetSec * 0.85) {
+        // storm skip (r22): a pass-2 re-timing under a detected storm
+        // can neither beat nor settle the min — it only burns budget.
+        // The cheap check first; only when it reads dirty pay a fresh
+        // probe to confirm (and to keep the series advancing while the
+        // pass skips). Skipped queries stay unsettled, so the retry
+        // loop picks them up in a quieter window.
+        val stormy = hostSlownessAbs >= DirtyCanaryRatio &&
+          slownessFreshOrMax() >= DirtyCanaryRatio
+        if (elapsed < budgetSec * 0.85 && !stormy) {
           val slice = math.max(15.0, math.min(120.0,
             (budgetSec - elapsed) / math.max(1, all.size - idx)))
           val (dt, ok, ext, io) = timeOne(name, fn, slice)
@@ -737,7 +846,12 @@ object Bench {
     val lastChance = all.filter { case (n, _) => failures.getOrElse(n, false) }
     lastChance.foreach { case (name, fn) =>
       if (elapsed < budgetSec + 40) {
-        val (dt, ok, ext, io) = timeOne(name, fn, sliceSec = 30.0)
+        // slice capped at the pre-deadline headroom (ADVICE r21 low): a
+        // 30 s base slice stretched 8x reached 240 s — past the hard
+        // deadline — so the deadline thread halted mid-query and the
+        // deadline-thread emit became the normal exit path
+        val cap = math.max(5.0, budgetSec + 80 - elapsed)
+        val (dt, ok, ext, io) = timeOne(name, fn, sliceSec = 30.0, maxSliceSec = cap)
         if (ok) record(name, dt, ext, io, settled)
       }
     }

@@ -14,6 +14,10 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // conf:k=v args flip operator knobs for variant captures (r22)
+    args.drop(2).filter(_.startsWith("conf:")).foreach { a =>
+      val kv = a.drop(5).split("=", 2); spark.conf.set(kv(0), kv(1))
+    }
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(kv => names.isEmpty || names.exists(kv._1.startsWith))
       .foreach { case (name, fn) =>

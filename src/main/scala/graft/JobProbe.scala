@@ -23,7 +23,13 @@ object JobProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.find(_.startsWith("/")).getOrElse("/root/testdata/sf0.1")
     val reps = args.find(_.startsWith("reps=")).map(_.drop(5).toInt).getOrElse(2)
-    val prefixes = args.filterNot(a => a.startsWith("/") || a.startsWith("reps=")).toSeq
+    // conf:k=v args let a probe flip operator knobs (r22: the
+    // rollingDuration single-scan A/B) without a code edit per leg
+    val confs = args.filter(_.startsWith("conf:")).map { a =>
+      val kv = a.drop(5).split("=", 2); (kv(0), kv(1))
+    }.toSeq
+    val prefixes = args.filterNot(a => a.startsWith("/") || a.startsWith("reps=") ||
+      a.startsWith("conf:")).toSeq
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -32,6 +38,7 @@ object JobProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
 
     val jobStart = TrieMap.empty[Int, (Long, String)]
     val jobs = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Double, String)]

@@ -47,6 +47,18 @@ object OptProbe {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import graft.pipeline.Dedup
 
+    def q88Shaped(s: SparkSession, persistFresh: Boolean): DataFrame = {
+      import org.apache.spark.sql.functions.col
+      val d = Tables.documents(s, sfDir)
+      val ixDocs = d.filter(col("doc_id") % 2 === 0)
+      val batchDocs = d.filter(col("doc_id") % 2 === 1)
+      val index = Dedup.chunkHashIndex(ixDocs, "text", "source", size = 3).persist()
+      val oldMatrix = Dedup.sourceChunkOverlapFromIndex(index)
+      Dedup.sourceChunkOverlapIncremental(index, oldMatrix, batchDocs,
+          "text", "source", size = 3, persistFresh = persistFresh)
+        .orderBy("source_a", "source_b")
+    }
+
     // leg name -> (beforeBuilder, afterBuilder)
     val all: Map[String, (SparkSession => DataFrame, SparkSession => DataFrame)] = Map(
       // winnow-overlap: re-extract features per consumer (before) vs
@@ -69,7 +81,45 @@ object OptProbe {
         (s: SparkSession) => Dedup.containmentPairs(
           Tables.documents(s, sfDir), "doc_id", "text",
           k = 3, tau = 0.8, maxDf = 1000, persistGrams = true)
-          .orderBy("id_small", "id_big")))
+          .orderBy("id_small", "id_big")),
+      // r22: fused single-aggregation Lloyd re-average vs the r13–r21
+      // two-shuffle form, driven through the full q56 IVF computation
+      "ivfFuse" -> (
+        (s: SparkSession) => {
+          val e = Tables.embeddings(s, sfDir)
+          graft.pipeline.Similarity.ivfTopKWithTrainer(e,
+            e.filter(org.apache.spark.sql.functions.col("vec_id") < 10),
+            5, nlist = 16, nprobe = 4,
+            trainer = graft.pipeline.Similarity.trainCentroidsTwoStep)
+            .select("query_id", "neighbor_id", "rank")
+            .orderBy("query_id", "rank")
+        },
+        (s: SparkSession) => {
+          val e = Tables.embeddings(s, sfDir)
+          graft.pipeline.Similarity.ivfTopK(e,
+            e.filter(org.apache.spark.sql.functions.col("vec_id") < 10),
+            5, nlist = 16, nprobe = 4)
+            .select("query_id", "neighbor_id", "rank")
+            .orderBy("query_id", "rank")
+        }),
+      // r22: q113 rolling-duration — two-FileScan union tag fan-out vs
+      // the single-scan explode (conf-toggled inside the operator)
+      "rdSingleScan" -> (
+        (s: SparkSession) => {
+          s.conf.set("graft.rollingDuration.singleScan", "false")
+          graft.queries.Registry.all
+            .find(_.name == "q113_rolling_duration_frame").get.build(s, sfDir)
+        },
+        (s: SparkSession) => {
+          s.conf.set("graft.rollingDuration.singleScan", "true")
+          graft.queries.Registry.all
+            .find(_.name == "q113_rolling_duration_frame").get.build(s, sfDir)
+        }),
+      // r22: q88 — recompute the batch's fresh-membership frame per
+      // consumer vs persist it once (r21 verdict item 4)
+      "q88Fresh" -> (
+        (s: SparkSession) => q88Shaped(s, persistFresh = false),
+        (s: SparkSession) => q88Shaped(s, persistFresh = true)))
 
     def force(df: DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -88,6 +138,13 @@ object OptProbe {
         val rb = mkB(spark).collect().map(_.toString).sorted.toSeq
         cleanup()
         println(s"$name identical=${ra == rb} rows=${ra.size}")
+        // fail loudly on mismatch (ADVICE r21 low): a non-equivalent
+        // candidate must not get an authoritative-looking speedup line
+        if (ra != rb) {
+          System.err.println(s"$name MISMATCH: A=${ra.size} rows, B=${rb.size} rows — skipping timings")
+          spark.stop()
+          sys.exit(1)
+        }
         (1 to reps).foreach { rep =>
           val order = if (rep % 2 == 1) Seq("A" -> mkA, "B" -> mkB)
                       else Seq("B" -> mkB, "A" -> mkA)

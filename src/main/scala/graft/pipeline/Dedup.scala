@@ -383,9 +383,21 @@ object Dedup {
     * increment costs O(batch), never O(corpus). */
   def sourceChunkOverlapIncremental(index: DataFrame, oldMatrix: DataFrame,
                                     batch: DataFrame, textCol: String,
-                                    sourceCol: String, size: Int = 3): DataFrame = {
-    val fresh = chunkHashIndex(batch, textCol, sourceCol, size)
+                                    sourceCol: String, size: Int = 3,
+                                    persistFresh: Boolean = true): DataFrame = {
+    // `fresh` feeds TWO consumers below (the membership union and the
+    // delta join's probe side), so without a cache the batch is
+    // scanned, chunk-hashed, distinct-shuffled and anti-joined TWICE
+    // per run (r22, r21 verdict item 4 — §6 read amplification). The
+    // frame is batch-sized (chunk_hash, source) scalars; tracked so the
+    // consumer releases it after the action. Knob kept for the
+    // recompute A/B (OptProbe `q88Fresh`).
+    val fresh0 = chunkHashIndex(batch, textCol, sourceCol, size)
       .join(index, Seq("chunk_hash", "source"), "left_anti")
+    val fresh =
+      if (persistFresh)
+        graft.core.CacheRegistry.track("sourceChunkOverlapIncremental.fresh", fresh0)
+      else fresh0
     val others = index.unionByName(fresh)
       .select(F.col("chunk_hash"), F.col("source").as("other"))
     val delta = fresh.join(others, "chunk_hash")

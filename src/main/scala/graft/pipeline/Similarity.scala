@@ -318,16 +318,18 @@ object Similarity {
     * per round, no shuffle of payloads) and re-average (posexplode →
     * groupBy(cluster, dim) rides one hash shuffle of scalar components,
     * never whole vectors × nlist). `c` must carry (cid0, cv). */
-  private def trainCentroids(c: DataFrame, nlist: Int, iters: Int,
-                             cos: (Column, Column) => Column): DataFrame = {
+  private[graft] def trainCentroids(c: DataFrame, nlist: Int, iters: Int,
+                                    cos: (Column, Column) => Column): DataFrame = {
     var centroids = c.orderBy("cid0").limit(nlist)
       .select(F.row_number().over(Window.orderBy("cid0")).as("cell"), F.col("cv").as("centroid"))
     for (_ <- 0 until iters) {
-      // re-average: dims explode to scalars, so the groupBy(cell, dim)
-      // shuffle carries one double per (row, dim) — never whole vectors.
-      // localCheckpoint truncates the per-round lineage (iterative plans
-      // otherwise grow multiplicatively — see Dedup.connectedComponents);
-      // the frame is nlist rows, so materializing it is free.
+      // FUSED re-average (r22, r21 verdict item 3): ONE groupBy(cell)
+      // collecting the cell's vectors, then every dim's mean computed
+      // in the same projection — where the r13–r21 shape posexploded to
+      // scalars and paid TWO shuffles per round (groupBy(cell, dim) +
+      // the re-assemble groupBy(cell)). Halves the training stage
+      // count; the collected state per group is ~trainCap/nlist ≈ 8
+      // vectors — bounded by the training cap at any corpus size.
       // persist(), NOT localCheckpoint: checkpoint — even lazy — runs
       // every AQE shuffle stage at CALL time, so query construction
       // (explain, the cartesian plan guard, registry sweeps) paid
@@ -335,14 +337,39 @@ object Similarity {
       // still compute-once at first action (each round's frame is
       // nlist rows, so the cache is trivial); `iters` is small and
       // fixed, so the un-truncated lineage stays bounded.
-      // The re-average is DETERMINISTIC under recomputation (ADVICE r12):
-      // a plain avg() sums doubles in partition-arrival order, so an
-      // evicted cache block recomputed mid-job could differ in the last
-      // ULP between the two consumers of the sims frame (assignment
-      // window vs probe filter) and drop a boundary pair. Summing the
-      // collected group in SORTED order pins the float result
-      // bit-for-bit for any execution. Groups are tiny by construction:
-      // one per (cell, dim), ~trainCap/nlist ≈ 8 values each.
+      // The re-average is DETERMINISTIC under recomputation (ADVICE r12)
+      // and BIT-IDENTICAL to the two-step form (the sorted-sum
+      // re-average contract): per (cell, dim) the same multiset of
+      // doubles is array_sorted and left-folded, so collect order can
+      // never move the float result. PipelineSpec pins fused ≡ two-step
+      // on the real corpus; the q55/q56/q58 oracles hash-pin the rest.
+      // Precondition (the corpus contract): fixed-width vectors with no
+      // null elements — the same shape every cosine below assumes.
+      centroids = nearestCellsCarry(c, centroids, "cid0", "cv", 1, cos)
+        .groupBy("cell")
+        .agg(F.collect_list(F.col("cv")).as("__vs"))
+        .select(F.col("cell"),
+          F.transform(
+            F.sequence(F.lit(0), F.size(F.element_at(F.col("__vs"), 1)) - 1),
+            d => (F.aggregate(
+                    F.array_sort(F.transform(F.col("__vs"),
+                      v => F.element_at(v, d + 1).cast("double"))),
+                    F.lit(0.0), (acc, y) => acc + y)
+                  / F.size(F.col("__vs"))).cast("float")).as("centroid"))
+        .persist()
+    }
+    centroids
+  }
+
+  /** The r13–r21 two-shuffle re-average (posexplode → groupBy(cell,
+    * dim) → groupBy(cell)) — retained ONLY as the bit-exactness anchor
+    * for the fused round above (PipelineSpec parity + the OptProbe
+    * `ivfFuse` leg). Not on any query path. */
+  private[graft] def trainCentroidsTwoStep(c: DataFrame, nlist: Int, iters: Int,
+                                           cos: (Column, Column) => Column): DataFrame = {
+    var centroids = c.orderBy("cid0").limit(nlist)
+      .select(F.row_number().over(Window.orderBy("cid0")).as("cell"), F.col("cv").as("centroid"))
+    for (_ <- 0 until iters) {
       centroids = nearestCellsCarry(c, centroids, "cid0", "cv", 1, cos)
         .select(F.col("cell"), F.posexplode(F.col("cv")).as(Seq("dim", "x")))
         .groupBy("cell", "dim")
@@ -375,10 +402,21 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 4, iters: Int = 2,
               idCol: String = "vec_id", vecCol: String = "embedding",
-              queryCount: Long = -1L): DataFrame = {
+              queryCount: Long = -1L): DataFrame =
+    ivfTopKWithTrainer(corpus, queries, k, nlist, nprobe, iters,
+      idCol, vecCol, queryCount, trainCentroids)
+
+  /** [[ivfTopK]] with a pluggable trainer — the seam the OptProbe
+    * `ivfFuse` A/B and the PipelineSpec parity case drive the retained
+    * two-step re-average through. Not a public contract. */
+  private[graft] def ivfTopKWithTrainer(corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4, iters: Int = 2,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              queryCount: Long = -1L,
+              trainer: (DataFrame, Int, Int, (Column, Column) => Column) => DataFrame): DataFrame = {
     val cos = cosineNative(corpus.sparkSession) _
     val c = corpus.select(F.col(idCol).as("cid0"), F.col(vecCol).as("cv"))
-    val centroids = trainCentroids(c, nlist, iters, cos)
+    val centroids = trainer(c, nlist, iters, cos)
     val indexed = nearestCellsCarry(c, centroids, "cid0", "cv", 1, cos)
       .select(F.col("cid0").as("neighbor_id"), F.col("cv"), F.col("cell"))
     val q0 = queries.select(F.col(idCol).as("query_id"), F.col(vecCol).as("qv"))

@@ -264,6 +264,20 @@ class BenchPolicySpec extends AnyFunSuite {
     assert(Bench.CanaryFreshSec >= 10.0 && Bench.CanaryFreshSec <= 60.0)
   }
 
+  test("a whole-window storm cannot certify itself clean (r22, ADVICE r21 low)") {
+    // clean window: the series min IS the best — the clamp is inactive
+    assert(Bench.clampedBest(0.43, 32) == 0.43)
+    assert(Bench.clampedBest(0.75, 8) == 0.75)
+    // storm spanning every point: best clamps to the per-cpus ceiling,
+    // so a 28 s canary reads ~18x slow instead of 1.0x
+    assert(Bench.clampedBest(28.0, 32) == Bench.cleanCanaryCeiling(32))
+    assert(28.0 / Bench.clampedBest(28.0, 32) > Bench.DirtyCanaryRatio)
+    // the ceiling is generous vs the measured clean values (0.42 at 32
+    // cores, 0.75 at 8): a merely-warm host must never read stormy
+    assert(Bench.cleanCanaryCeiling(32) >= 3 * 0.42)
+    assert(Bench.cleanCanaryCeiling(8) >= 3 * 0.75)
+  }
+
   test("scratch directories (containment wave spill) are deleted at releaseAll (r16 ADVICE)") {
     val spark = TestSpark.spark
     import graft.core.CacheRegistry

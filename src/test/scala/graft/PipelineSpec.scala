@@ -461,6 +461,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(ivf == brute, s"ivf $ivf != brute $brute")
   }
 
+  test("fused Lloyd re-average is bit-identical to the two-step form (r22)") {
+    // magnitude mixture (1e8 vs 1e-8 components) makes the per-dim sum
+    // ORDER-sensitive in doubles: if either form summed unsorted, the
+    // last-ULP drift would show here. Both sort per (cell, dim) before
+    // the left fold, so the centroids must match bit-for-bit.
+    val vecs = (0 until 37).map { i =>
+      val big = if (i % 2 == 0) 1.0e8f else -1.0e8f
+      (i.toLong, Array(
+        big + i.toFloat,
+        1.0e-8f * (i % 7) + (if (i % 3 == 0) 0.5f else 0.0f),
+        (i % 11).toFloat / 7.0f))
+    }.toDF("vec_id", "embedding")
+    val cos = Similarity.cosineNative(spark) _
+    val c = vecs.select($"vec_id".as("cid0"), $"embedding".as("cv"))
+    def bits(df: org.apache.spark.sql.DataFrame): Map[Int, Seq[Int]] =
+      df.collect().map { r =>
+        r.getInt(0) -> r.getSeq[Float](1).map(java.lang.Float.floatToRawIntBits)
+      }.toMap
+    val fused = bits(Similarity.trainCentroids(c, 5, 2, cos))
+    val two = bits(Similarity.trainCentroidsTwoStep(c, 5, 2, cos))
+    assert(fused == two, "fused re-average drifted from the two-step anchor")
+    spark.catalog.clearCache() // the trainers persist per-round frames
+    // and end-to-end through the IVF query shape on clustered data
+    val qs = vecs.filter($"vec_id" < 3)
+    def res(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    val viaFused = res(Similarity.ivfTopK(vecs, qs, 3, nlist = 4, nprobe = 2, iters = 2))
+    spark.catalog.clearCache()
+    val viaTwo = res(Similarity.ivfTopKWithTrainer(vecs, qs, 3, nlist = 4, nprobe = 2,
+      iters = 2, trainer = Similarity.trainCentroidsTwoStep))
+    spark.catalog.clearCache()
+    assert(viaFused == viaTwo)
+  }
+
   test("connectedComponents resolves transitive chains and isolates") {
     // chain 1-2-3-4 (diameter 3, forces multiple propagation rounds),
     // separate pair 10-11, pair 20-21 linked to the chain via 4-20

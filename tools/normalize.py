@@ -17,8 +17,8 @@ Usage: tools/normalize.py A.json B.json [--top N]
 Prints per-query rows (worst normalized movers first) and the
 common-query raw/normalized totals.
 """
+import argparse
 import json
-import sys
 
 
 def load(path):
@@ -32,15 +32,20 @@ def canary_at(series, anchor, t):
     """Nearest series point to wall-second t; fall back to the anchor."""
     if series:
         return min(series, key=lambda p: abs(p[0] - t))[1]
-    return anchor if anchor and anchor > 0 else None
+    return anchor if anchor is not None and anchor > 0 else None
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    top = 20
-    if "--top" in sys.argv:
-        top = int(sys.argv[sys.argv.index("--top") + 1])
-    a_path, b_path = args[0], args[1]
+    # argparse (ADVICE r21 low): the old hand-rolled filter only dropped
+    # tokens starting with '--', so `--top 5 A.json B.json` parsed '5' as
+    # the first input path and crashed
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("a_path")
+    ap.add_argument("b_path")
+    ap.add_argument("--top", type=int, default=20)
+    ns = ap.parse_args()
+    top = ns.top
+    a_path, b_path = ns.a_path, ns.b_path
     da, sa, ca = load(a_path)
     db, sb, cb = load(b_path)
     qa, qb = da["queries"], db["queries"]
@@ -54,18 +59,21 @@ def main():
         raw = tb / ta
         c_a = canary_at(sa, ca, ma.get(k, 0.0))
         c_b = canary_at(sb, cb, mb.get(k, 0.0))
-        host = (c_b / c_a) if (c_a and c_b and c_a > 0 and c_b > 0) else None
-        norm = raw / host if host else None
+        # `is not None` (ADVICE r21 low): a legitimate 0.0 would read as
+        # missing under truthiness (and host==0.0 would div/0 below)
+        host = (c_b / c_a) if (c_a is not None and c_b is not None
+                               and c_a > 0 and c_b > 0) else None
+        norm = raw / host if host is not None and host > 0 else None
         rows.append((k, ta, tb, raw, host, norm))
         tot_a += ta
         tot_b += tb
-        tot_b_norm += (tb / host) if host else tb
+        tot_b_norm += (tb / host) if host is not None and host > 0 else tb
     rows.sort(key=lambda r: -(r[5] if r[5] is not None else r[3]))
     print(f"common queries: {len(common)}")
     print(f"{'query':40s} {'A_s':>7s} {'B_s':>7s} {'raw':>6s} {'host':>6s} {'norm':>6s}")
     for k, ta, tb, raw, host, norm in rows[:top]:
-        hs = f"{host:6.2f}" if host else "     -"
-        ns = f"{norm:6.2f}" if norm else "     -"
+        hs = f"{host:6.2f}" if host is not None else "     -"
+        ns = f"{norm:6.2f}" if norm is not None else "     -"
         print(f"{k:40s} {ta:7.2f} {tb:7.2f} {raw:6.2f} {hs} {ns}")
     print(f"\ntotal A = {tot_a:.2f}s  total B = {tot_b:.2f}s  "
           f"raw B/A = {tot_b / tot_a:.3f}  "
