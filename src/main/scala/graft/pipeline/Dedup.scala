@@ -863,11 +863,38 @@ object Dedup {
     * canonical (id_a < id_b, from the sorted bucket explosion). */
   private def wordEdgesFrom(words: DataFrame, maxHamming: Int,
                             maxBucket: Int): DataFrame = {
-    val banded = words.withColumn("bands", simhashBands(F.col("simhash")))
-    val cand = candidatePairs(banded, "rep", "bands", maxBucket)
-    cand
-      .join(words.select(F.col("rep").as("id_a"), F.col("simhash").as("h_a")), "id_a")
-      .join(words.select(F.col("rep").as("id_b"), F.col("simhash").as("h_b")), "id_b")
+    // CARRY the 8-byte word through the band explosion (r22; the r14
+    // nearestCellsCarry discipline): the bucket pair stream then
+    // already holds BOTH hashes, so the two rep→simhash joins the
+    // previous shape paid per edge computation (each a join stage in
+    // the eagerly-materialized CC input — q79/q82's build cost is
+    // dominated by these small sequential stages) disappear. The
+    // carried payload is one long per row; pair emission, canonical
+    // order (struct sort leads with the distinct rep) and the
+    // Hamming≤max filter are unchanged, so the edge set is identical.
+    // Same explosion-width discipline as candidatePairs (r8): the
+    // fanout estimate derives the repartition width.
+    val spark = words.sparkSession
+    val machine = math.max(spark.sparkContext.defaultParallelism,
+      spark.sessionState.conf.numShufflePartitions)
+    val nWords: Long =
+      try Similarity.memoizedCount(words.select(F.col("rep")))
+      catch { case _: Throwable => -1L }
+    val estFanout = if (nWords < 0) -1.0 else nWords.toDouble * 4
+    val w = Explosion.width(estFanout, machine)
+    if (w != machine) Explosion.logWidth("wordEdgesFrom", estFanout, w)
+    val exploded = words.select(
+      F.struct(F.col("rep"), F.col("simhash")).as("id"),
+      F.explode(simhashBands(F.col("simhash"))).as("bk"))
+    val grouped =
+      if (w == machine) exploded else exploded.repartition(w, F.col("bk"))
+    val buckets = grouped.groupBy(F.col("bk"))
+      .agg(F.collect_list(F.col("id")).as("ids"))
+      .filter(F.size(F.col("ids")).between(2, maxBucket))
+    buckets.select(F.explode(pairsOf(F.sort_array(F.col("ids")))).as("p"))
+      .select(F.col("p.a.rep").as("id_a"), F.col("p.b.rep").as("id_b"),
+        F.col("p.a.simhash").as("h_a"), F.col("p.b.simhash").as("h_b"))
+      .distinct()
       .withColumn("hamming", hamming(F.col("h_a"), F.col("h_b")))
       .filter(F.col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
