@@ -296,6 +296,18 @@ object Bench {
     }
   }
 
+  /** A >1 s min recorded in a window whose NEAREST fresh canary point
+    * reads dirty (r22, run-4 forensics: a silent throttle burst — 39 s
+    * canary at t=251 — inflated q106–q108 5–8× while ext/io, blind to
+    * the throttle class, certified them quiet). Unmeasurable windows
+    * (no fresh point) are NOT flagged here: over-flagging every query
+    * in a sparse segment would churn retries, and the post-slow-query
+    * probe keeps the series dense exactly where runs are long. */
+  private def canaryDirtyAtMin(name: String): Boolean = {
+    val sn = slownessNear(minAtSec.getOrElse(name, -1.0))
+    sn >= DirtyCanaryRatio && sn != Double.MaxValue
+  }
+
   /** Watchdog slices scale with the CURRENT host slowness, clamped to
     * [1, MaxSliceScale] (r21, r20 verdict item 1b): a 15 s slice is an
     * honest hang bound on a quiet host and a guaranteed false `failed`
@@ -303,6 +315,10 @@ object Bench {
     * clamp and the dirty-failure bookkeeping around it. */
   val MaxSliceScale = 8.0
   val DirtyCanaryRatio = 1.5
+  /** A timed run above this many seconds triggers a forced canary point
+    * right after it (r22): long runs are exactly where the fixed-tick
+    * series goes sparse, and where a silent storm hides. */
+  val SlowQueryCanarySec = 4.0
   def scaledSlice(baseSec: Double, slowness: Double): Double =
     baseSec * math.min(MaxSliceScale, math.max(1.0, slowness))
 
@@ -368,12 +384,16 @@ object Bench {
     val minAt = adjNames
       .map(k => f""""$k":${minAtSec.getOrElse(k, -1.0)}%.0f""").mkString("{", ",", "}")
     // loaded = some successful >1 s min was recorded under external
-    // competition (cpu OR io/memory stall) and never re-achieved in a
+    // competition (cpu OR io/memory stall), OR — r22 — in a window
+    // whose nearest fresh canary point read dirty (the throttle storm
+    // class the ext/io axes cannot see), and never re-achieved in a
     // quiet window: its number is an upper bound, not a clean
     // measurement.
+    def dirtyMin(k: String): Boolean =
+      !quietRun(extAtMin.getOrElse(k, 0.0), ioAtMin.getOrElse(k, 0.0)) ||
+        canaryDirtyAtMin(k)
     val loaded = names.exists(k => !failures.getOrElse(k, false) &&
-      minTimes.getOrElse(k, 0.0) > 1.0 &&
-      !quietRun(extAtMin.getOrElse(k, 0.0), ioAtMin.getOrElse(k, 0.0)))
+      minTimes.getOrElse(k, 0.0) > 1.0 && dirtyMin(k))
     val passes = loadPasses.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Block-manager hygiene audit (r10 verdict task 4): every timed run
     // released the cache registry and cleared the session cache, so a
@@ -435,8 +455,7 @@ object Bench {
     val failedShort = failures.keysIterator.toSeq.sorted
       .map(k => "\"" + shortKey(k) + "\"").mkString("[", ",", "]")
     val dirty = names.toSeq.sorted.filter(k => !failures.getOrElse(k, false) &&
-        minTimes.getOrElse(k, 0.0) > 1.0 &&
-        !quietRun(extAtMin.getOrElse(k, 0.0), ioAtMin.getOrElse(k, 0.0)))
+        minTimes.getOrElse(k, 0.0) > 1.0 && dirtyMin(k))
       .map(k => "\"" + shortKey(k) + "\"").mkString("[", ",", "]")
     // raw stdout, single line: sbt [info] prefixes and log4j noise both
     // broke driver-side parsing before; System.out directly is safest
@@ -642,7 +661,15 @@ object Bench {
       // sweeps anything persisted outside it)
       graft.core.CacheRegistry.releaseAll()
       spark.catalog.clearCache()
-      maybeCanaryPoint()
+      // Post-slow-query probe (r22, run-4 forensics): a silent throttle
+      // burst inflated three pass-1 queries 5-8x inside a 76 s series
+      // gap — the every-10-queries tick samples too sparsely exactly
+      // when queries run long. A forced point after any slow run (a)
+      // stamps the window so emit/normalize can adjudicate the min and
+      // (b) re-arms the pass-1 deferral for the NEXT queries mid-storm.
+      // Clean runs pay this only on the genuinely-heavy tail (~0.4 s
+      // per probe, a handful of queries).
+      canaryPoint(force = dt > SlowQueryCanarySec)
       val ext = externalCores(snap0, snap1)
       val io = ioStallFraction(snap0, snap1, ncpu)
       // record every cancellation with its window coordinates; emit()
@@ -775,7 +802,11 @@ object Bench {
     // extra sweep is cheap insurance: every emitted number is a
     // best-of-two minimum, and a query whose two runs genuinely agree
     // (±10% both ways, externally quiet) is marked settled.
-    if (elapsed < budgetSec * 0.7) {
+    // start gate 0.75 (was 0.7, r22): run 4's warm pass + a mid-pass-1
+    // storm pushed pass-1's end to 0.88×budget and NOTHING re-timed the
+    // three storm-inflated mins; the per-query 0.85 gate below already
+    // bounds a late pass-2, so starting later is strictly more coverage
+    if (elapsed < budgetSec * 0.75) {
       notePass("pass2")
       canaryPoint(force = true) // pass-boundary series point (r21)
       all.zipWithIndex.foreach { case ((name, fn), idx) =>
@@ -812,7 +843,10 @@ object Bench {
         failures.getOrElse(n, false) ||
           (minTimes.getOrElse(n, 0.0) > 1.0 &&
             (!settled.getOrElse(n, false) ||
-              !quietRun(extAtMin.getOrElse(n, 0.0), ioAtMin.getOrElse(n, 0.0)))) }
+              !quietRun(extAtMin.getOrElse(n, 0.0), ioAtMin.getOrElse(n, 0.0)) ||
+              // r22: a canary-dirty min (throttle storm the ext/io axes
+              // can't see) stays retry-eligible like any loaded min
+              canaryDirtyAtMin(n))) }
       improving = targets.nonEmpty
       if (improving) {
         // Probe current external load (both axes) over a short idle
